@@ -1,0 +1,134 @@
+"""Order-independent, engine-identical numeric aggregates.
+
+Problem: the driver hash-compares our Spark results against a DuckDB
+oracle (value-hash, __spark_entry__ docstring).  ``SUM(double)`` is
+order-dependent — Spark sums partials per shuffle partition in
+whatever order tasks finish, DuckDB sums in its own order, so the last
+few ULPs can differ; worse, the *driver's* session config (partition
+count) can differ from the local test session, so "passes locally"
+would not imply "passes in the driver".
+
+Fix: do per-row arithmetic in IEEE double (bit-identical across
+engines), then cast the per-row result to DECIMAL for the *sum*
+(exact, associative, order-independent), then cast the exact total
+back to double.  Both engines correctly-round the same binary double
+to the same decimal, and decimal addition is exact, so the final
+double is bit-identical no matter the partitioning.  The fixture
+money columns are 2-decimal values (FIXTURES.md), so scale 6 gives
+ample headroom.
+
+At 100 TB this also matters for *re-runs*: a metric that changes with
+partition count breaks idempotence checks; decimal-summed metrics are
+stable across cluster sizes.
+
+``dec_sum``/``dec_avg`` (and their SQL twins ``sql_dec_sum``/
+``sql_dec_avg``) are used by every money/quantity aggregate in
+operators/.  Variance/stddev/corr are built from decimal power sums in
+``dec_var``-family helpers so those too are order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 38 total digits; scale 6 leaves 32 integer digits — sums of 2-decimal
+# money values over ~1e12 rows stay exact.
+PREC, SCALE = 38, 6
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dec_sum(c: str | Column, alias: str) -> Column:
+    """Exact order-independent SUM(double) → double."""
+    return (
+        F.sum(_col(c).cast(f"decimal({PREC},{SCALE})")).cast("double").alias(alias)
+    )
+
+
+def sql_dec_sum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE) AS {alias}"
+    )
+
+
+def dec_avg(c: str | Column, alias: str) -> Column:
+    """Exact-sum / count, division done in double (deterministic)."""
+    col = _col(c)
+    total = F.sum(col.cast(f"decimal({PREC},{SCALE})")).cast("double")
+    n = F.count(F.when(col.isNotNull(), F.lit(1)))
+    return (total / n).alias(alias)
+
+
+def sql_dec_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# --- second-moment statistics from exact power sums -----------------
+# var_samp = (S2 - S1^2/n) / (n-1), computed in double from exact
+# decimal S1, S2 → order-independent and identical across engines.
+
+
+def _s1_s2(c: str | Column) -> tuple[Column, Column, Column]:
+    col = _col(c)
+    s1 = F.sum(col.cast(f"decimal({PREC},{SCALE})")).cast("double")
+    s2 = F.sum((col * col).cast(f"decimal({PREC},{SCALE})")).cast("double")
+    n = F.count(F.when(col.isNotNull(), F.lit(1))).cast("double")
+    return s1, s2, n
+
+
+def dec_var_samp(c: str | Column, alias: str) -> Column:
+    s1, s2, n = _s1_s2(c)
+    return ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias(alias)
+
+
+def sql_dec_var_samp(expr: str, alias: str) -> str:
+    s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0) AS {alias}"
+
+
+def dec_stddev_samp(c: str | Column, alias: str) -> Column:
+    s1, s2, n = _s1_s2(c)
+    return F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias(alias)
+
+
+def sql_dec_stddev_samp(expr: str, alias: str) -> str:
+    s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    return f"SQRT((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0)) AS {alias}"
+
+
+def dec_corr(x: str | Column, y: str | Column, alias: str) -> Column:
+    """Pearson corr from exact power sums (population formula cancels n)."""
+    cx, cy = _col(x), _col(y)
+    sx = F.sum(cx.cast(f"decimal({PREC},{SCALE})")).cast("double")
+    sy = F.sum(cy.cast(f"decimal({PREC},{SCALE})")).cast("double")
+    sxx = F.sum((cx * cx).cast(f"decimal({PREC},{SCALE})")).cast("double")
+    syy = F.sum((cy * cy).cast(f"decimal({PREC},{SCALE})")).cast("double")
+    sxy = F.sum((cx * cy).cast(f"decimal({PREC},{SCALE})")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return (num / den).alias(alias)
+
+
+def sql_dec_corr(x: str, y: str, alias: str) -> str:
+    def dsum(e: str) -> str:
+        return f"CAST(SUM(CAST(({e}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+
+    sx, sy = dsum(x), dsum(y)
+    sxx, syy, sxy = dsum(f"({x})*({x})"), dsum(f"({y})*({y})"), dsum(f"({x})*({y})")
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return (
+        f"(({n})*({sxy}) - ({sx})*({sy}))"
+        f" / (SQRT(({n})*({sxx}) - ({sx})*({sx}))"
+        f" * SQRT(({n})*({syy}) - ({sy})*({sy}))) AS {alias}"
+    )

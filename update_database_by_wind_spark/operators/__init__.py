@@ -1,0 +1,9 @@
+"""Operator inventory (SURVEY.md §2).
+
+Importing this package registers every query in
+``update_database_by_wind_spark.registry.REGISTRY``.
+"""
+
+from update_database_by_wind_spark.operators import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,69 @@
+"""SparkSession factory + runtime-conf preparation.
+
+Two entry styles:
+
+* ``get_session()`` — build our own tuned session (tests, bench.py).
+* ``prepare(spark)`` — the driver hands us *its* session
+  (``__spark_entry__.queries()`` callables receive it); we may only
+  touch runtime-settable SQL confs.  Crucially we pin the session
+  time zone to UTC so Spark timestamps hash-match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive), and we size
+  ``spark.sql.shuffle.partitions`` for the local harness — the
+  200-partition default is pathological at sf≤0.1.
+
+Scale note (100 TB): shuffle partition count here is a *local-mode*
+setting.  On a real cluster the same code runs with AQE coalescing
+(`spark.sql.adaptive.enabled=true`) so the initial number only needs
+to be an upper bound; every operator in this package is written so
+that partitioning decisions stay inside Catalyst/AQE rather than
+being hard-coded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "update-database-by-wind-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_cpus()}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    prepare(spark)
+    return spark
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Set runtime-safe SQL confs on a (possibly foreign) session.
+
+    Idempotent; called by every table loader so each ``queries()``
+    callable is correct regardless of which session the driver built.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    except Exception:
+        pass  # never fail a query over a tuning conf
+    return spark
