@@ -36,6 +36,13 @@ from pyspark.sql import functions as F
 # money values over ~1e12 rows stay exact.
 PREC, SCALE = 38, 6
 
+# Second-moment statistics are rounded to this many decimals: the huge
+# exact power sums exceed 17 significant digits, so the decimal→double
+# CAST itself can differ by 1 ULP between engines (Java BigDecimal vs
+# DuckDB int128 path); rounding the ~1e-15-relative-error result makes
+# both engines agree.
+STAT_ROUND = 6
+
 
 def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -84,26 +91,31 @@ def _s1_s2(c: str | Column) -> tuple[Column, Column, Column]:
 
 def dec_var_samp(c: str | Column, alias: str) -> Column:
     s1, s2, n = _s1_s2(c)
-    return ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias(alias)
+    return F.round((s2 - s1 * s1 / n) / (n - F.lit(1.0)), STAT_ROUND).alias(alias)
 
 
 def sql_dec_var_samp(expr: str, alias: str) -> str:
     s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"(({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0) AS {alias}"
+    return f"ROUND((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0), {STAT_ROUND}) AS {alias}"
 
 
 def dec_stddev_samp(c: str | Column, alias: str) -> Column:
     s1, s2, n = _s1_s2(c)
-    return F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias(alias)
+    return F.round(
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), STAT_ROUND
+    ).alias(alias)
 
 
 def sql_dec_stddev_samp(expr: str, alias: str) -> str:
     s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"SQRT((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0)) AS {alias}"
+    return (
+        f"ROUND(SQRT((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0)),"
+        f" {STAT_ROUND}) AS {alias}"
+    )
 
 
 def dec_corr(x: str | Column, y: str | Column, alias: str) -> Column:
@@ -117,7 +129,7 @@ def dec_corr(x: str | Column, y: str | Column, alias: str) -> Column:
     n = F.count(F.lit(1)).cast("double")
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return (num / den).alias(alias)
+    return F.round(num / den, STAT_ROUND).alias(alias)
 
 
 def sql_dec_corr(x: str, y: str, alias: str) -> str:
@@ -128,7 +140,7 @@ def sql_dec_corr(x: str, y: str, alias: str) -> str:
     sxx, syy, sxy = dsum(f"({x})*({x})"), dsum(f"({y})*({y})"), dsum(f"({x})*({y})")
     n = "CAST(COUNT(*) AS DOUBLE)"
     return (
-        f"(({n})*({sxy}) - ({sx})*({sy}))"
+        f"ROUND((({n})*({sxy}) - ({sx})*({sy}))"
         f" / (SQRT(({n})*({sxx}) - ({sx})*({sx}))"
-        f" * SQRT(({n})*({syy}) - ({sy})*({sy}))) AS {alias}"
+        f" * SQRT(({n})*({syy}) - ({sy})*({sy}))), {STAT_ROUND}) AS {alias}"
     )

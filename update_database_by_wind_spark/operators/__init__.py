@@ -6,4 +6,8 @@ Importing this package registers every query in
 
 from update_database_by_wind_spark.operators import (  # noqa: F401
     aggregates,
+    joins,
+    scalars,
+    setops,
+    windows,
 )

@@ -15,9 +15,15 @@ from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.functions.numeric import (
     dec_avg,
+    dec_corr,
+    dec_stddev_samp,
     dec_sum,
+    dec_var_samp,
     sql_dec_avg,
+    sql_dec_corr,
+    sql_dec_stddev_samp,
     sql_dec_sum,
+    sql_dec_var_samp,
 )
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
@@ -69,4 +75,271 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A2: exact distinct counts ----------------------------------------
+
+_A2_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("a2_distinct_counts", oracle=_A2_ORACLE, tags=("agg",))
+def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact COUNT DISTINCT (expands to two-phase agg in Spark)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.date_trunc("day", F.col("ts")).cast("date")
+        ).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- A3: approximate distinct (HLL) — rows-only (approx ≠ hash-match) ---
+
+
+@query("a3_approx_distinct", oracle=None, tags=("agg", "approx"))
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    cardinality; constant memory per group vs exact distinct's shuffle
+    of every distinct value.  Approximate → driver rows-only check."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --- A4: rollup with grouping flags -------------------------------------
+
+_A4_ORACLE = f"""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+       {sql_dec_sum('c_acctbal', 'total_balance')},
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query("a4_rollup_balances", oracle=_A4_ORACLE, tags=("agg",))
+def a4_rollup_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ROLLUP subtotals + GROUPING flags (Expand operator — each
+    input row fans out once per grouping set, still one shuffle)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            dec_sum("c_acctbal", "total_balance"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "total_balance",
+            "n_customers",
+        )
+    )
+
+
+# --- A5: conditional aggregation (FILTER / CASE) -------------------------
+
+_A5_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_dec_sum("CASE WHEN l_quantity > 30 THEN l_extendedprice ELSE 0 END",
+                    'bulk_revenue')},
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted,
+       CAST(COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS BIGINT) AS n_taxfree
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a5_conditional_agg", oracle=_A5_ORACLE, tags=("agg",))
+def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: aggregate over CASE-filtered inputs (one pass, no self-joins)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dec_sum(
+            F.when(F.col("l_quantity") > 30, F.col("l_extendedprice")).otherwise(
+                0.0
+            ),
+            "bulk_revenue",
+        ),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+    )
+
+
+# --- A6: collect_list / collect_set (sorted for determinism) -------------
+
+_A6_ORACLE = """
+SELECT r_name,
+       list_sort(list(n_name)) AS nations,
+       CAST(LEN(list(n_name)) AS INTEGER) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("a6_collect_sorted_lists", oracle=_A6_ORACLE, tags=("agg", "array"))
+def a6_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: array-building aggregate; sort_array makes the value
+    deterministic under any partitioning."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.size(F.collect_list("n_name")).alias("n_nations"),
+        )
+    )
+
+
+# --- A7: pivot (long → wide, the reference's date × code layout) ---------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_A7_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       {', '.join(sql_dec_sum(f"CASE WHEN c_mktsegment = '{s}' THEN o_totalprice END", f"rev_{s}") for s in _SEGMENTS)}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY year(o_orderdate)
+"""
+
+
+@query("a7_pivot_segment_revenue", oracle=_A7_ORACLE, tags=("agg", "pivot"))
+def a7_pivot_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pivot long→wide (year × segment) — the reference category's
+    wide (date × code) Wind layout (SURVEY.md §1.1).  Pivot values are
+    declared explicitly so the plan needs no discovery pass."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    out = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(dec_sum("o_totalprice", "rev"))
+    )
+    renames = {s: f"rev_{s}" for s in _SEGMENTS}
+    return out.select(
+        "order_year", *[F.col(s).alias(a) for s, a in renames.items()]
+    )
+
+
+# --- A8: unpivot (wide → long) --------------------------------------------
+
+_A8_ORACLE = f"""
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         {sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 'rev_F')},
+         {sql_dec_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 'rev_O')},
+         {sql_dec_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 'rev_P')}
+  FROM orders GROUP BY year(o_orderdate)
+)
+SELECT order_year, status, revenue
+FROM wide UNPIVOT INCLUDE NULLS (revenue FOR status IN (rev_F AS 'F', rev_O AS 'O', rev_P AS 'P'))
+"""
+
+
+@query("a8_unpivot_status_revenue", oracle=_A8_ORACLE, tags=("agg", "pivot"))
+def a8_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: unpivot wide→long (inverse of A7; the reference's melt)."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        dec_sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")), "rev_F"
+        ),
+        dec_sum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")), "rev_O"
+        ),
+        dec_sum(
+            F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice")), "rev_P"
+        ),
+    )
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["rev_F", "rev_O", "rev_P"],
+        variableColumnName="status",
+        valueColumnName="revenue",
+    ).withColumn("status", F.substring("status", 5, 1))
+
+
+# --- A9: exact percentiles / median ----------------------------------------
+
+_A9_ORACLE = """
+SELECT o_orderpriority,
+       median(o_totalprice) AS med_price,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("a9_percentiles", oracle=_A9_ORACLE, tags=("agg",))
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact median / interpolated percentiles per group."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# --- A10: second-moment statistics ------------------------------------------
+
+_A10_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_dec_stddev_samp('l_extendedprice', 'sd_price')},
+       {sql_dec_var_samp('l_quantity', 'var_qty')},
+       {sql_dec_corr('l_quantity', 'l_extendedprice', 'corr_qty_price')}
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("a10_moment_statistics", oracle=_A10_ORACLE, tags=("agg",))
+def a10_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: stddev/variance/correlation via exact decimal power sums —
+    order-independent, unlike the built-in streaming moment aggregates
+    (see functions/numeric.py docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dec_stddev_samp("l_extendedprice", "sd_price"),
+        dec_var_samp("l_quantity", "var_qty"),
+        dec_corr("l_quantity", "l_extendedprice", "corr_qty_price"),
     )

@@ -1,0 +1,309 @@
+"""Join operators (SURVEY.md §2.3 J1–J9).
+
+Scale notes (100 TB): the star joins rely on Catalyst's broadcast
+selection — every dimension here is far under
+``autoBroadcastJoinThreshold``, so fact-table scans never shuffle for
+dimension enrichment (asserted in tests/test_plans.py).  The big
+fact⋈fact join (lineitem⋈orders) is a shuffle join on the join key;
+AQE handles skew.  The as-of join (J8) is the union+window rewrite —
+a *single* shuffle on (key, ts) rather than a per-key BNLJ, which is
+the strategy that survives 1000 executors (pd.merge_asof-per-key via
+applyInPandas is provided as an alternative in
+operators/timeseries.py for comparison, but the window rewrite is
+the default because it stays JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+# --- J1: multi-way star join (TPC-H Q5 shape) ------------------------
+
+_J1_ORACLE = f"""
+SELECT r_name, n_name,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+@query("j1_star_join_revenue", oracle=_J1_ORACLE, tags=("join", "star"))
+def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: 5-way inner equi-join; dims broadcast, facts shuffle once."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- J2: left outer join (preserve customers with no orders) ---------
+
+_J2_ORACLE = f"""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_spent')}
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("j2_left_join_order_counts", oracle=_J2_ORACLE, tags=("join",))
+def j2_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer join; zero-order customers kept with NULL total."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice", "total_spent"),
+        )
+    )
+
+
+# --- J3: left semi (EXISTS) ------------------------------------------
+
+_J3_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+@query("j3_semi_join_active_customers", oracle=_J3_ORACLE, tags=("join",))
+def j3_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi join — customers with ≥1 finished order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- J4: left anti (NOT EXISTS) — the incremental-update core --------
+
+_J4_ORACLE = """
+SELECT n_name, COUNT(*) AS n_customers_without_orders
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
+"""
+
+
+@query("j4_anti_join_inactive_customers", oracle=_J4_ORACLE, tags=("join",))
+def j4_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti join — the diff step of the reference's
+    incremental "fetch only missing keys" update loop (SURVEY.md §0.1
+    step 3), expressed as a shuffle-once anti join."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+# --- J5: cross join ---------------------------------------------------
+
+_J5_ORACLE = """
+SELECT r_name, o_orderstatus, COUNT(*) AS n_pairs
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+GROUP BY r_name, o_orderstatus
+"""
+
+
+@query("j5_cross_join_region_status", oracle=_J5_ORACLE, tags=("join",))
+def j5_cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: explicit cross join (bounded inputs only — 5 × 3 rows)."""
+    region = load(spark, sf_dir, "region")
+    status = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        region.crossJoin(status)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --- J6: theta join (equi prefix + band residual) ---------------------
+
+_J6_ORACLE = """
+SELECT s_suppkey, COUNT(*) AS n_close_customers
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey
+ AND ABS(s.s_acctbal - c.c_acctbal) < 100.0
+GROUP BY s_suppkey
+"""
+
+
+@query("j6_theta_band_join", oracle=_J6_ORACLE, tags=("join",))
+def j6_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: non-equi band join. The equi prefix (nationkey) keeps it a
+    hash join with a residual predicate instead of a BNLJ — the only
+    formulation that survives large inputs."""
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    cond = (supplier.s_nationkey == customer.c_nationkey) & (
+        F.abs(supplier.s_acctbal - customer.c_acctbal) < 100.0
+    )
+    return (
+        supplier.join(customer, cond)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close_customers"))
+    )
+
+
+# --- J7: range/interval join via day-bucket equi join ------------------
+
+_J7_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS mn,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS mx
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT s.day, COUNT(*) AS n_events, {sql_dec_sum('e.value', 'day_value')}
+FROM spine s
+JOIN events e
+  ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) = s.day
+ AND hour(e.ts) BETWEEN 6 AND 17
+GROUP BY s.day
+"""
+
+
+@query("j7_range_join_daily_windows", oracle=_J7_ORACLE, tags=("join", "range"))
+def j7_range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: interval join (event ts ∈ [day 06:00, day 18:00)) rewritten
+    as an equi join on the day bucket + residual hour predicate — the
+    bucketing strategy that avoids a pure BNLJ at scale."""
+    events = load(spark, sf_dir, "events")
+    spine = (
+        events.agg(
+            F.min(F.date_trunc("day", F.col("ts"))).alias("mn"),
+            F.max(F.date_trunc("day", F.col("ts"))).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    ev = events.withColumn("day", F.date_trunc("day", F.col("ts")))
+    return (
+        spine.join(
+            ev,
+            (spine.day == ev.day) & F.hour(ev.ts).between(6, 17),
+        )
+        .groupBy(spine.day)
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "day_value"))
+    )
+
+
+# --- J8: as-of join (last click value at each purchase) ----------------
+
+_J8_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_value AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("j8_asof_join_last_click", oracle=_J8_ORACLE, tags=("join", "asof"))
+def j8_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — Spark has no native ASOF, so this is the
+    union+window rewrite (SURVEY.md §2.3 J8 strategy (a)): union build
+    and probe rows, forward-fill the build value with
+    last(ignorenulls) ordered by (ts, side), keep probe rows.  One
+    shuffle on the key; no per-key Python.  This is the reference
+    category's "align quotes to trading calendar / last-known value"
+    signature operation (SURVEY.md §0.1 step 4).
+
+    Tie semantics: at equal ts the build row sorts first (side 0 <
+    side 1), matching ASOF's `probe.ts >= build.ts`.  Build values are
+    pre-aggregated to one row per (key, ts) so ties are deterministic.
+    """
+    events = load(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            "click_value",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("click_value"),
+            F.lit(1).alias("side"),
+            "event_id",
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "value", "last_click_value")
+    )

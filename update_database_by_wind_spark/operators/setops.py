@@ -1,0 +1,124 @@
+"""Sorts, limits, set operations (SURVEY.md §2.6 O1–O6).
+
+Scale notes: global top-k uses orderBy+limit, which Spark plans as
+TakeOrderedAndProject — each task keeps a k-row heap and only k rows
+per task reach the driver, no global sort materialization.  Unions are
+by-name (positional unions silently mis-bind when schemas drift).
+Distinct/intersect/except are hash-based shuffles on the full row —
+at 100 TB prefer dropDuplicates on an explicit key subset (see
+dedup operators) so only the key columns shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+# --- O1/O2: global sort + top-k -----------------------------------------
+
+_O2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("o2_global_topk_orders", oracle=_O2_ORACLE, tags=("sort",))
+def o2_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: global ordered top-k (TakeOrderedAndProject — no full
+    sort materializes).  Unique tiebreak keeps the cut deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- O4: union (by name) ---------------------------------------------------
+
+_O4_ORACLE = """
+SELECT kind, COUNT(*) AS n, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_distinct
+FROM (
+  SELECT 'customer' AS kind, c_custkey AS key FROM customer WHERE c_acctbal > 5000
+  UNION ALL
+  SELECT 'supplier' AS kind, s_suppkey AS key FROM supplier WHERE s_acctbal > 5000
+)
+GROUP BY kind
+"""
+
+
+@query("o4_union_high_balance", oracle=_O4_ORACLE, tags=("setop",))
+def o4_union_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: unionByName of two per-batch extracts — the reference's
+    "stitch per-batch fetches" step (SURVEY.md §0.1 step 2)."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.lit("customer").alias("kind"), F.col("c_custkey").alias("key")
+    )
+    s = supplier.filter(F.col("s_acctbal") > 5000).select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("key")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("key").alias("n_distinct"),
+        )
+    )
+
+
+# --- O5: intersect / except -------------------------------------------------
+
+_O5_ORACLE = """
+SELECT n_nationkey, 'both' AS membership FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT n_nationkey, 'customer_only' AS membership FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+@query("o5_intersect_except_nations", oracle=_O5_ORACLE, tags=("setop",))
+def o5_intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: INTERSECT / EXCEPT (distinct semantics) — membership diffs,
+    the reference's index-constituent comparison (SURVEY.md §2.6)."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("n_nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("n_nationkey"))
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    conly = c.subtract(s).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(conly)
+
+
+# --- O6: distinct / dropDuplicates ------------------------------------------
+
+_O6_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@query("o6_distinct_flag_combos", oracle=_O6_ORACLE, tags=("setop",))
+def o6_distinct_flag_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: DISTINCT over a projected key set (shuffles only 3 cols)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_returnflag", "l_linestatus", "o_orderstatus")
+        .distinct()
+    )

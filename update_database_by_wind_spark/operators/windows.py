@@ -1,0 +1,284 @@
+"""Window-function operators (SURVEY.md §2.5 W1–W6).
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id, c_custkey, segment) so state per partition stays small; none
+uses a global (unpartitioned) ORDER BY, which would serialize on one
+task at 100 TB.  Windowed SUMs over doubles go through a decimal cast
+(see functions/numeric.py) because DuckDB evaluates sliding frames
+with a segment tree — a different association order than Spark's
+running accumulator; decimal addition is exact so both engines agree
+bit-for-bit.  Every ORDER BY inside a window carries a unique
+tiebreaker column so ranking/ntile/frames are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import (
+    PREC,
+    SCALE,
+    dec_sum,
+    sql_dec_sum,
+)
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+_DEC = f"decimal({PREC},{SCALE})"
+
+
+# --- W1: ranking family ------------------------------------------------
+
+_W1_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER()  OVER w AS rn,
+         RANK()        OVER w AS rnk,
+         DENSE_RANK()  OVER w AS drnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 3
+"""
+
+
+@query("w1_rank_top_orders_per_segment", oracle=_W1_ORACLE, tags=("window",))
+def w1_rank_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number/rank/dense_rank; top-3 orders per market segment."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- W2: lag/lead — daily returns (the reference's pct_change) ---------
+
+_W2_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dec_sum('value', 'day_value')}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+)
+SELECT user_id, day, day_value,
+       LAG(day_value)  OVER w AS prev_value,
+       LEAD(day_value) OVER w AS next_value,
+       day_value / LAG(day_value) OVER w - 1.0 AS ret
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+
+
+@query("w2_lag_daily_returns", oracle=_W2_ORACLE, tags=("window", "timeseries"))
+def w2_lag_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead — per-user daily value and pct-change-style return,
+    the reference category's `pct_change` (SURVEY.md §0.1 step 4)."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(dec_sum("value", "day_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.lag("day_value").over(w).alias("prev_value"),
+        F.lead("day_value").over(w).alias("next_value"),
+        (F.col("day_value") / F.lag("day_value").over(w) - 1.0).alias("ret"),
+    )
+
+
+# --- W3: rolling frame (moving average) --------------------------------
+
+_W3_ORACLE = f"""
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS {_DEC})) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS ma5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("w3_moving_average", oracle=_W3_ORACLE, tags=("window", "timeseries"))
+def w3_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 5-row moving average per user (the reference's MA5 rolling
+    bar).  Decimal-cast inside the frame sum for engine parity."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("ma5"),
+    )
+
+
+# --- W4: cumulative aggregate ------------------------------------------
+
+_W4_ORACLE = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER w AS DOUBLE) AS cum_spent,
+       COUNT(*) OVER w AS cum_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("w4_cumulative_spend", oracle=_W4_ORACLE, tags=("window",))
+def w4_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running total per customer over order history."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+            "cum_spent"
+        ),
+        F.count("*").over(w).alias("cum_orders"),
+    )
+
+
+# --- W5: forward fill (last ignore-nulls over a date spine) -------------
+
+_W5_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS mn,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS mx
+  FROM events
+),
+spine AS (
+  SELECT u.user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM bounds, (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u
+),
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dec_sum('value', 'day_value')}
+  FROM events WHERE event_type = 'purchase' AND user_id < 50
+  GROUP BY 1, 2
+)
+SELECT s.user_id, s.day, d.day_value,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@query("w5_forward_fill", oracle=_W5_ORACLE, tags=("window", "timeseries"))
+def w5_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: forward-fill of missing daily values over a per-key date
+    spine — the reference category's ffill of missing quotes
+    (SURVEY.md §0.1 step 4).  last(ignorenulls) over a running frame;
+    the spine is sequence()+explode so no driver-side loop."""
+    events = load(spark, sf_dir, "events")
+    users = events.filter(F.col("user_id") < 50).select("user_id").distinct()
+    bounds = events.agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("mn"),
+        F.max(F.date_trunc("day", F.col("ts"))).alias("mx"),
+    )
+    spine = bounds.crossJoin(users).select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    daily = (
+        events.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+        )
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(dec_sum("value", "day_value"))
+    )
+    w = (
+        Window.partitionBy(spine.user_id)
+        .orderBy(spine.day)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(
+            daily,
+            (spine.user_id == daily.user_id) & (spine.day == daily.day),
+            "left",
+        )
+        .select(
+            spine.user_id,
+            spine.day,
+            daily.day_value,
+            F.last(daily.day_value, ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )
+
+
+# --- W6: ntile quartiles -------------------------------------------------
+
+_W6_ORACLE = """
+SELECT n_nationkey, quartile,
+       COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT n_nationkey, c_acctbal,
+         NTILE(4) OVER (PARTITION BY n_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_nationkey, quartile
+"""
+
+
+@query("w6_ntile_acctbal_quartiles", oracle=_W6_ORACLE, tags=("window",))
+def w6_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: ntile bucketing (cross-sectional factor quartiles in the
+    reference category).  Unique tiebreak (c_custkey) makes bucket
+    assignment deterministic."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("n_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )

@@ -14,6 +14,7 @@ handles unchanged (the path just globs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.session import prepare
 
@@ -35,6 +36,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     prepare(spark)
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+        # Spark's reader rejects outright.  Read the raw INT64 nanos via
+        # the legacy conf and truncate to microseconds with *integer*
+        # division (double division rounds and lands 1µs off DuckDB,
+        # which also truncates ns→µs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
