@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+One shared SparkSession across all queries (JVM startup and planning
+overhead amortized — the per-query cost model a real deployment has),
+each query timed to full materialization via a count() action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from update_database_by_wind_spark.registry import REGISTRY
+from update_database_by_wind_spark.session import get_session
+import update_database_by_wind_spark.operators  # noqa: F401
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_star_join_revenue",
+    "j8_asof_join_last_click",
+    "w4_cumulative_spend",
+    "u2_upsert_merge",
+    "l2_hash_dedup",
+    "l3a_near_dup_signatures",
+    "l4_cosine_topk_exact",
+    "l7_word_frequency",
+    "l10_multimodal_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_session(app_name="wind-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once on the smallest table so the first
+    # measured query doesn't absorb one-time session costs
+    REGISTRY["a1_pricing_summary"].fn(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

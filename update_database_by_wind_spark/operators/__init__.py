@@ -6,8 +6,14 @@ Importing this package registers every query in
 
 from update_database_by_wind_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     scalars,
     setops,
+    similarity,
+    text,
+    udfs,
+    update_pipeline,
     windows,
 )

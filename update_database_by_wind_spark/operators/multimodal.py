@@ -1,0 +1,176 @@
+"""Multimodal-column operators (SURVEY.md §2.8 L10 + the driver's
+multimodal extension surface).
+
+Design for opaque media at 100 TB: image/audio/video travel as
+``binary`` columns with typed metadata alongside (never decoded into
+the shuffle); decode / feature-extract runs as Arrow-batched
+``mapInPandas`` at the *edge* of the plan (after pruning/filtering),
+so only surviving rows pay the Python hop.  The container has no
+image/audio codecs, so the decode kernel here is a deterministic
+byte-level feature extractor with the real plumbing — schema, batch
+iteration, partition behavior — and the spot where a real codec
+(PIL/ffmpeg) would slot in is marked.
+
+The corpus has no binary fixture, so ``documents.text`` is encoded to
+bytes as the stand-in payload; byte-level features are then
+oracle-checkable against DuckDB string functions, which keeps the
+whole mapInPandas path under the exact-match gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import dec_avg, sql_dec_avg
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+# --- L10: multimodal join (text ⋈ vectors) -----------------------------------
+
+_L10_ORACLE = f"""
+SELECT e.label,
+       COUNT(*) AS n_docs,
+       {sql_dec_avg('d.n_chars', 'avg_chars')},
+       ROUND(CAST(SUM(CAST(e.embedding[1] AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_first_component,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+"""
+
+
+@query("l10_multimodal_join", oracle=_L10_ORACLE, tags=("multimodal",))
+def l10_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: join the text table to its embedding table (doc_id =
+    vec_id) and profile per label — the canonical "one training row =
+    text + vector + metadata" assembly."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dec_avg("n_chars", "avg_chars"),
+            F.round(
+                F.sum(
+                    F.element_at("embedding", 1).cast("decimal(38,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_first_component"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# --- binary-column decode pipeline (mapInPandas) --------------------------------
+
+_MM_SCHEMA = (
+    "doc_id long, n_bytes int, first_byte int, last_byte int, byte_checksum long"
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode' kernel.
+
+    A real deployment decodes media here (PIL.Image.open /
+    torchaudio.load / cv2) and emits features or resized payloads;
+    this container has no codecs, so the kernel extracts deterministic
+    byte-level features — the Spark-side contract (batch iterator in,
+    batch iterator out, columnar) is identical either way.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int32"
+                ),
+                "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype(
+                    "int32"
+                ),
+                "byte_checksum": payloads.map(lambda b: int(sum(b)) % 1_000_003),
+            }
+        )
+
+
+_MM_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(ascii(substring(text, length(text), 1)) AS INTEGER) AS last_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ascii(substring(text, i, 1)))) AS BIGINT) % 1000003
+         AS byte_checksum
+FROM documents
+WHERE doc_id % 11 = 0
+"""
+
+
+@query("mm_binary_decode", oracle=_MM_DECODE_ORACLE, tags=("multimodal", "udf"))
+def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload column + typed
+    metadata → mapInPandas feature extraction.  The payload is
+    UTF-8-encoded ASCII text (no binary fixture exists), so every
+    extracted byte feature is independently checkable via DuckDB
+    string/ascii functions — proving the Arrow batch path end-to-end."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    with_payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("declared_len"),
+            F.col("lang").alias("media_lang"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+    return with_payload.mapInPandas(_decode_batches, schema=_MM_SCHEMA)
+
+
+# --- frame-sampling shape (UDTF-style expansion via built-ins) --------------------
+
+_MM_CHUNK_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS chunk_idx
+  FROM documents WHERE doc_id % 29 = 0
+)
+SELECT c.doc_id, c.chunk_idx,
+       length(substring(d.text, CAST(c.chunk_idx * 100 + 1 AS INTEGER), 100))
+         AS chunk_len,
+       md5(substring(d.text, CAST(c.chunk_idx * 100 + 1 AS INTEGER), 100))
+         AS chunk_md5
+FROM chunks c JOIN documents d USING (doc_id)
+"""
+
+
+@query("mm_chunk_expansion", oracle=_MM_CHUNK_ORACLE, tags=("multimodal",))
+def mm_chunk_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling shape: one media row expands to N chunk
+    rows (video→frames, audio→windows, doc→passages) via
+    posexplode(sequence) — row-to-rows expansion without a UDTF, so
+    it stays in codegen.  Chunk identity is md5-stamped for lineage."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    n_chunks = F.ceil(F.length("text") / 100.0).cast("long")
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk_text = F.substring(
+        F.col("text"), (F.col("chunk_idx") * 100 + 1).cast("int"), 100
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length(chunk_text).alias("chunk_len"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    )

@@ -1,0 +1,229 @@
+"""Vector similarity search over the embeddings table
+(SURVEY.md §2.8 L4–L6).
+
+The fixtures are 64-d L2-normalized float vectors (FIXTURES.md), so
+cosine similarity ≡ dot product.
+
+Scale design (100 TB / billions of vectors):
+
+* L4 (exact top-k) is brute force — crossJoin + JVM-side higher-order
+  array fold + per-query top-k window.  Correct baseline at any k,
+  O(queries × corpus); fine for a bounded query set because the
+  corpus side streams (no materialized product), but not the shape
+  you run for all-pairs at scale.
+* L5 (approximate) is BucketedRandomProjectionLSH: random-hyperplane
+  bucketing turns the scan into bucket-local probes — the 1000-
+  executor path.  Approximate → rows-only check.
+* L4b blocks the brute force by the label column (IVF-style coarse
+  quantization): only same-bucket candidates are scored, cutting the
+  crossJoin by ~10× here and by #partitions in a real IVF.
+
+Everything stays in whole-stage codegen: dot products are
+aggregate(zip_with(...)) on the JVM, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+_N_QUERIES = 5
+_TOP_K = 3
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays, in double precision.
+
+    Elements are cast to double *before* multiplying (float32 multiply
+    then widen loses bits vs widen-then-multiply), and the fold runs
+    left-to-right in element order in both Spark and DuckDB — but the
+    result is still rounded at the call site because a 64-term double
+    fold is association-sensitive if an engine ever vectorizes it.
+    """
+    pa = F.transform(a, lambda x: x.cast("double"))
+    pb = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(pa, pb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# DuckDB twin of dot(): widen to double, pairwise multiply, ordered fold.
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip("
+    "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE))), p -> p[1] * p[2]))"
+)
+
+
+# --- L4: exact cosine top-k ---------------------------------------------------
+
+_L4_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query("l4_cosine_topk_exact", oracle=_L4_ORACLE, tags=("similarity",))
+def l4_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact brute-force cosine top-k (normalized ⇒ dot = cosine):
+    crossJoin + JVM array fold + per-query top-k window.  Rounded to 6
+    before ranking so both engines rank identical values; neighbor_id
+    breaks ties deterministically."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
+# --- L4b: label-blocked (IVF-style) top-k ---------------------------------------
+
+_L4B_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+  FROM q JOIN embeddings e ON q.label = e.label
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@query("l4b_cosine_topk_blocked", oracle=_L4B_ORACLE, tags=("similarity",))
+def l4b_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: IVF-style blocked top-k — candidates restricted to the
+    query's coarse partition (label), turning the crossJoin into an
+    equi-join.  The scale pattern: cluster-assign then probe within
+    cluster(s)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label", F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
+    scored = (
+        q.join(cand, "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
+# --- L5: approximate ANN via random-projection LSH (rows-only) --------------------
+
+
+@query("l5_ann_lsh", oracle=None, tags=("similarity", "ml"))
+def l5_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: BucketedRandomProjectionLSH approximate neighbors — the
+    100 TB path: hyperplane buckets bound the candidate set per query.
+    Seeded for determinism; approximate → rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    pairs = model.approxSimilarityJoin(q, emb, 1.2, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("l2_dist", 4).alias("l2_dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .orderBy("query_id", "l2_dist", "neighbor_id")
+    )
+
+
+# --- L6: vector ops as columns ------------------------------------------------------
+
+_L6_ORACLE = f"""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(MIN({_SQL_DOT.format(a='embedding', b='embedding')}), 6) AS min_sq_norm,
+       ROUND(MAX({_SQL_DOT.format(a='embedding', b='embedding')}), 6) AS max_sq_norm,
+       CAST(MIN(len(embedding)) AS INTEGER) AS min_dim,
+       CAST(MAX(len(embedding)) AS INTEGER) AS max_dim
+FROM embeddings
+GROUP BY label
+"""
+
+
+@query("l6_vector_norms", oracle=_L6_ORACLE, tags=("similarity", "array"))
+def l6_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: vector ops as plain columns (no UDF): squared L2 norm via
+    the same higher-order fold; confirms fixtures are unit-norm."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.round(dot(F.col("embedding"), F.col("embedding")), 6)
+    return (
+        emb.select("label", sq.alias("sq_norm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("sq_norm").alias("min_sq_norm"),
+            F.max("sq_norm").alias("max_sq_norm"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+        )
+    )

@@ -1,0 +1,325 @@
+"""Text-analysis operators over the documents corpus
+(SURVEY.md §2.8 L7–L9, L11 + language-ID / token-count /
+fingerprinting from the driver's extension surface).
+
+Scale design: tokenization is split()+explode — one narrow transform
+followed by a partial-aggregated groupBy on the token, so the shuffle
+carries (token, partial_count), never documents.  TF-IDF is computed
+explicitly (two aggregations + a broadcast-joined docfreq) instead of
+spark.ml HashingTF/IDF so it stays oracle-checkable and hash-free.
+Scores use only binary-exact weights (0.5/1.0/2.0) so double sums are
+order-independent without the decimal detour.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import dec_avg, sql_dec_avg
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokenization, empty-safe (JVM-side)."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+_SQL_TOKENS = "list_filter(string_split({c}, ' '), t -> t <> '')"
+
+
+# --- L7: word frequency ---------------------------------------------------
+
+_L7_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS.format(c='text')}) AS word FROM documents
+),
+counts AS (
+  SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+)
+SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 20
+"""
+
+
+@query("l7_word_frequency", oracle=_L7_ORACLE, tags=("text",))
+def l7_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: corpus word frequency — split+explode+groupBy; partial
+    aggregation means the shuffle carries (word, count) pairs only."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# --- L8: TF-IDF (explicit, oracle-checkable) ----------------------------------
+
+_L8_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS word
+  FROM documents WHERE doc_id < 20
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+),
+alltok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS word FROM documents
+),
+df AS (
+  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM alltok GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@query("l8_tfidf_top_terms", oracle=_L8_ORACLE, tags=("text",))
+def l8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: explicit TF-IDF, top-5 terms per document (doc_id < 20).
+    Document frequency is computed over the whole corpus and broadcast
+    back onto term frequencies — at scale df is tiny (|vocab| rows)
+    while tf is huge, so the join direction matters."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    tf = (
+        tok.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# --- L9: lexicon scoring ---------------------------------------------------------
+
+# Binary-exact weights (halves/units) → order-independent double sums.
+_LEXICON = [
+    ("fast", 1.0),
+    ("slow", -1.0),
+    ("error", -2.0),
+    ("query", 0.5),
+    ("data", 0.5),
+    ("hash", 0.25),
+    ("scan", -0.25),
+]
+
+_L9_ORACLE = f"""
+WITH lexicon(word, score) AS (
+  VALUES {', '.join(f"('{w}', {s})" for w, s in _LEXICON)}
+),
+tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS.format(c='text')}) AS word
+  FROM documents
+),
+doc_scores AS (
+  SELECT t.doc_id, t.lang,
+         CAST(SUM(COALESCE(l.score, 0.0)) AS DOUBLE) AS score
+  FROM tok t LEFT JOIN lexicon l USING (word)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(score) AS DOUBLE) AS total_score,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM doc_scores
+GROUP BY lang
+"""
+
+
+@query("l9_lexicon_sentiment", oracle=_L9_ORACLE, tags=("text",))
+def l9_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: lexicon-join scoring (the Spark-on-Twitter sentiment
+    pattern): explode tokens ⟕ broadcast lexicon, sum per doc, roll up
+    per lang.  Weights are binary-exact so sums commute."""
+    docs = load(spark, sf_dir, "documents")
+    lex = docs.sparkSession.createDataFrame(_LEXICON, ["word", "score"])
+    tok = docs.select("doc_id", "lang", F.explode(tokens()).alias("word"))
+    doc_scores = (
+        tok.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.coalesce("score", F.lit(0.0))).alias("score"))
+    )
+    return doc_scores.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("score").alias("total_score"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+    )
+
+
+# --- L11 + token counting: quality filters ------------------------------------------
+
+_L11_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         n_chars,
+         len({_SQL_TOKENS.format(c='text')}) AS n_tokens,
+         CASE WHEN n_chars BETWEEN 100 AND 500
+               AND len({_SQL_TOKENS.format(c='text')}) >= 20
+               AND lang IN ('en', 'de', 'fr')
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       {sql_dec_avg('n_tokens', 'avg_tokens')},
+       {sql_dec_avg('n_chars', 'avg_chars')}
+FROM scored
+GROUP BY source
+"""
+
+
+@query("l11_quality_filter", oracle=_L11_ORACLE, tags=("text", "quality"))
+def l11_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: document-quality gating — length bounds, token-count
+    threshold, language allowlist; reports keep-rates per source (the
+    training-data funnel report)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens())
+    keep = (
+        F.col("n_chars").between(100, 500)
+        & (n_tokens >= 20)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            keep.cast("int").alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            dec_avg("n_tokens", "avg_tokens"),
+            dec_avg("n_chars", "avg_chars"),
+        )
+    )
+
+
+# --- language-ID heuristic ------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         {_SQL_TOKENS.format(c='lower(text)')} AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks,
+              t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+           / len(toks) AS stop_ratio
+  FROM tok
+)
+SELECT lang,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS detected,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(stop_ratio AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_stop_ratio
+FROM scored
+GROUP BY lang, detected
+"""
+
+
+@query("t_language_id", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword-hit ratio per doc,
+    thresholded — compared against the corpus's lang tag (FIXTURES.md
+    notes the text is English-vocab regardless of tag, so this also
+    documents that the tags are synthetic)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, t))
+    ).cast("double") / F.size(toks)
+    scored = docs.select(
+        "lang",
+        stop_ratio.alias("stop_ratio"),
+        F.when(stop_ratio >= 0.05, "en").otherwise("other").alias("detected"),
+    )
+    return scored.groupBy("lang", "detected").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("stop_ratio").cast("decimal(38,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_stop_ratio"),
+    )
+
+
+# --- document fingerprinting -------------------------------------------------------------
+
+_FP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+  FROM documents
+),
+groups AS (
+  SELECT fingerprint, COUNT(*) AS sz, MIN(doc_id) AS canonical_doc
+  FROM fp GROUP BY fingerprint
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_groups,
+       CAST(MAX(sz) AS BIGINT) AS max_group,
+       CAST(MIN(canonical_doc) AS BIGINT) AS first_canonical
+FROM groups
+"""
+
+
+@query("t_fingerprint", oracle=_FP_ORACLE, tags=("text", "dedup"))
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonicalize (lowercase, collapse
+    whitespace, trim) then md5 — the normalization-invariant identity
+    used upstream of exact dedup."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+        ).alias("fingerprint"),
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("sz"), F.min("doc_id").alias("canonical_doc")
+    )
+    return groups.agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collision_groups"),
+        F.max("sz").cast("long").alias("max_group"),
+        F.min("canonical_doc").alias("first_canonical"),
+    )

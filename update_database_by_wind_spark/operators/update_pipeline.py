@@ -1,0 +1,248 @@
+"""Database-update pipeline operators (SURVEY.md §2.9 U1–U5).
+
+This is the reference repo's namesake capability: its category is
+"incremental fetch → reshape → upsert" ETL — read MAX(trade_date)
+already stored, diff against the calendar, fetch only missing rows,
+and append/upsert into an RDBMS (SURVEY.md §0.1).  Here every step is
+a DataFrame composition:
+
+* the *diff* is a left-anti join (one shuffle, works at any scale —
+  the reference does a driver-side MAX() comparison which only works
+  single-node);
+* the *upsert* is (target ANTI source) ∪ source — source wins on key
+  collision.  Against a real RDBMS the same plan feeds the JDBC
+  upsert sink in sources/jdbc.py (stage + MERGE/ON CONFLICT);
+* *history* is SCD-2 via lead() to close validity intervals;
+* *idempotence* is keep-latest dedup on the primary key, so re-running
+  a batch is a no-op — at 100 TB re-runs happen (task retries,
+  speculative execution), so every sink path goes through it.
+
+The harness has no live RDBMS, so these queries simulate the stored
+target as a filtered snapshot of the same parquet — the driver oracle
+then verifies the merge algebra exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+_CUTOFF = "1999-01-01 00:00:00"
+_RECENT = "1998-01-01 00:00:00"
+
+
+# --- U1: incremental diff (new keys only) --------------------------------
+
+_U1_ORACLE = f"""
+WITH target AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+       COUNT(*) AS n_new_orders,
+       {sql_dec_sum('o_totalprice', 'new_revenue')}
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = o.o_orderkey)
+GROUP BY year(o_orderdate), o_orderstatus
+"""
+
+
+@query("u1_incremental_diff", oracle=_U1_ORACLE, tags=("update", "anti"))
+def u1_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: rows in the source that the stored target lacks — the
+    "fetch only missing dates" step, as a left-anti join on the PK."""
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    ).select("o_orderkey")
+    return (
+        orders.join(target, "o_orderkey", "left_anti")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), F.col("o_orderstatus")
+        )
+        .agg(
+            F.count("*").alias("n_new_orders"),
+            dec_sum("o_totalprice", "new_revenue"),
+        )
+    )
+
+
+# --- U2: upsert / merge (source wins on key collision) --------------------
+
+_U2_ORACLE = f"""
+WITH target AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9
+              ELSE o_totalprice END AS price,
+         o_orderdate
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+),
+source AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderdate
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_RECENT}'
+),
+merged AS (
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('price', 'total_price')}
+FROM merged
+GROUP BY year(o_orderdate)
+"""
+
+
+@query("u2_upsert_merge", oracle=_U2_ORACLE, tags=("update", "merge"))
+def u2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: DataFrame-level MERGE: (target ANTI source) ∪ source.  The
+    target simulates stale stored rows (keys %7 carry a drifted price)
+    that the overlapping 1998 source batch corrects; post-merge yearly
+    totals prove source-wins semantics.  Same plan feeds the JDBC
+    upsert sink when a real database is the target (sources/jdbc.py)."""
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 0.9
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        "o_orderdate",
+    )
+    source = orders.filter(
+        F.col("o_orderdate") >= F.lit(_RECENT).cast("timestamp")
+    ).select("o_orderkey", F.col("o_totalprice").alias("price"), "o_orderdate")
+    merged = target.join(source, "o_orderkey", "left_anti").unionByName(source)
+    return merged.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.count("*").alias("n_rows"), dec_sum("price", "total_price")
+    )
+
+
+# --- U3: SCD-2 validity intervals -----------------------------------------
+
+_U3_ORACLE = """
+SELECT user_id, value AS version_value, ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'purchase' AND user_id < 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("u3_scd2_history", oracle=_U3_ORACLE, tags=("update", "scd2"))
+def u3_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: SCD-2 — each new version closes the previous row's validity
+    interval via lead(); the open-ended row is current.  This is the
+    emulated MERGE-history pattern (no Delta in OSS Spark 4)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            F.col("value").alias("version_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias(
+                "is_current"
+            ),
+        )
+    )
+
+
+# --- U4: idempotent re-run (keep-latest dedup on PK) ------------------------
+
+_U4_ORACLE = """
+WITH double_run AS (
+  SELECT o_orderkey, o_totalprice, 1 AS batch FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 2 AS batch FROM orders
+),
+deduped AS (
+  SELECT o_orderkey, o_totalprice, batch,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                            ORDER BY batch DESC) AS rn
+  FROM double_run
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(batch) AS BIGINT) AS batch_total,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+FROM deduped WHERE rn = 1
+"""
+
+
+@query("u4_idempotent_rerun", oracle=_U4_ORACLE, tags=("update", "dedup"))
+def u4_idempotent_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: replaying a batch must be a no-op — keep-latest dedup on the
+    PK collapses the double-run back to one row per key (all from the
+    later batch).  Guards against task-retry duplicates at scale."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    run = orders.withColumn("batch", F.lit(1)).unionByName(
+        orders.withColumn("batch", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("batch").desc())
+    return (
+        run.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("batch").cast("long").alias("batch_total"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )
+
+
+# --- U5: calendar-driven backfill (date spine anti-join) ---------------------
+
+_U5_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS TIMESTAMP) AS mn,
+         CAST(date_trunc('day', MAX(o_orderdate)) AS TIMESTAMP) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+),
+covered AS (
+  SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_missing_days
+FROM spine s
+WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.day = s.day)
+GROUP BY date_trunc('month', day)
+"""
+
+
+@query("u5_calendar_backfill", oracle=_U5_ORACLE, tags=("update", "spine"))
+def u5_calendar_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: trading-calendar backfill — build the full date spine with
+    sequence()+explode (no driver loop), anti-join the days already
+    covered; what remains is the fetch list, reported per month."""
+    orders = load(spark, sf_dir, "orders")
+    spine = orders.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).alias("mn"),
+        F.max(F.date_trunc("day", "o_orderdate")).alias("mx"),
+    ).select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    covered = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.date_trunc("day", "o_orderdate").alias("day"))
+        .distinct()
+    )
+    return (
+        spine.join(covered, "day", "left_anti")
+        .groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(F.count("*").alias("n_missing_days"))
+    )
