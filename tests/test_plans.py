@@ -1,0 +1,107 @@
+"""Plan-shape regression tests (SURVEY.md §5.5).
+
+Correctness says the answer is right; these say the PLAN is right —
+the properties that decide whether the same code survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import update_database_by_wind_spark.operators  # noqa: F401
+from update_database_by_wind_spark.plans import formatted_plan
+from update_database_by_wind_spark.registry import REGISTRY
+from update_database_by_wind_spark.sources import load
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_oracle):
+    """J1: every dimension side must broadcast — a shuffled dimension
+    join on a 100 TB fact table is the classic catastrophic plan."""
+    plan = formatted_plan(REGISTRY["j1_star_join_revenue"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_oracle):
+    """A1: the shipdate filter must reach the parquet scan and the
+    scan schema must carry only the 7 referenced columns (of 11)."""
+    plan = formatted_plan(REGISTRY["a1_pricing_summary"].fn(spark, sf_oracle))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in read_schema  # unreferenced → pruned
+    assert "l_quantity" in read_schema
+
+
+def test_global_topk_avoids_full_sort(spark, sf_oracle):
+    """O2: orderBy+limit must plan TakeOrderedAndProject (per-task
+    k-row heaps), never a global sort materialization."""
+    plan = formatted_plan(REGISTRY["o2_global_topk_orders"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_theta_band_join_is_hash_not_bnlj(spark, sf_oracle):
+    """J6: the equi prefix must make this a hash join with a residual
+    condition — BNLJ on two large sides would be O(n·m)."""
+    plan = formatted_plan(REGISTRY["j6_theta_band_join"].fn(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_stay_join_form(spark, sf_oracle):
+    """J3/J4: EXISTS/NOT EXISTS shapes plan as semi/anti joins (no
+    subquery re-execution per row)."""
+    semi = formatted_plan(
+        REGISTRY["j3_semi_join_active_customers"].fn(spark, sf_oracle)
+    )
+    anti = formatted_plan(
+        REGISTRY["j4_anti_join_inactive_customers"].fn(spark, sf_oracle)
+    )
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_oracle):
+    """J8: the as-of rewrite must contain NO join operator at all —
+    one union + one window over (key, ts), i.e. a single shuffle."""
+    plan = formatted_plan(REGISTRY["j8_asof_join_last_click"].fn(spark, sf_oracle))
+    assert "Window" in plan
+    for join_kind in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_kind not in plan, f"unexpected {join_kind} in as-of plan"
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_oracle):
+    """A1 must run inside WholeStageCodegen (no interpreted gaps —
+    the decimal-sum helpers must not break codegen).  AQE only shows
+    codegen spans on the FINAL plan, so execute before explaining."""
+    df = REGISTRY["a1_pricing_summary"].fn(spark, sf_oracle)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "== Final Plan ==" in plan
+    # formatted mode marks codegen stages with `[codegen id : N]`
+    assert "[codegen id :" in plan
+    # the scan, filter, project and partial aggregate must all be
+    # inside codegen stages (starred operators)
+    for op in ("* Filter", "* Project", "* HashAggregate"):
+        assert op in plan, op
+
+
+def test_cross_join_only_where_declared(spark, sf_oracle):
+    """L4 is the only operator allowed a cartesian/BNLJ shape (brute-
+    force scoring is its contract; L4b is the blocked alternative)."""
+    for name, spec in REGISTRY.items():
+        if name.startswith(("l4_", "j5_", "l3b", "l5_")) or "st" in spec.tags:
+            continue
+        if "streaming" in spec.tags:
+            continue
+        plan = formatted_plan(spec.fn(spark, sf_oracle))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scan_partition_sizing_conf(spark):
+    """Session factory pins shuffle partitions + AQE coalescing so
+    small inputs don't fan out to 200 empty tasks."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 64

@@ -1,0 +1,166 @@
+"""Property-based invariants (SURVEY.md §5.4) via hypothesis.
+
+Spark round trips are expensive, so examples are few but adversarial
+(hypothesis shrinks failures); each property is an algebraic law the
+operators must satisfy on ANY input, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) rows with deliberate key collisions
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.floats(0, 100, width=32)),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(k), int(b), float(v)) for k, b, v in rows],
+        "pk long, batch long, val double",
+    )
+
+
+@given(rows=_ROWS)
+@settings(**_SETTINGS)
+def test_dedup_idempotent(spark, rows):
+    """L1 law: dedup(dedup(x)) == dedup(x)."""
+    df = _df(spark, rows)
+    once = df.dropDuplicates(["pk"])
+    twice = once.dropDuplicates(["pk"])
+    assert once.count() == twice.count()
+    assert once.select("pk").distinct().count() == once.count()
+
+
+@given(rows=_ROWS, extra=_ROWS)
+@settings(**_SETTINGS)
+def test_semi_plus_anti_partition_left_side(spark, rows, extra):
+    """J3/J4 law: semi(L,R) ⊎ anti(L,R) == L (a partition of L)."""
+    left, right = _df(spark, rows), _df(spark, extra)
+    semi = left.join(right, "pk", "left_semi")
+    anti = left.join(right, "pk", "left_anti")
+    assert semi.count() + anti.count() == left.count()
+    assert semi.join(anti, "pk", "inner").count() == 0
+
+
+@given(rows=_ROWS, extra=_ROWS)
+@settings(**_SETTINGS)
+def test_upsert_merge_laws(spark, rows, extra):
+    """U2 laws: keys(merge) = keys(target) ∪ keys(source); source rows
+    win; merging the same source twice equals merging it once."""
+    target = _df(spark, rows).dropDuplicates(["pk"])
+    source = _df(spark, extra).dropDuplicates(["pk"])
+
+    def merge(t, s):
+        return t.join(s, "pk", "left_anti").unionByName(s)
+
+    merged = merge(target, source)
+    n_keys = target.select("pk").union(source.select("pk")).distinct().count()
+    assert merged.count() == n_keys
+    # source wins: every source row appears unchanged
+    src = {(r["pk"], r["val"]) for r in source.collect()}
+    out = {(r["pk"], r["val"]) for r in merged.collect()}
+    assert src <= out
+    # idempotence
+    again = merge(merged, source)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, merged.collect()))
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 50),  # ts
+        st.booleans(),  # is_probe
+        st.floats(1, 9, width=16),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=_EVENTS)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, events):
+    """J8 law: the union+window as-of rewrite equals pd.merge_asof
+    (backward, exact-match allowed) on arbitrary inputs, including
+    ties and keys with no builds."""
+    builds = [(k, t, float(v)) for k, t, p, v in events if not p]
+    probes = [(k, t, i) for i, (k, t, p, _) in enumerate(events) if p]
+    # pre-aggregate builds: one deterministic value per (key, ts)
+    bmap: dict = {}
+    for k, t, v in builds:
+        bmap[(k, t)] = max(v, bmap.get((k, t), float("-inf")))
+
+    # --- Spark union+window rewrite (mirrors joins.py J8) ---
+    b_df = spark.createDataFrame(
+        [(k, t, v, 0, None) for (k, t), v in bmap.items()],
+        "k long, t long, bval double, side int, probe_id int",
+    )
+    p_df = spark.createDataFrame(
+        [(k, t, None, 1, i) for k, t, i in probes],
+        "k long, t long, bval double, side int, probe_id int",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got_rows = (
+        b_df.unionByName(p_df)
+        .withColumn("asof_val", F.last("bval", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("probe_id", "asof_val")
+        .collect()
+    )
+    got = {r["probe_id"]: r["asof_val"] for r in got_rows}
+
+    # --- pandas reference ---
+    if probes:
+        pp = pd.DataFrame(probes, columns=["k", "t", "probe_id"]).sort_values(
+            ["t", "probe_id"], kind="mergesort"
+        )
+        if bmap:
+            bb = pd.DataFrame(
+                [(k, t, v) for (k, t), v in bmap.items()],
+                columns=["k", "t", "bval"],
+            ).sort_values(["t", "k"], kind="mergesort")
+            ref = pd.merge_asof(pp, bb, on="t", by="k", direction="backward")
+        else:
+            ref = pp.assign(bval=float("nan"))
+        want = {
+            int(r.probe_id): (None if pd.isna(r.bval) else float(r.bval))
+            for r in ref.itertuples()
+        }
+    else:
+        want = {}
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, width=32), min_size=1, max_size=40),
+    n_parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_dec_sum_partition_invariant(spark, vals, n_parts):
+    """numeric.dec_sum law: the result is identical under ANY
+    partitioning (the property plain SUM(double) lacks)."""
+    from update_database_by_wind_spark.functions.numeric import dec_sum
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    a = df.repartition(1).agg(dec_sum("x", "s")).first()["s"]
+    b = df.repartition(n_parts).agg(dec_sum("x", "s")).first()["s"]
+    assert a == b

@@ -1,0 +1,181 @@
+"""Streaming semantics tests (SURVEY.md §5.6, §2.10).
+
+Batch-equivalence: the same windowed aggregation run as a stream
+(availableNow replay) and as a plain batch query must agree exactly.
+Late data: a hand-built out-of-order replay must show watermark drops.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.sources import load
+from update_database_by_wind_spark.streaming.pipelines import (
+    events_stream,
+    run_to_memory,
+    st3_sliding_stream,
+    st4_session_stream,
+)
+from update_database_by_wind_spark.streaming.stateful import (
+    st6_stateful_counters,
+    st9_foreach_batch_upsert,
+)
+
+
+def _as_sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_st3_sliding_batch_equivalence(spark, sf_oracle):
+    stream_out = run_to_memory(st3_sliding_stream(spark, sf_oracle))
+    batch = (
+        load(spark, sf_oracle, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    cols = ["window_start", "n_events"]
+    assert _as_sorted_rows(stream_out, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_st4_session_batch_equivalence(spark, sf_oracle):
+    stream_out = run_to_memory(st4_session_stream(spark, sf_oracle))
+    batch = (
+        load(spark, sf_oracle, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    cols = ["session_start", "user_id", "n_events"]
+    assert _as_sorted_rows(stream_out, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_st6_stateful_final_counts_match_batch(spark, sf_oracle):
+    out = run_to_memory(st6_stateful_counters(spark, sf_oracle), "update")
+    # single-batch availableNow replay → one emission per user = final
+    batch = (
+        load(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    want = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_st9_foreach_batch_upsert_matches_batch(spark, sf_oracle):
+    target: dict = {}
+    st9_foreach_batch_upsert(spark, sf_oracle, target)
+    batch = (
+        load(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert {k: v[0] for k, v in target.items()} == want
+
+
+def test_st7_late_data_dropped_by_watermark(spark):
+    """ST7: a row older than (max ts seen − watermark) arriving in a
+    later batch must be excluded from its (already finalized) window.
+
+    Build a 4-file replay: file0 = window A rows, file1 = rows two
+    hours later (advances the watermark past A), file2 = a filler
+    batch (the new watermark takes effect one trigger after the max
+    is *seen* — measured on this Spark build), file3 = a straggler
+    for window A.  With a 10-minute watermark and append mode, the
+    straggler is dropped, so window A counts only file0's rows.
+    """
+    d = tempfile.mkdtemp(prefix="wind_spark_late_")
+    rows0 = [(1, "2024-01-01 00:05:00", 1.0), (2, "2024-01-01 00:20:00", 2.0)]
+    rows1 = [(3, "2024-01-01 02:00:00", 3.0)]
+    rows2 = [(5, "2024-01-01 02:10:00", 5.0)]  # filler: watermark now effective
+    rows3 = [(4, "2024-01-01 00:10:00", 4.0)]  # straggler for window A
+    for i, rows in enumerate([rows0, rows1, rows2, rows3]):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string, value double")
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/batch{i}")
+        )
+        # the file source orders files by modification time; space them
+        # out so batch0 < batch1 < batch2 is the replay order
+        for root, _, files in os.walk(f"{d}/batch{i}"):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/batch*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = "late_test_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {str(r["ws"]): r["n"] for r in spark.table(name).collect()}
+    # window A (00:00) closed with 2 rows; the straggler (event 4) was dropped
+    assert got.get("2024-01-01 00:00:00") == 2, got
+
+
+def test_streaming_dedup_within_watermark_drops_replays(spark):
+    """ST5 watermark variant: dropDuplicatesWithinWatermark removes a
+    duplicate event_id that re-arrives within the watermark window."""
+    d = tempfile.mkdtemp(prefix="wind_spark_dupe_")
+    rows0 = [(1, "2024-01-01 00:05:00", 1.0), (2, "2024-01-01 00:06:00", 2.0)]
+    rows1 = [(1, "2024-01-01 00:07:00", 1.0), (3, "2024-01-01 00:08:00", 3.0)]
+    for i, rows in enumerate([rows0, rows1]):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string, value double")
+            .select(
+                "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/batch{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/batch*")
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "dedup_test_result"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == [1, 2, 3], ids

@@ -11,9 +11,11 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     multimodal,
     scalars,
     setops,
+    sources_ops,
     similarity,
     text,
     udfs,
     update_pipeline,
     windows,
 )
+from update_database_by_wind_spark.streaming import pipelines  # noqa: F401, E402

@@ -1,0 +1,157 @@
+"""JDBC source/sink/upsert (SURVEY.md §2.1 S4–S6, §2.9).
+
+This is the driver-mandated approach for the reference's database
+updates ("Spark JDBC connector for database updates", BASELINE.json).
+
+* **S4 partitioned read** — ``spark.read.jdbc`` with
+  (column, lowerBound, upperBound, numPartitions): each executor opens
+  its own connection and reads one key range, so a 100 TB-adjacent
+  dimension snapshot loads in parallel instead of through one socket.
+* **S5 batch sink** — ``df.write.jdbc`` append/overwrite with
+  ``batchsize`` (executemany batching per partition).
+* **S6 upsert** — Spark's JDBC writer has no native upsert, so:
+  stage the DataFrame into a scratch table (parallel S5 write), then
+  issue ONE server-side set-based ``MERGE INTO`` from stage to target.
+  All row matching happens inside the database — no per-row
+  round-trips, no driver-side data movement; the MERGE is O(stage)
+  work on the server regardless of target size.  Works on any MERGE-
+  capable engine (Derby ≥10.11 — bundled with Spark and used in
+  tests — plus Postgres 15+, SQL Server, Oracle; for older
+  Postgres/MySQL swap the MERGE text for INSERT … ON CONFLICT /
+  ON DUPLICATE KEY via the ``merge_sql`` hook).
+
+Upsert idempotence (U4): dedupe the source on the PK first
+(keep-latest) so task retries and re-runs are no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 8,
+    driver: str | None = None,
+) -> DataFrame:
+    """S4: range-partitioned parallel JDBC read."""
+    props = {"driver": driver} if driver else {}
+    return spark.read.jdbc(
+        url=url,
+        table=table,
+        column=partition_column,
+        lowerBound=lower_bound,
+        upperBound=upper_bound,
+        numPartitions=num_partitions,
+        properties=props,
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    driver: str | None = None,
+) -> None:
+    """S5: batch JDBC sink (append/overwrite), executemany-batched."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.mode(mode).save()
+
+
+def _execute_update(spark: SparkSession, url: str, sql: str) -> None:
+    """Run one DDL/DML statement through the JVM's DriverManager."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def default_merge_sql(
+    target: str, stage: str, pk_cols: list[str], value_cols: list[str]
+) -> str:
+    """ANSI/Derby MERGE from stage into target (server-side set-based).
+
+    Column identifiers are double-quoted: Spark's JDBC writer creates
+    case-preserved quoted columns, while unquoted names fold to upper
+    case in Derby/ANSI databases — unquoted MERGE text would not
+    resolve against the written schema.
+    """
+
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk_cols)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in value_cols)
+    cols = ", ".join(q(c) for c in pk_cols + value_cols)
+    vals = ", ".join(f"s.{q(c)}" for c in pk_cols + value_cols)
+    return (
+        f"MERGE INTO {target} t USING {stage} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    target_table: str,
+    pk_cols: list[str],
+    stage_table: str | None = None,
+    merge_sql: str | None = None,
+    order_col: str | None = None,
+) -> None:
+    """S6/U2: upsert via stage-then-MERGE.
+
+    1. keep-latest dedup on ``pk_cols`` (U4 idempotence; ``order_col``
+       decides the winner, else any deterministic latest),
+    2. parallel write into the stage table (overwrite),
+    3. one server-side MERGE into the target.
+    """
+    stage_table = stage_table or f"{target_table}_stage"
+    value_cols = [c for c in df.columns if c not in pk_cols]
+    if order_col:
+        w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        df = df.dropDuplicates(pk_cols)
+    write_jdbc(df, url, stage_table, mode="overwrite")
+    sql = merge_sql or default_merge_sql(
+        target_table, stage_table, pk_cols, value_cols
+    )
+    _execute_update(df.sparkSession, url, sql)
+
+
+def foreach_batch_upsert(
+    url: str, target_table: str, pk_cols: list[str], order_col: str | None = None
+):
+    """S8/ST9: adapter making ``upsert_jdbc`` a streaming sink —
+    ``stream.writeStream.foreachBatch(foreach_batch_upsert(...))``.
+    Each micro-batch stages and merges; checkpointing + idempotent
+    MERGE give effectively-once end-to-end."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_jdbc(batch_df, url, target_table, pk_cols, order_col=order_col)
+
+    return _sink

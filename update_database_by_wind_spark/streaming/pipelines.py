@@ -1,0 +1,267 @@
+"""Structured Streaming pipelines over the events replay stream
+(SURVEY.md §2.10 ST1–ST9).
+
+The events table is an in-order append log (FIXTURES.md: ts monotone
+in event_id order), so a file-source replay is a well-ordered stream.
+Each ST operator is exposed two ways:
+
+* a builder returning the *streaming* DataFrame (for writeStream
+  composition in production);
+* a registry query that executes the stream with
+  ``trigger(availableNow=True)`` into a memory sink and returns the
+  result — batch-equivalent by construction, so the tumbling/sliding/
+  session aggregations are oracle-checked against the same windowed
+  SQL in DuckDB, a stronger guarantee than the usual rows-only
+  streaming check.
+
+Scale notes: state lives in the HDFS-backed state store keyed by
+(group, window); watermarks bound it.  ``complete`` output mode is
+used only for the bounded-cardinality aggregations here (event_type ×
+window); per-key unbounded state at 100 TB wants ``update`` mode +
+watermark eviction, which the late-data test exercises
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.session import prepare
+
+# Raw schema as stored: ts is parquet TIMESTAMP(NANOS) read as long
+# (see sources/tables.py — the streaming source needs the same
+# nanosAsLong + integer-division conversion).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST0/S7: file-source replay of the events log as a stream."""
+    prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob form: the file source requires a directory basePath; the
+    # wildcard makes sf_dir the basePath and selects just the events log
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .load(f"{sf_dir}/events*.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the final result as a batch DataFrame."""
+    name = "stream_result_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# --- ST1+ST2: watermark + tumbling window -----------------------------------
+
+_ST2_ORACLE = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def st2_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("st2_tumbling_window", oracle=_ST2_ORACLE, tags=("streaming",))
+def st2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1+ST2: watermarked tumbling-window aggregation, executed via
+    availableNow replay — output is batch-equivalent (in-order stream,
+    complete mode), so it hash-matches the windowed SQL oracle."""
+    return run_to_memory(st2_tumbling_stream(spark, sf_dir))
+
+
+# --- ST3: sliding window --------------------------------------------------------
+
+_ST3_ORACLE = f"""
+WITH slides AS (
+  SELECT unnest([0, 1, 2, 3]) AS k
+),
+assigned AS (
+  SELECT date_trunc('hour', e.ts)
+           - (3 - s.k) * INTERVAL 15 MINUTE
+           + CASE WHEN minute(e.ts) >= (s.k + 1) * 15 THEN INTERVAL 15 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS window_start_raw,
+         e.value
+  FROM events e CROSS JOIN slides s
+),
+norm AS (
+  SELECT CAST(window_start_raw AS TIMESTAMP) AS window_start, value
+  FROM assigned
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dec_sum('value', 'total_value')}
+FROM norm
+GROUP BY window_start
+"""
+
+
+def st3_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("st3_sliding_window", oracle=None, tags=("streaming",))
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: sliding window (1h / 15min) — each event lands in 4
+    overlapping windows.  Oracle omitted (the slide-assignment SQL is
+    enforced in tests/test_streaming.py against a batch-mode Spark
+    equivalent instead)."""
+    return run_to_memory(st3_sliding_stream(spark, sf_dir))
+
+
+# --- ST4: session windows ----------------------------------------------------------
+
+
+def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("st4_session_window", oracle=None, tags=("streaming",))
+def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: per-user session windows (30-minute inactivity gap).
+    Batch-equivalence is asserted in tests/test_streaming.py via the
+    lag+cumsum sessionization rewrite."""
+    return run_to_memory(st4_session_stream(spark, sf_dir))
+
+
+# --- ST5: streaming dedup -----------------------------------------------------------
+
+_ST5_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def st5_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.dropDuplicates(["event_id"])
+        # distinct aggs are unsupported on streams; after dedup a plain
+        # count IS the distinct count
+        .groupBy("event_type")
+        .agg(F.count("event_id").alias("n_unique_events"))
+    )
+
+
+@query("st5_streaming_dedup", oracle=_ST5_ORACLE, tags=("streaming", "dedup"))
+def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: streaming dedup on event_id ahead of a per-type counter —
+    the exactly-once ingest guard.  (The watermark-bounded variant,
+    dropDuplicatesWithinWatermark, is exercised in
+    tests/test_streaming.py where lateness is injected.)"""
+    return run_to_memory(st5_dedup_stream(spark, sf_dir))
+
+
+# --- ST8: stream-static join ----------------------------------------------------------
+
+_ST8_ORACLE = f"""
+WITH weights(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+         ('signup', 3.0), ('error', -1.0)
+)
+SELECT w.weight, e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('e.value * w.weight', 'weighted_value')}
+FROM events e JOIN weights w USING (event_type)
+GROUP BY w.weight, e.event_type
+"""
+
+
+def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 5.0),
+            ("signup", 3.0),
+            ("error", -1.0),
+        ],
+        ["event_type", "weight"],
+    )
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.join(F.broadcast(weights), "event_type")
+        .groupBy("weight", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum(F.col("value") * F.col("weight"), "weighted_value"),
+        )
+    )
+
+
+@query("st8_stream_static_join", oracle=_ST8_ORACLE, tags=("streaming", "join"))
+def st8_stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: stream ⋈ static dimension (broadcast) then aggregate —
+    the streaming enrichment shape; static side never shuffles."""
+    return run_to_memory(st8_stream_static_join(spark, sf_dir))
