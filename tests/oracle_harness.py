@@ -91,6 +91,13 @@ def compare(spark_df, oracle_pd: pd.DataFrame) -> list[str]:
         return problems
     if len(spark_pd) != len(oracle_pd):
         problems.append(f"row count: spark={len(spark_pd)} oracle={len(oracle_pd)}")
+    # dtype parity: a strict driver-side schema compare would flag e.g.
+    # int32 rank columns vs DuckDB's int64, or ns vs µs timestamps —
+    # hold every pair to exact pandas-dtype equality
+    for c in sorted(spark_pd.columns):
+        a, b = str(spark_pd[c].dtype), str(oracle_pd[c].dtype)
+        if a != b:
+            problems.append(f"dtype {c!r}: spark={a} oracle={b}")
     a, b = canonicalize(spark_pd), canonicalize(oracle_pd)
     if len(a) == len(b) and not a.equals(b):
         neq = (a != b)

@@ -199,7 +199,7 @@ def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A6_ORACLE = """
 SELECT r_name,
-       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
        CAST(LEN(list(n_name)) AS INTEGER) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -216,7 +216,7 @@ def a6_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
             F.size(F.collect_list("n_name")).alias("n_nations"),
         )
     )

@@ -201,7 +201,7 @@ spine AS (
   SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
   FROM bounds
 )
-SELECT s.day, COUNT(*) AS n_events, {sql_dec_sum('e.value', 'day_value')}
+SELECT CAST(s.day AS TIMESTAMP_NS) AS day, COUNT(*) AS n_events, {sql_dec_sum('e.value', 'day_value')}
 FROM spine s
 JOIN events e
   ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) = s.day
@@ -248,7 +248,7 @@ WITH clicks AS (
 purchases AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
 )
-SELECT p.event_id, p.user_id, p.ts, p.value,
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, p.value,
        c.click_value AS last_click_value
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -144,7 +144,7 @@ WITH chunks AS (
   FROM documents WHERE doc_id % 29 = 0
 )
 SELECT c.doc_id, c.chunk_idx,
-       length(substring(d.text, CAST(c.chunk_idx * 100 + 1 AS INTEGER), 100))
+       CAST(length(substring(d.text, CAST(c.chunk_idx * 100 + 1 AS INTEGER), 100)) AS BIGINT)
          AS chunk_len,
        md5(substring(d.text, CAST(c.chunk_idx * 100 + 1 AS INTEGER), 100))
          AS chunk_md5
@@ -171,6 +171,6 @@ def mm_chunk_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "doc_id",
         "chunk_idx",
-        F.length(chunk_text).alias("chunk_len"),
+        F.length(chunk_text).cast("long").alias("chunk_len"),
         F.md5(chunk_text).alias("chunk_md5"),
     )

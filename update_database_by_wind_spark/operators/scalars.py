@@ -172,9 +172,9 @@ SELECT
   CAST(month(o_orderdate) AS INTEGER) AS mo,
   CAST(day(o_orderdate) AS INTEGER) AS dom,
   CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
-  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS month_start,
+  CAST(last_day(o_orderdate) AS TIMESTAMP_NS) AS month_end,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP_NS) AS plus3m,
   CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
     AS days_since_epoch_start,
   COUNT(*) AS n

@@ -20,7 +20,8 @@ from update_database_by_wind_spark.sources import load
 # --- O1/O2: global sort + top-k -----------------------------------------
 
 _O2_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10

@@ -79,7 +79,8 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored
 )
-SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOP_K}
 """
 
 
@@ -105,7 +106,7 @@ def l4_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= _TOP_K
     )
 
@@ -129,7 +130,8 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored
 )
-SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {_TOP_K}
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOP_K}
 """
 
 
@@ -156,7 +158,7 @@ def l4b_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= _TOP_K
     )
 

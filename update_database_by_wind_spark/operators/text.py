@@ -84,7 +84,8 @@ ranked AS (
                             ORDER BY tfidf DESC, word) AS rn
   FROM scored
 )
-SELECT doc_id, word, tf, df, tfidf, rn FROM ranked WHERE rn <= 5
+SELECT doc_id, word, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
 """
 
 
@@ -113,7 +114,9 @@ def l8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 5
+    )
 
 
 # --- L9: lexicon scoring ---------------------------------------------------------

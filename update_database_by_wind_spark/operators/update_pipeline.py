@@ -129,8 +129,9 @@ def u2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U3: SCD-2 validity intervals -----------------------------------------
 
 _U3_ORACLE = """
-SELECT user_id, value AS version_value, ts AS valid_from,
-       LEAD(ts) OVER w AS valid_to,
+SELECT user_id, value AS version_value,
+       CAST(ts AS TIMESTAMP_NS) AS valid_from,
+       CAST(LEAD(ts) OVER w AS TIMESTAMP_NS) AS valid_to,
        CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
 FROM events
 WHERE event_type = 'purchase' AND user_id < 100
@@ -216,7 +217,7 @@ covered AS (
   SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day
   FROM orders WHERE o_orderpriority = '1-URGENT'
 )
-SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+SELECT CAST(date_trunc('month', day) AS TIMESTAMP_NS) AS month,
        COUNT(*) AS n_missing_days
 FROM spine s
 WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.day = s.day)

@@ -59,9 +59,9 @@ def w1_rank_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
             "c_mktsegment",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -76,7 +76,7 @@ WITH daily AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
 )
-SELECT user_id, day, day_value,
+SELECT user_id, CAST(day AS TIMESTAMP_NS) AS day, day_value,
        LAG(day_value)  OVER w AS prev_value,
        LEAD(day_value) OVER w AS next_value,
        day_value / LAG(day_value) OVER w - 1.0 AS ret
@@ -144,7 +144,7 @@ def w3_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W4: cumulative aggregate ------------------------------------------
 
 _W4_ORACLE = f"""
-SELECT o_custkey, o_orderkey, o_orderdate,
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
        CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER w AS DOUBLE) AS cum_spent,
        COUNT(*) OVER w AS cum_orders
 FROM orders
@@ -191,7 +191,7 @@ daily AS (
   FROM events WHERE event_type = 'purchase' AND user_id < 50
   GROUP BY 1, 2
 )
-SELECT s.user_id, s.day, d.day_value,
+SELECT s.user_id, CAST(s.day AS TIMESTAMP_NS) AS day, d.day_value,
        LAST_VALUE(d.day_value IGNORE NULLS) OVER (
          PARTITION BY s.user_id ORDER BY s.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -256,8 +256,8 @@ SELECT n_nationkey, quartile,
        MAX(c_acctbal) AS max_bal
 FROM (
   SELECT n_nationkey, c_acctbal,
-         NTILE(4) OVER (PARTITION BY n_nationkey
-                        ORDER BY c_acctbal, c_custkey) AS quartile
+         CAST(NTILE(4) OVER (PARTITION BY n_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
 GROUP BY n_nationkey, quartile
@@ -274,7 +274,7 @@ def w6_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
     return (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select("n_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .select("n_nationkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
         .groupBy("n_nationkey", "quartile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -91,7 +91,7 @@ def run_to_memory(
 # --- ST1+ST2: watermark + tumbling window -----------------------------------
 
 _ST2_ORACLE = f"""
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        {sql_dec_sum('value', 'total_value')}
