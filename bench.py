@@ -39,7 +39,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_session(app_name="wind-spark-bench")
+    # 16 shuffle partitions measured fastest at sf0.1 on local[32]
+    # (AQE coalesces further); prepare() respects values ≤ 64
+    spark = get_session(app_name="wind-spark-bench", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path once on the smallest table so the first

@@ -61,9 +61,12 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
-        )
+        # only rescue the pathological default (200 partitions over
+        # tiny local data); respect any deliberate tuning ≤ 64
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
     except Exception:
         pass  # never fail a query over a tuning conf
     return spark
