@@ -7,6 +7,8 @@ Importing this package registers every query in
 from update_database_by_wind_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    extended,
+    extended2,
     joins,
     multimodal,
     scalars,

@@ -1,0 +1,341 @@
+"""Extended operator coverage — the remaining SURVEY.md §2 inventory:
+full outer join (J2), cube (A4), map/array scalar families (§2.7),
+Wind-style monthly resampling and sessionization (§0.1 step 4 —
+weekly/monthly bars over (code, date) series), correlated subqueries
+through the spark.sql entry point (§3.2), and TPC-H Q3's shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load, register_views
+
+# --- J2b: full outer join ---------------------------------------------------
+
+_J2B_ORACLE = """
+WITH cn AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1
+),
+sn AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       CASE WHEN cn.nk IS NULL THEN 'supplier_only'
+            WHEN sn.nk IS NULL THEN 'customer_only'
+            ELSE 'both' END AS presence
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+"""
+
+
+@query("j2b_full_outer_join", oracle=_J2B_ORACLE, tags=("join",))
+def j2b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer join — union of key spaces with per-side nulls."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = cn.join(sn, cn.nk == sn.nk, "full_outer")
+    return joined.select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(cn.nk.isNull(), "supplier_only")
+        .when(sn.nk.isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# --- A4b: cube --------------------------------------------------------------
+
+_A4B_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n,
+       {sql_dec_sum('l_quantity', 'total_qty')}
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("a4b_cube_quantities", oracle=_A4B_ORACLE, tags=("agg",))
+def a4b_cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: CUBE — all 2ⁿ grouping sets in one Expand pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+            dec_sum("l_quantity", "total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "g_flag",
+            "g_status",
+            "n",
+            "total_qty",
+        )
+    )
+
+
+# --- map functions (§2.7) ------------------------------------------------------
+
+_FMAP_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(MIN(k_val) AS INTEGER) AS min_k,
+       CAST(MAX(k_val) AS INTEGER) AS max_k
+FROM m
+GROUP BY event_type
+"""
+
+
+@query("f_map_functions", oracle=_FMAP_ORACLE, tags=("scalar", "map"))
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 map family: build a MapType column (create_map), read it
+    back with element_at / map_keys — the JSON props as a typed map.
+    The map is constructed and consumed in-plan; the oracle checks the
+    values that flowed through it."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    with_map = ev.select(
+        "event_type",
+        F.create_map(
+            F.lit("k"), k.cast("double"), F.lit("v"), F.col("value")
+        ).alias("props_map"),
+    )
+    extracted = with_map.select(
+        "event_type",
+        F.element_at("props_map", "k").cast("int").alias("k_val"),
+        F.size(F.map_keys("props_map")).alias("n_keys"),
+    ).filter(F.col("n_keys") == 2)
+    return extracted.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k_val").cast("int").alias("min_k"),
+        F.max("k_val").cast("int").alias("max_k"),
+    )
+
+
+# --- array functions (§2.7) -----------------------------------------------------
+
+_FARR_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       ROUND(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 6)
+         AS max_abs,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+       ROUND(list_sum(list_transform(embedding[1:8],
+                                     x -> CAST(x AS DOUBLE))), 6) AS head_sum
+FROM embeddings
+WHERE vec_id % 9 = 0
+"""
+
+
+@query("f_array_functions", oracle=_FARR_ORACLE, tags=("scalar", "array"))
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 array family: size/element_at/slice + higher-order
+    transform/filter/aggregate — all JVM-side, no UDF."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 9 == 0)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_elem"
+        ),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+                "double"
+            ),
+            6,
+        ).alias("max_abs"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("head_sum"),
+    )
+
+
+# --- Wind-style monthly resample (OHLC bars) --------------------------------------
+
+_TSM_ORACLE = f"""
+SELECT user_id,
+       CAST(date_trunc('month', ts) AS TIMESTAMP_NS) AS month,
+       arg_min(value, event_id) AS open_value,
+       arg_max(value, event_id) AS close_value,
+       MIN(value) AS low_value,
+       MAX(value) AS high_value,
+       {sql_dec_sum('value', 'volume')},
+       COUNT(*) AS n_events
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id, date_trunc('month', ts)
+"""
+
+
+@query("ts_resample_monthly_ohlc", oracle=_TSM_ORACLE, tags=("timeseries",))
+def ts_resample_monthly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC resampling — the reference category's
+    daily→weekly/monthly bar aggregation (SURVEY.md §0.1 step 4):
+    open/close via min_by/max_by on the unique sequence key (no sort,
+    one aggregation pass), low/high/volume alongside."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        F.min_by("value", "event_id").alias("open_value"),
+        F.max_by("value", "event_id").alias("close_value"),
+        F.min("value").alias("low_value"),
+        F.max("value").alias("high_value"),
+        dec_sum("value", "volume"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- sessionization in batch (lag + cumsum) ----------------------------------------
+
+_SESS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+               OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP_NS) AS session_start
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("ts_sessionize_batch", oracle=_SESS_ORACLE, tags=("timeseries", "window"))
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id —
+    the window twin of streaming session_window (equivalence with ST4
+    is implied by both matching the same per-user event partitions)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+    )
+
+
+# --- correlated subquery through the SQL entry point ----------------------------------
+
+_CORR_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_rich_customers
+FROM customer c
+JOIN nation ON c.c_nationkey = n_nationkey
+WHERE c.c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY n_name
+"""
+
+
+@query("sql_correlated_subquery", oracle=_CORR_SQL, tags=("sql", "subquery"))
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2/§4.1: the spark.sql entry point with a correlated scalar
+    subquery — Catalyst decorrelates it into an aggregate + join (no
+    per-row re-execution; asserted in tests/test_plans.py).  The same
+    ANSI text runs verbatim as its own DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SQL)
+
+
+# --- TPC-H Q3 shape: top unshipped orders ------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "tpch"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of ordered-but-unshipped lineitems for
+    one segment, top-10 — selective dim filter broadcast against two
+    fact tables, ranked on an exact decimal revenue (deterministic
+    ordering across engines)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

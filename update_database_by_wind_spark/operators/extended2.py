@@ -1,0 +1,231 @@
+"""Second extension block: embedding-cosine near-dup (the brief's
+fifth dedup method), SimHash fingerprints, BPE-ish token counting,
+and the remaining UDF kinds (UD1 scalar, UD5 UDTF) — each held to the
+oracle gate where the semantics are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.similarity import _SQL_DOT, dot
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+# --- L3c: embedding-cosine near-duplicate pairs -------------------------------
+
+_L3C_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine
+FROM pairs WHERE cosine >= 0.25
+"""
+
+
+@query("l3c_embedding_neardup", oracle=_L3C_ORACLE, tags=("dedup", "similarity"))
+def l3c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: embedding-cosine near-dup — semantic duplicates are pairs
+    above a cosine threshold.  Blocked by the label column (IVF-style)
+    so the candidate set is per-bucket, with canonical a<b ordering;
+    at 100 TB the block key comes from a coarse quantizer/LSH rather
+    than a cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), "label", F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(dot(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+# --- L3d: SimHash fingerprints (rows-only: hash function is engine-specific) ----
+
+
+@query("l3d_simhash", oracle=None, tags=("dedup", "neardup"))
+def l3d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3d: 16-bit SimHash over tokens, fully in-plan: token →
+    xxhash64 → per-bit ±1 votes via higher-order folds → sign bits →
+    fingerprint.  Near-duplicates share fingerprints (small Hamming
+    distance); grouping on the fingerprint is the one-shuffle scale
+    shape.  xxhash64 has no DuckDB twin → rows-only check, but the
+    computation is deterministic (seeded hash), so re-runs agree."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = 16
+
+    # vote[i] = Σ_tokens (bit_i(hash) ? 1 : -1); fingerprint bit_i = vote>0
+    # (mask bound outside the lambda: pyspark dispatches higher-order
+    # lambdas by arity, so extra default args change the call shape)
+    def vote(bit: int):
+        mask = F.lit(1 << bit)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    votes = [vote(i) for i in range(bits)]
+    fingerprint = sum(
+        (F.when(votes[i] > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(bits)
+    )
+    fp = docs.select("doc_id", fingerprint.alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .orderBy("simhash")
+    )
+
+
+# --- token counting: whitespace + BPE-ish regex ------------------------------------
+
+_TOK_ORACLE = """
+WITH counts AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(MAX(n_bpe_tokens) AS BIGINT) AS max_bpe_tokens
+FROM counts
+GROUP BY lang
+"""
+
+
+@query("t_token_count", oracle=_TOK_ORACLE, tags=("text",))
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    segmentation (letter runs | digit runs | single other) — the
+    pre-tokenizer shape used to budget LLM training tokens."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    )
+    per_doc = docs.select(
+        "lang",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.max("n_bpe_tokens").alias("max_bpe_tokens"),
+    )
+
+
+# --- UD1: row-at-a-time Python UDF (the slow path, demonstrated once) ----------------
+
+_UD1_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'H'
+            WHEN o_totalprice >= 50000 THEN 'M'
+            ELSE 'L' END AS tier_udf
+FROM orders
+WHERE o_orderkey % 211 = 0
+"""
+
+
+@query("ud1_scalar_python_udf", oracle=_UD1_ORACLE, tags=("scalar", "udf"))
+def ud1_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD1: row-at-a-time Python UDF — registered once to prove the
+    surface, used on a tiny slice, and deliberately trivial: policy
+    (§2.11) is that anything expressible as built-ins must be
+    built-ins (this exact logic is CASE WHEN in p3_case_when_tiers;
+    per-row serde costs ~10–100× at scale)."""
+
+    @F.udf("string")
+    def tier(price: float) -> str:
+        if price >= 200000:
+            return "H"
+        return "M" if price >= 50000 else "L"
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 211 == 0)
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier_udf"))
+
+
+# --- UD5: Python UDTF (row → rows) ----------------------------------------------------
+
+_UD5_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 83 = 0
+),
+grams AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i+1] AS bigram
+  FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+)
+SELECT doc_id, bigram, COUNT(*) AS n
+FROM grams
+GROUP BY doc_id, bigram
+"""
+
+
+@query("ud5_udtf_bigrams", oracle=_UD5_ORACLE, tags=("text", "udf"))
+def ud5_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD5: Python UDTF — one document row expands to its bigram rows.
+    (explode(transform(...)) covers this in-plan — see
+    mm_chunk_expansion — but the UDTF is the escape hatch for
+    expansions with per-row Python logic, so it's proven here against
+    the same oracle.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, bigram: string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - 1):
+                yield doc_id, toks[i] + " " + toks[i + 1]
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 83 == 0)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    grams = spark.sql(
+        "SELECT g.doc_id, g.bigram FROM docs_for_udtf d,"
+        " LATERAL bigrams_udtf(d.doc_id, d.text) g"
+    )
+    return grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+
+
+# --- A9b: approximate percentile (rows-only) --------------------------------------------
+
+
+@query("a9b_percentile_approx", oracle=None, tags=("agg", "approx"))
+def a9b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 approx variant: percentile_approx (Greenwald-Khanna sketch) —
+    the constant-memory quantile for 100 TB; approximate → rows-only,
+    but exact quantiles sit alongside for eyeball comparison."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.median("o_totalprice").alias("exact_median"),
+    )
