@@ -20,4 +20,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     update_pipeline,
     windows,
 )
-from update_database_by_wind_spark.streaming import pipelines  # noqa: F401, E402
+from update_database_by_wind_spark.streaming import (  # noqa: F401, E402
+    pipelines,
+    stateful,
+)

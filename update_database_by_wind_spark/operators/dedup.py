@@ -168,6 +168,93 @@ def l3a_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L3e: n-gram Jaccard near-dup (exact, inverted-index join) ----------------
+
+_L3E_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ROUND(p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared) >= 0.2
+"""
+
+
+@query("l3e_ngram_jaccard", oracle=_L3E_ORACLE, tags=("dedup", "neardup"))
+def l3e_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e: exact n-gram Jaccard near-dup — word-trigram sets per doc,
+    pairwise Jaccard = |A∩B| / (|A|+|B|-|A∩B|) above a threshold.
+
+    Scale shape: the candidate pairs come from an *inverted-index
+    self-join* on the shingle (documents sharing zero trigrams never
+    meet), not a cross join — |∩| is just the per-pair row count of
+    that join, and |A| / |B| broadcast back in.  At 100 TB the one
+    extra step is dropping stop-shingles (posting lists over a
+    frequency cap) to bound the join fanout; the fixture corpus has no
+    such hot shingles, so the plain join is the faithful plan here."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
+    )
+    # sequence(1, n) descends when n < 1 — guard short docs to an empty set
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("toks") >= 3, tri).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
 # --- L3b: MinHash LSH near-dup (approximate, rows-only) -----------------------
 
 

@@ -24,6 +24,7 @@ watermark eviction, which the late-data test exercises
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -265,3 +266,57 @@ def st8_stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST8: stream ⋈ static dimension (broadcast) then aggregate —
     the streaming enrichment shape; static side never shuffles."""
     return run_to_memory(st8_stream_static_join(spark, sf_dir))
+
+
+# --- ST1+ST7: watermark late-data drop (deterministic replay) ------------------
+
+
+@query("st7_late_data_watermark", oracle=None, tags=("streaming", "watermark"))
+def st7_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: late-data handling — self-contained 4-file replay (the
+    events fixture is in-order, so lateness must be injected): window-A
+    rows, rows two hours later (advance the watermark past A), a
+    filler batch (the watermark takes effect one trigger after the max
+    is seen), then a straggler for window A.  Append mode + 10-minute
+    watermark → the straggler is dropped and window A emits
+    n_on_time=2.  Emission cadence is engine-specific → rows-only; the
+    exact drop assertion lives in tests/test_streaming.py."""
+    prepare(spark)
+    d = tempfile.mkdtemp(prefix="wind_spark_late_")
+    batches = [
+        [(1, "2024-01-01 00:05:00", 1.0), (2, "2024-01-01 00:20:00", 2.0)],
+        [(3, "2024-01-01 02:00:00", 3.0)],
+        [(5, "2024-01-01 02:10:00", 5.0)],
+        [(4, "2024-01-01 00:10:00", 4.0)],  # straggler for window A
+    ]
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, value double"
+            )
+            .select(
+                "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/batch{i}")
+        )
+        # file source replays in modification-time order; pin it
+        for root, _, files in os.walk(f"{d}/batch{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i * 100, 1_700_000_000 + i * 100),
+                )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/batch*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_on_time"))
+        .select(F.col("window.start").alias("window_start"), "n_on_time")
+    )
+    return run_to_memory(agg, "append")

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from update_database_by_wind_spark.streaming.pipelines import events_stream
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.streaming.pipelines import (
+    events_stream,
+    run_to_memory,
+)
 
 _STATE_SCHEMA = "count LONG, total DOUBLE"
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
@@ -62,6 +66,17 @@ def st6_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("st6_stateful_running_totals", oracle=None, tags=("streaming", "stateful"))
+def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 driver entry: availableNow replay of the stateful per-user
+    counters; update-mode memory sink captures the per-batch emissions
+    (single-batch replay → one final row per user).  Arbitrary-state
+    output is engine-specific (emission cadence, float fold order), so
+    this is a rows-only check; exact batch-equivalence of the final
+    counts is asserted in tests/test_streaming.py."""
+    return run_to_memory(st6_stateful_counters(spark, sf_dir), "update")
+
+
 def st9_foreach_batch_upsert(
     spark: SparkSession, sf_dir: str, target: dict[int, tuple[int, float]]
 ) -> None:
@@ -91,3 +106,18 @@ def st9_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+@query("st9_foreach_batch_sink", oracle=None, tags=("streaming", "sink"))
+def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 driver entry: run the foreachBatch upsert sink to completion
+    and surface the merged target as a DataFrame.  The sink itself is
+    side-effecting (the point of foreachBatch), so the check is
+    rows-only; exact batch-equivalence of the merged counts is
+    asserted in tests/test_streaming.py."""
+    target: dict[int, tuple[int, float]] = {}
+    st9_foreach_batch_upsert(spark, sf_dir, target)
+    return spark.createDataFrame(
+        [(k, n, round(v, 2)) for k, (n, v) in sorted(target.items())],
+        "user_id long, n_events long, total_value double",
+    )
