@@ -216,6 +216,66 @@ def ud5_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
 
 
+# --- P1+P4+P5: projection / rename / cast --------------------------------------------
+
+_P1_ORACLE = """
+SELECT p_partkey AS part_id,
+       lower(p_name) AS part_name,
+       CAST(p_size AS DOUBLE) AS size_d,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+       CAST(p_retailprice AS VARCHAR) AS price_str
+FROM part
+WHERE p_partkey % 97 = 0
+"""
+
+
+@query("p1_project_rename_cast", oracle=_P1_ORACLE, tags=("projection",))
+def p1_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P4+P5: column projection, rename, and four cast directions
+    (int→double, double→decimal, double→string) — the ingest-side
+    dtype normalization every updater script does.  Plan check: the
+    parquet scan reads only the four referenced columns."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.lower("p_name").alias("part_name"),
+        F.col("p_size").cast("double").alias("size_d"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias(
+            "price_dec"
+        ),
+        F.col("p_retailprice").cast("string").alias("price_str"),
+    )
+
+
+# --- O1: global total-order sort (positions encoded as values) -----------------------
+
+_O1_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS pos
+FROM orders
+WHERE o_totalprice > 400000
+"""
+
+
+@query("o1_global_sort", oracle=_O1_ORACLE, tags=("sort",))
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global total order, proven through an order-insensitive
+    compare by materializing each row's position.  The empty-frame
+    window is a deliberate single-partition sort over a *filtered*
+    slice; unfiltered global sorts use orderBy (range-partitioned,
+    cluster-safe) as in o2_global_topk_orders."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 # --- A9b: approximate percentile (rows-only) --------------------------------------------
 
 
