@@ -16,6 +16,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     sources_ops,
     similarity,
     text,
+    training,
     udfs,
     update_pipeline,
     windows,

@@ -1,0 +1,105 @@
+"""Training-data pipeline operators: reproducible splits and
+embedding centroids (SURVEY.md §2.8 extension surface).
+
+* Deterministic hash splitting is how a 100 TB corpus gets stable
+  train/val/test membership: assignment depends only on the key, so
+  any re-run, any cluster size, and any engine agree — unlike
+  ``df.sample``/``randomSplit``, whose output changes with
+  partitioning.  The multiplicative hash here is oracle-able integer
+  arithmetic; a production pipeline swaps in ``xxhash64(content)``
+  (same plan shape, engine-specific values → rows-only).
+* Per-label centroids are the k-means/IVF training step: one
+  narrow explode + one shuffle on (label, pos) — no vector ever
+  crosses the wire whole, so the same plan holds at billions of
+  vectors.  Decimal-exact sums keep the means partition-order
+  independent (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import sql_dec_avg
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+# --- deterministic train/val/test split --------------------------------------
+
+_KNUTH = 2654435761  # golden-ratio multiplicative hash constant
+
+_TR_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars, (doc_id * {_KNUTH}) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@query("tr_hash_split", oracle=_TR_SPLIT_ORACLE, tags=("training", "sampling"))
+def tr_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by multiplicative
+    hash of the primary key — engine- and partitioning-independent
+    membership, the property sampling-based splits lack."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- per-label embedding centroids (IVF/k-means training step) -----------------
+
+_TR_CENTROID_ORACLE = f"""
+WITH expl AS (
+  SELECT label, CAST(u.pos AS INTEGER) AS pos,
+         CAST(embedding[u.pos] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(pos)
+)
+SELECT label, pos,
+       ROUND({sql_dec_avg('val', 'centroid_raw').replace(' AS centroid_raw', '')}, 6)
+         AS centroid,
+       COUNT(*) AS n_vectors
+FROM expl
+GROUP BY label, pos
+"""
+
+
+@query(
+    "tr_label_centroids", oracle=_TR_CENTROID_ORACLE, tags=("training", "vector")
+)
+def tr_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) — the
+    coarse-quantizer training step behind l4b's IVF-style blocking.
+    posexplode keeps only (label, pos, val) triples on the shuffle;
+    decimal-exact sums make the mean identical at any partitioning."""
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    total = F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+    n = F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+    return expl.groupBy("label", "pos").agg(
+        F.round(total / n, 6).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
