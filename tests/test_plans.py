@@ -100,6 +100,69 @@ def test_cross_join_only_where_declared(spark, sf_oracle):
         assert "CartesianProduct" not in plan, name
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_oracle):
+    """S1b: reading the month-partitioned layout with a month filter
+    must prune at the directory level (PartitionFilters on o_month),
+    not scan-and-filter."""
+    plan = formatted_plan(REGISTRY["s1b_partitioned_parquet"].fn(spark, sf_oracle))
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines, "no PartitionFilters in scan"
+    assert any("o_month" in ln for ln in part_lines), part_lines
+    # the data filter must NOT appear as a post-scan Filter on o_month
+    assert "PushedFilters: [In(o_month" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_oracle):
+    """Co-located join: both sides bucketed (8, join key) + sorted →
+    SortMergeJoin with NO Exchange on either side.  This is the
+    at-scale answer for repeated fact⋈fact joins on the same key:
+    shuffle once at write time, never again at read time.  Broadcast
+    is disabled so the test proves bucketing, not dim broadcasting."""
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe_thr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe_thr = None
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        (
+            load(spark, sf_oracle, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("b_orders")
+        )
+        (
+            load(spark, sf_oracle, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable("b_customer")
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_aqe_thr is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thr
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_scan_partition_sizing_conf(spark):
     """Session factory pins shuffle partitions + AQE coalescing so
     small inputs don't fan out to 200 empty tasks."""

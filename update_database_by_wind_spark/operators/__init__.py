@@ -15,6 +15,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     setops,
     sources_ops,
     similarity,
+    storage,
     text,
     training,
     udfs,
