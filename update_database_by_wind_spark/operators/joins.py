@@ -307,3 +307,48 @@ def j8_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "value", "last_click_value")
     )
+
+
+# --- J10: salted join for skewed keys ---------------------------------
+
+_J10_ORACLE = f"""
+SELECT c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('e.value', 'total_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment, e.event_type
+"""
+
+
+@query("j10_salted_skew_join", oracle=_J10_ORACLE, tags=("join", "skew"))
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: skew-mitigated equi-join via key salting — the manual
+    counterpart to AQE's skewJoin (which only splits *shuffle* joins
+    and can miss single-hot-key pathologies).  Fact side gets a
+    deterministic salt = event_id % S; the dim side is replicated S
+    ways (explode of a literal array, NOT a cross join), and the join
+    key becomes (key, salt) — a hot user's rows now land on S
+    partitions instead of one.  Salting preserves join semantics
+    exactly, so the result is oracle-checked against the *unsalted*
+    SQL join.  S is a constant here; at scale it comes from observed
+    key histograms (only salt the hot keys, replicate dim rows only
+    for those)."""
+    salts = 8
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % salts).cast("int")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return (
+        ev.join(
+            salted_dim,
+            (ev.user_id == salted_dim.c_custkey) & (ev.salt == salted_dim.salt),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+    )
