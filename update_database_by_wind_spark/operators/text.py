@@ -326,3 +326,67 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("long").alias("max_group"),
         F.min("canonical_doc").alias("first_canonical"),
     )
+
+
+# --- quality scoring: punctuation / char-per-token ratios ---------------------
+
+_QS_ORACLE = f"""
+WITH m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars
+           AS punct_ratio,
+         n_chars * 1.0 / NULLIF(len({_SQL_TOKENS.format(c='text')}), 0)
+           AS chars_per_token
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(punct_ratio AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(punct_ratio), 6) AS avg_punct_ratio,
+       ROUND(CAST(SUM(CAST(chars_per_token AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(chars_per_token), 6) AS avg_chars_per_token,
+       CAST(SUM(CASE WHEN punct_ratio > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_punct
+FROM m
+GROUP BY source
+"""
+
+
+@query("t_quality_score", oracle=_QS_ORACLE, tags=("text", "quality"))
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ratios per document — punctuation density and
+    chars-per-token (a gibberish/boilerplate tell), rolled up per
+    source with a high-punctuation count.  Complements l11 (length /
+    token / lang gates) and t_language_id (stopword ratio) to cover
+    the standard pretraining quality-score trio.  All ratio math is
+    per-row IEEE double; the roll-up goes through decimal-exact sums
+    so results are partition-independent."""
+    docs = load(spark, sf_dir, "documents")
+    punct_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast("double")
+        / F.col("n_chars")
+    )
+    chars_per_token = F.col("n_chars").cast("double") / F.nullif(
+        F.size(tokens()).cast("double"), F.lit(0.0)
+    )
+
+    def dec_ratio_avg(c: str, alias: str):
+        total = F.sum(F.col(c).cast("decimal(38,9)")).cast("double")
+        return F.round(total / F.count(c), 6).alias(alias)
+
+    return (
+        docs.select(
+            "source",
+            punct_ratio.alias("punct_ratio"),
+            chars_per_token.alias("chars_per_token"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dec_ratio_avg("punct_ratio", "avg_punct_ratio"),
+            dec_ratio_avg("chars_per_token", "avg_chars_per_token"),
+            F.sum(F.when(F.col("punct_ratio") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_punct"),
+        )
+    )

@@ -282,3 +282,43 @@ def w6_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+# --- W3b: time-based RANGE frame (rolling 1-hour window per user) -------------
+
+_W3B_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id % 29 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("w3b_time_range_rolling", oracle=_W3B_ORACLE, tags=("window", "range"))
+def w3b_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3b: rolling *time-based* window — rangeBetween over epoch
+    seconds gives each event its trailing-1-hour count/sum, the
+    value-based frame that rowsBetween (W3) can't express when event
+    spacing is irregular.  RANGE frames are tie-safe (all peers at the
+    same ts share one frame), so the result is deterministic under any
+    partitioning; the sum goes through the decimal detour for exact
+    engine parity.  Both engines floor timestamps to whole seconds
+    (cast-to-long / epoch_us // 1e6) so frame membership is identical."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
