@@ -289,3 +289,101 @@ def a9b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.median("o_totalprice").alias("exact_median"),
     )
+
+
+# --- ts: rolling correlation vs market (factor-analytics signature) -----------
+
+_TS_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+withm AS (
+  SELECT d, o_orderpriority, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER (PARTITION BY d)
+              AS DOUBLE) AS mkt
+  FROM daily
+),
+rolled AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY d) AS rn,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(mkt AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(mkt * mkt AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy,
+         CAST(SUM(CAST(rev * mkt AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy
+  FROM withm
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, o_orderpriority,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS corr_30d
+FROM rolled
+WHERE rn >= 30
+"""
+
+
+@query("ts_rolling_corr", oracle=_TS_CORR_ORACLE, tags=("timeseries", "window"))
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day correlation of each priority tier's daily
+    revenue against the whole-market daily total — the factor-
+    analytics shape (per-security rolling corr vs index) from the
+    reference's WindPy category.  Implementation: one aggregation to
+    daily grain, a per-date window for the market series (no
+    self-join), then six decimal-exact windowed power sums feeding the
+    closed-form Pearson correlation — every term order-independent,
+    so the result is identical at any partitioning or cluster size.
+    Frames shorter than 30 days are dropped (undefined corr)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    wm = Window.partitionBy("d")
+    withm = daily.withColumn(
+        "mkt", F.sum(F.col("rev").cast("decimal(38,6)")).over(wm).cast("double")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-29, Window.currentRow)
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,6)")).over(w).cast("double")
+
+    rev, mkt = F.col("rev"), F.col("mkt")
+    n = F.count("*").over(w).cast("double")
+    sx, sy = dsum(rev), dsum(mkt)
+    sxx, syy, sxy = dsum(rev * rev), dsum(mkt * mkt), dsum(rev * mkt)
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy("d")
+    )
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    return (
+        withm.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "o_orderpriority",
+            rn.alias("rn"),
+            corr.alias("corr_30d"),
+        )
+        .filter(F.col("rn") >= 30)
+        .drop("rn")
+    )

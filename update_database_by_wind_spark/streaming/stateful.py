@@ -9,6 +9,16 @@ ST9: ``foreachBatch`` sink — each micro-batch is a *batch* DataFrame,
 so the full batch engine (including the U2 upsert merge and the JDBC
 sink in sources/jdbc.py) applies per batch; the canonical OSS-Spark
 way to stream into a store with upsert semantics.
+
+Note on Spark 4's ``transformWithStateInPandas``: the successor API
+imports cleanly here but its driver worker requires a working
+``google.protobuf`` install, which this environment lacks (verified:
+state-schema pre-init crashes with ``ImportError: cannot import name
+'descriptor' from 'google.protobuf'``; installs are not permitted).
+``applyInPandasWithState`` is therefore the supported arbitrary-state
+path in this repo; the TWS port is a mechanical swap
+(StatefulProcessor.init/handleInputRows over the same state tuple)
+once the dependency exists.
 """
 
 from __future__ import annotations
