@@ -343,3 +343,42 @@ def a10_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_var_samp("l_quantity", "var_qty"),
         dec_corr("l_quantity", "l_extendedprice", "corr_qty_price"),
     )
+
+
+# --- A4c: explicit GROUPING SETS through the SQL surface ----------------------
+
+_A4C_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
+@query("a4c_grouping_sets", oracle=_A4C_ORACLE, tags=("agg", "sql"))
+def a4c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4c: explicit GROUPING SETS — three hand-picked sets including
+    a non-hierarchical one ((priority) alone), which neither rollup
+    (a4) nor cube (a4b) expresses without waste.  Issued through
+    ``spark.sql`` over a temp view to exercise the SQL entry surface;
+    Catalyst plans the same single Expand + one-shuffle aggregate as
+    the DataFrame variants.  GROUPING() flags disambiguate real NULLs
+    from subtotal rows."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total_price,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
