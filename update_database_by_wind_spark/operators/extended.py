@@ -339,3 +339,139 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# --- ts: cross-sectional z-score + winsorization (factor preprocessing) -------
+
+_ZS_ORACLE = """
+WITH stats AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER p AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) OVER p
+              AS DOUBLE) AS s2,
+         CAST(COUNT(*) OVER p AS DOUBLE) AS n
+  FROM customer
+  WINDOW p AS (PARTITION BY c_nationkey)
+),
+z AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         (c_acctbal - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS zraw
+  FROM stats
+)
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROUND(zraw, 6) AS zscore,
+       ROUND(GREATEST(-2.0, LEAST(2.0, zraw)), 6) AS zscore_winsorized
+FROM z
+WHERE c_custkey % 13 = 0
+"""
+
+
+@query(
+    "ts_cross_sectional_zscore", oracle=_ZS_ORACLE, tags=("timeseries", "window")
+)
+def ts_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional standardization — each customer's balance
+    z-scored against its nation's cross-section, then winsorized to
+    ±2σ: the de-meaning/outlier-clamping step every factor pipeline
+    runs per trade date before ranking (here nation plays the date's
+    role as the cross-section key).  Whole-partition window over
+    decimal-exact power sums: one shuffle, no self-join, stats
+    identical at any partitioning; per-row arithmetic stays IEEE
+    double.  Output sliced mod-13; the window still sees the full
+    cross-section."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    p = Window.partitionBy("c_nationkey")
+    bal = F.col("c_acctbal")
+    s1 = F.sum(bal.cast("decimal(38,6)")).over(p).cast("double")
+    s2 = F.sum((bal * bal).cast("decimal(38,6)")).over(p).cast("double")
+    n = F.count("*").over(p).cast("double")
+    zraw = (bal - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round(zraw, 6).alias("zscore"),
+            F.round(
+                F.greatest(F.lit(-2.0), F.least(F.lit(2.0), zraw)), 6
+            ).alias("zscore_winsorized"),
+        )
+        .filter(F.col("c_custkey") % 13 == 0)
+    )
+
+
+# --- ts: Bollinger bands (rolling mean ± 2σ) ----------------------------------
+
+_BB_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+rolled AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day, o_orderpriority, rev,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY d) AS rn,
+         CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT day, o_orderpriority, rev,
+       ROUND(s1 / n, 6) AS ma20,
+       ROUND(s1 / n + 2 * SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 6)
+         AS upper_band,
+       ROUND(s1 / n - 2 * SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 6)
+         AS lower_band
+FROM rolled
+WHERE rn >= 20
+"""
+
+
+@query("ts_bollinger_bands", oracle=_BB_ORACLE, tags=("timeseries", "window"))
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily revenue series per priority tier
+    — 20-day rolling mean ± 2 rolling standard deviations, the
+    volatility-envelope indicator from the reference's market-data
+    category.  Same windowed decimal-power-sum machinery as
+    ts_rolling_corr: order-independent, one shuffle, warm-up frames
+    (< 20 days) dropped."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"), "o_orderpriority"
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    rev = F.col("rev")
+    s1 = F.sum(rev.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((rev * rev).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count("*").over(w).cast("double")
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy("d")
+    )
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "o_orderpriority",
+            "rev",
+            F.round(s1 / n, 6).alias("ma20"),
+            F.round(s1 / n + 2 * sd, 6).alias("upper_band"),
+            F.round(s1 / n - 2 * sd, 6).alias("lower_band"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") >= 20)
+        .drop("rn")
+    )
