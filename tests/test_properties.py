@@ -164,3 +164,58 @@ def test_dec_sum_partition_invariant(spark, vals, n_parts):
     a = df.repartition(1).agg(dec_sum("x", "s")).first()["s"]
     b = df.repartition(n_parts).agg(dec_sum("x", "s")).first()["s"]
     assert a == b
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    n_parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_hash_split_partitions_input_deterministically(spark, ids, n_parts):
+    """tr_hash_split law: the multiplicative-hash split assigns every
+    row to exactly one split, and the assignment is a pure function of
+    the key — identical under any partitioning (the property
+    randomSplit lacks)."""
+    df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+    def assign(frame):
+        return {
+            (r["doc_id"], r["s"])
+            for r in frame.select("doc_id", split.alias("s")).distinct().collect()
+        }
+
+    a = assign(df.repartition(1))
+    b = assign(df.repartition(n_parts))
+    assert a == b
+    # one split per distinct key: mapping is a function
+    assert len({k for k, _ in a}) == len(a)
+
+
+@given(rows=_ROWS, extra=_ROWS, salts=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows, extra, salts):
+    """J10 law: salting preserves join semantics exactly — the salted
+    fact⋈dim equals the unsalted join on arbitrary inputs, any salt
+    fan-out."""
+    fact = _df(spark, rows)  # pk, batch, val
+    dim = _df(spark, extra).dropDuplicates(["pk"]).select("pk", "batch")
+    plain = fact.join(dim.withColumnRenamed("batch", "dbatch"), "pk")
+
+    salted_fact = fact.withColumn(
+        "salt", (F.col("batch") % salts).cast("int")
+    )
+    salted_dim = (
+        dim.withColumnRenamed("batch", "dbatch")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        )
+    )
+    salted = salted_fact.join(salted_dim, ["pk", "salt"]).drop("salt")
+    key = ["pk", "batch", "val", "dbatch"]
+    assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
+        map(tuple, salted.select(*key).collect())
+    )
