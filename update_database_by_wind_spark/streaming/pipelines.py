@@ -320,3 +320,67 @@ def st7_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_on_time")
     )
     return run_to_memory(agg, "append")
+
+
+# --- ST10: stream-stream interval join ----------------------------------------
+
+_ST10_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, ts AS c_ts, value AS c_val FROM events
+  WHERE event_type = 'click' AND user_id % 7 = 0
+),
+p AS (
+  SELECT user_id AS p_user, ts AS p_ts, value AS p_val FROM events
+  WHERE event_type = 'purchase' AND user_id % 7 = 0
+)
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       {sql_dec_sum('p.p_val', 'purchase_value')}
+FROM c JOIN p
+  ON c.user_id = p.p_user
+ AND p.p_ts >= c.c_ts
+ AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+@query("st10_stream_stream_join", oracle=_ST10_ORACLE, tags=("streaming", "join"))
+def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: stream-stream interval join — purchases within 30 minutes
+    after a click by the same user, both sides unbounded streams.
+    Each side carries a watermark so the join state (buffered rows
+    waiting for matches) is evicted once the other side's watermark
+    passes the interval bound — THE mechanism that makes stream-stream
+    joins runnable forever at scale.  The availableNow replay is a
+    single in-order batch, so no state is evicted before all matches
+    are found and the output is batch-equivalent → oracle-checked
+    against the plain interval join; the pair table is aggregated
+    batch-side (chaining another stateful agg onto a stream-stream
+    join needs append-mode windows, kept out of scope here)."""
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_val"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_val"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    out = run_to_memory(pairs, "append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        dec_sum("p_val", "purchase_value"),
+    )
