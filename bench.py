@@ -35,6 +35,18 @@ HEADLINE = [
     "l10_multimodal_join",
 ]
 
+# round-1 extension surface, timed alongside but kept OUT of the headline
+# metric so the total stays comparable across rounds
+EXTENDED = [
+    "l3e_ngram_jaccard",
+    "l4c_cosine_topk_vectorized",
+    "l5_ivf_topk",
+    "j10_salted_skew_join",
+    "tr_hash_split",
+    "ts_rolling_corr",
+    "st2_tumbling_window",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,6 +66,12 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).count()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -62,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extended": extended,
                 "sf": sf,
             }
         )
