@@ -123,3 +123,36 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+_S2B_ORACLE = f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       {sql_dec_sum('p_retailprice', 'total_price')},
+       CAST(MAX(p_size) AS INTEGER) AS max_size
+FROM part
+WHERE p_partkey % 2 = 1
+GROUP BY p_brand
+"""
+
+
+@query("s2b_orc_roundtrip", oracle=_S2B_ORACLE, tags=("source", "orc"))
+def s2b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2b: ORC write→read round trip — the second columnar format a
+    warehouse migration meets (Hive estates are ORC).  Same contract
+    as the CSV/JSON trips: explicit schema on read-back, aggregate,
+    oracle-checked against the ORIGINAL parquet so the trip is proven
+    lossless (ORC stores doubles/longs natively, so value fidelity is
+    structural, not luck)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 1)
+    out = tempfile.mkdtemp(prefix="wind_spark_orc_") + "/part"
+    part.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double"
+    ).orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        dec_sum("p_retailprice", "total_price"),
+        F.max("p_size").alias("max_size"),
+    )
