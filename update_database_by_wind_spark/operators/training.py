@@ -103,3 +103,105 @@ def tr_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / n, 6).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+# --- decontamination: n-gram overlap between train and held-out splits ---------
+
+_DECON_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN (doc_id * {_KNUTH}) % 100 < 80 THEN 'train'
+              WHEN (doc_id * {_KNUTH}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, split,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM assigned
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang, split,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM tok, UNNEST(range(1, len(toks) - 3)) AS u(i)
+),
+train_grams AS (SELECT DISTINCT shingle FROM grams WHERE split = 'train'),
+eval_docs AS (
+  SELECT doc_id, lang, split FROM grams WHERE split <> 'train'
+  GROUP BY doc_id, lang, split
+),
+contaminated AS (
+  SELECT g.doc_id FROM grams g JOIN train_grams t USING (shingle)
+  WHERE g.split <> 'train'
+  GROUP BY g.doc_id
+)
+SELECT e.split, e.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM eval_docs e LEFT JOIN contaminated c USING (doc_id)
+GROUP BY e.split, e.lang
+"""
+
+
+@query("tr_decontamination", oracle=_DECON_ORACLE, tags=("training", "dedup"))
+def tr_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag val/test documents sharing any
+    word 5-gram with the train split (the overlap check run before
+    every serious eval).  Scale shape mirrors l3e: an inverted-index
+    semi-join on the shingle — the train side collapses to DISTINCT
+    shingles (hashes at 100 TB), eval docs join against it, and only
+    (doc_id, shingle) pairs ever shuffle, never documents."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    five = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("toks"), i + j) for j in range(5)],
+            ),
+        )
+    )
+    grams = (
+        docs.select("doc_id", "lang", split.alias("split"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.explode(
+                F.when(F.size("toks") >= 5, five).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    eval_grams = grams.filter(F.col("split") != "train")
+    eval_docs = eval_grams.groupBy("doc_id", "lang", "split").agg(
+        F.lit(1).alias("_one")
+    )
+    contaminated = (
+        eval_grams.join(train_grams, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        eval_docs.join(contaminated, "doc_id", "left")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
