@@ -168,3 +168,18 @@ def test_scan_partition_sizing_conf(spark):
     small inputs don't fan out to 200 empty tasks."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= 64
+
+
+def test_compaction_reduces_file_count(spark, sf_oracle, tmp_path):
+    """U7 structural check: 64 fragment files compact to exactly 4
+    part files with identical row count."""
+    import glob
+
+    li = load(spark, sf_oracle, "lineitem").limit(5000)
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+    n_frag = len(glob.glob(f"{frag}/part-*"))
+    n_comp = len(glob.glob(f"{comp}/part-*"))
+    assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
+    assert spark.read.parquet(comp).count() == li.count()

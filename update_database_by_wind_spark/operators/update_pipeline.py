@@ -247,3 +247,94 @@ def u5_calendar_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "day").alias("month"))
         .agg(F.count("*").alias("n_missing_days"))
     )
+
+
+# --- U6: schema evolution across incremental appends ---------------------------
+
+_U6_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_channel FROM orders
+  WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'branch' END AS o_channel
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COALESCE(o_channel, 'unknown') AS channel,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM unioned
+GROUP BY 1
+"""
+
+
+@query("u6_schema_evolution", oracle=_U6_ORACLE, tags=("update", "schema"))
+def u6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: schema evolution mid-pipeline — batch 1 lands without the
+    ``o_channel`` column, batch 2 (the feed grew a field) lands with
+    it; ``mergeSchema`` reads both vintages as one table, old rows
+    surfacing NULL for the new column.  This is the incremental-update
+    reality the namesake pipeline hits every time the upstream adds a
+    field; the COALESCE-to-default rollup is the standard backfill
+    report."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="wind_spark_evo_") + "/orders"
+    o.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
+        f"{out}/batch=1"
+    )
+    (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("branch"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/batch=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.coalesce("o_channel", F.lit("unknown")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+# --- U7: small-file compaction ---------------------------------------------------
+
+_U7_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {sql_dec_sum('l_quantity', 'total_qty')}
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+GROUP BY l_returnflag
+"""
+
+
+@query("u7_compaction", oracle=_U7_ORACLE, tags=("update", "layout"))
+def u7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: small-file compaction — incremental appends leave a litter
+    of tiny files (64 here); rewrite them into a handful of right-
+    sized ones and prove the content identical via the aggregate
+    oracle.  The at-scale recipe: ``repartition(target)`` on read,
+    write to a fresh path, atomic swap; file counts are asserted in
+    the test tier so the compaction is structural, not assumed."""
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    base = tempfile.mkdtemp(prefix="wind_spark_compact_")
+    fragmented = f"{base}/fragmented"
+    compacted = f"{base}/compacted"
+    li.repartition(64).write.mode("overwrite").parquet(fragmented)
+    frag = spark.read.parquet(fragmented)
+    frag.repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_quantity", "total_qty"),
+    )
