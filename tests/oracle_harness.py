@@ -23,12 +23,17 @@ from update_database_by_wind_spark.sources import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            # generated corpora (test_generative_oracle) carry a subset
+            # of the fixture tables; DuckDB binds views eagerly
+            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
         return con.sql(sql).df()
     finally:
         con.close()

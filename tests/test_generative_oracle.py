@@ -1,0 +1,76 @@
+"""Generative differential testing (SURVEY.md §5 upgrade): hypothesis
+builds arbitrary corpora, writes them as fixture-shaped parquet, and
+runs the REAL registry query against its REAL DuckDB oracle on that
+input — so the oracle equivalence is proven on adversarial data, not
+just on the driver's fixtures.  Collision-rich vocab (few distinct
+tokens) forces duplicate texts, shared shingles, and split ties.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracle_harness import compare, run_oracle
+
+import update_database_by_wind_spark.operators  # noqa: F401 — registers queries
+from update_database_by_wind_spark.registry import REGISTRY
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_VOCAB = ["a", "b", "ab", "ba", "x", "yz"]
+
+_DOCS = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),  # tokens
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["web", "book"]),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _write_documents(docs) -> str:
+    """Write a fixture-shaped documents.parquet into a fresh sf_dir."""
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_")
+    texts = [" ".join(toks) for toks, _, _ in docs]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([lang for _, lang, _ in docs], pa.string()),
+            "source": pa.array([src for _, _, src in docs], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "l1_exact_dedup",
+        "l3e_ngram_jaccard",
+        "t_token_count",
+        "tr_hash_split",
+    ],
+)
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_query_matches_oracle_on_generated_corpus(spark, name, docs):
+    sf_dir = _write_documents(docs)
+    spec = REGISTRY[name]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, (name, problems)
