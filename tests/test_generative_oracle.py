@@ -62,9 +62,16 @@ def _write_documents(docs) -> str:
     "name",
     [
         "l1_exact_dedup",
+        "l2_hash_dedup",
+        "l3a_near_dup_signatures",
         "l3e_ngram_jaccard",
+        "l7_word_frequency",
         "t_token_count",
+        "t_language_id",
+        "t_fingerprint",
+        "t_quality_score",
         "tr_hash_split",
+        "tr_decontamination",
     ],
 )
 @given(docs=_DOCS)

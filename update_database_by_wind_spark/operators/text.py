@@ -243,7 +243,7 @@ scored AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(toks,
               t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
-           / len(toks) AS stop_ratio
+           / NULLIF(len(toks), 0) AS stop_ratio
   FROM tok
 )
 SELECT lang,
@@ -265,9 +265,12 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    # NULLIF guard: an empty document must yield a NULL ratio, not a
+    # divide-by-zero (Spark 4 runs ANSI mode; found by the generative
+    # corpus tests)
     stop_ratio = F.size(
         F.filter(toks, lambda t: F.array_contains(sw, t))
-    ).cast("double") / F.size(toks)
+    ).cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
     scored = docs.select(
         "lang",
         stop_ratio.alias("stop_ratio"),
@@ -333,8 +336,8 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QS_ORACLE = f"""
 WITH m AS (
   SELECT source,
-         len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / n_chars
-           AS punct_ratio,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0
+           / NULLIF(n_chars, 0) AS punct_ratio,
          n_chars * 1.0 / NULLIF(len({_SQL_TOKENS.format(c='text')}), 0)
            AS chars_per_token
   FROM documents
@@ -362,9 +365,10 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row IEEE double; the roll-up goes through decimal-exact sums
     so results are partition-independent."""
     docs = load(spark, sf_dir, "documents")
+    # NULLIF: empty documents (n_chars=0) must not divide by zero
     punct_ratio = (
         F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast("double")
-        / F.col("n_chars")
+        / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
     )
     chars_per_token = F.col("n_chars").cast("double") / F.nullif(
         F.size(tokens()).cast("double"), F.lit(0.0)
