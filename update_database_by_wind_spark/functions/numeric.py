@@ -90,21 +90,29 @@ def _s1_s2(c: str | Column) -> tuple[Column, Column, Column]:
 
 
 def dec_var_samp(c: str | Column, alias: str) -> Column:
+    # NULLIF(n-1): sample variance of a single row is NULL, not an
+    # ANSI divide-by-zero (Spark 4 errors even on double division)
     s1, s2, n = _s1_s2(c)
-    return F.round((s2 - s1 * s1 / n) / (n - F.lit(1.0)), STAT_ROUND).alias(alias)
+    return F.round(
+        (s2 - s1 * s1 / n) / F.nullif(n - F.lit(1.0), F.lit(0.0)), STAT_ROUND
+    ).alias(alias)
 
 
 def sql_dec_var_samp(expr: str, alias: str) -> str:
     s1 = f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"ROUND((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0), {STAT_ROUND}) AS {alias}"
+    return (
+        f"ROUND((({s2}) - ({s1})*({s1})/({n})) / NULLIF(({n}) - 1.0, 0),"
+        f" {STAT_ROUND}) AS {alias}"
+    )
 
 
 def dec_stddev_samp(c: str | Column, alias: str) -> Column:
     s1, s2, n = _s1_s2(c)
     return F.round(
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), STAT_ROUND
+        F.sqrt((s2 - s1 * s1 / n) / F.nullif(n - F.lit(1.0), F.lit(0.0))),
+        STAT_ROUND,
     ).alias(alias)
 
 
@@ -113,7 +121,7 @@ def sql_dec_stddev_samp(expr: str, alias: str) -> str:
     s2 = f"CAST(SUM(CAST((({expr})*({expr})) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return (
-        f"ROUND(SQRT((({s2}) - ({s1})*({s1})/({n})) / (({n}) - 1.0)),"
+        f"ROUND(SQRT((({s2}) - ({s1})*({s1})/({n})) / NULLIF(({n}) - 1.0, 0)),"
         f" {STAT_ROUND}) AS {alias}"
     )
 
@@ -128,7 +136,10 @@ def dec_corr(x: str | Column, y: str | Column, alias: str) -> Column:
     sxy = F.sum((cx * cy).cast(f"decimal({PREC},{SCALE})")).cast("double")
     n = F.count(F.lit(1)).cast("double")
     num = n * sxy - sx * sy
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # NULLIF: zero variance on either side → NULL corr, not a crash
+    den = F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+    )
     return F.round(num / den, STAT_ROUND).alias(alias)
 
 
@@ -141,6 +152,6 @@ def sql_dec_corr(x: str, y: str, alias: str) -> str:
     n = "CAST(COUNT(*) AS DOUBLE)"
     return (
         f"ROUND((({n})*({sxy}) - ({sx})*({sy}))"
-        f" / (SQRT(({n})*({sxx}) - ({sx})*({sx}))"
-        f" * SQRT(({n})*({syy}) - ({sy})*({sy}))), {STAT_ROUND}) AS {alias}"
+        f" / NULLIF(SQRT(({n})*({sxx}) - ({sx})*({sx}))"
+        f" * SQRT(({n})*({syy}) - ({sy})*({sy})), 0), {STAT_ROUND}) AS {alias}"
     )

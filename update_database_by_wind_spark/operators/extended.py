@@ -355,7 +355,8 @@ WITH stats AS (
 ),
 z AS (
   SELECT c_custkey, c_nationkey, c_acctbal,
-         (c_acctbal - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS zraw
+         (c_acctbal - s1 / n)
+           / NULLIF(SQRT((s2 - s1 * s1 / n) / NULLIF(n - 1.0, 0)), 0) AS zraw
   FROM stats
 )
 SELECT c_custkey, c_nationkey, c_acctbal,
@@ -387,7 +388,12 @@ def ts_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.sum(bal.cast("decimal(38,6)")).over(p).cast("double")
     s2 = F.sum((bal * bal).cast("decimal(38,6)")).over(p).cast("double")
     n = F.count("*").over(p).cast("double")
-    zraw = (bal - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    # NULLIF guards: single-member or constant cross-sections yield a
+    # NULL z-score, not an ANSI divide-by-zero
+    zraw = (bal - s1 / n) / F.nullif(
+        F.sqrt((s2 - s1 * s1 / n) / F.nullif(n - F.lit(1.0), F.lit(0.0))),
+        F.lit(0.0),
+    )
     return (
         c.select(
             "c_custkey",

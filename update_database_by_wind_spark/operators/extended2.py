@@ -320,7 +320,7 @@ rolled AS (
 )
 SELECT day, o_orderpriority,
        ROUND((n * sxy - sx * sy)
-             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             / NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0), 6)
          AS corr_30d
 FROM rolled
 WHERE rn >= 30
@@ -372,9 +372,12 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("o_orderpriority").orderBy("d")
     )
+    # NULLIF: zero-variance windows (constant series) yield NULL corr
     corr = F.round(
         (n * sxy - sx * sy)
-        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        / F.nullif(
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+        ),
         6,
     )
     return (

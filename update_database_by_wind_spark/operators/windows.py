@@ -79,7 +79,7 @@ WITH daily AS (
 SELECT user_id, CAST(day AS TIMESTAMP_NS) AS day, day_value,
        LAG(day_value)  OVER w AS prev_value,
        LEAD(day_value) OVER w AS next_value,
-       day_value / LAG(day_value) OVER w - 1.0 AS ret
+       day_value / NULLIF(LAG(day_value) OVER w, 0) - 1.0 AS ret
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY day)
 """
@@ -104,7 +104,13 @@ def w2_lag_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.lag("day_value").over(w).alias("prev_value"),
         F.lead("day_value").over(w).alias("next_value"),
-        (F.col("day_value") / F.lag("day_value").over(w) - 1.0).alias("ret"),
+        # NULLIF: a zero prior-day value must yield a NULL return, not
+        # an ANSI divide-by-zero (Spark 4 errors even on doubles)
+        (
+            F.col("day_value")
+            / F.nullif(F.lag("day_value").over(w), F.lit(0.0))
+            - 1.0
+        ).alias("ret"),
     )
 
 
