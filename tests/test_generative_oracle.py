@@ -81,3 +81,61 @@ def test_query_matches_oracle_on_generated_corpus(spark, name, docs):
     spec = REGISTRY[name]
     problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
     assert not problems, (name, problems)
+
+
+# --- events corpus: timestamp-heavy paths (lag, RANGE frames, as-of) ----------
+
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in microseconds
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 50_000),  # minutes offset (spans ~35 days)
+        st.integers(0, 3),  # user_id
+        st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        st.integers(0, 9_999),  # value in cents → exact 2-decimal double
+        st.integers(0, 9),  # props k
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _write_events(events) -> str:
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_ev_")
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(events)), pa.int64()),
+            # TIMESTAMP(NANOS) like the fixture: Spark reads it via the
+            # nanosAsLong path in sources/tables.py, DuckDB as naive
+            # TIMESTAMP_NS — the exact engine-pair shape of the corpus
+            "ts": pa.array(
+                [(_BASE_US + m * 60_000_000) * 1000 for m, *_ in events],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([u for _, u, *_ in events], pa.int64()),
+            "event_type": pa.array([t for _, _, t, *_ in events], pa.string()),
+            "value": pa.array([c / 100 for *_, c, _ in events], pa.float64()),
+            "props": pa.array([f'{{"k": {k}}}' for *_, k in events], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "w2_lag_daily_returns",
+        "w3b_time_range_rolling",
+        "j8_asof_join_last_click",
+        "ts_sessionize_batch",
+        "f_json_extraction",
+    ],
+)
+@given(events=_EVENTS)
+@settings(**_SETTINGS)
+def test_query_matches_oracle_on_generated_events(spark, name, events):
+    sf_dir = _write_events(events)
+    spec = REGISTRY[name]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, (name, problems)
