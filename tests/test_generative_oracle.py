@@ -127,8 +127,11 @@ def _write_events(events) -> str:
     [
         "w2_lag_daily_returns",
         "w3b_time_range_rolling",
+        "w5_forward_fill",
         "j8_asof_join_last_click",
+        "j8b_asof_join_pandas",
         "ts_sessionize_batch",
+        "ts_resample_monthly_ohlc",
         "f_json_extraction",
     ],
 )
