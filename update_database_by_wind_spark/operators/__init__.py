@@ -17,6 +17,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     similarity,
     storage,
     text,
+    tpch_extra,
     training,
     udfs,
     update_pipeline,
