@@ -6,6 +6,7 @@ Importing this package registers every query in
 
 from update_database_by_wind_spark.operators import (  # noqa: F401
     aggregates,
+    analytics_extra,
     dedup,
     extended,
     extended2,

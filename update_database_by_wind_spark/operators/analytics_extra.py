@@ -1,0 +1,205 @@
+"""Additional window analytics (SURVEY.md §2.5 extensions).
+
+W7 completes the ranking family with the distribution functions
+(percent_rank / cume_dist); the ts_* operators are the reference
+category's risk metrics — max drawdown and RSI — expressed as pure
+window compositions (no recursion, no UDF), which is what keeps them
+JVM-side and partitioning-independent at 100 TB.
+
+Parity notes: percent_rank/cume_dist are exact rational values
+computed identically by Spark and DuckDB ((rank-1)/(n-1), count≤/n)
+— the ORDER BY deliberately carries *no* unique tiebreak because ties
+must share a rank for these to be deterministic.  All frame sums take
+the decimal detour (functions/numeric.py); every division guards its
+denominator with NULLIF against Spark 4's ANSI divide-by-zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.functions.numeric import (
+    PREC,
+    SCALE,
+    dec_sum,
+    sql_dec_sum,
+)
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+_DEC = f"decimal({PREC},{SCALE})"
+
+
+# --- W7: percent_rank / cume_dist --------------------------------------
+
+_W7_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice)
+"""
+
+
+@query("w7_percent_rank_cume_dist", oracle=_W7_ORACLE, tags=("window",))
+def w7_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: distribution window functions — each order's percentile
+    position within its market segment.  (rank-1)/(n-1) and tied-peer
+    counting are integer-exact in both engines, so the doubles match
+    bit-for-bit without rounding."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+# --- ts: maximum drawdown per user -------------------------------------
+# drawdown_t = (peak_t - cum_t) / peak_t where cum is the running sum
+# of daily purchase value and peak its running max — the reference
+# category's portfolio risk metric, as two stacked window passes.
+
+_DD_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dec_sum('value', 'day_value')}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT user_id, day,
+         CAST(SUM(CAST(day_value AS {_DEC})) OVER w AS DOUBLE) AS cum_value
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (
+  SELECT user_id, day, cum_value,
+         MAX(cum_value) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+  FROM cum
+)
+SELECT user_id,
+       MAX((peak - cum_value) / NULLIF(peak, 0)) AS max_drawdown,
+       MAX(peak) AS peak_value
+FROM dd
+GROUP BY user_id
+"""
+
+
+@query("ts_max_drawdown", oracle=_DD_ORACLE, tags=("window", "timeseries"))
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown per user: running-sum → running-peak → relative
+    dip, all in two window passes over one (user, day) shuffle.  The
+    cumulative sum is decimal-exact, so peak/cum are identical doubles
+    in both engines and the division is bit-reproducible."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dec_sum("value", "day_value"))
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "user_id",
+        "day",
+        F.sum(F.col("day_value").cast(_DEC)).over(run).cast("double").alias(
+            "cum_value"
+        ),
+    )
+    dd = cum.withColumn("peak", F.max("cum_value").over(run))
+    return dd.groupBy("user_id").agg(
+        F.max(
+            (F.col("peak") - F.col("cum_value")) / F.nullif(F.col("peak"), F.lit(0.0))
+        ).alias("max_drawdown"),
+        F.max("peak").alias("peak_value"),
+    )
+
+
+# --- ts: RSI (relative strength index, simple 14-day variant) ----------
+# Wilder's original RSI smooths recursively (not SQL-expressible); the
+# simple-moving-average variant is the standard windowed form:
+# RSI = 100 * sum(gains) / (sum(gains) + sum(losses)) over the
+# trailing 14 observations.
+
+_RSI_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_dec_sum('value', 'day_value')}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT user_id, day, day_value,
+         day_value - LAG(day_value) OVER (PARTITION BY user_id ORDER BY day)
+           AS chg
+  FROM daily
+)
+SELECT user_id, CAST(day AS TIMESTAMP_NS) AS day,
+       100.0 * CAST(SUM(CAST(CASE WHEN chg > 0 THEN chg ELSE 0 END
+                              AS {_DEC})) OVER w AS DOUBLE)
+             / NULLIF(
+                 CAST(SUM(CAST(CASE WHEN chg > 0 THEN chg ELSE 0 END
+                                AS {_DEC})) OVER w AS DOUBLE)
+               + CAST(SUM(CAST(CASE WHEN chg < 0 THEN -chg ELSE 0 END
+                                AS {_DEC})) OVER w AS DOUBLE), 0)
+         AS rsi14
+FROM delta
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("ts_rsi", oracle=_RSI_ORACLE, tags=("window", "timeseries"))
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period simple RSI per user: lag-diff → clipped gains/losses
+    → trailing-frame decimal sums → one guarded double division.
+    RSI = 100·G/(G+L) is algebraically 100 − 100/(1+RS) and avoids the
+    second division.  All-zero frames (or the first row, whose chg is
+    NULL) yield NULL — identically in both engines via NULLIF."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dec_sum("value", "day_value"))
+    )
+    order = Window.partitionBy("user_id").orderBy("day")
+    frame = order.rowsBetween(-13, Window.currentRow)
+    delta = daily.withColumn(
+        "chg", F.col("day_value") - F.lag("day_value").over(order)
+    )
+    gains = (
+        F.sum(
+            F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0.0)).cast(_DEC)
+        )
+        .over(frame)
+        .cast("double")
+    )
+    losses = (
+        F.sum(
+            F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0.0)).cast(_DEC)
+        )
+        .over(frame)
+        .cast("double")
+    )
+    return delta.select(
+        "user_id",
+        "day",
+        (F.lit(100.0) * gains / F.nullif(gains + losses, F.lit(0.0))).alias(
+            "rsi14"
+        ),
+    )
