@@ -1,0 +1,79 @@
+"""Structural test for the copy-on-write partition MERGE (U8).
+
+The oracle tier proves the merged *content* is right; this tier proves
+the *file layout* behavior that makes COW worth having at 100 TB:
+partitions the source batch does not touch keep their exact files
+(same paths, sizes, mtimes — never rewritten), and only the affected
+partition directories change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.update_pipeline import cow_merge
+from update_database_by_wind_spark.sources import load
+
+
+def _snapshot(root: str) -> dict[str, tuple[int, float]]:
+    out: dict[str, tuple[int, float]] = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def test_cow_merge_rewrites_only_affected_partitions(spark, sf_smoke, tmp_path):
+    target_path = str(tmp_path / "orders_by_month")
+    snap = load(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    before = _snapshot(target_path)
+    months_before = {p.split(os.sep)[0] for p in before}
+
+    source = (
+        snap.filter(F.col("o_month") == "1997-03")
+        .withColumn("price", F.col("price") * 1.1)
+    )
+    affected = cow_merge(spark, target_path, source, "o_orderkey", "o_month")
+    assert affected == ["1997-03"]
+
+    after = _snapshot(target_path)
+    touched = {p for p in set(before) | set(after) if p.startswith("o_month=1997-03")}
+    untouched_before = {p: v for p, v in before.items() if p not in touched}
+    untouched_after = {p: v for p, v in after.items() if p not in touched}
+    # every un-affected partition keeps its exact files: same paths,
+    # sizes, and mtimes — proof they were never rewritten
+    assert untouched_before == untouched_after
+    # the affected partition was actually rewritten (new file names)
+    assert {p for p in before if p in touched} != {p for p in after if p in touched}
+    # and no partition directory vanished
+    months_after = {p.split(os.sep)[0] for p in after}
+    assert months_after == months_before
+
+    # merged content: row count unchanged (update-only batch), March
+    # prices scaled
+    back = spark.read.parquet(target_path)
+    assert back.count() == snap.count()
+    orig_march_total = (
+        snap.filter(F.col("o_month") == "1997-03")
+        .agg(F.sum(F.col("price").cast("decimal(38,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    new_march_total = (
+        back.filter(F.col("o_month") == "1997-03")
+        .agg(F.sum(F.col("price").cast("decimal(38,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(float(new_march_total) - 1.1 * float(orig_march_total)) < 1e-2

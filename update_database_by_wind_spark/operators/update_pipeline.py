@@ -316,6 +316,124 @@ GROUP BY l_returnflag
 """
 
 
+def cow_merge(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    partition_col: str,
+) -> list[str]:
+    """Copy-on-write MERGE into a partitioned parquet table (the
+    Delta-Lake MERGE file layout, reproduced on plain parquet).
+
+    Only the partitions the source batch touches are read back and
+    rewritten; every other partition's files are left byte-untouched
+    (asserted structurally in tests/test_cow_merge.py).  Within each
+    affected partition the merge is source-wins upsert algebra:
+    (target ANTI source) ∪ source.
+
+    At 100 TB this is the difference between rewriting a table and
+    rewriting ~one day's partition: the affected-partition list is
+    metadata-sized (collected to the driver — bounded by partition
+    count, never by row count), the pruned read shows
+    ``PartitionFilters`` in the scan, and dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) swaps in
+    only the rewritten directories atomically per partition.
+
+    Returns the list of affected partition values (for observability).
+    """
+    affected = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path)
+    touched = target.filter(F.col(partition_col).isin(affected))
+    merged = touched.join(source, key, "left_anti").unionByName(source)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
+
+
+_U8_ORACLE = f"""
+WITH march AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+),
+source AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice * 1.1 AS price FROM march
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderdate, 50.0 AS price
+  FROM march WHERE o_orderkey % 50 = 0
+),
+target AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice AS price FROM orders
+),
+merged AS (
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('price', 'total_price')}
+FROM merged
+GROUP BY 1
+"""
+
+
+@query("u8_cow_partition_merge", oracle=_U8_ORACLE, tags=("update", "layout"))
+def u8_cow_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8: copy-on-write MERGE against a month-partitioned parquet
+    table.  A March-1997 correction batch (10% price bump plus a few
+    inserted keys) merges via :func:`cow_merge`; only the 1997-03
+    partition directory is rewritten, and the post-merge monthly
+    rollup proves the table equals a full-merge oracle.  The month
+    column re-read from partition directories is a string in both
+    engines (strftime / date_format)."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="wind_spark_cow_")
+    target_path = f"{base}/orders_by_month"
+    snap = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    march = snap.filter(F.col("o_month") == "1997-03")
+    source = (
+        march.withColumn("price", F.col("price") * 1.1)
+        .unionByName(
+            march.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderdate",
+                F.lit(50.0).alias("price"),
+                "o_month",
+            )
+        )
+    )
+    cow_merge(spark, target_path, source, "o_orderkey", "o_month")
+    back = spark.read.parquet(target_path)
+    return back.groupBy("o_month").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("price", "total_price"),
+    )
+
+
 @query("u7_compaction", oracle=_U7_ORACLE, tags=("update", "layout"))
 def u7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U7: small-file compaction — incremental appends leave a litter
