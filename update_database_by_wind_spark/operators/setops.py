@@ -123,3 +123,47 @@ def o6_distinct_flag_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "o_orderstatus")
         .distinct()
     )
+
+
+# --- O5b: multiset set ops (INTERSECT ALL / EXCEPT ALL) ---------------------
+
+_O5B_ORACLE = """
+WITH b1 AS (
+  SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 2 = 0
+),
+b2 AS (
+  SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 3 = 0
+)
+SELECT 'intersect_all' AS kind, l_returnflag, COUNT(*) AS n_rows
+FROM (SELECT * FROM b1 INTERSECT ALL SELECT * FROM b2)
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'except_all' AS kind, l_returnflag, COUNT(*) AS n_rows
+FROM (SELECT * FROM b1 EXCEPT ALL SELECT * FROM b2)
+GROUP BY l_returnflag
+"""
+
+
+@query("o5b_intersect_except_all", oracle=_O5B_ORACLE, tags=("setop",))
+def o5b_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5b: *multiset* set operations — intersectAll keeps the minimum
+    multiplicity per duplicate row, exceptAll subtracts multiplicities
+    (the distinct variants in o5 lose duplicate structure, which
+    matters when rows legitimately repeat, e.g. repeated (supplier,
+    flag) line items).  Both are single hash shuffles on the row."""
+    li = load(spark, sf_dir, "lineitem")
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0).select("l_suppkey", "l_returnflag")
+    b2 = li.filter(F.col("l_orderkey") % 3 == 0).select("l_suppkey", "l_returnflag")
+    inter = (
+        b1.intersectAll(b2)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit("intersect_all").alias("kind"), "l_returnflag", "n_rows")
+    )
+    exc = (
+        b1.exceptAll(b2)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit("except_all").alias("kind"), "l_returnflag", "n_rows")
+    )
+    return inter.unionByName(exc)

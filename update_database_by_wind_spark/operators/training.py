@@ -205,3 +205,52 @@ def tr_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
         )
     )
+
+
+# --- deterministic stratified downsampling -----------------------------------
+
+_TR_STRAT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars, (doc_id * {_KNUTH}) % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM assigned
+  WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       CAST(CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+            AS BIGINT) AS pct_target
+FROM kept
+GROUP BY lang
+"""
+
+
+@query(
+    "tr_stratified_sample", oracle=_TR_STRAT_ORACLE, tags=("training", "sampling")
+)
+def tr_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — per-language keep rates
+    (the data-mixing step that rebalances a crawl before training:
+    dominant languages cut hardest).  Same multiplicative-hash bucket
+    as tr_hash_split, so membership is stable across re-runs and
+    engines, unlike ``df.sampleBy`` whose draw depends on partitioning.
+    One scan, no shuffle until the final rollup."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max(rate).cast("long").alias("pct_target"),
+        )
+    )
