@@ -203,3 +203,47 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rsi14"
         ),
     )
+
+
+# --- ts: VWAP (volume-weighted average price) --------------------------
+# events.value is the price print, props.k the trade size — the
+# classic intraday rollup, exercising typed JSON extraction feeding a
+# weighted decimal-exact ratio.
+
+_VWAP_ORACLE = f"""
+WITH trades AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         value, CAST(json_extract_string(props, '$.k') AS INTEGER) AS qty
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(day AS TIMESTAMP_NS) AS day,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(value * qty AS {_DEC})) AS DOUBLE)
+         / NULLIF(CAST(SUM(qty) AS DOUBLE), 0) AS vwap
+FROM trades
+GROUP BY user_id, day
+"""
+
+
+@query("ts_vwap", oracle=_VWAP_ORACLE, tags=("timeseries", "json"))
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user VWAP: Σ(price·qty)/Σ(qty) with the quantity
+    pulled from the JSON props column.  The weighted numerator takes
+    the decimal detour; the integer quantity sum is exact by nature;
+    zero-quantity days NULL out via NULLIF instead of tripping ANSI
+    division."""
+    events = load(spark, sf_dir, "events")
+    qty = F.from_json(F.col("props"), "k INT").getField("k")
+    trades = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        qty.alias("qty"),
+    )
+    return trades.groupBy("user_id", "day").agg(
+        F.sum("qty").cast("long").alias("total_qty"),
+        (
+            F.sum((F.col("value") * F.col("qty")).cast(_DEC)).cast("double")
+            / F.nullif(F.sum("qty").cast("double"), F.lit(0.0))
+        ).alias("vwap"),
+    )

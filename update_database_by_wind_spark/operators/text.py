@@ -394,3 +394,60 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high_punct"),
         )
     )
+
+
+# --- t: repetition-ratio quality signal (Gopher/C4-style) -------------------
+
+_REP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS.format(c='text')}) AS word
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang, word, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio,
+         1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+  FROM counts GROUP BY 1, 2
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       {sql_dec_avg('rep_ratio', 'avg_rep_ratio')},
+       {sql_dec_avg('dup_frac', 'avg_dup_frac')}
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@query("t_repetition_ratio", oracle=_REP_ORACLE, tags=("text", "quality"))
+def t_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/C4 rule family):
+    per document, the most-frequent-token share (rep_ratio) and the
+    duplicate-token fraction (dup_frac); documents dominated by one
+    token get flagged.  Two stacked aggregations — the shuffle carries
+    (doc_id, word, count), never text — so the same plan holds on a
+    100 TB crawl.  Ratio averages take the decimal detour for engine
+    parity."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens()).alias("word"))
+    counts = tok.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "rep_ratio"
+        ),
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("c").cast("double")
+        ).alias("dup_frac"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rep_ratio") > 0.1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        dec_avg("rep_ratio", "avg_rep_ratio"),
+        dec_avg("dup_frac", "avg_dup_frac"),
+    )
