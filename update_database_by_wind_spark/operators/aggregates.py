@@ -382,3 +382,44 @@ def a4c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority))
         """
     )
+
+
+# --- A11: geometric mean via rounded-ln decimal sums ---------------------------
+
+_A11_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(EXP(CAST(SUM(CAST(LN(o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)), 4) AS geo_mean_price,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 0
+GROUP BY c_mktsegment
+"""
+
+
+@query("a11_geometric_mean", oracle=_A11_ORACLE, tags=("agg", "math"))
+def a11_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: geometric mean = exp(mean(ln x)) — the multiplicative
+    average for skewed money amounts.  Per-row ln values are rounded
+    into DECIMAL(38,6) before summation (same ln-then-round discipline
+    as the TF-IDF operator) so the sum is order-independent and
+    engine-identical; the final exp is rounded to 4 decimals to absorb
+    last-ulp libm differences."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log("o_totalprice").cast("decimal(38,6)")
+                    ).cast("double")
+                    / F.count("*")
+                ),
+                4,
+            ).alias("geo_mean_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )

@@ -254,3 +254,57 @@ def tr_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(rate).cast("long").alias("pct_target"),
         )
     )
+
+
+# --- k-anonymity audit over quasi-identifiers --------------------------------
+
+_TR_KANON_ORACLE = """
+WITH qi AS (
+  SELECT c_mktsegment,
+         c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+  FROM customer
+),
+groups AS (
+  SELECT c_mktsegment, c_nationkey, bal_bucket, COUNT(*) AS group_size
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_groups,
+       CAST(MIN(group_size) AS BIGINT) AS min_k,
+       CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+         AS n_risky_rows
+FROM groups
+GROUP BY c_mktsegment
+"""
+
+
+@query("tr_k_anonymity", oracle=_TR_KANON_ORACLE, tags=("training", "privacy"))
+def tr_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a training corpus passes
+    before release: bucket every row by its quasi-identifier tuple
+    (segment, nation, coarse balance band) and count equivalence
+    classes smaller than k=5; rows in those classes are
+    re-identifiable and must be suppressed or generalized.  Two
+    stacked integer aggregations; the shuffle carries QI tuples only,
+    so the audit runs unchanged over a 100 TB table."""
+    cust = load(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    groups = qi.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count("*").alias("group_size")
+    )
+    small = F.col("group_size") < 5
+    return groups.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_groups"),
+        F.min("group_size").cast("long").alias("min_k"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
