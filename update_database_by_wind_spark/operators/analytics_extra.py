@@ -247,3 +247,40 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("qty").cast("double"), F.lit(0.0))
         ).alias("vwap"),
     )
+
+
+# --- W8: first/last/nth value over explicit frames ---------------------
+
+_W8_ORACLE = """
+SELECT event_id, user_id, value,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value)  OVER w AS last_v,
+       NTH_VALUE(value, 3) OVER w AS third_v
+FROM events
+WHERE user_id % 37 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("w8_value_window_family", oracle=_W8_ORACLE, tags=("window",))
+def w8_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: the value-picking window family — first/last/nth over the
+    full-partition frame (the default frame would make LAST_VALUE the
+    running last, a classic silent bug; the explicit UNBOUNDED
+    FOLLOWING frame is the semantically-intended one).  Unique
+    event_id ordering keeps every pick deterministic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 37 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )

@@ -404,3 +404,50 @@ def l4c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_topk.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= k)
+
+
+# --- L5b: measured recall@k of the IVF probe vs exact ground truth ---------------
+
+_RECALL_ORACLE = f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM ({_L4_ORACLE}) e
+LEFT JOIN ({_IVF_ORACLE}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("l5b_ivf_recall", oracle=_RECALL_ORACLE, tags=("similarity", "ann", "eval"))
+def l5b_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: recall@k of the IVF ANN probe measured against the exact
+    brute-force ground truth — the evaluation loop every approximate
+    index needs before it replaces the exact path in production.  Both
+    sides are deterministic registry queries, so even the *quality
+    metric* of the ANN index is oracle-checked.  At 100 TB this runs
+    over a sampled query set (the exact side is the expensive one) and
+    gates index deployment on a recall floor."""
+    exact = l4_cosine_topk_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = l5_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor_id),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "ivf_neighbor_id")
+    hit = F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+            "recall_at_k"
+        ),
+    )
