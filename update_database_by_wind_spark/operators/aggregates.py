@@ -10,7 +10,7 @@ helpers in functions/numeric.py so results are order-independent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.functions.numeric import (
@@ -421,5 +421,51 @@ def a11_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("geo_mean_price"),
             F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- A12: mode (most frequent value) with deterministic tie-break ---------------
+
+_A12_ORACLE = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("a12_mode_per_group", oracle=_A12_ORACLE, tags=("agg",))
+def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-group mode — spelled out as count + row_number rather
+    than a mode() builtin because builtins break ties arbitrarily;
+    the explicit lexicographic tie-break makes the answer identical on
+    every engine and every partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    counts = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
         )
     )

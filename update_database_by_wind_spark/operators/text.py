@@ -451,3 +451,57 @@ def t_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_avg("rep_ratio", "avg_rep_ratio"),
         dec_avg("dup_frac", "avg_dup_frac"),
     )
+
+
+# --- t: blocklist redaction (PII-scrub plumbing) -----------------------------
+
+_REDACT_PAT = r"\b(spark|data|row)\b"
+
+_REDACT_ORACLE = f"""
+WITH scrubbed AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_hits,
+         length(text) AS len_before,
+         length(regexp_replace(text, '{_REDACT_PAT}', '[X]', 'g')) AS len_after
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_hit,
+       CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+       CAST(SUM(len_before - len_after) AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY lang
+"""
+
+
+@query("t_redact_blocklist", oracle=_REDACT_ORACLE, tags=("text", "privacy"))
+def t_redact_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist redaction — the PII-scrub step of a corpus pipeline
+    (here a term blocklist stands in for email/phone patterns; the
+    plumbing — global regexp_replace + match counting, rolled up per
+    language — is the production shape).  The pattern sticks to the
+    regex subset Java (Spark) and RE2 (DuckDB) interpret identically:
+    literal alternation + word boundaries.  One scan, no shuffle
+    before the final rollup."""
+    docs = load(spark, sf_dir, "documents")
+    pat = F.lit(_REDACT_PAT)
+    scrubbed = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), pat, 0)).alias("n_hits"),
+        F.length("text").alias("len_before"),
+        F.length(F.regexp_replace(F.col("text"), _REDACT_PAT, "[X]")).alias(
+            "len_after"
+        ),
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_hit"),
+        F.sum("n_hits").cast("long").alias("total_redactions"),
+        F.sum(F.col("len_before") - F.col("len_after"))
+        .cast("long")
+        .alias("chars_removed"),
+    )

@@ -456,3 +456,56 @@ def u7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dec_sum("l_quantity", "total_qty"),
     )
+
+
+# --- U9: incremental materialized-rollup maintenance ---------------------------
+
+_U9_ORACLE = f"""
+SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP_NS) AS day,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'day_revenue')}
+FROM orders
+GROUP BY date_trunc('day', o_orderdate)
+"""
+
+
+@query("u9_incremental_rollup", oracle=_U9_ORACLE, tags=("update", "rollup"))
+def u9_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9: incremental maintenance of a materialized daily rollup —
+    the stored aggregate state (orders before the cutoff) is merged
+    with the rollup of just the new batch via a full-outer join and
+    exact partial-sum addition.  The oracle is the FULL recompute over
+    all orders: passing proves merge(state, delta) ≡ recompute, the
+    algebra that lets a 100 TB pipeline update a day's partition
+    without touching history.  Partial sums stay DECIMAL until after
+    the merge (decimal addition is exact; summing then casting each
+    side to double first could drift a ULP)."""
+    _CUT = "1999-01-01 00:00:00"
+    orders = load(spark, sf_dir, "orders")
+    day = F.date_trunc("day", "o_orderdate").alias("day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"),
+        )
+
+    state = rollup(orders.filter(F.col("o_orderdate") < F.lit(_CUT).cast("timestamp")))
+    delta = rollup(
+        orders.filter(F.col("o_orderdate") >= F.lit(_CUT).cast("timestamp"))
+    )
+    merged = state.alias("s").join(
+        delta.alias("d"), F.col("s.day") == F.col("d.day"), "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return merged.select(
+        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
+        (
+            F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("s.rev"), zero) + F.coalesce(F.col("d.rev"), zero)
+        )
+        .cast("double")
+        .alias("day_revenue"),
+    )

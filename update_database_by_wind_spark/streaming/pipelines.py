@@ -384,3 +384,53 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         dec_sum("p_val", "purchase_value"),
     )
+
+
+# --- ST11: streaming OHLC bars (min_by/max_by in streaming agg) --------------
+
+_ST11_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+       event_type,
+       arg_min(value, event_id) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       arg_max(value, event_id) AS close_v,
+       COUNT(*) AS n_trades
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def st11_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", "event_id").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "event_id").alias("close_v"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_trades",
+        )
+    )
+
+
+@query("st11_streaming_ohlc", oracle=_ST11_ORACLE, tags=("streaming", "ohlc"))
+def st11_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11: hourly OHLC bars computed *on the stream* — open/close
+    picked by min_by/max_by on the unique event_id (first/last by
+    arrival would be nondeterministic under parallel replay; arg-by-id
+    is deterministic on any cluster), high/low/volume as plain
+    aggregates.  Executed to completion via availableNow, so the bars
+    are oracle-checked against DuckDB's arg_min/arg_max — the batch-
+    equivalence guarantee for the financial resample pipeline."""
+    return run_to_memory(st11_ohlc_stream(spark, sf_dir))
