@@ -352,3 +352,52 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value", "total_value"),
         )
     )
+
+
+# --- J11: null-safe equi-join (<=>) -----------------------------------
+
+_J11_ORACLE = """
+WITH l AS (
+  SELECT event_id, NULLIF(user_id % 50, 7) AS k
+  FROM events WHERE user_id < 500
+),
+r AS (
+  SELECT c_custkey, NULLIF(c_custkey % 50, 7) AS k
+  FROM customer WHERE c_custkey < 300
+)
+SELECT COALESCE(CAST(l.k AS VARCHAR), 'NULL') AS key_class,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT l.event_id) AS BIGINT) AS n_left,
+       CAST(COUNT(DISTINCT r.c_custkey) AS BIGINT) AS n_right
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY 1
+"""
+
+
+@query("j11_null_safe_join", oracle=_J11_ORACLE, tags=("join",))
+def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) —
+    NULL keys match each other instead of vanishing, the semantics an
+    upsert pipeline needs when the business key is legitimately
+    nullable.  Still a hash join (null-safe equality is hashable);
+    the NULL bucket is kept deliberately small because at scale it is
+    a guaranteed hot key — salt it or route it separately."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 500).select(
+        "event_id", F.nullif(F.col("user_id") % 50, F.lit(7)).alias("k")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select("c_custkey", F.nullif(F.col("c_custkey") % 50, F.lit(7)).alias("ck"))
+    )
+    return (
+        ev.join(cust, ev.k.eqNullSafe(cust.ck))
+        .groupBy(
+            F.coalesce(ev.k.cast("string"), F.lit("NULL")).alias("key_class")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_left"),
+            F.countDistinct("c_custkey").alias("n_right"),
+        )
+    )
