@@ -469,3 +469,55 @@ def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# --- A13: equi-width histogram ---------------------------------------------------
+
+_A13_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+  SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+              AS BIGINT) AS bucket,
+         lo, hi
+  FROM orders CROSS JOIN bounds
+)
+SELECT bucket,
+       COUNT(*) AS n_orders,
+       lo + bucket * ((hi - lo) / 20.0) AS bucket_lo,
+       lo + (bucket + 1) * ((hi - lo) / 20.0) AS bucket_hi
+FROM bucketed
+GROUP BY bucket, lo, hi
+"""
+
+
+@query("a13_histogram_equiwidth", oracle=_A13_ORACLE, tags=("agg", "histogram"))
+def a13_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: 20-bucket equi-width histogram of order value — the data-
+    profiling pass before choosing partition bounds or salting
+    thresholds.  Bounds come from one scalar aggregate broadcast to
+    the scan (crossJoin of a 1-row frame, the scalar-subquery plan);
+    bucket edges are pure double arithmetic on identical inputs, so
+    both engines bin identically.  The max value clamps into the last
+    bucket (LEAST) instead of opening a 21st."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            "n_orders",
+            (F.col("lo") + F.col("bucket") * width).alias("bucket_lo"),
+            (F.col("lo") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+        )
+    )

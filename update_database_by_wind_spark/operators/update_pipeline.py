@@ -509,3 +509,57 @@ def u9_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("day_revenue"),
     )
+
+
+# --- U10: anti-entropy table checksum ------------------------------------------
+
+_U10_ORACLE = """
+WITH canon AS (
+  SELECT o_orderstatus,
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                       printf('%.2f', o_totalprice))) AS h
+  FROM orders
+),
+hashed AS (
+  SELECT o_orderstatus,
+         CAST('0x' || substring(h, 1, 15) AS BIGINT) AS h64
+  FROM canon
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(bit_xor(h64) AS BIGINT) AS checksum
+FROM hashed
+GROUP BY o_orderstatus
+"""
+
+
+@query("u10_table_checksum", oracle=_U10_ORACLE, tags=("update", "integrity"))
+def u10_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10: order-independent table checksum for anti-entropy — the
+    "is the warehouse copy identical to the source DB?" check an
+    update pipeline runs after every sync.  Each row canonicalizes to
+    a fixed-format string (printf for doubles — engine CAST formats
+    differ), hashes through md5 (identical algorithm everywhere,
+    unlike xxhash64), truncates to 60 bits, and XOR-folds per group.
+    XOR is commutative/associative, so the checksum is independent of
+    partitioning and row order — comparable across any two engines or
+    cluster sizes, and incrementally maintainable (XOR the hashes of
+    inserted and deleted rows)."""
+    orders = load(spark, sf_dir, "orders")
+    canon = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.format_string("%.2f", F.col("o_totalprice")),
+        )
+    )
+    h64 = F.conv(F.substring(canon, 1, 15), 16, 10).cast("long")
+    return (
+        orders.select("o_orderstatus", h64.alias("h64"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("h64").cast("long").alias("checksum"),
+        )
+    )
