@@ -77,3 +77,33 @@ def test_cow_merge_rewrites_only_affected_partitions(spark, sf_smoke, tmp_path):
         .collect()[0]["s"]
     )
     assert abs(float(new_march_total) - 1.1 * float(orig_march_total)) < 1e-2
+
+
+def test_cow_merge_is_idempotent(spark, sf_smoke, tmp_path):
+    """Re-applying the same source batch must leave the table content
+    unchanged (anti ∪ source is a fixpoint for a fixed source) — the
+    task-retry guarantee."""
+    target_path = str(tmp_path / "orders_by_month")
+    snap = load(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    source = (
+        snap.filter(F.col("o_month") == "1997-03")
+        .withColumn("price", F.col("price") * 1.1)
+    )
+    cow_merge(spark, target_path, source, "o_orderkey", "o_month")
+    first = sorted(
+        (r["o_orderkey"], round(r["price"], 6))
+        for r in spark.read.parquet(target_path).collect()
+    )
+    cow_merge(spark, target_path, source, "o_orderkey", "o_month")
+    second = sorted(
+        (r["o_orderkey"], round(r["price"], 6))
+        for r in spark.read.parquet(target_path).collect()
+    )
+    assert first == second

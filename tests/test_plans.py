@@ -183,3 +183,23 @@ def test_compaction_reduces_file_count(spark, sf_oracle, tmp_path):
     n_comp = len(glob.glob(f"{comp}/part-*"))
     assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
     assert spark.read.parquet(comp).count() == li.count()
+
+
+def test_tpch_depth_shapes_broadcast_and_take_ordered(spark, sf_oracle):
+    """Q5/Q10/Q18: all dimensions broadcast (single fact-fact shuffle
+    is the only exchange-worthy join) and Q10's LIMIT plans as
+    TakeOrderedAndProject, not a global sort."""
+    q5 = formatted_plan(REGISTRY["q5_local_supplier_volume"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in q5
+    assert "CartesianProduct" not in q5
+    assert "BroadcastNestedLoopJoin" not in q5
+    q10 = formatted_plan(REGISTRY["q10_returned_item_revenue"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in q10
+    q18 = formatted_plan(REGISTRY["q18_large_volume_orders"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in q18
+
+
+def test_q14_pushes_shipdate_filter(spark, sf_oracle):
+    """Q14: the one-month shipdate filter must reach the parquet scan."""
+    plan = formatted_plan(REGISTRY["q14_promo_revenue"].fn(spark, sf_oracle))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan

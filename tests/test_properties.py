@@ -219,3 +219,42 @@ def test_salted_join_equals_plain_join(spark, rows, extra, salts):
     assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
         map(tuple, salted.select(*key).collect())
     )
+
+
+def test_ewma_matches_pandas_reference(spark, sf_smoke):
+    """ts_ewma (applyInPandas recurrence) must equal a single-process
+    pandas recompute of the same per-user daily series — the
+    distributed grouping cannot change the smoother's values."""
+    from update_database_by_wind_spark.operators.analytics_extra import ts_ewma
+    from update_database_by_wind_spark.sources import load
+
+    got = (
+        ts_ewma(spark, sf_smoke)
+        .toPandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    daily = (
+        load(spark, sf_smoke, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("day_value")
+        )
+        .toPandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    expected = daily.assign(
+        ewma=daily.groupby("user_id")["day_value"].transform(
+            lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+        )
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "day", "ewma"]],
+        expected[["user_id", "day", "ewma"]],
+        check_exact=False,
+        rtol=1e-12,
+    )

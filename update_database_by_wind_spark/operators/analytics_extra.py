@@ -284,3 +284,39 @@ def w8_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+# --- ts: EWMA (exponentially weighted moving average) ------------------
+# The one indicator in the suite that is genuinely recursive
+# (ewma_t = a·x_t + (1-a)·ewma_{t-1}): not expressible in ANSI window
+# SQL without recursion, so this is the documented applyInPandas (UD4)
+# path — per-key pandas, rows-only driver check.
+
+
+@query("ts_ewma", oracle=None, tags=("timeseries", "udf"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.3) of daily purchase value via
+    ``applyInPandas`` — each user's series is one pandas group, the
+    recurrence runs inside Arrow batches, and keys shard across
+    executors (state never crosses keys, so the operator scales with
+    key cardinality).  Deterministic given the (user, day) ordering,
+    but no ANSI oracle exists for a recursive smoother → rows-only
+    check; the property tier pins it against a single-process pandas
+    ewm recompute (tests/test_properties.py)."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dec_sum("value", "day_value"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        pdf["ewma"] = pdf["day_value"].ewm(alpha=0.3, adjust=False).mean()
+        return pdf[["user_id", "day", "day_value", "ewma"]]
+
+    return daily.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, day timestamp, day_value double, ewma double"
+    )

@@ -257,3 +257,56 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --- Q22 shape: high-balance customers with no orders -----------------
+
+_Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(c_acctbal) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       {sql_dec_sum('c_acctbal', 'total_balance')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+@query("q22_dormant_high_balance", oracle=_Q22_ORACLE, tags=("join", "tpch"))
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers holding above-average balances who
+    have never ordered (the sales-opportunity report), grouped by
+    nation in place of Q22's phone country code.  The scalar average
+    is a 1-row broadcast (decimal-exact so the comparison threshold is
+    bit-identical across engines); the no-orders predicate is a
+    left-anti join — never a per-row subquery."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("ab")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum("c_acctbal", "total_balance"),
+        )
+    )
