@@ -72,6 +72,9 @@ def _write_documents(docs) -> str:
         "t_quality_score",
         "tr_hash_split",
         "tr_decontamination",
+        "tr_stratified_sample",
+        "t_repetition_ratio",
+        "t_redact_blocklist",
     ],
 )
 @given(docs=_DOCS)
@@ -133,6 +136,11 @@ def _write_events(events) -> str:
         "ts_sessionize_batch",
         "ts_resample_monthly_ohlc",
         "f_json_extraction",
+        "ts_rsi",
+        "ts_max_drawdown",
+        "ts_vwap",
+        "w8_value_window_family",
+        "u3_scd2_history",
     ],
 )
 @given(events=_EVENTS)
