@@ -45,6 +45,8 @@ EXTENDED = [
     "tr_hash_split",
     "ts_rolling_corr",
     "st2_tumbling_window",
+    "q5_local_supplier_volume",
+    "u10_table_checksum",
 ]
 
 
