@@ -107,3 +107,31 @@ def test_cow_merge_is_idempotent(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(target_path).collect()
     )
     assert first == second
+
+
+def test_cow_merge_rejects_cross_partition_key_moves(spark, sf_smoke, tmp_path):
+    """The COW contract: keys may not change partition.  With
+    validate_keys=True a source batch that moves a key must be
+    rejected before any write."""
+    import pytest
+
+    target_path = str(tmp_path / "orders_by_month")
+    snap = load(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.write.partitionBy("o_month").parquet(target_path)
+    moved = (
+        snap.filter(F.col("o_month") == "1997-02")
+        .limit(1)
+        .withColumn("o_month", F.lit("1997-03"))
+    )
+    with pytest.raises(ValueError, match="across partitions"):
+        cow_merge(
+            spark, target_path, moved, "o_orderkey", "o_month",
+            validate_keys=True,
+        )
+    # and the same batch without validation is the documented unsafe
+    # path — the stale row survives, which is exactly why the contract
+    # exists

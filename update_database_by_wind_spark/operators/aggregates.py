@@ -478,7 +478,8 @@ WITH bounds AS (
   SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
 ),
 bucketed AS (
-  SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+  SELECT CAST(LEAST(COALESCE(FLOOR((o_totalprice - lo)
+                             / NULLIF((hi - lo) / 20.0, 0)), 0), 19)
               AS BIGINT) AS bucket,
          lo, hi
   FROM orders CROSS JOIN bounds
@@ -505,9 +506,18 @@ def a13_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # NULLIF+COALESCE: a single-distinct-value table has width 0 — all
+    # rows land in bucket 0 instead of an ANSI divide-by-zero
     width = (F.col("hi") - F.col("lo")) / 20.0
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+        F.coalesce(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / F.nullif(width, F.lit(0.0))
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(19).cast("bigint"),
     ).cast("long")
     return (
         orders.crossJoin(F.broadcast(bounds))

@@ -279,10 +279,14 @@ def u6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     reality the namesake pipeline hits every time the upstream adds a
     field; the COALESCE-to-default rollup is the standard backfill
     report."""
+    import hashlib
+    import shutil
     import tempfile
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    out = tempfile.mkdtemp(prefix="wind_spark_evo_") + "/orders"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/wind_spark_evo_{tag}/orders"
+    shutil.rmtree(out, ignore_errors=True)
     o.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
         f"{out}/batch=1"
     )
@@ -322,6 +326,7 @@ def cow_merge(
     source: DataFrame,
     key: str,
     partition_col: str,
+    validate_keys: bool = False,
 ) -> list[str]:
     """Copy-on-write MERGE into a partitioned parquet table (the
     Delta-Lake MERGE file layout, reproduced on plain parquet).
@@ -331,6 +336,16 @@ def cow_merge(
     (asserted structurally in tests/test_cow_merge.py).  Within each
     affected partition the merge is source-wins upsert algebra:
     (target ANTI source) ∪ source.
+
+    **Contract (same as Delta's partition-pruned MERGE):** a key's
+    partition value must be immutable — a source row may insert a new
+    key or update a key *within* its partition, but must not move a
+    key across partitions (the stale row in the old partition is
+    outside the pruned read and would survive as a duplicate).  Pass
+    ``validate_keys=True`` to enforce this with a key-level anti-join
+    against the *unpruned* target (one column-pruned scan of the key +
+    partition columns — safe, but forfeits the pruning economics, so
+    it is opt-in for audit runs rather than the hot path).
 
     At 100 TB this is the difference between rewriting a table and
     rewriting ~one day's partition: the affected-partition list is
@@ -346,7 +361,25 @@ def cow_merge(
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
     target = spark.read.parquet(target_path)
-    touched = target.filter(F.col(partition_col).isin(affected))
+    # NULL partition values never match isin(); include them explicitly
+    non_null = [v for v in affected if v is not None]
+    in_affected = F.col(partition_col).isin(non_null)
+    if any(v is None for v in affected):
+        in_affected = in_affected | F.col(partition_col).isNull()
+    if validate_keys:
+        moved = (
+            target.select(key, partition_col)
+            .filter(~F.coalesce(in_affected, F.lit(False)))
+            .join(source.select(key), key, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if moved:
+            raise ValueError(
+                f"cow_merge: source moves key(s) across partitions "
+                f"(e.g. {moved[0]}); partition values must be immutable"
+            )
+    touched = target.filter(in_affected)
     merged = touched.join(source, key, "left_anti").unionByName(source)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -400,11 +433,17 @@ def u8_cow_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup proves the table equals a full-merge oracle.  The month
     column re-read from partition directories is a string in both
     engines (strftime / date_format)."""
+    import hashlib
+    import shutil
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="wind_spark_cow_")
+    # deterministic scratch path per sf_dir: repeated runs overwrite
+    # instead of littering /tmp with one full table copy per call
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_cow_{tag}"
     target_path = f"{base}/orders_by_month"
+    shutil.rmtree(base, ignore_errors=True)
     snap = orders.select(
         "o_orderkey",
         "o_orderdate",
@@ -442,10 +481,12 @@ def u7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  The at-scale recipe: ``repartition(target)`` on read,
     write to a fresh path, atomic swap; file counts are asserted in
     the test tier so the compaction is structural, not assumed."""
+    import hashlib
     import tempfile
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
-    base = tempfile.mkdtemp(prefix="wind_spark_compact_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_compact_{tag}"
     fragmented = f"{base}/fragmented"
     compacted = f"{base}/compacted"
     li.repartition(64).write.mode("overwrite").parquet(fragmented)
