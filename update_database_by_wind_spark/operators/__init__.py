@@ -12,6 +12,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     extended2,
     joins,
     multimodal,
+    quality,
     scalars,
     setops,
     sources_ops,

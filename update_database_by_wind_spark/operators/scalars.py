@@ -322,3 +322,50 @@ def f_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.length(F.md5("text")).alias("md5_len"),
     )
+
+
+# --- try_* ANSI-safe arithmetic family -------------------------------------------
+
+_HUGE = 9223372036854775000  # BIGINT overflow for keys > 807
+
+_FTRY_ORACLE = f"""
+SELECT l_returnflag,
+       MIN((l_extendedprice * l_discount) / NULLIF(l_quantity - 25.0, 0))
+         AS min_guarded_ratio,
+       MAX((l_extendedprice * l_discount) / NULLIF(l_quantity - 25.0, 0))
+         AS max_guarded_ratio,
+       CAST(SUM(CASE WHEN l_quantity = 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_denominators,
+       CAST(SUM(CASE WHEN l_orderkey > {9223372036854775807 - _HUGE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overflows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("f_try_functions", oracle=_FTRY_ORACLE, tags=("scalar", "ansi"))
+def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 try_* family: Spark 4 runs ANSI mode, where x/0 and BIGINT
+    overflow are runtime errors — try_divide/try_add turn them into
+    NULLs, the semantics a bulk pipeline wants (quarantine bad rows,
+    don't kill the job).  The oracle mirrors with NULLIF/CASE guards;
+    the NULL counts prove both failure modes actually fire on this
+    data rather than the happy path alone.  Ratio extremes (min/max)
+    are order-independent per-row doubles — no decimal rounding, so
+    no half-way-tie divergence between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(
+        F.col("l_extendedprice") * F.col("l_discount"),
+        F.col("l_quantity") - 25.0,
+    )
+    overflowed = F.try_add(F.col("l_orderkey"), F.lit(_HUGE)).isNull()
+    return li.groupBy("l_returnflag").agg(
+        F.min(ratio).alias("min_guarded_ratio"),
+        F.max(ratio).alias("max_guarded_ratio"),
+        F.sum(F.when(ratio.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_denominators"),
+        F.sum(F.when(overflowed, 1).otherwise(0)).cast("long").alias(
+            "n_overflows"
+        ),
+    )
