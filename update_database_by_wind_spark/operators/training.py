@@ -27,10 +27,23 @@ from update_database_by_wind_spark.sources import load
 # --- deterministic train/val/test split --------------------------------------
 
 _KNUTH = 2654435761  # golden-ratio multiplicative hash constant
+# Reduce the key mod a prime BEFORE multiplying: (_PRIME-1)*_KNUTH ≈ 2.7e15
+# stays far inside int64, so the bucket arithmetic cannot overflow (and error
+# under ANSI mode) even for keys beyond 2^63/_KNUTH ≈ 3.47e9 — the 100 TB key
+# range the unreduced form would break at.
+_PRIME = 1_000_003
+
+
+def _bucket_col(key: str = "doc_id"):
+    return ((F.col(key) % _PRIME) * F.lit(_KNUTH)) % 100
+
+
+def _bucket_sql(key: str = "doc_id") -> str:
+    return f"(({key} % {_PRIME}) * {_KNUTH}) % 100"
 
 _TR_SPLIT_ORACLE = f"""
 WITH assigned AS (
-  SELECT lang, n_chars, (doc_id * {_KNUTH}) % 100 AS bucket
+  SELECT lang, n_chars, {_bucket_sql()} AS bucket
   FROM documents
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -50,7 +63,7 @@ def tr_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of the primary key — engine- and partitioning-independent
     membership, the property sampling-based splits lack."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    bucket = _bucket_col()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -110,8 +123,8 @@ def tr_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_ORACLE = f"""
 WITH assigned AS (
   SELECT doc_id, lang, text,
-         CASE WHEN (doc_id * {_KNUTH}) % 100 < 80 THEN 'train'
-              WHEN (doc_id * {_KNUTH}) % 100 < 90 THEN 'val'
+         CASE WHEN {_bucket_sql()} < 80 THEN 'train'
+              WHEN {_bucket_sql()} < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 ),
@@ -154,7 +167,7 @@ def tr_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (hashes at 100 TB), eval docs join against it, and only
     (doc_id, shingle) pairs ever shuffle, never documents."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    bucket = _bucket_col()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -211,7 +224,7 @@ def tr_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TR_STRAT_ORACLE = f"""
 WITH assigned AS (
-  SELECT lang, n_chars, (doc_id * {_KNUTH}) % 100 AS bucket
+  SELECT lang, n_chars, {_bucket_sql()} AS bucket
   FROM documents
 ),
 kept AS (
@@ -239,7 +252,7 @@ def tr_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, unlike ``df.sampleBy`` whose draw depends on partitioning.
     One scan, no shuffle until the final rollup."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    bucket = _bucket_col()
     rate = (
         F.when(F.col("lang") == "en", 10)
         .when(F.col("lang") == "zh", 50)

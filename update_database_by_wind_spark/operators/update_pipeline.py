@@ -363,7 +363,10 @@ def cow_merge(
     target = spark.read.parquet(target_path)
     # NULL partition values never match isin(); include them explicitly
     non_null = [v for v in affected if v is not None]
-    in_affected = F.col(partition_col).isin(non_null)
+    # isin() with zero args raises; an all-NULL-partition batch is valid
+    in_affected = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
     if any(v is None for v in affected):
         in_affected = in_affected | F.col(partition_col).isNull()
     if validate_keys:

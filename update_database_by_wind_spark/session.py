@@ -61,9 +61,13 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        # only rescue the pathological default (200 partitions over
-        # tiny local data); respect any deliberate tuning ≤ 64
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+        # only rescue the pathological default (200 partitions over tiny
+        # local data), and ONLY in local mode: on a real cluster >64
+        # shuffle partitions is deliberate tuning we must not clobber
+        master = spark.conf.get("spark.master", "")
+        if master.startswith("local") and (
+            int(spark.conf.get("spark.sql.shuffle.partitions")) > 64
+        ):
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
             )

@@ -119,20 +119,28 @@ def upsert_jdbc(
     """S6/U2: upsert via stage-then-MERGE.
 
     1. keep-latest dedup on ``pk_cols`` (U4 idempotence; ``order_col``
-       decides the winner, else any deterministic latest),
+       decides the winner; without one the winner is still deterministic —
+       row_number ordered by every value column descending, nulls last — so
+       re-runs always stage the same row for duplicate keys),
     2. parallel write into the stage table (overwrite),
     3. one server-side MERGE into the target.
     """
     stage_table = stage_table or f"{target_table}_stage"
     value_cols = [c for c in df.columns if c not in pk_cols]
     if order_col:
-        w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+        order_exprs = [F.col(order_col).desc()]
+    else:
+        # deterministic tiebreak independent of partition order:
+        # dropDuplicates(pk) would keep whichever row a task saw first
+        order_exprs = [F.col(c).desc_nulls_last() for c in value_cols]
+    if order_exprs:
+        w = Window.partitionBy(*pk_cols).orderBy(*order_exprs)
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    else:
+    else:  # pk-only frame: duplicate rows are identical, any one wins
         df = df.dropDuplicates(pk_cols)
     write_jdbc(df, url, stage_table, mode="overwrite")
     sql = merge_sql or default_merge_sql(

@@ -25,6 +25,7 @@ watermark eviction, which the late-data test exercises
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -75,18 +76,35 @@ def run_to_memory(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; return the final result as a batch DataFrame."""
+    a memory sink; return the final result as a batch DataFrame.
+
+    Scratch hygiene (repeated query runs must not grow /tmp or driver
+    memory): the checkpoint dir is removed after termination and the
+    uuid-named memory-sink view is dropped once its rows are copied
+    into a plain local-relation DataFrame (streaming results here are
+    bounded aggregates, so the copy is small by construction)."""
     name = "stream_result_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    ckpt = tempfile.mkdtemp(prefix="wind_spark_ckpt_")
+    spark = stream_df.sparkSession
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 # --- ST1+ST2: watermark + tumbling window -----------------------------------
