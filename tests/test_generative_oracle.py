@@ -86,6 +86,50 @@ def test_query_matches_oracle_on_generated_corpus(spark, name, docs):
     assert not problems, (name, problems)
 
 
+# --- l3e stop-shingle cap: corpora engineered to trip the df cap -------------
+
+_HOT_TOKS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8),
+    min_size=25,
+    max_size=35,
+)
+
+
+@given(tok_lists=_HOT_TOKS)
+@settings(**_SETTINGS)
+def test_l3e_cap_active_matches_oracle(spark, tok_lists):
+    """Every generated doc carries an injected boilerplate trigram with
+    df ≥ 25 > cap(20), so the stop-shingle filter is ACTIVE — the plan
+    and the oracle must agree on the capped semantics, not just on
+    corpora where the cap is a no-op."""
+    docs = [
+        (toks + ["hotx", "hoty", "hotz"], "en", "web") for toks in tok_lists
+    ]
+    sf_dir = _write_documents(docs)
+    spec = REGISTRY["l3e_ngram_jaccard"]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, problems
+
+
+def test_l3e_cap_drops_boilerplate_only_pairs(spark):
+    """Docs that share ONLY a hot boilerplate shingle must produce no
+    pair; genuine near-dups must survive the cap."""
+    docs = [
+        ([f"u{i}", f"t{i}", f"w{i}", "terms", "of", "service"], "en", "web")
+        for i in range(30)  # df("terms of service") = 30 > cap
+    ]
+    docs.append((["alpha", "beta", "gamma", "delta", "eps"], "en", "web"))
+    docs.append((["alpha", "beta", "gamma", "delta", "zeta"], "en", "web"))
+    sf_dir = _write_documents(docs)
+    spec = REGISTRY["l3e_ngram_jaccard"]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, problems
+    pairs = {
+        (r.doc_a, r.doc_b) for r in spec.fn(spark, sf_dir).collect()
+    }
+    assert pairs == {(30, 31)}, pairs
+
+
 # --- events corpus: timestamp-heavy paths (lag, RANGE frames, as-of) ----------
 
 _BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in microseconds

@@ -170,7 +170,18 @@ def l3a_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L3e: n-gram Jaccard near-dup (exact, inverted-index join) ----------------
 
-_L3E_ORACLE = """
+# Stop-shingle document-frequency cap: shingles appearing in more than
+# _L3E_DF_CAP documents are boilerplate (navigation chrome, license
+# headers, templates) and are dropped from BOTH the intersection and the
+# per-document set sizes before any pairing happens.  This is what bounds
+# the inverted-index fanout at web scale: without it one hot shingle with
+# df = 10M contributes 10M² candidate pairs; with it every posting list
+# is ≤ cap, so pair expansion is ≤ cap²/2 per shingle.  The cap is part
+# of the query's declared semantics and is mirrored verbatim in the
+# oracle SQL below.
+_L3E_DF_CAP = 20
+
+_L3E_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
@@ -180,10 +191,16 @@ grams AS (
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
   FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM grams GROUP BY shingle),
+kept AS (
+  SELECT g.doc_id, g.shingle
+  FROM grams g JOIN freq f USING (shingle)
+  WHERE f.df <= {_L3E_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b, p.n_shared,
@@ -195,50 +212,102 @@ WHERE p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared) >= 0.2
 """
 
 
-@query("l3e_ngram_jaccard", oracle=_L3E_ORACLE, tags=("dedup", "neardup"))
-def l3e_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3e: exact n-gram Jaccard near-dup — word-trigram sets per doc,
-    pairwise Jaccard = |A∩B| / (|A|+|B|-|A∩B|) above a threshold.
+# bounded to one entry: each ngram_jaccard_pairs call evicts the previous
+# call's persisted posting table before pinning its own
+_POSTINGS_CACHE: list[DataFrame] = []
 
-    Scale shape: the candidate pairs come from an *inverted-index
-    self-join* on the shingle (documents sharing zero trigrams never
-    meet), not a cross join — |∩| is just the per-pair row count of
-    that join, and |A| / |B| broadcast back in.  At 100 TB the one
-    extra step is dropping stop-shingles (posting lists over a
-    frequency cap) to bound the join fanout; the fixture corpus has no
-    such hot shingles, so the plain join is the faithful plan here."""
-    docs = load(spark, sf_dir, "documents")
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    df_cap: int = _L3E_DF_CAP,
+    threshold: float = 0.2,
+    materialize: str | None = None,
+) -> DataFrame:
+    """Capped inverted-index n-gram Jaccard pair mining (L3e core).
+
+    Pipeline (each step one bounded shuffle, nothing quadratic):
+
+    1. shingle: per-doc DISTINCT word n-grams (narrow).
+    2. document frequency per shingle (map-side partial agg).
+    3. **stop-shingle cap**: shingles with df > ``df_cap`` are dropped
+       via a *broadcast anti-join* — the hot list is tiny by definition
+       (it's the boilerplate head of the Zipf curve), so no re-shuffle
+       of the posting data.
+    4. posting-list pair expansion: group by shingle, collect the ≤ cap
+       doc_ids, explode the sorted C(k,2) pairs map-side.  Replaces the
+       two-sided self-join: one shuffle of (shingle, doc_id) instead of
+       two join inputs, and per-shingle work is ≤ cap²/2 by
+       construction — this is the invariant that survives 100 TB.
+    5. |A∩B| = pair count; |A|,|B| join back from capped sizes.
+
+    The posting table (step 1's output) feeds three consumers (df
+    counts, sizes, pair expansion), so it is computed ONCE: persisted
+    MEMORY_AND_DISK by default (the previous call's cache is dropped
+    first, keeping footprint bounded to one posting table), or — pass
+    ``materialize=`` a scratch path — written once as parquet and
+    fanned out from the columnar copy.  The latter is the 100 TB
+    pattern (production dedup pipelines persist the inverted index to
+    storage); either way the corpus is tokenized exactly once instead
+    of once per consumer.
+    """
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    tri = F.array_distinct(
+    gram = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
             ),
         )
     )
-    # sequence(1, n) descends when n < 1 — guard short docs to an empty set
-    grams = (
-        docs.select("doc_id", toks.alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(F.size("toks") >= 3, tri).otherwise(
-                    F.array().cast("array<string>")
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    # sequence(1, n) descends when n < 1 — guard short docs to an empty set.
+    # No .distinct() after the explode: array_distinct above already makes
+    # (doc_id, shingle) unique per document, so a global dedup would be a
+    # pure full-posting-set shuffle for nothing.
+    grams = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("toks") >= n, gram).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("shingle"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if materialize:
+        spark = docs.sparkSession
+        grams.write.mode("overwrite").parquet(materialize)
+        grams = spark.read.parquet(materialize)
+    else:
+        from pyspark import StorageLevel
+
+        while _POSTINGS_CACHE:
+            _POSTINGS_CACHE.pop().unpersist()
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        _POSTINGS_CACHE.append(grams)
+    hot = (
+        grams.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    kept = grams.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    posting = (
+        kept.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -248,11 +317,24 @@ def l3e_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select(
             "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
         )
     )
+
+
+@query("l3e_ngram_jaccard", oracle=_L3E_ORACLE, tags=("dedup", "neardup"))
+def l3e_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e: n-gram Jaccard near-dup with a stop-shingle frequency cap —
+    word-trigram sets per doc, pairwise Jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    ≥ 0.2, where shingles with document frequency > _L3E_DF_CAP (20) are
+    excluded from both intersections and set sizes (capped semantics,
+    mirrored in the oracle).  See ``ngram_jaccard_pairs`` for the scale
+    argument: posting lists are bounded by the cap, so the pair expansion
+    can never go quadratic on a hot shingle."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
 
 
 # --- L3b: MinHash LSH near-dup (approximate, rows-only) -----------------------
