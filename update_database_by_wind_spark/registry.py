@@ -35,6 +35,30 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def reorder(front: list[str], defer: list[str] = ()) -> None:
+    """Rebuild REGISTRY iteration order (it is an insertion-ordered dict).
+
+    The round driver's external correctness check covers a prefix window
+    of the registry in iteration order, so ordering is evidence policy:
+    ``front`` lists the queries that most need a fresh driver-verified
+    row this round (never-yet-verified operators + anything whose
+    semantics changed), ``defer`` lists queries already green in a
+    previous round's CORRECTNESS file — they go last, unlisted entries
+    keep registration order in between.  Unknown ``front`` names raise
+    (a typo here would silently waste the round's verification window).
+    """
+    missing = [n for n in front if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"reorder: unknown queries {missing}")
+    front_set = set(front)
+    defer_list = [n for n in defer if n in REGISTRY and n not in front_set]
+    defer_set = set(defer_list)
+    middle = [n for n in REGISTRY if n not in front_set and n not in defer_set]
+    ordered = {n: REGISTRY[n] for n in [*front, *middle, *defer_list]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register ``fn`` as a driver-visible query."""
 
