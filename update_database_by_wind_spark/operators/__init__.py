@@ -81,6 +81,9 @@ _ROUND2_FRONT = [
     "q22_dormant_high_balance",
     # semantics changed this round (stop-shingle cap) → re-verify
     "l3e_ngram_jaccard",
+    # new this round: trained k-means IVF + its recall gate
+    "l5_ivf_kmeans_topk",
+    "l5b2_ivf_kmeans_recall",
     # §2.2 + §2.7 projection/filter + scalar families
     "p2_filter_kitchen_sink",
     "p3_case_when_tiers",

@@ -341,6 +341,235 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L5 IVF with a TRAINED coarse quantizer (deterministic k-means) -----------
+#
+# l5_ivf_topk piggybacks on the fixture's label column as cells (documented
+# honest limitation).  This variant trains the quantizer itself: Lloyd's
+# k-means with hash-selected seeds and a fixed iteration count, every step
+# decimal-exact or round-6-gated, so the WHOLE pipeline — seeding,
+# assignment, centroid updates, probe — is deterministic and mirrored
+# verbatim in the DuckDB oracle.  Assignment metric is squared L2 distance
+# expanded as |c|² − 2·q·c (|q|² = 1 is constant for the argmin), which
+# avoids sqrt and keeps everything inside the ordered-fold dot product.
+
+_KM_K = 8  # coarse cells
+_KM_ITERS = 2  # fixed Lloyd iterations (unrolled identically in the oracle)
+_KM_NPROBE = 2  # cells probed per query (the IVF recall/latency dial)
+_KM_PRIME = 1_000_003
+_KM_KNUTH = 2654435761
+_KM_MOD = 100_000_007
+
+
+def _km_dist_sql(emb: str, cent: str) -> str:
+    dcc = _SQL_DOT.format(a=cent, b=cent)
+    dec = _SQL_DOT.format(a=emb, b=cent)
+    return f"ROUND({dcc} - 2 * {dec}, 6)"
+
+
+def _kmeans_oracle_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """CTE chain training the quantizer: cent0 = hash-selected seeds,
+    cent{i} = decimal-exact means of the cent{i-1} assignment."""
+    h = f"((vec_id % {_KM_PRIME}) * {_KM_KNUTH}) % {_KM_MOD}"
+    parts = [
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding, {h} AS h
+        FROM embeddings ORDER BY h, vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM (SELECT e.vec_id, e.embedding, c.cell,
+               {_km_dist_sql('e.embedding', 'c.centroid')} AS d
+        FROM embeddings e CROSS JOIN {prev} c)
+),
+expl{i} AS (
+  SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+         CAST(embedding[u.pos] AS DOUBLE) AS val
+  FROM (SELECT * FROM assign{i} WHERE rn = 1),
+       UNNEST(range(1, len(embedding) + 1)) AS u(pos)
+),
+cent{i} AS (
+  SELECT cell, list(cv ORDER BY pos) AS centroid
+  FROM (SELECT cell, pos,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(val), 6) AS cv
+        FROM expl{i} GROUP BY cell, pos)
+  GROUP BY cell
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_IVF2_ORACLE = f"""
+WITH {_kmeans_oracle_ctes()},
+idx AS (
+  SELECT vec_id, embedding, cell
+  FROM (SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cell,
+                     {_km_dist_sql('e.embedding', 'c.centroid')} AS d
+              FROM embeddings e CROSS JOIN cent{_KM_ITERS} c))
+  WHERE rn = 1
+),
+qbest AS (
+  SELECT query_id, qe, cell
+  FROM (SELECT query_id, qe, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+        FROM (SELECT e.vec_id AS query_id, e.embedding AS qe, c.cell,
+                     {_km_dist_sql('e.embedding', 'c.centroid')} AS d
+              FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+              WHERE e.vec_id < {_N_QUERIES}))
+  WHERE rn <= {_KM_NPROBE}
+),
+scored AS (
+  SELECT b.query_id, i.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='b.qe', b='i.embedding')}, 6) AS cosine
+  FROM qbest b JOIN idx i USING (cell)
+  WHERE i.vec_id <> b.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOP_K}
+"""
+
+
+def _km_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    emb_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    score |c|²−2·e·c per (row, cell), keep the ``nprobe`` nearest (ties
+    → lowest cell; index build uses 1, query probing widens).  At
+    billions of vectors this stays one narrow pass: k dot products per
+    row against a broadcast, no shuffle."""
+    d = F.round(
+        dot(F.col("centroid"), F.col("centroid"))
+        - 2 * dot(F.col(emb_col), F.col("centroid")),
+        6,
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        id_col, emb_col, "cell", d.alias("d")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("d", "cell")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= nprobe)
+        .select(id_col, emb_col, "cell")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd's k-means coarse quantizer.
+
+    * **Seeding**: the k vectors with the smallest multiplicative hash
+      of vec_id (hash-selected ⇒ reproducible on any engine, unlike
+      random init; the reduce-mod-prime-first form cannot overflow
+      int64 at 100 TB key ranges).
+    * **Fixed iterations** (no convergence test — a data-dependent stop
+      would make the plan depth nondeterministic).
+    * **Updates**: per-(cell, dimension) decimal-exact mean rounded to
+      6, the same partition-order-independent arithmetic as
+      tr_label_centroids.
+
+    Each iteration is: one broadcast-assign pass + one explode/groupBy
+    (shuffles only (cell, pos, val) triples, never whole vectors) —
+    the plan a 1000-executor k-means actually runs.
+    """
+    h = ((F.col("vec_id") % _KM_PRIME) * F.lit(_KM_KNUTH)) % _KM_MOD
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cent = seeds.select(
+        F.row_number()
+        .over(Window.orderBy("h", "vec_id"))
+        .alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iters):
+        best = _km_assign(
+            emb.select("vec_id", "embedding"), cent, "vec_id", "embedding"
+        )
+        expl = best.select(
+            "cell", F.posexplode("embedding").alias("pos0", "valf")
+        ).select(
+            "cell",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("valf").cast("double").alias("val"),
+        )
+        total = F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+        n = F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+        cent = (
+            expl.groupBy("cell", "pos")
+            .agg(F.round(total / n, 6).alias("cv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("centroid")
+            )
+        )
+    return cent
+
+
+@query(
+    "l5_ivf_kmeans_topk",
+    oracle=_IVF2_ORACLE,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def l5_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 IVF with a TRAINED quantizer: deterministic k-means cells
+    (kmeans_centroids), index = assign every vector to its final cell,
+    probe = assign the query to its _KM_NPROBE nearest cells and take
+    the exact top-k within the probed cells.  No fixture label anywhere
+    — the cells are learned from the vectors, and every step (seeding,
+    Lloyd updates, probe) is hash-verified against the unrolled SQL
+    mirror."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb)
+    index = _km_assign(
+        emb.select("vec_id", "embedding"), cent, "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qbest = _km_assign(q, cent, "query_id", "qe", nprobe=_KM_NPROBE)
+    scored = (
+        qbest.join(index, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "neighbor_id"
+        )
+    )
+    return scored.withColumn("rn", rn.cast("long")).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
 # --- L4c: vectorized (Arrow + BLAS) brute-force top-k --------------------------
 
 
@@ -435,6 +664,52 @@ def l5b_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = l5_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.ivf_neighbor_id),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "ivf_neighbor_id")
+    hit = F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+_RECALL2_ORACLE = f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM ({_L4_ORACLE}) e
+LEFT JOIN ({_IVF2_ORACLE}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "l5b2_ivf_kmeans_recall",
+    oracle=_RECALL2_ORACLE,
+    tags=("similarity", "ann", "eval", "kmeans"),
+)
+def l5b2_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b2: recall@k of the TRAINED-quantizer IVF probe
+    (l5_ivf_kmeans_topk) against the exact brute-force ground truth —
+    the deployment gate for the learned index, itself oracle-checked
+    end to end (the oracle replays k-means + probe + recall in SQL)."""
+    exact = l4_cosine_topk_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = l5_ivf_kmeans_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
     )
     joined = exact.join(
