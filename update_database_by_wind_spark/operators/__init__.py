@@ -84,6 +84,8 @@ _ROUND2_FRONT = [
     # new this round: trained k-means IVF + its recall gate
     "l5_ivf_kmeans_topk",
     "l5b2_ivf_kmeans_recall",
+    # upgraded this round: rows-only → real JDBC staged-MERGE with oracle
+    "st9_foreach_batch_sink",
     # §2.2 + §2.7 projection/filter + scalar families
     "p2_filter_kitchen_sink",
     "p3_case_when_tiers",

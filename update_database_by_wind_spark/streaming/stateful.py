@@ -90,11 +90,14 @@ def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st9_foreach_batch_upsert(
     spark: SparkSession, sf_dir: str, target: dict[int, tuple[int, float]]
 ) -> None:
-    """ST9: stream → foreachBatch upsert into ``target`` (stand-in for
-    an RDBMS; the JDBC variant plugs sources/jdbc.py:upsert in here).
-    Each batch is aggregated batch-side first so the sink receives one
-    row per key per batch — the at-scale shape (pre-aggregated
-    micro-batch, idempotent key-wise merge)."""
+    """ST9 unit-test helper: stream → foreachBatch upsert into a plain
+    dict (an inspectable stand-in used by tests/test_streaming.py to
+    assert batch-equivalence of the merge algebra).  The REGISTERED
+    ST9 query is ``st9_foreach_batch_sink`` below, which drives the
+    real staged-MERGE JDBC path.  Each batch is aggregated batch-side
+    first so the sink receives one row per key per batch — the
+    at-scale shape (pre-aggregated micro-batch, idempotent key-wise
+    merge)."""
     import tempfile
 
     ev = events_stream(spark, sf_dir)
@@ -118,16 +121,84 @@ def st9_foreach_batch_upsert(
     q.awaitTermination()
 
 
-@query("st9_foreach_batch_sink", oracle=None, tags=("streaming", "sink"))
+_ST9_ORACLE = """
+SELECT user_id, event_id, last_value FROM (
+  SELECT user_id, event_id, value AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("st9_foreach_batch_sink", oracle=_ST9_ORACLE, tags=("streaming", "sink"))
 def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST9 driver entry: run the foreachBatch upsert sink to completion
-    and surface the merged target as a DataFrame.  The sink itself is
-    side-effecting (the point of foreachBatch), so the check is
-    rows-only; exact batch-equivalence of the merged counts is
-    asserted in tests/test_streaming.py."""
-    target: dict[int, tuple[int, float]] = {}
-    st9_foreach_batch_upsert(spark, sf_dir, target)
-    return spark.createDataFrame(
-        [(k, n, round(v, 2)) for k, (n, v) in sorted(target.items())],
-        "user_id long, n_events long, total_value double",
+    """ST9 driver entry: events stream → foreachBatch → the REAL
+    staged-MERGE JDBC upsert (sources/jdbc.py) into an in-JVM Derby
+    database, then the merged table read back over JDBC.
+
+    Per micro-batch: keep-latest dedup on user_id (order_col =
+    event_id), parallel stage write, one server-side MERGE.  The
+    MATCHED clause is guarded by ``s.event_id > t.event_id``, so the
+    final table is the per-user latest event *regardless of how the
+    replay splits into batches* — which makes this sink oracle-able
+    (latest-event-per-user in ANSI SQL), a stronger check than the
+    usual rows-only streaming gate.  Scratch hygiene: fresh checkpoint
+    dir removed after termination; the Derby DB name is deterministic
+    per sf_dir (re-runs re-seed and re-merge the same bounded DB)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from update_database_by_wind_spark.sources.jdbc import (
+        upsert_jdbc,
+        write_jdbc,
+    )
+    from update_database_by_wind_spark.streaming.pipelines import events_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    url = f"jdbc:derby:memory:wind_st9_{tag};create=true"
+    target, stage = "user_state", "user_state_stage"
+    seed = spark.createDataFrame(
+        [], "user_id long, event_id long, last_value double"
+    )
+    write_jdbc(seed, url, target, mode="overwrite")
+    merge_sql = (
+        f"MERGE INTO {target} t USING {stage} s "
+        'ON t."user_id" = s."user_id" '
+        'WHEN MATCHED AND s."event_id" > t."event_id" THEN UPDATE '
+        'SET "event_id" = s."event_id", "last_value" = s."last_value" '
+        'WHEN NOT MATCHED THEN INSERT ("user_id", "event_id", "last_value") '
+        'VALUES (s."user_id", s."event_id", s."last_value")'
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_jdbc(
+            batch_df,
+            url,
+            target,
+            pk_cols=["user_id"],
+            stage_table=stage,
+            merge_sql=merge_sql,
+            order_col="event_id",
+        )
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.col("value").alias("last_value")
+    )
+    ckpt = tempfile.mkdtemp(prefix="wind_spark_st9_")
+    try:
+        handle = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.jdbc(url, target).select(
+        "user_id", "event_id", "last_value"
     )
