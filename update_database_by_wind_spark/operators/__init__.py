@@ -7,6 +7,7 @@ Importing this package registers every query in
 from update_database_by_wind_spark.operators import (  # noqa: F401
     aggregates,
     analytics_extra,
+    decimal_money,
     dedup,
     extended,
     extended2,
@@ -86,6 +87,10 @@ _ROUND2_FRONT = [
     "l5b2_ivf_kmeans_recall",
     # upgraded this round: rows-only → real JDBC staged-MERGE with oracle
     "st9_foreach_batch_sink",
+    # new this round: DECIMAL-typed money paths (lossless string rendering)
+    "a1d_pricing_summary_decimal",
+    "j1d_star_join_revenue_decimal",
+    "u9d_incremental_rollup_decimal",
     # §2.2 + §2.7 projection/filter + scalar families
     "p2_filter_kitchen_sink",
     "p3_case_when_tiers",
