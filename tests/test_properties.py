@@ -252,9 +252,12 @@ def test_ewma_matches_pandas_reference(spark, sf_smoke):
             lambda s: s.ewm(alpha=0.3, adjust=False).mean()
         )
     )
+    # ts_ewma rounds to 6 decimals JVM-side (oracle parity), so compare
+    # against the unrounded pandas reference within that granularity
     pd.testing.assert_frame_equal(
         got[["user_id", "day", "ewma"]],
         expected[["user_id", "day", "ewma"]],
         check_exact=False,
-        rtol=1e-12,
+        rtol=0,
+        atol=1e-6,
     )

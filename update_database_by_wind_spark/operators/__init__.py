@@ -91,6 +91,10 @@ _ROUND2_FRONT = [
     "a1d_pricing_summary_decimal",
     "j1d_star_join_revenue_decimal",
     "u9d_incremental_rollup_decimal",
+    # upgraded this round: rows-only → oracle (recursive-CTE replay /
+    # error-bound bracket)
+    "ts_ewma",
+    "a9b_percentile_approx",
     # §2.2 + §2.7 projection/filter + scalar families
     "p2_filter_kitchen_sink",
     "p3_case_when_tiers",
@@ -131,7 +135,6 @@ _ROUND1_VERIFIED = [
     "ts_rsi",
     "ts_vwap",
     "w8_value_window_family",
-    "ts_ewma",
     "l1_exact_dedup",
     "l2_hash_dedup",
     "l3a_near_dup_signatures",
@@ -159,7 +162,6 @@ _ROUND1_VERIFIED = [
     "ud5_udtf_bigrams",
     "p1_project_rename_cast",
     "o1_global_sort",
-    "a9b_percentile_approx",
 ]
 
 reorder(_ROUND2_FRONT, defer=_ROUND1_VERIFIED)

@@ -288,21 +288,47 @@ def w8_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ts: EWMA (exponentially weighted moving average) ------------------
 # The one indicator in the suite that is genuinely recursive
-# (ewma_t = a·x_t + (1-a)·ewma_{t-1}): not expressible in ANSI window
-# SQL without recursion, so this is the documented applyInPandas (UD4)
-# path — per-key pandas, rows-only driver check.
+# (ewma_t = a·x_t + (1-a)·ewma_{t-1}): not expressible in ANSI *window*
+# SQL, but it IS expressible with a recursive CTE — so the oracle
+# replays the exact same recurrence row-by-row in DuckDB and the driver
+# hash-checks it like any other query (upgraded from rows-only).
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP_NS) AS day,
+         {sql_dec_sum('value', 'day_value')}
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, date_trunc('day', ts)
+),
+seq AS (
+  SELECT user_id, day, day_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+ew AS (
+  SELECT user_id, day, day_value, rn, day_value AS e
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.day, s.day_value, s.rn,
+         0.3 * s.day_value + 0.7 * w.e
+  FROM ew w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, day, day_value, ROUND(e, 6) AS ewma FROM ew
+"""
 
 
-@query("ts_ewma", oracle=None, tags=("timeseries", "udf"))
+@query("ts_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "udf"))
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α=0.3) of daily purchase value via
     ``applyInPandas`` — each user's series is one pandas group, the
     recurrence runs inside Arrow batches, and keys shard across
     executors (state never crosses keys, so the operator scales with
-    key cardinality).  Deterministic given the (user, day) ordering,
-    but no ANSI oracle exists for a recursive smoother → rows-only
-    check; the property tier pins it against a single-process pandas
-    ewm recompute (tests/test_properties.py)."""
+    key cardinality).  The recurrence is written out explicitly
+    (``0.3·x + 0.7·prev`` per step, IEEE double) so the DuckDB oracle's
+    recursive CTE replays the identical float operations; the final
+    value is rounded to 6 on both sides to absorb any engine-level
+    expression-reassociation, making this UDF path fully hash-checked
+    rather than rows-only."""
     import pandas as pd
 
     events = load(spark, sf_dir, "events")
@@ -313,10 +339,17 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day")
-        pdf["ewma"] = pdf["day_value"].ewm(alpha=0.3, adjust=False).mean()
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, prev = [], None
+        for x in pdf["day_value"]:
+            prev = float(x) if prev is None else 0.3 * float(x) + 0.7 * prev
+            out.append(prev)
+        pdf["ewma"] = out
         return pdf[["user_id", "day", "day_value", "ewma"]]
 
-    return daily.groupBy("user_id").applyInPandas(
+    raw = daily.groupBy("user_id").applyInPandas(
         ewma, "user_id long, day timestamp, day_value double, ewma double"
     )
+    # round JVM-side (HALF_UP, matching DuckDB ROUND) — Python's round()
+    # is banker's and would flip half-way ties the other way
+    return raw.withColumn("ewma", F.round("ewma", 6))

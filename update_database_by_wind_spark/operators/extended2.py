@@ -279,15 +279,34 @@ def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A9b: approximate percentile (rows-only) --------------------------------------------
 
 
-@query("a9b_percentile_approx", oracle=None, tags=("agg", "approx"))
+_A9B_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS within_bounds
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("a9b_percentile_approx", oracle=_A9B_ORACLE, tags=("agg", "approx"))
 def a9b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 approx variant: percentile_approx (Greenwald-Khanna sketch) —
-    the constant-memory quantile for 100 TB; approximate → rows-only,
-    but exact quantiles sit alongside for eyeball comparison."""
+    the constant-memory quantile for 100 TB.  The sketch value itself
+    is engine-specific, but its ERROR BOUND is not: with accuracy=1000
+    the returned element's rank is within ε=1/1000 of the true median
+    rank, so its value must lie inside the exact percentile bracket
+    [p(0.5−10ε), p(0.5+10ε)] (10ε of slack keeps interpolation edge
+    cases out).  The query emits that bracket check as a boolean, and
+    the oracle asserts TRUE per group — turning an un-oracle-able
+    approximation into a driver-hash-checked *guarantee* (upgraded from
+    rows-only)."""
     o = load(spark, sf_dir, "orders")
+    eps = 1.0 / 1000
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
-        F.median("o_totalprice").alias("exact_median"),
+        F.count("*").alias("n_rows"),
+        (
+            F.percentile_approx("o_totalprice", 0.5, 1000).between(
+                F.expr(f"percentile(o_totalprice, {0.5 - 10 * eps})"),
+                F.expr(f"percentile(o_totalprice, {0.5 + 10 * eps})"),
+            )
+        ).alias("within_bounds"),
     )
 
 
