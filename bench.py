@@ -50,6 +50,28 @@ EXTENDED = [
 ]
 
 
+def _duckdb_total(names: list[str], sf_dir: str) -> float:
+    """Wall-clock for the same queries' oracle SQL in DuckDB — the
+    BASELINE.md comparator, embedded so every BENCH file carries the
+    engine ratio at each scale point."""
+    import duckdb
+
+    from update_database_by_wind_spark.sources import TABLES
+
+    t0 = time.perf_counter()
+    for name in names:
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            con.sql(REGISTRY[name].oracle).fetchall()
+        finally:
+            con.close()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -83,18 +105,41 @@ def main() -> None:
         extended[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "extended": extended,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "extended": extended,
+        "sf": sf,
+        "duckdb_total": _duckdb_total(HEADLINE, sf_dir),
+    }
+
+    # Second scale point (10× by key-shifted replication): Spark's fixed
+    # per-query cost (codegen, scheduling) amortizes with data volume
+    # while DuckDB scales ~linearly, so the engine ratio trend across
+    # the two points is what a capacity plan extrapolates from.
+    # Disable with SPARK_GRAFT_SCALE2=0.
+    if os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0" and sf <= 0.5:
+        from update_database_by_wind_spark.sources.replicate import (
+            replicate_sf,
         )
-    )
+
+        sf2 = round(sf * 10, 6)
+        sf2_dir = replicate_sf(sf_dir, f"/tmp/wind_spark_sf{sf2:g}", copies=10)
+        per_query2: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf2_dir).count()
+            per_query2[name] = round(time.perf_counter() - t0, 3)
+        out["scale2"] = {
+            "sf": sf2,
+            "value": round(sum(per_query2.values()), 3),
+            "queries": per_query2,
+            "duckdb_total": _duckdb_total(HEADLINE, sf2_dir),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
