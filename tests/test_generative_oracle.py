@@ -66,6 +66,9 @@ def _write_documents(docs) -> str:
         "l3a_near_dup_signatures",
         "l3e_ngram_jaccard",
         "l7_word_frequency",
+        "l8_tfidf_top_terms",
+        "l9_lexicon_sentiment",
+        "l11_quality_filter",
         "t_token_count",
         "t_language_id",
         "t_fingerprint",
@@ -75,6 +78,7 @@ def _write_documents(docs) -> str:
         "tr_stratified_sample",
         "t_repetition_ratio",
         "t_redact_blocklist",
+        "f_hash_functions",
     ],
 )
 @given(docs=_DOCS)
@@ -173,8 +177,10 @@ def _write_events(events) -> str:
     "name",
     [
         "w2_lag_daily_returns",
+        "w3_moving_average",
         "w3b_time_range_rolling",
         "w5_forward_fill",
+        "j7_range_join_daily_windows",
         "j8_asof_join_last_click",
         "j8b_asof_join_pandas",
         "ts_sessionize_batch",
@@ -183,6 +189,7 @@ def _write_events(events) -> str:
         "ts_rsi",
         "ts_max_drawdown",
         "ts_vwap",
+        "ts_ewma",
         "w8_value_window_family",
         "u3_scd2_history",
     ],
@@ -191,6 +198,158 @@ def _write_events(events) -> str:
 @settings(**_SETTINGS)
 def test_query_matches_oracle_on_generated_events(spark, name, events):
     sf_dir = _write_events(events)
+    spec = REGISTRY[name]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, (name, problems)
+
+
+# --- orders/customer/supplier corpus: windows, scalars, set ops, updates ------
+# Tie-rich prices (8 distinct values) force rank/dedup/top-k tie handling;
+# custkeys deliberately include values absent from customer (outer-join
+# edges); acctbal spans negative/zero.  The constant nation/region
+# dimensions are copied from the sf0.001 fixture, like TPC-H's fixed dims.
+
+_TIE_PRICES = [0.0, 101.25, 101.25, 987.5, 987.5, 1500.0, 33333.33, 250.125]
+
+_ORDERS = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # o_custkey — customer has ≤ 8 rows → anti edges
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from(_TIE_PRICES),
+        st.integers(0, 1500),  # days offset from 1996-01-01
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+_CUSTOMERS = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # c_nationkey (fixture nation has ≥ 4 rows)
+        st.sampled_from([-99999, -1, 0, 1, 123456, 778899]),  # acctbal cents
+        st.sampled_from(["BUILDING", "AUTOMOBILE", "MACHINERY"]),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+_SUPPLIERS = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.sampled_from([-99999, 0, 123456, 778899]),  # overlaps customer
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+_BASE_DAY_MS = 820_454_400_000  # 1996-01-01 00:00:00 UTC in milliseconds
+
+
+def _write_orders(orders, customers, suppliers) -> str:
+    import shutil
+
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_ord_")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+                "o_custkey": pa.array([c for c, *_ in orders], pa.int64()),
+                "o_orderstatus": pa.array(
+                    [s for _, s, *_ in orders], pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    [p for _, _, p, *_ in orders], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [_BASE_DAY_MS + d * 86_400_000 for *_, d, _ in orders],
+                    pa.timestamp("ms"),
+                ),
+                "o_orderpriority": pa.array(
+                    [pr for *_, pr in orders], pa.string()
+                ),
+            }
+        ),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(customers)), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i}" for i in range(len(customers))],
+                    pa.string(),
+                ),
+                "c_nationkey": pa.array(
+                    [n for n, *_ in customers], pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    [b / 100 for _, b, _ in customers], pa.float64()
+                ),
+                "c_mktsegment": pa.array(
+                    [m for *_, m in customers], pa.string()
+                ),
+            }
+        ),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(len(suppliers)), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i}" for i in range(len(suppliers))],
+                    pa.string(),
+                ),
+                "s_nationkey": pa.array(
+                    [n for n, _ in suppliers], pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    [b / 100 for _, b in suppliers], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(sf_dir, "supplier.parquet"),
+    )
+    for t in ("nation", "region"):
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet",
+            os.path.join(sf_dir, f"{t}.parquet"),
+        )
+    return sf_dir
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "w1_rank_top_orders_per_segment",
+        "w4_cumulative_spend",
+        "w6_ntile_acctbal_quartiles",
+        "p2_filter_kitchen_sink",
+        "p3_case_when_tiers",
+        "f_datetime_functions",
+        "o2_global_topk_orders",
+        "o4_union_high_balance",
+        "o5_intersect_except_nations",
+        "j2_left_join_order_counts",
+        "j3_semi_join_active_customers",
+        "j4_anti_join_inactive_customers",
+        "j6_theta_band_join",
+        "u1_incremental_diff",
+        "u2_upsert_merge",
+        "u4_idempotent_rerun",
+        "u5_calendar_backfill",
+        "a12_mode_per_group",
+        "a13_histogram_equiwidth",
+    ],
+)
+@given(orders=_ORDERS, customers=_CUSTOMERS, suppliers=_SUPPLIERS)
+@settings(**_SETTINGS)
+def test_query_matches_oracle_on_generated_orders(
+    spark, name, orders, customers, suppliers
+):
+    sf_dir = _write_orders(orders, customers, suppliers)
     spec = REGISTRY[name]
     problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
     assert not problems, (name, problems)
