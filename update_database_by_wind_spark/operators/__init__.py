@@ -21,6 +21,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     storage,
     text,
     tpch_extra,
+    tpch_full,
     training,
     udfs,
     update_pipeline,
@@ -95,22 +96,15 @@ _ROUND2_FRONT = [
     # error-bound bracket)
     "ts_ewma",
     "a9b_percentile_approx",
-    # §2.2 + §2.7 projection/filter + scalar families
-    "p2_filter_kitchen_sink",
-    "p3_case_when_tiers",
-    "f_string_functions",
-    "f_datetime_functions",
-    "f_math_null_functions",
-    "f_json_extraction",
-    "f_hash_functions",
-    "f_try_functions",
-    # §2.6 sorts / set ops
-    "o2_global_topk_orders",
-    "o4_union_high_balance",
-    "o5_intersect_except_nations",
-    "o5b_intersect_except_all",
-    "o6_distinct_flag_combos",
-    "sql_correlated_subquery",
+    # new this round: the six most distinctive of the 14 added TPC-H
+    # shapes (subquery decorrelation family) — the other eight, plus the
+    # scalar families and set ops, queue in the middle for round 3.
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
 ]
 
 # round-1 driver-verified window (CORRECTNESS_r01.json keys) → back of the
