@@ -11,6 +11,7 @@ from update_database_by_wind_spark.operators import (  # noqa: F401
     dedup,
     extended,
     extended2,
+    graph,
     joins,
     multimodal,
     quality,
@@ -105,6 +106,9 @@ _ROUND2_FRONT = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
+    # positions 51+: first in line if the driver's window is larger
+    "l3f_dup_clusters",
+    "l3g_cluster_dedup_keep",
 ]
 
 # round-1 driver-verified window (CORRECTNESS_r01.json keys) → back of the

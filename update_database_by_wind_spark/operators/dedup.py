@@ -181,8 +181,12 @@ def l3a_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL below.
 _L3E_DF_CAP = 20
 
-_L3E_ORACLE = f"""
-WITH tok AS (
+# Shared CTE prefix (through the raw co-occurrence pair counts): l3e's
+# oracle appends its scoring SELECT; graph.py's duplicate-cluster oracle
+# appends threshold + recursive-closure CTEs.  WITH RECURSIVE so the
+# appended CTEs may recurse (harmless when nothing does).
+_L3E_PAIR_CTES = f"""
+WITH RECURSIVE tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
 ),
@@ -203,6 +207,9 @@ pairs AS (
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_L3E_ORACLE = _L3E_PAIR_CTES + """
 SELECT p.doc_a, p.doc_b, p.n_shared,
        ROUND(p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared), 6) AS jaccard
 FROM pairs p
@@ -264,7 +271,18 @@ def ngram_jaccard_pairs(
     # No .distinct() after the explode: array_distinct above already makes
     # (doc_id, shingle) unique per document, so a global dedup would be a
     # pure full-posting-set shuffle for nothing.
-    grams = docs.select("doc_id", toks.alias("toks")).select(
+    #
+    # Repartition BEFORE shingling: the CPU cost of this operator is the
+    # tokenize+shingle map, and a compact input (one parquet row group →
+    # one task) would run it single-threaded.  Spreading the narrow
+    # (doc_id, text) projection across the cluster first costs one cheap
+    # round-robin exchange of the raw text and buys full parallelism for
+    # the expensive part — at 100 TB the input already arrives in
+    # thousands of splits and AQE elides the no-op exchange.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = docs.select("doc_id", "text").repartition(par).select(
+        "doc_id", toks.alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.when(F.size("toks") >= n, gram).otherwise(

@@ -1,0 +1,223 @@
+"""Duplicate-cluster graph operators (SURVEY.md §2.8 extension):
+near-duplicate PAIRS are only half of a dedup pipeline — production
+dedup (e.g. the C4/RefinedWeb/FineWeb recipes) must transitively close
+the pair graph into CLUSTERS and keep one canonical document per
+cluster.  Pairs (a,b) and (b,c) must collapse a, b, c together even
+though (a,c) was never directly scored.
+
+Scale design (100 TB of text → billions of vertices):
+
+* The cluster step is iterative min-label propagation with POINTER
+  JUMPING (label ← label(label) each round), the classic Hash-to-Min /
+  star-contraction family: convergence in O(log(longest chain)) rounds
+  rather than O(diameter).  Near-dup graphs are overwhelmingly small
+  dense blobs, so real corpora converge in 2–4 rounds.
+* Each round is two bounded shuffles (neighbor-min groupBy + the jump
+  self-join), both keyed on vertex id — no all-pairs anything.  Edge
+  and label tables carry only (long, long) rows.
+* ``localCheckpoint`` after every round cuts the lineage so the plan
+  does not grow exponentially with iterations (the standard iterative-
+  DataFrame hygiene; on a cluster with a checkpoint dir, ``checkpoint``
+  gives the same effect with executor-failure tolerance).
+* The convergence probe is a ``count`` of changed labels — a scalar
+  aggregate action, never a ``collect`` of data rows.
+
+Oracle: DuckDB recursive CTE computes the exact transitive closure of
+the same thresholded pair set and takes MIN(reachable id) per vertex —
+literally the definition the distributed loop converges to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.dedup import (
+    _L3E_PAIR_CTES,
+    ngram_jaccard_pairs,
+)
+from update_database_by_wind_spark.registry import query
+from update_database_by_wind_spark.sources import load
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list.
+
+    Returns one row per vertex appearing in ``edges``:
+    ``(id, cluster_id)`` where ``cluster_id`` is the minimum vertex id
+    of the component — deterministic under any partitioning.
+
+    Algorithm: min-label propagation + pointer jumping.  Every round,
+    each vertex takes the min label over {self} ∪ neighbors, then
+    shortcuts through its current label's label.  The jump doubles the
+    effective propagation distance per round, so worst-case chain
+    graphs need O(log n) rounds, not O(n).  Raises if ``max_iter``
+    rounds do not converge (silent truncation would return wrong
+    clusters).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["v"] == labels["id"]).select(
+            F.col("u").alias("id"), "label"
+        )
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = stepped.select(
+            F.col("id").alias("j_id"), F.col("label").alias("j_label")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["label"] == jump["j_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("j_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+_L3F_ORACLE = _L3E_PAIR_CTES + """,
+dup AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dup
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM dup
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size
+FROM labels
+"""
+
+
+@query("l3f_dup_clusters", oracle=_L3F_ORACLE, tags=("dedup", "graph"))
+def l3f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f: transitive near-duplicate clusters — the l3e Jaccard pair
+    graph closed into components via distributed label propagation
+    (see ``connected_components`` for the scale argument).  One row per
+    clustered document: (doc_id, cluster_id = min doc_id in component,
+    cluster_size).  Singleton documents (no near-dup edge) are not
+    rows — at web scale they are the overwhelming majority and a
+    dedup decision needs only the clustered minority."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(F.broadcast(sizes), "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+
+
+_L3G_ORACLE = _L3E_PAIR_CTES + """,
+dup AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dup
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM dup
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.doc_id IS NULL OR l.doc_id = l.cluster_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+GROUP BY d.lang
+"""
+
+
+@query("l3g_cluster_dedup_keep", oracle=_L3G_ORACLE, tags=("dedup", "graph"))
+def l3g_cluster_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g: the dedup DECISION from l3f's clusters — keep the canonical
+    (minimum doc_id) member of every near-dup cluster plus all
+    unclustered documents, and report the per-lang keep/remove tally.
+    The cluster labels are a tiny table relative to the corpus, so the
+    decision join broadcasts them against the full document set —
+    corpus-sized side never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    removed = (F.col("cluster_id").isNotNull()) & (
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~removed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(removed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
