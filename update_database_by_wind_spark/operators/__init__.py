@@ -116,7 +116,8 @@ _ROUND2_FRONT = [
 _ROUND1_VERIFIED = [
     "a1_pricing_summary",
     "a2_distinct_counts",
-    "a3_approx_distinct",
+    # a3 deliberately NOT deferred: upgraded this round from rows-only to a
+    # bracket oracle, so it queues mid-registry for a fresh verified row.
     "a4_rollup_balances",
     "a5_conditional_agg",
     "a6_collect_sorted_lists",

@@ -103,18 +103,40 @@ def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A3: approximate distinct (HLL) — rows-only (approx ≠ hash-match) ---
+# --- A3: approximate distinct (HLL) — bracket-checked against exact ------
+
+_A3_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events
+GROUP BY event_type
+"""
 
 
-@query("a3_approx_distinct", oracle=None, tags=("agg", "approx"))
+@query("a3_approx_distinct", oracle=_A3_ORACLE, tags=("agg", "approx"))
 def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approx_count_distinct (HyperLogLog++) — the 100 TB path for
     cardinality; constant memory per group vs exact distinct's shuffle
-    of every distinct value.  Approximate → driver rows-only check."""
+    of every distinct value.  The sketch value is engine-specific, but
+    its ERROR BOUND is not: with rsd=0.01 the estimate must land within
+    a generous 10·rsd of the exact count, so the query emits that
+    bracket check as a boolean and the oracle asserts TRUE per group —
+    the same rows-only→guarantee upgrade a9b uses for percentiles."""
     ev = load(spark, sf_dir, "events")
+    rsd = 0.01
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", rsd)
+                    - F.countDistinct("user_id")
+                )
+                / F.countDistinct("user_id")
+            )
+            <= 10 * rsd
+        ).alias("within_bounds"),
     )
 
 

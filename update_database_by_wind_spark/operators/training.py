@@ -17,7 +17,7 @@ embedding centroids (SURVEY.md §2.8 extension surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.functions.numeric import sql_dec_avg
@@ -320,4 +320,79 @@ def tr_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(small, F.col("group_size")).otherwise(0))
         .cast("long")
         .alias("n_risky_rows"),
+    )
+
+
+# --- sequence packing (concat-then-chunk context windows) ---------------------
+
+_PACK_CAP = 1024  # context-window capacity in tokens
+_PACK_SHARDS = 8  # independent packing streams (input splits at scale)
+
+_TR_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT shard,
+       CAST(FLOOR(start_off / {_PACK_CAP}) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(MIN(start_off) % {_PACK_CAP} AS BIGINT) AS first_offset,
+       CAST(SUM(CASE WHEN FLOOR(start_off / {_PACK_CAP})
+                       <> FLOOR((start_off + n_tokens - 1) / {_PACK_CAP})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM offs
+GROUP BY 1, 2
+"""
+
+
+@query("tr_sequence_pack", oracle=_TR_PACK_ORACLE, tags=("training", "packing"))
+def tr_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pre-training: concatenate each shard's
+    document stream in key order and slice it into fixed ``_PACK_CAP``-token
+    context windows (the GPT-style concat-then-chunk pipeline), emitting
+    per-chunk occupancy stats (docs beginning in the chunk, tokens they
+    contribute, boundary straddles).
+
+    Chunk assignment is a *pure prefix sum* — ``chunk = floor(prev_cum /
+    cap)`` — deliberately chosen over greedy first-fit bin packing, which
+    needs sequential replay (recursion / applyInPandas) and is what real
+    trainers avoid anyway because it wastes tail tokens.  One window per
+    shard, everything JVM-side: each shard packs independently, so at
+    100 TB the shard count is the parallelism knob (natural input splits)
+    and no shard's running sum ever leaves its partition."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = docs.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    chunk = F.floor(F.col("start_off") / _PACK_CAP)
+    end_chunk = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / _PACK_CAP)
+    return (
+        offs.withColumn("chunk_id", chunk.cast("long"))
+        .withColumn("straddles", (chunk != end_chunk).cast("int"))
+        .groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+            (F.min("start_off") % _PACK_CAP).cast("long").alias("first_offset"),
+            F.sum("straddles").cast("long").alias("n_straddling"),
+        )
     )
