@@ -143,24 +143,21 @@ def st2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ST3: sliding window --------------------------------------------------------
 
+# Sliding-window assignment replayed in SQL: a 1h window sliding by 15min
+# puts every event in exactly 4 windows, whose starts are the event's
+# 15-minute bucket minus k slides (k = 0..3).  time_bucket is timezone-free
+# interval arithmetic on the naive timestamp and 2000-01-01 (DuckDB's
+# bucket origin) is a whole multiple of 900 s past the Unix epoch (Spark's
+# window origin), so both engines land on identical boundaries.
 _ST3_ORACLE = f"""
-WITH slides AS (
-  SELECT unnest([0, 1, 2, 3]) AS k
-),
-assigned AS (
-  SELECT date_trunc('hour', e.ts)
-           - (3 - s.k) * INTERVAL 15 MINUTE
-           + CASE WHEN minute(e.ts) >= (s.k + 1) * 15 THEN INTERVAL 15 MINUTE
-                  ELSE INTERVAL 0 MINUTE END AS window_start_raw,
+WITH assigned AS (
+  SELECT CAST(time_bucket(INTERVAL 15 MINUTE, e.ts)
+              - s.k * INTERVAL 15 MINUTE AS TIMESTAMP_NS) AS window_start,
          e.value
-  FROM events e CROSS JOIN slides s
-),
-norm AS (
-  SELECT CAST(window_start_raw AS TIMESTAMP) AS window_start, value
-  FROM assigned
+  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) s
 )
 SELECT window_start, COUNT(*) AS n_events, {sql_dec_sum('value', 'total_value')}
-FROM norm
+FROM assigned
 GROUP BY window_start
 """
 
@@ -178,12 +175,13 @@ def st3_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st3_sliding_window", oracle=None, tags=("streaming",))
+@query("st3_sliding_window", oracle=_ST3_ORACLE, tags=("streaming",))
 def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST3: sliding window (1h / 15min) — each event lands in 4
-    overlapping windows.  Oracle omitted (the slide-assignment SQL is
-    enforced in tests/test_streaming.py against a batch-mode Spark
-    equivalent instead)."""
+    """ST3: sliding window (1h / 15min) — each event lands in exactly 4
+    overlapping windows.  availableNow replay in complete mode is
+    batch-equivalent, so the slide-assignment SQL above is a full
+    value-hash oracle (upgraded from rows-only; the batch-mode Spark
+    equivalence stays asserted in tests/test_streaming.py)."""
     return run_to_memory(st3_sliding_stream(spark, sf_dir))
 
 
@@ -205,11 +203,42 @@ def st4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st4_session_window", oracle=None, tags=("streaming",))
+# Session-window replay: the classic lag+cumsum island rewrite.  An event
+# exactly gap-distance after its predecessor MERGES (Spark merges sessions
+# whose [start, last+gap) spans overlap OR touch — verified empirically),
+# so the new-session test is strict `>`.  session_end = last event + gap.
+_ST4_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP_NS) AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("st4_session_window", oracle=_ST4_ORACLE, tags=("streaming",))
 def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4: per-user session windows (30-minute inactivity gap).
-    Batch-equivalence is asserted in tests/test_streaming.py via the
-    lag+cumsum sessionization rewrite."""
+    """ST4: per-user session windows (30-minute inactivity gap),
+    availableNow replay in complete mode — batch-equivalent, so the
+    lag+cumsum island rewrite is a full value-hash oracle (upgraded
+    from rows-only; the batch-mode Spark equivalence stays asserted in
+    tests/test_streaming.py)."""
     return run_to_memory(st4_session_stream(spark, sf_dir))
 
 
