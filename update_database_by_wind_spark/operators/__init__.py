@@ -109,6 +109,11 @@ _ROUND2_FRONT = [
     # positions 51+: first in line if the driver's window is larger
     "l3f_dup_clusters",
     "l3g_cluster_dedup_keep",
+    "l3h_portable_minhash",
+    "st3_sliding_window",
+    "st4_session_window",
+    "a3_approx_distinct",
+    "tr_sequence_pack",
 ]
 
 # round-1 driver-verified window (CORRECTNESS_r01.json keys) → back of the

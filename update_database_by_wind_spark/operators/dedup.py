@@ -394,3 +394,142 @@ def l3b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- L3h: portable MinHash LSH (exact arithmetic, fully oracle-able) ----------
+
+# 16 fixed universal-hash permutations h_i(x) = (a_i·x + b_i) mod P over
+# portable polynomial shingle hashes.  Everything below is plain modular
+# integer arithmetic, so DuckDB can replay it bit-for-bit — unlike Spark
+# ML's MinHashLSH, whose murmur-based permutations are engine-specific
+# (l3b stays as the rows-only ML-pipeline variant).
+_MH_P = 1_000_003
+_MH_PERMS = [
+    (17, 43), (29, 107), (53, 211), (89, 401),
+    (131, 613), (173, 839), (233, 1087), (283, 1321),
+    (349, 1571), (409, 1823), (463, 2099), (541, 2351),
+    (601, 2609), (659, 2861), (733, 3137), (809, 3413),
+]
+_MH_BANDS = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4
+
+_L3H_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_transform(string_split(substring(text, CAST(i AS INTEGER), 5), ''),
+                          c -> unicode(c)),
+           (acc, x) -> (acc * 31 + x) % {_MH_P}) AS sh_hash
+  FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * sh_hash + {b}) % {_MH_P}) AS h{i}" for i, (a, b) in enumerate(_MH_PERMS))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+         CASE b.band_id
+           {" ".join(f"WHEN {bi} THEN concat_ws('_', h{4*bi}, h{4*bi+1}, h{4*bi+2}, h{4*bi+3})" for bi in range(_MH_BANDS))}
+         END AS band_key
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_MH_PERMS)))} AS BIGINT) AS n_equal,
+       ROUND(({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(len(_MH_PERMS)))}) / {len(_MH_PERMS)}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+"""
+
+
+@query("l3h_portable_minhash", oracle=_L3H_ORACLE, tags=("dedup", "neardup"))
+def l3h_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h: MinHash-LSH near-dup with PORTABLE arithmetic — the same
+    shingle→minhash→band→bucket-join pipeline as l3b, but every hash is
+    explicit modular arithmetic ((a·x+b) mod P over a base-31 polynomial
+    fold of the shingle's codepoints), so the whole approximate pipeline
+    is deterministically replayable in ANSI SQL and earns a full
+    value-hash oracle — no other engine's internal hashing involved.
+
+    Scale shape (the LSH contract): one shuffle of (doc_id, sh_hash)
+    int pairs for the 16 min-aggregates, band keys shuffled once for the
+    bucket self-join, comparisons only within buckets — O(candidates),
+    never O(n²).  The signature ride-along join is on doc_id (16 ints per
+    doc).  Candidate volume is tunable by the band/row split (4×4 →
+    P(candidate) = 1-(1-j⁴)⁴)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 1)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("shingle"),
+    )
+    hashed = shingles.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(split(shingle, ''), c -> ascii(c)),"
+            f" 0L, (acc, x) -> (acc * 31 + x) % {_MH_P})"
+        ).alias("sh_hash"),
+    ).distinct()
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sh_hash") + F.lit(b)) % _MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_MH_PERMS)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"h{4 * bi + r}") for r in range(4)])
+            for bi in range(_MH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            [
+                F.col("x.band_id") == F.col("y.band_id"),
+                F.col("x.band_key") == F.col("y.band_key"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(len(_MH_PERMS))]).alias("sig")
+    )
+    n_eq = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(
+            sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("n_equal"),
+            F.round(n_eq / len(_MH_PERMS), 6).alias("est_jaccard"),
+        )
+    )
