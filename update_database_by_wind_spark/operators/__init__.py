@@ -154,7 +154,8 @@ _ROUND1_VERIFIED = [
     "ts_bollinger_bands",
     "l4_cosine_topk_exact",
     "l4b_cosine_topk_blocked",
-    "l5_ann_lsh",
+    # l5_ann_lsh deliberately NOT deferred: upgraded this round from
+    # rows-only to a recall-guarantee oracle → queues for a verified row.
     "l6_vector_norms",
     "l5_ivf_topk",
     "l4c_cosine_topk_vectorized",

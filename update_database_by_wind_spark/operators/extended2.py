@@ -53,21 +53,58 @@ def l3c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- L3d: SimHash fingerprints (rows-only: hash function is engine-specific) ----
+# --- L3d: SimHash fingerprints (portable hash → full value-hash oracle) ---------
+
+_SIMHASH_P = 1_000_003
+_SIMHASH_BITS = 16
+
+_L3D_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)),
+                     (acc, x) -> (acc * 31 + x) % {_SIMHASH_P}) AS th
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(_SIMHASH_BITS))}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id,
+         COALESCE({" + ".join(f"CASE WHEN v.v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS))}, 0) AS simhash
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN votes v ON d.doc_id = v.doc_id
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM fp GROUP BY simhash ORDER BY simhash
+"""
 
 
-@query("l3d_simhash", oracle=None, tags=("dedup", "neardup"))
+@query("l3d_simhash", oracle=_L3D_ORACLE, tags=("dedup", "neardup"))
 def l3d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3d: 16-bit SimHash over tokens, fully in-plan: token →
-    xxhash64 → per-bit ±1 votes via higher-order folds → sign bits →
-    fingerprint.  Near-duplicates share fingerprints (small Hamming
-    distance); grouping on the fingerprint is the one-shuffle scale
-    shape.  xxhash64 has no DuckDB twin → rows-only check, but the
-    computation is deterministic (seeded hash), so re-runs agree."""
+    """L3d: 16-bit SimHash over tokens, fully in-plan: token → portable
+    base-31 polynomial hash (mod 1e6+3) → per-bit ±1 votes via
+    higher-order folds → sign bits → fingerprint.  Near-duplicates share
+    fingerprints (small Hamming distance); grouping on the fingerprint
+    is the one-shuffle scale shape.  The portable hash makes the whole
+    pipeline ANSI-replayable (full value-hash oracle, upgraded from
+    rows-only); a production deployment swaps in ``xxhash64`` for better
+    bit diffusion — same plan shape, engine-specific values."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = 16
+    hashes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), lambda c: F.ascii(c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % _SIMHASH_P,
+        ),
+    )
+    bits = _SIMHASH_BITS
 
     # vote[i] = Σ_tokens (bit_i(hash) ? 1 : -1); fingerprint bit_i = vote>0
     # (mask bound outside the lambda: pyspark dispatches higher-order
