@@ -317,8 +317,21 @@ def st8_stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ST1+ST7: watermark late-data drop (deterministic replay) ------------------
 
+# The replay below is fully pinned (one file per trigger, mtime-ordered),
+# so the final append-mode table is DETERMINISTIC, not cadence-dependent:
+# the watermark ends at max(ts)-10min = 02:00, which closes exactly window
+# [00:00, 01:00) with its 2 on-time rows — the straggler (event 4, batch 4)
+# arrives after the watermark passed and MUST be dropped, and the
+# [02:00, 03:00) window never closes so it must NOT appear.  The literal
+# oracle row encodes that contract: n_on_time=3 (straggler counted) or a
+# second row (open window emitted) both hash-fail.
+_ST7_ORACLE = """
+SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP_NS) AS window_start,
+       CAST(2 AS BIGINT) AS n_on_time
+"""
 
-@query("st7_late_data_watermark", oracle=None, tags=("streaming", "watermark"))
+
+@query("st7_late_data_watermark", oracle=_ST7_ORACLE, tags=("streaming", "watermark"))
 def st7_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7: late-data handling — self-contained 4-file replay (the
     events fixture is in-order, so lateness must be injected): window-A
@@ -326,8 +339,9 @@ def st7_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler batch (the watermark takes effect one trigger after the max
     is seen), then a straggler for window A.  Append mode + 10-minute
     watermark → the straggler is dropped and window A emits
-    n_on_time=2.  Emission cadence is engine-specific → rows-only; the
-    exact drop assertion lives in tests/test_streaming.py."""
+    n_on_time=2; see _ST7_ORACLE for why the pinned replay makes the
+    final table exact (upgraded from rows-only — the drop assertion
+    also stays in tests/test_streaming.py)."""
     prepare(spark)
     d = tempfile.mkdtemp(prefix="wind_spark_late_")
     batches = [
