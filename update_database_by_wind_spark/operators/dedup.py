@@ -230,33 +230,42 @@ def ngram_jaccard_pairs(
     df_cap: int = _L3E_DF_CAP,
     threshold: float = 0.2,
     materialize: str | None = None,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Capped inverted-index n-gram Jaccard pair mining (L3e core).
 
-    Pipeline (each step one bounded shuffle, nothing quadratic):
+    Pipeline — ONE wide shuffle of the shingle data; everything after
+    it is bounded by the df cap:
 
-    1. shingle: per-doc DISTINCT word n-grams (narrow).
-    2. document frequency per shingle (map-side partial agg).
-    3. **stop-shingle cap**: shingles with df > ``df_cap`` are dropped
-       via a *broadcast anti-join* — the hot list is tiny by definition
-       (it's the boilerplate head of the Zipf curve), so no re-shuffle
-       of the posting data.
-    4. posting-list pair expansion: group by shingle, collect the ≤ cap
-       doc_ids, explode the sorted C(k,2) pairs map-side.  Replaces the
-       two-sided self-join: one shuffle of (shingle, doc_id) instead of
-       two join inputs, and per-shingle work is ≤ cap²/2 by
-       construction — this is the invariant that survives 100 TB.
-    5. |A∩B| = pair count; |A|,|B| join back from capped sizes.
+    1. shingle: per-doc DISTINCT word n-grams (narrow map).
+    2. single ``groupBy(shingle)`` producing BOTH the document
+       frequency and the sorted posting list; shingles with df >
+       ``df_cap`` (boilerplate head of the Zipf curve) are dropped in
+       the same pass.  No separate count pass, no anti-join — the
+       round-2 bench showed the two-pass plan paid a full extra
+       aggregation over the raw grams for nothing.
+    3. per-doc capped set sizes by re-exploding the KEPT posting lists
+       (≤ cap ids per list — bounded, tiny next to the raw grams).
+    4. posting-list pair expansion: explode the sorted C(k,2) pairs
+       map-side; per-shingle work is ≤ cap²/2 by construction — the
+       invariant that survives 100 TB.
+    5. |A∩B| = pair count; |A|,|B| join back from step 3's sizes.
 
-    The posting table (step 1's output) feeds three consumers (df
-    counts, sizes, pair expansion), so it is computed ONCE: persisted
-    MEMORY_AND_DISK by default (the previous call's cache is dropped
-    first, keeping footprint bounded to one posting table), or — pass
-    ``materialize=`` a scratch path — written once as parquet and
-    fanned out from the columnar copy.  The latter is the 100 TB
-    pattern (production dedup pipelines persist the inverted index to
-    storage); either way the corpus is tokenized exactly once instead
-    of once per consumer.
+    The kept posting table feeds two consumers (sizes + pair
+    expansion), so it is persisted MEMORY_AND_DISK (the previous
+    call's cache is evicted first, keeping footprint bounded to one
+    table), or — pass ``materialize=`` a scratch path — written once
+    as parquet, the 100 TB pattern (production dedup pipelines persist
+    the inverted index to storage).
+
+    Memory bound: the single-pass groupBy must buffer a hot shingle's
+    full posting list before filtering it (max_df × 8 B per
+    aggregation buffer) — fine up to df ~ 10⁷, not for a boilerplate
+    shingle present in a large fraction of a web corpus.
+    ``two_pass=True`` restores the count-first + broadcast-anti-join
+    plan whose buffers never exceed the cap; flip it on when max
+    document frequency × 8 B threatens executor memory.  Semantics are
+    identical either way.
     """
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     gram = F.array_distinct(
@@ -272,17 +281,18 @@ def ngram_jaccard_pairs(
     # (doc_id, shingle) unique per document, so a global dedup would be a
     # pure full-posting-set shuffle for nothing.
     #
-    # Repartition BEFORE shingling: the CPU cost of this operator is the
-    # tokenize+shingle map, and a compact input (one parquet row group →
-    # one task) would run it single-threaded.  Spreading the narrow
-    # (doc_id, text) projection across the cluster first costs one cheap
-    # round-robin exchange of the raw text and buys full parallelism for
-    # the expensive part — at 100 TB the input already arrives in
-    # thousands of splits and AQE elides the no-op exchange.
+    # Repartition BEFORE shingling — but only when the input actually
+    # arrives in fewer splits than cores (a compact parquet fixture would
+    # otherwise run the expensive tokenize+shingle map single-threaded).
+    # A user-specified repartition(N) is a required exchange that AQE
+    # will NOT elide, so it is gated on the real input partitioning
+    # rather than applied unconditionally: at 100 TB the scan already
+    # has thousands of splits and no exchange is inserted at all.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = docs.select("doc_id", "text").repartition(par).select(
-        "doc_id", toks.alias("toks")
-    ).select(
+    narrow = docs.select("doc_id", "text")
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    grams = narrow.select("doc_id", toks.alias("toks")).select(
         "doc_id",
         F.explode(
             F.when(F.size("toks") >= n, gram).otherwise(
@@ -290,30 +300,48 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
-    if materialize:
-        spark = docs.sparkSession
-        grams.write.mode("overwrite").parquet(materialize)
-        grams = spark.read.parquet(materialize)
-    else:
+    if two_pass:
+        # escape hatch for extreme-df corpora: pin the grams, count df
+        # first, anti-join the hot set out before any list is collected
         from pyspark import StorageLevel
 
         while _POSTINGS_CACHE:
             _POSTINGS_CACHE.pop().unpersist()
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
         _POSTINGS_CACHE.append(grams)
-    hot = (
-        grams.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("shingle")
-    )
-    kept = grams.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        hot = (
+            grams.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        grams = grams.join(F.broadcast(hot), "shingle", "left_anti")
     posting = (
-        kept.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+        grams.groupBy("shingle")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("docs"),
+        )
+        .filter(F.col("df") <= df_cap)
+        .select("shingle", "docs")
     )
+    if materialize:
+        spark = docs.sparkSession
+        posting.write.mode("overwrite").parquet(materialize)
+        posting = spark.read.parquet(materialize)
+    elif not two_pass:
+        from pyspark import StorageLevel
+
+        while _POSTINGS_CACHE:
+            _POSTINGS_CACHE.pop().unpersist()
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+        _POSTINGS_CACHE.append(posting)
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    multi = posting.filter(F.size("docs") >= 2)
     pair_structs = F.flatten(
         F.transform(
             F.col("docs"),
@@ -324,7 +352,7 @@ def ngram_jaccard_pairs(
         )
     )
     pairs = (
-        posting.select(F.explode(pair_structs).alias("p"))
+        multi.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
@@ -420,6 +448,7 @@ WITH sh AS (
                           c -> unicode(c)),
            (acc, x) -> (acc * 31 + x) % {_MH_P}) AS sh_hash
   FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+  WHERE length(text) > 0
 ),
 sig AS (
   SELECT doc_id,
@@ -462,8 +491,17 @@ def l3h_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join, comparisons only within buckets — O(candidates),
     never O(n²).  The signature ride-along join is on doc_id (16 ints per
     doc).  Candidate volume is tunable by the band/row split (4×4 →
-    P(candidate) = 1-(1-j⁴)⁴)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    P(candidate) = 1-(1-j⁴)⁴).
+
+    Empty documents are filtered identically on both sides: Spark's
+    ascii('') is 0 while DuckDB's unicode('') is -1 (and DuckDB's %
+    keeps the sign), so an unguarded empty text would fold to
+    different sh_hash values per engine."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
     shingles = docs.select(
         "doc_id",
         F.explode(

@@ -40,6 +40,19 @@ from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
 
 
+def _free_ckpt(df: DataFrame) -> None:
+    """Unpersist the RDD blocks behind a ``localCheckpoint()``'d
+    DataFrame (its plan is a LogicalRDD over the checkpointed rows).
+    Spark exposes no public API for this, so it reaches through the
+    JVM handle — best-effort no-op if the internals ever move.
+    Without it, iterative loops leak one block set per round
+    (GraphX/GraphFrames free the prior iteration the same way)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
@@ -100,8 +113,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # prior round's checkpoint blocks are dead once the convergence
+        # count has consumed them — free eagerly so executor storage
+        # stays O(1) in the iteration count, not O(rounds)
+        _free_ckpt(labels)
         labels = new_labels
         if changed == 0:
+            _free_ckpt(sym)
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
@@ -145,7 +163,12 @@ def l3f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered document: (doc_id, cluster_id = min doc_id in component,
     cluster_size).  Singleton documents (no near-dup edge) are not
     rows — at web scale they are the overwhelming majority and a
-    dedup decision needs only the clustered minority."""
+    dedup decision needs only the clustered minority.
+
+    The size ride-along is a plain shuffle join on cluster_id: the
+    clustered minority of a web corpus is commonly 10-30% of all
+    documents (billions of rows), far past broadcast limits, and at
+    small scale AQE converts the shuffle join to broadcast on its own."""
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs)
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -154,7 +177,7 @@ def l3f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         labels.select(F.col("id").alias("doc_id"), "cluster_id")
-        .join(F.broadcast(sizes), "cluster_id")
+        .join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
     )
 
@@ -197,9 +220,12 @@ def l3g_cluster_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3g: the dedup DECISION from l3f's clusters — keep the canonical
     (minimum doc_id) member of every near-dup cluster plus all
     unclustered documents, and report the per-lang keep/remove tally.
-    The cluster labels are a tiny table relative to the corpus, so the
-    decision join broadcasts them against the full document set —
-    corpus-sized side never shuffles."""
+    The decision join is a plain shuffle join on doc_id, NOT a
+    broadcast: the clustered label table scales with the near-dup
+    minority of the corpus (commonly 10-30% of a web crawl — billions
+    of rows at 100 TB), which would blow past broadcast/driver limits.
+    At test scale AQE converts it to a broadcast join on its own; on a
+    cluster both sides hash-shuffle on the long key."""
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs)
     labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
@@ -209,7 +235,7 @@ def l3g_cluster_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") != F.col("cluster_id")
     )
     return (
-        docs.join(F.broadcast(labels), "doc_id", "left")
+        docs.join(labels, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

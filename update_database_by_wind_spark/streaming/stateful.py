@@ -38,7 +38,7 @@ from update_database_by_wind_spark.streaming.pipelines import (
     run_to_memory,
 )
 
-_STATE_SCHEMA = "count LONG, total DOUBLE"
+_STATE_SCHEMA = "count LONG, total_cents LONG"
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 
 
@@ -48,16 +48,26 @@ def _running_totals(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch's rows for this user into persistent
-    (count, total) state; emit the running values once per batch."""
-    count, total = state.get if state.exists else (0, 0.0)
+    (count, total_cents) state; emit the running values once per batch.
+
+    The money fold is EXACT integer cents (values are 2-decimal fixture
+    doubles), not a float sum: integer addition is associative, so the
+    state — and therefore the emitted total — is bit-identical no
+    matter how the replay splits into batches or how pandas orders the
+    rows within one.  That determinism is what lets the driver query
+    below carry a value-hash oracle; the same cents fold is mirrored in
+    the oracle SQL."""
+    count, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         count += len(pdf)
-        # binary-safe accumulation: values are 2-decimal fixture doubles;
-        # state equality across batch splits is asserted in tests
-        total += float(pdf["value"].sum())
-    state.update((count, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((count, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [count], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [count],
+            "total_value": [cents / 100.0],
+        }
     )
 
 
@@ -76,14 +86,32 @@ def st6_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st6_stateful_running_totals", oracle=None, tags=("streaming", "stateful"))
+_ST6_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "st6_stateful_running_totals",
+    oracle=_ST6_ORACLE,
+    tags=("streaming", "stateful"),
+)
 def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6 driver entry: availableNow replay of the stateful per-user
-    counters; update-mode memory sink captures the per-batch emissions
-    (single-batch replay → one final row per user).  Arbitrary-state
-    output is engine-specific (emission cadence, float fold order), so
-    this is a rows-only check; exact batch-equivalence of the final
-    counts is asserted in tests/test_streaming.py."""
+    counters; update-mode memory sink captures the per-batch emissions.
+    The replay source is one parquet file → one micro-batch → exactly
+    one terminal emission per user, and the state fold is exact integer
+    cents (see ``_running_totals``), so the final counters are the
+    batch GROUP BY — a full value-hash oracle (the st9 trick applied to
+    arbitrary state; only the per-batch emission CADENCE is
+    engine-specific, and a terminal-only replay has none).  Multi-batch
+    splits and state equivalence across them stay asserted in
+    tests/test_streaming.py."""
     return run_to_memory(st6_stateful_counters(spark, sf_dir), "update")
 
 
@@ -98,8 +126,6 @@ def st9_foreach_batch_upsert(
     first so the sink receives one row per key per batch — the
     at-scale shape (pre-aggregated micro-batch, idempotent key-wise
     merge)."""
-    import tempfile
-
     ev = events_stream(spark, sf_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -112,13 +138,21 @@ def st9_foreach_batch_upsert(
             n0, v0 = target.get(r["user_id"], (0, 0.0))
             target[r["user_id"]] = (n0 + r["n"], v0 + r["v"])
 
-    q = (
-        ev.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_fb_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from update_database_by_wind_spark.streaming.pipelines import scratch_dir
+
+    ckpt = scratch_dir("wind_spark_fb_")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 _ST9_ORACLE = """
@@ -148,13 +182,15 @@ def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sf_dir (re-runs re-seed and re-merge the same bounded DB)."""
     import hashlib
     import shutil
-    import tempfile
 
     from update_database_by_wind_spark.sources.jdbc import (
         upsert_jdbc,
         write_jdbc,
     )
-    from update_database_by_wind_spark.streaming.pipelines import events_stream
+    from update_database_by_wind_spark.streaming.pipelines import (
+        events_stream,
+        scratch_dir,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     url = f"jdbc:derby:memory:wind_st9_{tag};create=true"
@@ -188,7 +224,7 @@ def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir).select(
         "user_id", "event_id", F.col("value").alias("last_value")
     )
-    ckpt = tempfile.mkdtemp(prefix="wind_spark_st9_")
+    ckpt = scratch_dir("wind_spark_st9_")
     try:
         handle = (
             stream.writeStream.foreachBatch(sink)
