@@ -79,6 +79,13 @@ def _write_documents(docs) -> str:
         "t_repetition_ratio",
         "t_redact_blocklist",
         "f_hash_functions",
+        # graph dedup + portable fingerprints: empty texts exercise the
+        # l3h ascii('')≠unicode('') guard, collision-rich vocab forces
+        # multi-hop duplicate chains through connected components
+        "l3d_simhash",
+        "l3f_dup_clusters",
+        "l3g_cluster_dedup_keep",
+        "l3h_portable_minhash",
     ],
 )
 @given(docs=_DOCS)
@@ -318,6 +325,123 @@ def _write_orders(orders, customers, suppliers) -> str:
             os.path.join(sf_dir, f"{t}.parquet"),
         )
     return sf_dir
+
+
+# --- embeddings corpus: similarity / IVF / k-means tie-break paths ------------
+# Components come from a tiny set of exactly-representable float32 values
+# (quarters), so dot products and decimal-exact centroid means are exact
+# doubles on both engines and every tie the rank/argmin logic can hit is
+# hit: duplicate vectors (cosine ties at the top-k boundary), zero
+# vectors, identical k-means seeds, single-populated-cell clusterings.
+
+_VEC_VALS = [-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0]
+
+_EMBS = st.integers(2, 4).flatmap(
+    lambda dim: st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(_VEC_VALS), min_size=dim, max_size=dim
+            ),
+            st.integers(0, 2),  # label (coarse cell for blocked variants)
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+
+
+def _write_embeddings(vecs) -> str:
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_emb_")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v for v, _ in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([lb for _, lb in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+    # paired documents (doc_id = vec_id) for the semantic-dedup keep
+    # decision; tie-rich n_chars exercises the quality tiebreak
+    n_chars = [(3, 7, 7, 1)[i % 4] for i in range(len(vecs))]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(vecs)), pa.int64()),
+            "text": pa.array(["x" * n for n in n_chars], pa.string()),
+            "lang": pa.array(["en"] * len(vecs), pa.string()),
+            "source": pa.array(["web"] * len(vecs), pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+# l5_ann_lsh is deliberately absent: its recall-floor contract is
+# calibrated for the 64-d fixture corpus, and a probabilistic LSH index
+# can legitimately dip below any fixed floor on an adversarial 2-d
+# corpus — that would be flake, not signal.  Its structural guarantee is
+# covered by the deterministic duplicate-corpus test below instead.
+@pytest.mark.parametrize(
+    "name",
+    [
+        "l4_cosine_topk_exact",
+        "l4b_cosine_topk_blocked",
+        "l4c_cosine_topk_vectorized",
+        "l6_vector_norms",
+        "l3c_embedding_neardup",
+        "l5_ivf_topk",
+        "l5_ivf_kmeans_topk",
+        "l5b_ivf_recall",
+        "l5b2_ivf_kmeans_recall",
+        "tr_label_centroids",
+        "l3i_semantic_dedup",
+    ],
+)
+@given(vecs=_EMBS)
+@settings(**_SETTINGS)
+def test_query_matches_oracle_on_generated_embeddings(spark, name, vecs):
+    sf_dir = _write_embeddings(vecs)
+    spec = REGISTRY[name]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, (name, problems)
+
+
+def test_kmeans_ivf_on_identical_vectors(spark):
+    """All vectors identical → all k-means seeds identical, every
+    centroid equal, all assignment distances tied: the (d, cell)
+    tie-break must collapse everything into cell 1 identically on both
+    engines, and top-k must rank the all-1.0-cosine neighbors purely by
+    neighbor_id."""
+    vecs = [([0.5, 0.5, -0.5], 0) for _ in range(12)]
+    sf_dir = _write_embeddings(vecs)
+    for name in ("l5_ivf_kmeans_topk", "l5b2_ivf_kmeans_recall"):
+        spec = REGISTRY[name]
+        problems = compare(
+            spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir)
+        )
+        assert not problems, (name, problems)
+
+
+def test_ann_lsh_recall_on_duplicate_corpus(spark):
+    """Well-separated distinct vectors (pairwise L2 = 2·√2 > radius) with
+    exact duplicates: each query's radius ball contains only its own
+    duplicates, which hash to identical LSH buckets by construction —
+    so the recall guarantee holds structurally (recall = 1), making the
+    probabilistic index deterministic on this corpus."""
+    base = [
+        [2.0, 0.0, 0.0, 0.0],
+        [0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 2.0],
+        [-2.0, 0.0, 0.0, 0.0],
+    ]
+    vecs = [(v, i % 3) for i, v in enumerate(base * 3)]
+    sf_dir = _write_embeddings(vecs)
+    spec = REGISTRY["l5_ann_lsh"]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, problems
 
 
 @pytest.mark.parametrize(

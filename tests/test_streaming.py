@@ -179,3 +179,40 @@ def test_streaming_dedup_within_watermark_drops_replays(spark):
     q.awaitTermination()
     ids = sorted(r["event_id"] for r in spark.table(name).collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_events_stream_matches_batch_timestamps(spark):
+    """The streaming source must read events.ts on the same clock as the
+    batch loader regardless of the fixture's parquet encoding (NANOS in
+    early fixture generations, MICROS later — `_events_raw_schema`
+    decides from the footer).  A wrong branch compresses or inflates
+    every timestamp 1000×, so comparing the min/max over the corpus
+    against the batch loader catches it immediately."""
+    sf_dir = "/root/testdata/sf0.001"
+    stream_minmax = run_to_memory(
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 minute")
+        .agg(
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.count("*").alias("n"),
+        )
+    ).collect()[0]
+    batch = (
+        load(spark, sf_dir, "events")
+        .agg(
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert stream_minmax["n"] == batch["n"]
+    # naive-vs-UTC representations of the same instant (batch reads NTZ,
+    # the stream declares LTZ under a UTC session) compare equal once
+    # both are rendered naive
+    for c in ("ts_min", "ts_max"):
+        sv, bv = stream_minmax[c], batch[c]
+        sv = sv.replace(tzinfo=None) if sv.tzinfo else sv
+        bv = bv.replace(tzinfo=None) if bv.tzinfo else bv
+        assert sv == bv, (c, sv, bv)

@@ -219,8 +219,9 @@ WHERE p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared) >= 0.2
 """
 
 
-# bounded to one entry: each ngram_jaccard_pairs call evicts the previous
-# call's persisted posting table before pinning its own
+# bounded to one entry: a two_pass ngram_jaccard_pairs call evicts the
+# previous call's persisted grams before pinning its own (the one-pass
+# path persists nothing — see the ReuseExchange note inside)
 _POSTINGS_CACHE: list[DataFrame] = []
 
 
@@ -252,11 +253,12 @@ def ngram_jaccard_pairs(
     5. |A∩B| = pair count; |A|,|B| join back from step 3's sizes.
 
     The kept posting table feeds two consumers (sizes + pair
-    expansion), so it is persisted MEMORY_AND_DISK (the previous
-    call's cache is evicted first, keeping footprint bounded to one
-    table), or — pass ``materialize=`` a scratch path — written once
-    as parquet, the 100 TB pattern (production dedup pipelines persist
-    the inverted index to storage).
+    expansion) above one shared exchange, which ReuseExchange
+    materializes once per action — no explicit persist (measured
+    slower at bench scale; see inline note).  Pass ``materialize=`` a
+    scratch path to land the inverted index as parquet instead — the
+    100 TB pattern (production dedup pipelines persist the inverted
+    index to storage and fan many consumers off it).
 
     Memory bound: the single-pass groupBy must buffer a hot shingle's
     full posting list before filtering it (max_df × 8 B per
@@ -329,13 +331,16 @@ def ngram_jaccard_pairs(
         spark = docs.sparkSession
         posting.write.mode("overwrite").parquet(materialize)
         posting = spark.read.parquet(materialize)
-    elif not two_pass:
-        from pyspark import StorageLevel
-
-        while _POSTINGS_CACHE:
-            _POSTINGS_CACHE.pop().unpersist()
-        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
-        _POSTINGS_CACHE.append(posting)
+    # No persist on the one-pass path: both consumers (sizes + pair
+    # expansion) sit above the SAME groupBy(shingle) exchange, which
+    # Catalyst's ReuseExchange materializes once — the expensive
+    # tokenize/shingle map is below it and runs once either way; only
+    # the cap-bounded post-shuffle aggregation replays per consumer.
+    # Measured at sf0.1: persist cost 0.3–0.5 s MORE per call than the
+    # replay (memory write + eviction churn).  Consumers that span
+    # multiple ACTIONS (the l3f/l3g loop) take their one materialization
+    # via localCheckpoint on the pair table, and true 100 TB pipelines
+    # pass ``materialize=`` to land the inverted index on storage.
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

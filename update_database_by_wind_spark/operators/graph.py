@@ -247,3 +247,91 @@ def l3g_cluster_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# --- L3i: semantic dedup (embedding clusters → keep best quality) -------------
+
+# SemDeDup-style pipeline (public recipe: Abbas et al. 2023, "SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication"):
+# embedding-cosine near-dup pairs → transitive clusters → keep ONE
+# member per cluster chosen by a quality signal (here: longest text,
+# doc_id as the deterministic tiebreak), not by arbitrary id.
+_L3I_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_sum(list_transform(list_zip(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))),
+          p -> p[1] * p[2])), 6) >= 0.25
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u
+),
+ranked AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id) AS rn
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+       rn = 1 AS keep
+FROM ranked
+"""
+
+
+@query(
+    "l3i_semantic_dedup",
+    oracle=_L3I_ORACLE,
+    tags=("dedup", "similarity", "graph"),
+)
+def l3i_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3i: SEMANTIC dedup end to end — the embedding-space analogue of
+    l3f+l3g and the missing half of l3c: cosine near-dup pairs (label-
+    blocked, threshold 0.25) transitively closed into clusters, then a
+    quality-based keep decision (longest text wins, min doc_id breaks
+    ties) instead of keep-by-min-id.  One row per clustered document
+    with its cluster and keep verdict.
+
+    Scale shape: pair generation is l3c's blocked equi-join (the block
+    key becomes a coarse quantizer cell at 100 TB), clustering is
+    ``connected_components`` (pointer jumping, O(log chain) rounds),
+    and the quality join + per-cluster window shuffle only the
+    clustered minority.  No all-pairs stage anywhere."""
+    from update_database_by_wind_spark.operators.extended2 import (
+        l3c_embedding_neardup,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = l3c_embedding_neardup(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", rn)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )

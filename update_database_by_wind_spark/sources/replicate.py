@@ -39,7 +39,10 @@ def replicate_sf(
 ) -> str:
     """Materialize ``copies``× ``src_dir`` into ``dst_dir`` (idempotent:
     existing table files are kept, so repeated bench runs reuse the
-    replica).  Returns ``dst_dir``."""
+    replica — but a replica older than its source is rebuilt, because
+    the harness regenerates the fixture corpus between rounds and a
+    stale replica would carry the previous round's schema/encoding).
+    Returns ``dst_dir``."""
     import duckdb
 
     os.makedirs(dst_dir, exist_ok=True)
@@ -48,7 +51,9 @@ def replicate_sf(
         for t in TABLES:
             src = f"{src_dir}/{t}.parquet"
             dst = f"{dst_dir}/{t}.parquet"
-            if os.path.exists(dst):
+            if os.path.exists(dst) and (
+                os.path.getmtime(dst) >= os.path.getmtime(src)
+            ):
                 continue
             cols = [
                 r[0]

@@ -37,15 +37,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     prepare(spark)
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark's reader rejects outright.  Read the raw INT64 nanos via
-        # the legacy conf and truncate to microseconds with *integer*
-        # division (double division rounds and lands 1µs off DuckDB,
-        # which also truncates ns→µs).
+        # fixture generations store ts as parquet TIMESTAMP(NANOS) or
+        # TIMESTAMP(MICROS).  NANOS is rejected by Spark's reader, so
+        # read the raw INT64 nanos via the legacy conf and truncate to
+        # microseconds with *integer* division (double division rounds
+        # and lands 1µs off DuckDB, which also truncates ns→µs); the
+        # dtype check leaves a natively-readable MICROS column alone
+        # (streaming mirror: pipelines._events_raw_schema).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # normalize to TIMESTAMP (LTZ): the session is pinned to UTC
+            # (session.prepare) so the instant is unchanged, and every
+            # downstream consumer sees ONE type regardless of fixture
+            # vintage — epoch casts like CAST(ts AS BIGINT) are legal on
+            # LTZ but rejected on NTZ in Spark 4's ANSI analyzer
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -37,39 +37,68 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.session import prepare
 
-# Raw schema as stored: ts is parquet TIMESTAMP(NANOS) read as long
-# (see sources/tables.py — the streaming source needs the same
-# nanosAsLong + integer-division conversion).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[StructType, bool]:
+    """Streaming needs a declared schema, and fixture generations have
+    stored ``events.ts`` as either parquet TIMESTAMP(NANOS) (Spark reads
+    it as long under ``nanosAsLong``) or TIMESTAMP(MICROS) (a native
+    timestamp).  One footer read decides which raw schema to declare —
+    a hardcoded nanos assumption silently compresses every µs-encoded
+    timestamp 1000× (30 days of events collapse into ~43 minutes, which
+    turns e.g. st10's 30-minute interval join into a near-cross-join).
+    The batch loader (sources/tables.py) makes the same decision from
+    the inferred dtype; the check is mirrored in tests/test_streaming.py.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _papq
+
+    paths = sorted(_glob.glob(f"{sf_dir}/events*.parquet"))
+    nanos = True
+    if paths:
+        t = _papq.ParquetFile(paths[0]).schema_arrow.field("ts").type
+        nanos = getattr(t, "unit", None) == "ns"
+    ts_field = (
+        StructField("ts", LongType())
+        if nanos
+        else StructField("ts", TimestampType())
+    )
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                ts_field,
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        nanos,
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST0/S7: file-source replay of the events log as a stream."""
     prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, nanos = _events_raw_schema(sf_dir)
     # glob form: the file source requires a directory basePath; the
     # wildcard makes sf_dir the basePath and selects just the events log
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def scratch_dir(prefix: str) -> str:
@@ -86,10 +115,22 @@ def scratch_dir(prefix: str) -> str:
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the final result as a batch DataFrame.
+
+    State sizing: stateful operators pin their partition count from
+    ``spark.sql.shuffle.partitions`` at query start and AQE never
+    coalesces them, so unlike batch plans the conf IS the state-store
+    task count for the query's lifetime.  The pipelines here carry
+    small bounded state (window × event_type scale), where 32+ state
+    stores are pure per-batch task/commit overhead — measured at sf0.1,
+    addBatch drops ~40% going 16 → 4 partitions.  The conf is set for
+    the stream's duration and restored after; a production stream with
+    large keyspaces passes a bigger ``state_partitions``.
 
     Scratch hygiene (repeated query runs must not grow /tmp or driver
     memory): the checkpoint dir is removed after termination and the
@@ -99,7 +140,11 @@ def run_to_memory(
     name = "stream_result_" + uuid.uuid4().hex[:12]
     ckpt = scratch_dir("wind_spark_ckpt_")
     spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -112,6 +157,7 @@ def run_to_memory(
         sink = spark.table(name)
         result = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
