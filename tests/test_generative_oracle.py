@@ -477,3 +477,49 @@ def test_query_matches_oracle_on_generated_orders(
     spec = REGISTRY[name]
     problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
     assert not problems, (name, problems)
+
+
+# --- external-feed source: portable hash replay over arbitrary codes ----------
+
+_CODE_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789."
+
+_CODES = st.lists(
+    st.text(alphabet=_CODE_CHARS, min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@given(codes=_CODES, days=st.integers(1, 40))
+@settings(**_SETTINGS)
+def test_windsim_feed_matches_sql_replay(spark, codes, days):
+    """The S9 external-feed source must be bit-identical to its DuckDB
+    replay for ANY security list and horizon — the portable base-31
+    hash and mod-first quote arithmetic are the contract."""
+    import duckdb
+
+    from update_database_by_wind_spark.sources import windsim
+
+    feed = (
+        windsim.wsd(spark, tuple(codes), days)
+        .selectExpr(
+            "code",
+            "date_format(trade_date, 'yyyy-MM-dd') AS d",
+            "close",
+            "volume",
+        )
+    )
+    sql = (
+        "WITH "
+        + windsim.oracle_sql(tuple(codes), days)
+        + " SELECT code, strftime(trade_date, '%Y-%m-%d') AS d,"
+        " close, volume FROM quotes"
+    )
+    con = duckdb.connect()
+    try:
+        oracle = con.sql(sql).df()
+    finally:
+        con.close()
+    problems = compare(feed, oracle)
+    assert not problems, problems

@@ -369,3 +369,46 @@ def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overflows"
         ),
     )
+
+
+# --- VARIANT: Spark 4 semi-structured type over the JSON props column ---------
+
+_FVARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+WHERE event_id % 6 = 2
+GROUP BY event_type
+"""
+
+
+@query("f_variant_json", oracle=_FVARIANT_ORACLE, tags=("scalar", "variant"))
+def f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-variant: Spark 4's VARIANT type as the semi-structured path —
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extractions (no per-access re-parse, unlike
+    get_json_object; the open-format answer to shredded JSON columns).
+    A missing path returns NULL rather than erroring, counted to pin
+    that semantic.  At 100 TB the parse is a single codegen'd pass and
+    the variant column prunes/pushes like any other binary column."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 2)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    missing = F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )

@@ -156,3 +156,83 @@ def s2b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("p_retailprice", "total_price"),
         F.max("p_size").alias("max_size"),
     )
+
+
+_S2C_ORACLE = f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       {sql_dec_sum('p_retailprice', 'total_price')},
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+WHERE p_partkey % 7 = 0
+GROUP BY p_brand
+"""
+
+
+@query("s2c_xml_roundtrip", oracle=_S2C_ORACLE, tags=("source", "xml"))
+def s2c_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2c: XML write→read round trip — Spark 4's NATIVE XML source
+    (the externally-maintained spark-xml merged into core), exercised
+    with an explicit schema like the CSV/JSON trips and oracle-checked
+    against the original parquet so element encode/decode is proven
+    value-exact.  XML is the interchange format regulatory/financial
+    feeds actually arrive in; the writer shards one file per partition
+    like every other 100 TB-friendly sink here."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    out = tempfile.mkdtemp(prefix="wind_spark_xml_") + "/part"
+    (
+        part.select(
+            "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+        )
+        .write.mode("overwrite")
+        .option("rowTag", "part")
+        .format("xml")
+        .save(out)
+    )
+    back = (
+        spark.read.schema(
+            "p_partkey long, p_name string, p_brand string,"
+            " p_size int, p_retailprice double"
+        )
+        .option("rowTag", "part")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        dec_sum("p_retailprice", "total_price"),
+        F.sum("p_size").cast("long").alias("total_size"),
+    )
+
+
+from update_database_by_wind_spark.sources import windsim as _windsim
+
+_S9_ORACLE = "WITH " + _windsim.oracle_sql() + f"""
+SELECT code,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       {sql_dec_sum('close', 'total_close')},
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       strftime(MIN(trade_date), '%Y-%m-%d') AS first_day,
+       strftime(MAX(trade_date), '%Y-%m-%d') AS last_day
+FROM quotes
+GROUP BY code
+"""
+
+
+@query("s9_external_feed", oracle=_S9_ORACLE, tags=("source", "api"))
+def s9_external_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: external-API quote feed as a first-class Spark source —
+    Spark 4's Python Data Source API standing in for the reference
+    category's vendor-terminal fetch (``w.wsd``), one planned input
+    partition per security (see sources/windsim.py for the scale and
+    determinism story).  The feed itself is SQL-replayable, so this is
+    an *oracle-checked* external source, upgrading S9 from the
+    rows-only fate of any real network source."""
+    feed = _windsim.wsd(spark)
+    return feed.groupBy("code").agg(
+        F.count("*").cast("long").alias("n_days"),
+        dec_sum("close", "total_close"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.date_format(F.min("trade_date"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("trade_date"), "yyyy-MM-dd").alias("last_day"),
+    )

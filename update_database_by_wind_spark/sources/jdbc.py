@@ -60,12 +60,20 @@ def write_jdbc(
     mode: str = "append",
     batchsize: int = 10_000,
     driver: str | None = None,
+    column_types: str | None = None,
 ) -> None:
-    """S5: batch JDBC sink (append/overwrite), executemany-batched."""
+    """S5: batch JDBC sink (append/overwrite), executemany-batched.
+
+    ``column_types`` forwards ``createTableColumnTypes`` — needed when
+    the default string mapping is unusable downstream (Spark maps
+    StringType to CLOB on Derby, and CLOB columns cannot appear in a
+    MERGE ON comparison; declare them VARCHAR instead)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))
     if driver:
         writer = writer.option("driver", driver)
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
     writer.mode(mode).save()
 
 
@@ -115,6 +123,7 @@ def upsert_jdbc(
     stage_table: str | None = None,
     merge_sql: str | None = None,
     order_col: str | None = None,
+    column_types: str | None = None,
 ) -> None:
     """S6/U2: upsert via stage-then-MERGE.
 
@@ -142,7 +151,7 @@ def upsert_jdbc(
         )
     else:  # pk-only frame: duplicate rows are identical, any one wins
         df = df.dropDuplicates(pk_cols)
-    write_jdbc(df, url, stage_table, mode="overwrite")
+    write_jdbc(df, url, stage_table, mode="overwrite", column_types=column_types)
     sql = merge_sql or default_merge_sql(
         target_table, stage_table, pk_cols, value_cols
     )
