@@ -238,7 +238,9 @@ def ngram_jaccard_pairs(
     Pipeline — ONE wide shuffle of the shingle data; everything after
     it is bounded by the df cap:
 
-    1. shingle: per-doc DISTINCT word n-grams (narrow map).
+    1. shingle: per-doc DISTINCT word n-grams (narrow map), each
+       immediately hashed to an int64 key (``xxhash64``) so the wide
+       shuffle below moves 8-byte longs, not n-gram strings.
     2. single ``groupBy(shingle)`` producing BOTH the document
        frequency and the sorted posting list; shingles with df >
        ``df_cap`` (boilerplate head of the Zipf curve) are dropped in
@@ -294,13 +296,30 @@ def ngram_jaccard_pairs(
     narrow = docs.select("doc_id", "text")
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
-    grams = narrow.select("doc_id", toks.alias("toks")).select(
-        "doc_id",
-        F.explode(
-            F.when(F.size("toks") >= n, gram).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("shingle"),
+    # Hash each shingle to int64 (xxhash64) the moment it is exploded:
+    # every downstream consumer (df count, posting list, pair expansion)
+    # keys on the shingle's identity, never its text, so the wide
+    # groupBy(shingle) exchange moves 8-byte longs instead of ~24-char
+    # trigram strings — the dominant shuffle of this pipeline, ~3× fewer
+    # key bytes.  The hash runs AFTER the explode, not inside the
+    # transform lambda: higher-order-function bodies are interpreted
+    # per element, while the post-explode projection is whole-stage
+    # codegen'd (A/B measured 1.40 s vs 1.67 s at sf0.1).  The oracle
+    # keeps grouping by the RAW string: a 64-bit collision
+    # (P ≈ n²/2⁶⁵, negligible at any realistic corpus size) would merge
+    # two posting lists and be CAUGHT as an oracle mismatch, not
+    # masked — string-keyed ground truth, hashed-key execution.
+    grams = (
+        narrow.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("toks") >= n, gram).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("shingle_text"),
+        )
+        .select("doc_id", F.xxhash64("shingle_text").alias("shingle"))
     )
     if two_pass:
         # escape hatch for extreme-df corpora: pin the grams, count df
