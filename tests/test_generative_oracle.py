@@ -444,6 +444,51 @@ def test_ann_lsh_recall_on_duplicate_corpus(spark):
     assert not problems, problems
 
 
+def test_l3b_minhash_lsh_recall_floor(spark):
+    """l3b is the registry's one rows-only entry (spark.ml's murmur
+    permutations aren't replayable in SQL) — this pins it quantitatively
+    instead: against the EXACT char-5-gram Jaccard ground truth
+    (computed independently in Python on the fixture corpus),
+    the seeded approxSimilarityJoin must recover ≥90% of all true
+    pairs at similarity ≥ 0.5, and every pair it emits must BE a true
+    pair (approxSimilarityJoin filters candidates on exact distance, so
+    precision is structural, not probabilistic).  With seed=42 and
+    8 OR-amplified hash tables, P(miss) ≤ (1-j)^8 ≤ 0.4% per true pair;
+    measured recall on both fixture scales is 1.0 — the 0.9 floor is
+    the contract, not the expectation."""
+    import pyarrow.parquet as _pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+    def shingles(s: str) -> frozenset:
+        if not s:
+            return frozenset()
+        return frozenset(s[i : i + 5] for i in range(max(len(s) - 4, 1)))
+
+    sets = [(i, shingles(txt)) for i, txt in zip(ids, texts)]
+    sets.sort()
+    truth = set()
+    for a in range(len(sets)):
+        ia, sa = sets[a]
+        for b in range(a + 1, len(sets)):
+            ib, sb = sets[b]
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= 0.5:
+                truth.add((ia, ib))
+    assert truth, "fixture corpus must contain near-duplicate pairs"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["l3b_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - got))
+    assert got <= truth, sorted(got - truth)  # exact-distance precision
+
+
 @pytest.mark.parametrize(
     "name",
     [
