@@ -51,33 +51,52 @@ EXTENDED = [
 ]
 
 
+# Tables Spark pins in its in-memory columnar cache for the bench (see
+# _pin_refs below): the TRUE dimension tables only.  The doc/vector
+# corpora (documents, embeddings) are the primary INPUTS of the LLM
+# headline queries — pinning them would time a cache-bound variant of a
+# workload whose production shape is scan-bound (and measurably hurts
+# the dedup pipeline: the 4-partition cached relation feeds the
+# shingle repartition worse than the raw parquet scan does).  DuckDB
+# gets the IDENTICAL treatment — CREATE TABLE (materialized in memory)
+# for these five, views over parquet for facts and corpora — so
+# neither engine is cache-bound where the other is scan-bound.
+_REF_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
 def _duckdb_total(names: list[str], sf_dir: str) -> float:
-    """Wall-clock for the same queries' oracle SQL in DuckDB — the
-    BASELINE.md comparator, embedded so every BENCH file carries the
-    engine ratio at each scale point.  Two passes, second timed: the
-    same steady-state convention the Spark side gets (untimed warm
-    pass at the target scale), so neither engine's number includes
-    first-touch page-cache misses."""
+    """Sum over queries of the min of 2 timed passes after 1 untimed
+    warm pass, on ONE connection with all tables registered up front —
+    the statistic and protocol the Spark side uses (_timed_min), applied
+    symmetrically: same per-query minimums, same steady-state warm-up,
+    same amortized session setup, and the same reference tables
+    materialized in memory (_REF_TABLES ≙ Spark's pinned cache; facts
+    stay as parquet views on both engines)."""
     import duckdb
 
     from update_database_by_wind_spark.sources import TABLES
 
-    totals = []
-    for _ in range(3):  # first pass warms the page cache; min of all
-        t0 = time.perf_counter()
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            kind = "TABLE" if t in _REF_TABLES else "VIEW"
+            con.sql(
+                f"CREATE {kind} {t} AS"
+                f" SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        total = 0.0
         for name in names:
-            con = duckdb.connect()
-            try:
-                for t in TABLES:
-                    con.sql(
-                        f"CREATE VIEW {t} AS"
-                        f" SELECT * FROM '{sf_dir}/{t}.parquet'"
-                    )
-                con.sql(REGISTRY[name].oracle).fetchall()
-            finally:
-                con.close()
-        totals.append(time.perf_counter() - t0)
-    return round(min(totals), 3)
+            sql = REGISTRY[name].oracle
+            con.sql(sql).fetchall()  # untimed warm pass
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            total += best
+    finally:
+        con.close()
+    return round(total, 3)
 
 
 def _timed_min(spark, name: str, sf_dir: str, passes: int = 2) -> float:
@@ -85,8 +104,8 @@ def _timed_min(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     convention: a single local-mode pass carries multi-hundred-ms GC /
     scheduling spikes (measured ±30%+ at sf1), and the minimum is the
     statistic that reflects the plan rather than the jitter.  The
-    DuckDB comparator reports the matching statistic (min of two timed
-    sweep totals)."""
+    DuckDB comparator reports the matching statistic (_duckdb_total:
+    per-query min of 2 timed passes after an untimed warm pass, summed)."""
     best = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
@@ -120,19 +139,15 @@ def main() -> None:
     for name in HEADLINE + EXTENDED:
         REGISTRY[name].fn(spark, warm_dir).count()
 
-    # Pin the bounded reference tables (dimensions + the small doc/vector
-    # corpora — everything except the three fact tables) in the columnar
-    # cache: the production pattern for hot dimensions, and the
-    # "dimension-broadcast reuse" a long-lived deployment gets for free.
-    # Spark's CacheManager substitutes the InMemoryRelation by logical-
-    # plan match, so the per-query code is untouched.  Facts (lineitem,
-    # orders, events) stay on parquet — caching those would time a
-    # different workload than the baseline reads.
-    _REF_TABLES = (
-        "region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings",
-    )
-
+    # Pin the dimension tables (_REF_TABLES) in the columnar cache: the
+    # production pattern for hot dimensions, and the "dimension-
+    # broadcast reuse" a long-lived deployment gets for free.  Spark's
+    # CacheManager substitutes the InMemoryRelation by logical-plan
+    # match, so the per-query code is untouched.  Facts (lineitem,
+    # orders, events) AND the doc/vector corpora stay on parquet —
+    # caching a query's primary input would time a different workload
+    # than the baseline reads.  DuckDB materializes the SAME five
+    # tables in memory (_duckdb_total), so pinning is symmetric.
     def _pin_refs(d: str) -> list:
         pinned = [load(spark, d, t).cache() for t in _REF_TABLES]
         for df in pinned:
@@ -164,37 +179,59 @@ def main() -> None:
         "duckdb_total": _duckdb_total(HEADLINE, sf_dir),
     }
 
-    # Second scale point (10× by key-shifted replication): Spark's fixed
-    # per-query cost (codegen, scheduling) amortizes with data volume
-    # while DuckDB scales ~linearly, so the engine ratio trend across
-    # the two points is what a capacity plan extrapolates from.
-    # Disable with SPARK_GRAFT_SCALE2=0.
-    if os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0" and sf <= 0.5:
+    def _scale_point(mult: int, extended_names: tuple[str, ...] = ()) -> dict:
+        """Replicate the fixture ``mult``× (key-shifted, FK-consistent)
+        and re-run the headline sweep there under the same protocol:
+        pin refs, one untimed pass per query at THIS scale (AQE-final
+        plans compiled, page cache warm — steady state, same as
+        DuckDB's OS-cached reads), then per-query min of 2."""
         from update_database_by_wind_spark.sources.replicate import (
             replicate_sf,
         )
 
+        sfn = round(sf * mult, 6)
+        sfn_dir = replicate_sf(
+            sf_dir, f"/tmp/wind_spark_sf{sfn:g}", copies=mult
+        )
+        pinned_n = _pin_refs(sfn_dir)
+        for name in HEADLINE:
+            REGISTRY[name].fn(spark, sfn_dir).count()
+        per_query_n = {
+            name: _timed_min(spark, name, sfn_dir) for name in HEADLINE
+        }
+        ext_n = {}
+        for name in extended_names:
+            REGISTRY[name].fn(spark, sfn_dir).count()
+            ext_n[name] = _timed_min(spark, name, sfn_dir)
+        for df in pinned_n:
+            df.unpersist()
+        point = {
+            "sf": sfn,
+            "value": round(sum(per_query_n.values()), 3),
+            "queries": per_query_n,
+            "duckdb_total": _duckdb_total(HEADLINE, sfn_dir),
+        }
+        if ext_n:
+            point["extended"] = ext_n
+        return point
+
+    # Second + third scale points (10× / 20× by key-shifted
+    # replication): Spark's fixed per-query cost (codegen, scheduling)
+    # amortizes with data volume while DuckDB scales ~linearly, so the
+    # engine-ratio TREND across three points is what a capacity plan
+    # extrapolates from — and is where the 2× gate is claimed
+    # (BASELINE.md).  scale2 also times the dedup-graph pair (l3e
+    # posting index + l3f connected components) at 10× pair-graph
+    # density, the receipt for the O(log chain) iteration claim.
+    # Disable with SPARK_GRAFT_SCALE2=0 / SPARK_GRAFT_SCALE3=0.
+    if os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0" and sf <= 0.5:
         for df in pinned:
             df.unpersist()
-        sf2 = round(sf * 10, 6)
-        sf2_dir = replicate_sf(sf_dir, f"/tmp/wind_spark_sf{sf2:g}", copies=10)
-        pinned2 = _pin_refs(sf2_dir)
-        # one untimed pass at the target scale: AQE-final plans compiled,
-        # page cache warm — steady state at THIS scale, same as DuckDB's
-        # OS-cached reads
-        for name in HEADLINE:
-            REGISTRY[name].fn(spark, sf2_dir).count()
-        per_query2 = {
-            name: _timed_min(spark, name, sf2_dir) for name in HEADLINE
-        }
-        for df in pinned2:
-            df.unpersist()
-        out["scale2"] = {
-            "sf": sf2,
-            "value": round(sum(per_query2.values()), 3),
-            "queries": per_query2,
-            "duckdb_total": _duckdb_total(HEADLINE, sf2_dir),
-        }
+        out["scale2"] = _scale_point(
+            10, ("l3e_ngram_jaccard", "l3f_dup_clusters")
+        )
+        if os.environ.get("SPARK_GRAFT_SCALE3", "1") != "0" and sf <= 0.15:
+            out["scale3"] = _scale_point(20)
 
     print(json.dumps(out))
 
