@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,8 +63,25 @@ def _events_raw_schema(sf_dir: str) -> tuple[StructType, bool]:
     paths = sorted(_glob.glob(f"{sf_dir}/events*.parquet"))
     nanos = True
     if paths:
-        t = _papq.ParquetFile(paths[0]).schema_arrow.field("ts").type
-        nanos = getattr(t, "unit", None) == "ns"
+        # every file's footer, not just the first: a fixture directory
+        # with mixed NANOS/MICROS files (partially regenerated between
+        # rounds) must fail loudly here — declaring one unit for the
+        # other files would silently compress their timestamps 1000×,
+        # exactly the bug this function exists to prevent
+        units = {
+            getattr(
+                _papq.ParquetFile(p).schema_arrow.field("ts").type,
+                "unit",
+                None,
+            )
+            for p in paths
+        }
+        if len(units) > 1:
+            raise ValueError(
+                f"mixed events.ts parquet units {sorted(map(str, units))} "
+                f"across {paths}; regenerate the fixture directory"
+            )
+        nanos = units == {"ns"}
     ts_field = (
         StructField("ts", LongType())
         if nanos
@@ -114,6 +132,11 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+# serializes the session-global shuffle-partition swap inside
+# run_to_memory; see its docstring's concurrency note
+_RUN_LOCK = threading.Lock()
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
@@ -136,10 +159,21 @@ def run_to_memory(
     memory): the checkpoint dir is removed after termination and the
     uuid-named memory-sink view is dropped once its rows are copied
     into a plain local-relation DataFrame (streaming results here are
-    bounded aggregates, so the copy is small by construction)."""
+    bounded aggregates, so the copy is small by construction).
+
+    Concurrency: the conf swap is session-global, so overlapping calls
+    are serialized under a module lock (an interleaved restore would
+    reinstate the wrong previous value), and any BATCH query planned on
+    the same session while a stream drains is planned with
+    ``state_partitions`` shuffle partitions — harmless for results,
+    only for that plan's parallelism.  The registry's streaming queries
+    are driven single-threaded by the driver/pytest; a deployment that
+    shares a session across threads should scope the setting per
+    stream via a dedicated session clone instead."""
     name = "stream_result_" + uuid.uuid4().hex[:12]
     ckpt = scratch_dir("wind_spark_ckpt_")
     spark = stream_df.sparkSession
+    _RUN_LOCK.acquire()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
@@ -158,6 +192,7 @@ def run_to_memory(
         result = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _RUN_LOCK.release()
         try:
             spark.catalog.dropTempView(name)
         except Exception:
