@@ -86,6 +86,11 @@ def _write_documents(docs) -> str:
         "l3f_dup_clusters",
         "l3g_cluster_dedup_keep",
         "l3h_portable_minhash",
+        # round-4 additions: passage-level dedup (chunk boundary cases —
+        # docs shorter than one chunk, collision-rich repeated chunks)
+        # and the stratum-count mix reweighting
+        "l3j_chunk_dedup",
+        "tr_mix_weights",
     ],
 )
 @given(docs=_DOCS)

@@ -595,3 +595,87 @@ def l3h_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_eq / len(_MH_PERMS), 6).alias("est_jaccard"),
         )
     )
+
+
+# --- L3j: passage(chunk)-level dedup profile ----------------------------------
+
+_L3J_CHUNK = 10  # tokens per passage
+
+_L3J_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(
+           tk[(i - 1) * {_L3J_CHUNK} + 1 : i * {_L3J_CHUNK}], ' '
+         ) AS chunk
+  FROM toks,
+       UNNEST(range(1, CAST(floor(len(tk) / {_L3J_CHUNK}) AS BIGINT) + 1))
+         AS t(i)
+),
+occ AS (SELECT chunk, COUNT(*) AS occ FROM chunks GROUP BY chunk)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_frac
+FROM chunks c JOIN occ o USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+@query("l3j_chunk_dedup", oracle=_L3J_ORACLE, tags=("dedup", "neardup"))
+def l3j_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3j: passage-level duplication profile — the Gopher/FineWeb-style
+    "fraction of duplicated passages" signal, over fixed 10-token chunks
+    (the fixture corpus has no paragraph separators, so fixed-width
+    passages are the segmentation).  Per doc: number of full chunks,
+    how many of them occur more than once ANYWHERE in the corpus, and
+    the duplicated fraction — the input to boilerplate/template
+    filtering, one level finer than whole-document dedup (L1/L2) and
+    cheaper than pairwise near-dup (L3e).
+
+    Scale shape: chunks are hashed to int64 (xxhash64) before the
+    global occurrence groupBy, so the corpus-wide shuffle moves (hash,
+    doc_id) pairs — never passage text (same key-compression argument
+    as l3e, and a collision would surface as an oracle mismatch).  The
+    occurrence join is chunk-hash → chunk-hash on the exchange the
+    groupBy already produced; the per-doc rollup shuffles bounded
+    (doc_id, flags) rows.  No all-pairs stage exists at any scale."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    chunks_arr = F.transform(
+        F.sequence(
+            F.lit(1), F.floor(F.size("toks") / _L3J_CHUNK).cast("int")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("toks"), (i - 1) * _L3J_CHUNK + 1, _L3J_CHUNK)
+        ),
+    )
+    docs = load(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("toks") >= _L3J_CHUNK, chunks_arr).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", F.xxhash64("chunk_text").alias("h"))
+    )
+    occ = chunks.groupBy("h").agg(F.count("*").alias("occ"))
+    dup_flag = F.when(F.col("occ") > 1, 1).otherwise(0)
+    return (
+        chunks.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup_flag).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup_flag) / F.count("*"), 6).alias("dup_frac"),
+        )
+    )

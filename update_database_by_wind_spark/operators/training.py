@@ -396,3 +396,56 @@ def tr_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("straddles").cast("long").alias("n_straddling"),
         )
     )
+
+
+# --- TRmix: temperature-reweighted training mix --------------------------------
+
+_MIX_ALPHA = 0.5  # sampling temperature exponent (alpha < 1 upweights tails)
+
+_TRMIX_ORACLE = f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n_docs
+  FROM documents
+  GROUP BY lang, source
+),
+tot AS (
+  SELECT SUM(n_docs) AS total,
+         SUM(POWER(n_docs, {_MIX_ALPHA})) AS wtotal
+  FROM g
+)
+SELECT g.lang, g.source, g.n_docs,
+       ROUND(g.n_docs * 1.0 / t.total, 6) AS raw_share,
+       ROUND(POWER(g.n_docs, {_MIX_ALPHA}) / t.wtotal, 6) AS temp_share
+FROM g, tot t
+"""
+
+
+@query("tr_mix_weights", oracle=_TRMIX_ORACLE, tags=("training",))
+def tr_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRmix: temperature-reweighted source-mix shares — for every
+    (lang, source) stratum, its raw share of the corpus and its
+    share after temperature resampling with exponent α=0.5
+    (count^α / Σ count^α), the standard recipe for upweighting
+    low-resource strata when composing a training mix (multilingual
+    sampling à la the XLM-R / mT5 data recipes).
+
+    Scale shape: one map-side-combined groupBy on (lang, source)
+    reduces 100 TB of documents to a stratum-count frame bounded by
+    the label-combination count; the normalizing totals ride in on a
+    broadcast 1-row crossJoin (the scalar-subquery plan, same pattern
+    as a13's bounds), so nothing else shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    tot = g.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))).alias("wtotal"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("raw_share"),
+        F.round(
+            F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("wtotal"), 6
+        ).alias("temp_share"),
+    )
