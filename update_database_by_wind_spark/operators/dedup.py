@@ -642,10 +642,19 @@ def l3j_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: chunks are hashed to int64 (xxhash64) before the
     global occurrence groupBy, so the corpus-wide shuffle moves (hash,
     doc_id) pairs — never passage text (same key-compression argument
-    as l3e, and a collision would surface as an oracle mismatch).  The
-    occurrence join is chunk-hash → chunk-hash on the exchange the
-    groupBy already produced; the per-doc rollup shuffles bounded
-    (doc_id, flags) rows.  No all-pairs stage exists at any scale."""
+    as l3e, and a collision would surface as an oracle mismatch).  ONE
+    wide shuffle total: the groupBy(h) produces the occurrence count
+    AND the doc posting list in the same pass (the l3e single-
+    aggregation idiom — a join of chunks against a separately
+    aggregated count table would either broadcast a corpus-sized build
+    side or re-compute the chunking under a second exchange, both
+    verified in the physical plan), then the re-explode of the posting
+    lists shuffles bounded (doc_id, flag) rows for the per-doc rollup.
+    Memory bound: a boilerplate chunk's full posting list buffers in
+    one aggregation buffer before the explode, the same documented
+    bound as l3e's one-pass path (fine to df ≈ 10⁷ per chunk; an
+    l3e-style two-pass escape applies if a corpus ever needs it).
+    No all-pairs stage exists at any scale."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     chunks_arr = F.transform(
         F.sequence(
@@ -668,10 +677,12 @@ def l3j_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("chunk_text").alias("h"))
     )
-    occ = chunks.groupBy("h").agg(F.count("*").alias("occ"))
+    posting = chunks.groupBy("h").agg(
+        F.count("*").alias("occ"), F.collect_list("doc_id").alias("docs")
+    )
     dup_flag = F.when(F.col("occ") > 1, 1).otherwise(0)
     return (
-        chunks.join(occ, "h")
+        posting.select("occ", F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
