@@ -203,3 +203,29 @@ def test_q14_pushes_shipdate_filter(spark, sf_oracle):
     """Q14: the one-month shipdate filter must reach the parquet scan."""
     plan = formatted_plan(REGISTRY["q14_promo_revenue"].fn(spark, sf_oracle))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_chunk_dedup_is_join_free_single_scan(spark, sf_oracle):
+    """L3j: the occurrence count and the doc posting list must come out
+    of ONE groupBy — a join of the chunk stream against a separately
+    aggregated count table either broadcasts a corpus-sized build side
+    or recomputes the chunking under a second exchange (both observed
+    before the fix).  Invariants: no join operator of any kind, exactly
+    one parquet scan, and the wide shuffle keys on the int64 chunk
+    hash, not the chunk text."""
+    plan = formatted_plan(REGISTRY["l3j_chunk_dedup"].fn(spark, sf_oracle))
+    for join_kind in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert join_kind not in plan, f"unexpected {join_kind} in l3j plan"
+    # formatted mode prints each scan twice (tree + detail block); the
+    # detail block's Location line appears once per distinct scan node
+    assert plan.count("Location: InMemoryFileIndex") == 1, (
+        "chunking computed twice"
+    )
+    assert "xxhash64(chunk_text" in plan  # hashed before the exchange
+    assert "hashpartitioning(h#" in plan  # shuffle keys on the hash
