@@ -91,6 +91,12 @@ def _write_documents(docs) -> str:
         # and the stratum-count mix reweighting
         "l3j_chunk_dedup",
         "tr_mix_weights",
+        # multimodal surface on adversarial text payloads: empty docs
+        # must expand to ZERO chunks (sequence(0,-1) descends — caught
+        # here) and decode byte features must match ascii() on the
+        # ASCII-vocab corpus
+        "mm_binary_decode",
+        "mm_chunk_expansion",
     ],
 )
 @given(docs=_DOCS)

@@ -102,14 +102,22 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# empty payloads take the kernel's sentinel path explicitly: the kernel
+# returns first/last_byte = -1 and checksum 0 for b"", while DuckDB's
+# ascii('') is 0 and list_sum([]) is NULL — an unguarded oracle would
+# diverge on any corpus containing an empty document
 _MM_DECODE_ORACLE = """
 SELECT doc_id,
        CAST(strlen(text) AS INTEGER) AS n_bytes,
-       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
-       CAST(ascii(substring(text, length(text), 1)) AS INTEGER) AS last_byte,
-       CAST(list_sum(list_transform(range(1, length(text) + 1),
-                     i -> ascii(substring(text, i, 1)))) AS BIGINT) % 1000003
-         AS byte_checksum
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substring(text, 1, 1)) END AS INTEGER)
+         AS first_byte,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substring(text, length(text), 1)) END AS INTEGER)
+         AS last_byte,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+         % 1000003 AS byte_checksum
 FROM documents
 WHERE doc_id % 11 = 0
 """
@@ -160,11 +168,12 @@ def mm_chunk_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stays in codegen.  Chunk identity is md5-stamped for lineage."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
     n_chunks = F.ceil(F.length("text") / 100.0).cast("long")
-    chunks = docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    # sequence(0, -1) DESCENDS (default step -1), so an empty payload
+    # must short-circuit to zero chunk rows, not [0, -1]
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
     )
+    chunks = docs.select("doc_id", "text", F.explode(idx).alias("chunk_idx"))
     chunk_text = F.substring(
         F.col("text"), (F.col("chunk_idx") * 100 + 1).cast("int"), 100
     )
