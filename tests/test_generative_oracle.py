@@ -91,6 +91,7 @@ def _write_documents(docs) -> str:
         # and the stratum-count mix reweighting
         "l3j_chunk_dedup",
         "tr_mix_weights",
+        "tr_token_budget",
         # multimodal surface on adversarial text payloads: empty docs
         # must expand to ZERO chunks (sequence(0,-1) descends — caught
         # here) and decode byte features must match ascii() on the

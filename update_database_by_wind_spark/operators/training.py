@@ -449,3 +449,91 @@ def tr_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("wtotal"), 6
         ).alias("temp_share"),
     )
+
+
+# --- TRbudget: token-budget allocation across strata ---------------------------
+
+_BUDGET_FRAC = 0.5  # train on half the corpus tokens, reallocated by temp_share
+
+_TRBUDGET_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang, source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total,
+         SUM(POWER(n_tokens, {_MIX_ALPHA})) AS wtotal
+  FROM g
+)
+SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+       ROUND(POWER(g.n_tokens, {_MIX_ALPHA}) / t.wtotal, 6) AS temp_share,
+       ROUND(LEAST(1.0, {_BUDGET_FRAC} * t.total
+                        * (POWER(g.n_tokens, {_MIX_ALPHA}) / t.wtotal)
+                        / g.n_tokens), 6) AS keep_rate
+FROM g, tot t
+WHERE g.n_tokens > 0
+"""
+
+
+@query("tr_token_budget", oracle=_TRBUDGET_ORACLE, tags=("training",))
+def tr_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRbudget: token-budget allocation — the step after
+    ``tr_mix_weights``: given a training budget of half the corpus
+    tokens, redistribute it across (lang, source) strata by the
+    temperature shares (token-count^α / Σ) and emit each stratum's
+    per-document KEEP RATE = min(1, budget·share / stratum_tokens) —
+    the sampling rate a downsampler (tr_stratified_sample's mechanism)
+    then applies.  Oversubscribed strata cap at 1.0 (a stratum cannot
+    yield more tokens than it has); the budget is relative to corpus
+    size, so the query is scale-free.
+
+    Scale shape: token counting is a narrow map (split + size, no
+    explode); one map-side-combined groupBy reduces the corpus to the
+    stratum frame; the two normalizing totals ride in on a broadcast
+    1-row crossJoin.  Nothing data-sized shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    g = (
+        docs.select("lang", "source", n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow("n_tokens", F.lit(_MIX_ALPHA))).alias("wtotal"),
+    )
+    share = F.pow("n_tokens", F.lit(_MIX_ALPHA)) / F.col("wtotal")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("temp_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_BUDGET_FRAC)
+                    * F.col("total")
+                    * share
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
