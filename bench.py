@@ -36,10 +36,11 @@ HEADLINE = [
     "l10_multimodal_join",
 ]
 
-# round-1 extension surface, timed alongside but kept OUT of the headline
-# metric so the total stays comparable across rounds
+# extension surface, timed alongside but kept OUT of the headline
+# metric so the total stays comparable across rounds (l3j added r4)
 EXTENDED = [
     "l3e_ngram_jaccard",
+    "l3j_chunk_dedup",
     "l4c_cosine_topk_vectorized",
     "l5_ivf_topk",
     "j10_salted_skew_join",
