@@ -229,7 +229,8 @@ def main() -> None:
         for df in pinned:
             df.unpersist()
         out["scale2"] = _scale_point(
-            10, ("l3e_ngram_jaccard", "l3f_dup_clusters")
+            10,
+            ("l3e_ngram_jaccard", "l3f_dup_clusters", "l3j_chunk_dedup"),
         )
         if os.environ.get("SPARK_GRAFT_SCALE3", "1") != "0" and sf <= 0.15:
             out["scale3"] = _scale_point(20)

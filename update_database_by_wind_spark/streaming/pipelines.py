@@ -140,7 +140,7 @@ _RUN_LOCK = threading.Lock()
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the final result as a batch DataFrame.
@@ -151,9 +151,12 @@ def run_to_memory(
     task count for the query's lifetime.  The pipelines here carry
     small bounded state (window × event_type scale), where 32+ state
     stores are pure per-batch task/commit overhead — measured at sf0.1,
-    addBatch drops ~40% going 16 → 4 partitions.  The conf is set for
-    the stream's duration and restored after; a production stream with
-    large keyspaces passes a bigger ``state_partitions``.
+    addBatch drops ~40% going 16 → 4 partitions, and the round-4 A/B
+    (st2/st4/st11, min-of-N wall) showed 4 beats 8 by 2–20% with 2
+    only marginally better than 4, so 4 is the bounded-state default.
+    The conf is set for the stream's duration and restored after; a
+    production stream with large keyspaces passes a bigger
+    ``state_partitions``.
 
     Scratch hygiene (repeated query runs must not grow /tmp or driver
     memory): the checkpoint dir is removed after termination and the
