@@ -456,6 +456,26 @@ def test_ann_lsh_recall_on_duplicate_corpus(spark):
     assert not problems, problems
 
 
+_LONG_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=30),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_LONG_DOCS)
+@settings(**_SETTINGS)
+def test_chunk_dedup_on_long_collision_rich_docs(spark, docs):
+    """l3j with documents long enough for MULTIPLE 10-token chunks and
+    a two-letter vocab so identical chunks recur across documents —
+    the shared corpus strategy caps docs at 12 tokens, which never
+    exercises multi-chunk splits or cross-doc duplicate chunks."""
+    sf_dir = _write_documents([(toks, "en", "web") for toks in docs])
+    spec = REGISTRY["l3j_chunk_dedup"]
+    problems = compare(spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir))
+    assert not problems, problems
+
+
 def test_l3b_minhash_lsh_recall_floor(spark):
     """l3b is the registry's one rows-only entry (spark.ml's murmur
     permutations aren't replayable in SQL) — this pins it quantitatively
