@@ -98,6 +98,13 @@ def _write_events(events, unit: str) -> str:
         "st11_streaming_ohlc",
         "st8_stream_static_join",
         "st10_stream_stream_join",
+        # stateful + sink paths: st6's integer-cents fold is exact on
+        # the generated value set (every value×100 is an integer, so
+        # numpy's half-even vs DuckDB's half-away rounding never
+        # diverges), st9's last-per-key MERGE needs only unique
+        # event_ids, which the generator guarantees
+        "st6_stateful_running_totals",
+        "st9_foreach_batch_sink",
     ],
 )
 @given(events=_EVENTS)
