@@ -92,6 +92,7 @@ def _write_documents(docs) -> str:
         "l3j_chunk_dedup",
         "tr_mix_weights",
         "tr_token_budget",
+        "l2b_canonical_dedup",
         # multimodal surface on adversarial text payloads: empty docs
         # must expand to ZERO chunks (sequence(0,-1) descends — caught
         # here) and decode byte features must match ascii() on the

@@ -52,7 +52,12 @@ def test_never_verified_queries_lead_the_window():
         for n in ops._ROUND4_FRONT
         if n not in set(ops._DRIVER_VERIFIED_R1_R3)
         and n
-        not in ("l3j_chunk_dedup", "tr_mix_weights", "tr_token_budget")
+        not in (
+            "l3j_chunk_dedup",
+            "tr_mix_weights",
+            "tr_token_budget",
+            "l2b_canonical_dedup",
+        )
     ]
     names = list(REGISTRY)
     assert names[: len(never)] == never

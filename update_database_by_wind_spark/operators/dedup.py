@@ -690,3 +690,90 @@ def l3j_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup_flag) / F.count("*"), 6).alias("dup_frac"),
         )
     )
+
+
+# --- L2b: canonical-text (normalized) hash dedup -------------------------------
+
+# lower → strip non-alphanumerics → collapse runs of spaces → trim: the
+# C4-style "fuzzy-exact" dedup key that merges documents differing only
+# in case, punctuation, or whitespace.  Patterns sit in the Java∩RE2
+# regex subset both engines execute identically (same discipline as the
+# blocklist redaction); DuckDB needs the explicit 'g' flag where Spark
+# replaces globally by default.
+_L2B_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, text,
+         sha256(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS ck,
+         sha256(text) AS rk
+  FROM documents
+),
+ranked AS (
+  SELECT lang,
+         ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS crn,
+         ROW_NUMBER() OVER (PARTITION BY rk ORDER BY doc_id) AS rrn
+  FROM keyed
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN crn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical,
+       CAST(SUM(CASE WHEN crn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN crn > 1 AND rrn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_norm_only
+FROM ranked
+GROUP BY lang
+"""
+
+
+@query("l2b_canonical_dedup", oracle=_L2B_ORACLE, tags=("dedup",))
+def l2b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: dedup on the CANONICALIZED text — lowercase, punctuation
+    stripped, whitespace collapsed — the C4-style fuzzy-exact key that
+    catches near-identical boilerplate raw hashing (L2) keeps.  Per
+    lang: docs, canonical survivors (min doc_id wins, deterministic
+    under any partitioning), removed docs, and ``n_norm_only`` — the
+    docs removed ONLY because of normalization (their raw text is
+    unique), i.e. the marginal yield of canonicalization over L2.
+
+    Scale shape: identical to L2 — the normalization is a narrow
+    per-row map and only 32-byte sha2 digests shuffle into the two
+    dedup windows; text never crosses the wire.  Both regex patterns
+    are in the Java∩RE2 subset both engines execute identically."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.sha2(canon, 256).alias("ck"),
+        F.sha2(F.col("text"), 256).alias("rk"),
+    )
+    crn = F.row_number().over(Window.partitionBy("ck").orderBy("doc_id"))
+    rrn = F.row_number().over(Window.partitionBy("rk").orderBy("doc_id"))
+    ranked = keyed.select(
+        "lang", crn.alias("crn"), rrn.alias("rrn")
+    )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("crn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("crn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when((F.col("crn") > 1) & (F.col("rrn") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_norm_only"),
+    )
