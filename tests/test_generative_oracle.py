@@ -542,6 +542,7 @@ def test_l3b_minhash_lsh_recall_floor(spark):
         "u2_upsert_merge",
         "u4_idempotent_rerun",
         "u5_calendar_backfill",
+        "u12_cdc_classify",
         "a12_mode_per_group",
         "a13_histogram_equiwidth",
     ],

@@ -57,6 +57,7 @@ def test_never_verified_queries_lead_the_window():
             "tr_mix_weights",
             "tr_token_budget",
             "l2b_canonical_dedup",
+            "u12_cdc_classify",
         )
     ]
     names = list(REGISTRY)

@@ -707,3 +707,99 @@ def u11_wind_update_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(appended).cast("long").alias("n_appended"),
         F.date_format(F.max("trade_date"), "yyyy-MM-dd").alias("last_day"),
     )
+
+
+# --- U12: CDC snapshot diff (insert/update/delete/unchanged) -------------------
+
+# Two simulated snapshots of the same key universe: OLD = orders before
+# the cutoff with price drift on every %7 key (the stale stored state,
+# same construction as U2's target) MINUS the %13 keys (rows the new
+# snapshot ADDED); NEW = the clean pre-cutoff orders MINUS the %11 keys
+# (rows the source DELETED).  The full-outer diff classifies every key.
+_U12_ORACLE = f"""
+WITH old_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9
+              ELSE o_totalprice END AS price,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}' AND o_orderkey % 13 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}' AND o_orderkey % 11 <> 0
+),
+classified AS (
+  SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN n.price <> o.price THEN 'update'
+           ELSE 'unchanged'
+         END AS change_type,
+         COALESCE(n.price, o.price) AS price
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT o_orderstatus, change_type,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('price', 'total_price')}
+FROM classified
+GROUP BY o_orderstatus, change_type
+"""
+
+
+@query("u12_cdc_classify", oracle=_U12_ORACLE, tags=("update", "cdc"))
+def u12_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12: CDC-style snapshot diff — the complement of U1 (which only
+    finds NEW keys): a full-outer join of the stored snapshot against
+    the fresh one classifies every key as insert / update / delete /
+    unchanged, the change feed a downstream MERGE or audit log
+    consumes.  Per (status, change_type): row count and price total.
+
+    Scale shape: one full-outer shuffle join on the long PK — both
+    sides hash-partition on the key, which is exactly how a
+    snapshot-diff must move data (no smaller sufficient statistic
+    exists for update detection); everything after is a bounded
+    grouped aggregate.  At 100 TB both snapshots would be bucketed on
+    the PK at write time, making this diff shuffle-free (the
+    bucketed-join plan proven in tests/test_plans.py)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    )
+    old_snap = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 0.9
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_price"),
+            F.col("o_orderstatus").alias("o_status"),
+        )
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("n_price"),
+        F.col("o_orderstatus").alias("n_status"),
+    )
+    joined = old_snap.join(new_snap, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("o_price").isNull(), "insert")
+        .when(F.col("n_price").isNull(), "delete")
+        .when(F.col("n_price") != F.col("o_price"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("n_status", "o_status").alias("o_orderstatus"),
+            change.alias("change_type"),
+            F.coalesce("n_price", "o_price").alias("price"),
+        )
+        .groupBy("o_orderstatus", "change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum("price", "total_price"),
+        )
+    )
