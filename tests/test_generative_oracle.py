@@ -478,17 +478,16 @@ def test_chunk_dedup_on_long_collision_rich_docs(spark, docs):
 
 
 def test_l3b_minhash_lsh_recall_floor(spark):
-    """l3b is the registry's one rows-only entry (spark.ml's murmur
-    permutations aren't replayable in SQL) — this pins it quantitatively
-    instead: against the EXACT char-5-gram Jaccard ground truth
-    (computed independently in Python on the fixture corpus),
-    the seeded approxSimilarityJoin must recover ≥90% of all true
-    pairs at similarity ≥ 0.5, and every pair it emits must BE a true
-    pair (approxSimilarityJoin filters candidates on exact distance, so
-    precision is structural, not probabilistic).  With seed=42 and
-    8 OR-amplified hash tables, P(miss) ≤ (1-j)^8 ≤ 0.4% per true pair;
-    measured recall on both fixture scales is 1.0 — the 0.9 floor is
-    the contract, not the expectation."""
+    """Since round 5, l3b emits the EXACT char-5-gram Jaccard ≥ 0.5 pair
+    set (driver-oracle-checkable) with ``lsh_found`` as the per-pair
+    recall guarantee of the seeded MinHashLSH index.  This test pins the
+    semantics against an independent Python ground truth: the emitted
+    pair set must EQUAL the true pair set (the audit leg is exact, not
+    approximate), and the index must recover ≥90% of true pairs.  With
+    seed=42 and 8 OR-amplified hash tables, P(miss) ≤ (1-j)^8 ≤ 0.4%
+    per true pair; measured recall on both fixture scales is 1.0 — the
+    0.9 floor is the contract, not the expectation (the driver oracle
+    asserts lsh_found=TRUE outright, which also holds)."""
     import pyarrow.parquet as _pq
 
     sf_dir = "/root/testdata/sf0.001"
@@ -513,13 +512,12 @@ def test_l3b_minhash_lsh_recall_floor(spark):
             if union and len(sa & sb) / union >= 0.5:
                 truth.add((ia, ib))
     assert truth, "fixture corpus must contain near-duplicate pairs"
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in REGISTRY["l3b_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
-    }
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.9, (recall, sorted(truth - got))
-    assert got <= truth, sorted(got - truth)  # exact-distance precision
+    rows = REGISTRY["l3b_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == truth, (sorted(truth - got), sorted(got - truth))
+    found = {(r.doc_a, r.doc_b) for r in rows if r.lsh_found}
+    recall = len(found) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - found))
 
 
 @pytest.mark.parametrize(

@@ -407,18 +407,60 @@ def l3e_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
-# --- L3b: MinHash LSH near-dup (approximate, rows-only) -----------------------
+# --- L3b: MinHash LSH near-dup (approximate index, exact-audited oracle) ------
+
+# Exact char-5-gram Jaccard ≥ 0.5 pairs, computed by DuckDB through the
+# same shingle inverted index the Spark audit leg uses.  The oracle
+# asserts TRUE for ``lsh_found``: the seeded MinHashLSH index must
+# recover every exact pair.  On the fixtures every exact pair has
+# Jaccard ≥ 0.92, so the per-pair miss probability with 8 independent
+# minhash tables is (1 - 0.92)^8 ≈ 2e-9 — the guarantee has wide margin
+# (the same rows-only→guarantee upgrade as l5_ann_lsh / a3 / a9b).
+_L3B_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([text[i:i+4]
+                 for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ROUND(p.n_shared / (sa.n + sb.n - p.n_shared), 6) AS jaccard,
+       TRUE AS lsh_found
+FROM p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.n_shared / (sa.n + sb.n - p.n_shared) >= 0.5
+ORDER BY doc_a, doc_b
+"""
 
 
-@query("l3b_minhash_lsh_pairs", oracle=None, tags=("dedup", "neardup", "ml"))
+@query("l3b_minhash_lsh_pairs", oracle=_L3B_ORACLE, tags=("dedup", "neardup", "ml"))
 def l3b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3b: MinHash-LSH near-duplicate pairs — shingle(5-gram chars) →
-    CountVectorizer(binary) → MinHashLSH(seeded) → approxSimilarityJoin
-    at Jaccard distance ≤ 0.5.  Candidate comparisons happen only
-    within LSH buckets, the O(n²)-avoiding scale path.  Approximate →
-    rows-only driver check; determinism via fixed seed and canonical
-    (a < b) pair ordering."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+    """L3b: MinHash-LSH near-duplicate pairs with an exact-audit oracle.
+
+    Index leg (the 100 TB scale path): shingle(char 5-gram) →
+    CountVectorizer(binary) → seeded MinHashLSH(8 tables) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.5 — candidate
+    comparisons happen only within LSH buckets, never all-pairs.
+
+    Audit leg (driver-checkable ground truth): the exact Jaccard ≥ 0.5
+    pair set via a distinct-shingle inverted index — the same
+    posting-list shape as l3e (one wide shuffle keyed on shingles; at
+    extreme corpus-level df the l3e df-cap / two_pass escape applies,
+    documented at ``ngram_jaccard_pairs``).  The output is the exact
+    pair set with its true Jaccard plus ``lsh_found``, the per-pair
+    recall guarantee the oracle asserts TRUE.  approxSimilarityJoin
+    verifies true distances on candidates, so found ⊆ exact and the
+    only possible failure is a recall miss — probability ≈ 2e-9/pair
+    on the fixtures (see ``_L3B_ORACLE``)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # character 5-gram shingles via built-ins (no python UDF)
@@ -436,14 +478,45 @@ def l3b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = model.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     lsh_model = lsh.fit(feats)
-    pairs = lsh_model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.select(
+    found = (
+        lsh_model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hit", F.lit(True))
+    )
+    # exact audit leg: distinct-shingle inverted index (l3e shape)
+    sh = (
+        shingled.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .join(found, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(jac, 6).alias("jaccard"),
+            F.coalesce(F.col("hit"), F.lit(False)).alias("lsh_found"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

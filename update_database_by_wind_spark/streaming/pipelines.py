@@ -176,26 +176,30 @@ def run_to_memory(
     name = "stream_result_" + uuid.uuid4().hex[:12]
     ckpt = scratch_dir("wind_spark_ckpt_")
     spark = stream_df.sparkSession
-    _RUN_LOCK.acquire()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(state_partitions)
-        )
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        sink = spark.table(name)
-        result = spark.createDataFrame(sink.collect(), sink.schema)
+        # `with` (not manual acquire/release) so a raise anywhere in the
+        # get/set/restore region — including conf.get itself — still
+        # releases the module lock instead of deadlocking later callers
+        with _RUN_LOCK:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(state_partitions)
+                )
+                q = (
+                    stream_df.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(output_mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                sink = spark.table(name)
+                result = spark.createDataFrame(sink.collect(), sink.schema)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        _RUN_LOCK.release()
         try:
             spark.catalog.dropTempView(name)
         except Exception:
