@@ -154,6 +154,63 @@ def test_l3e_cap_drops_boilerplate_only_pairs(spark):
     assert pairs == {(30, 31)}, pairs
 
 
+@given(tok_lists=_HOT_TOKS)
+@settings(**_SETTINGS)
+def test_l3e_two_pass_matches_oracle_on_hot_shingle(spark, tok_lists):
+    """The ``two_pass=True`` escape hatch (count-first + broadcast
+    anti-join, aggregation buffers bounded by the cap instead of by a
+    hot shingle's full df) must reproduce the capped semantics of the
+    one-pass plan — proven against the SAME DuckDB oracle on corpora
+    where every doc carries an injected boilerplate trigram with
+    df ≥ 25 ≫ cap(20), i.e. where the hot-set anti-join is active."""
+    from update_database_by_wind_spark.operators.dedup import (
+        _L3E_ORACLE,
+        ngram_jaccard_pairs,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    docs = [
+        (toks + ["hotx", "hoty", "hotz"], "en", "web") for toks in tok_lists
+    ]
+    sf_dir = _write_documents(docs)
+    res = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), two_pass=True
+    )
+    problems = compare(res, run_oracle(_L3E_ORACLE, sf_dir))
+    assert not problems, problems
+
+
+def test_l3e_two_pass_extreme_df_boilerplate(spark):
+    """Deterministic worst case for the one-pass buffer bound: a
+    boilerplate shingle present in EVERY one of 60 docs (df = 60, 3×
+    the cap).  two_pass must (a) drop the boilerplate-only pairs,
+    (b) keep the genuine near-dup pair, and (c) agree cell-exactly
+    with both the oracle and the one-pass plan."""
+    from update_database_by_wind_spark.operators.dedup import (
+        _L3E_ORACLE,
+        ngram_jaccard_pairs,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    docs = [
+        ([f"u{i}", f"t{i}", f"w{i}", "terms", "of", "service"], "en", "web")
+        for i in range(60)
+    ]
+    docs.append((["alpha", "beta", "gamma", "delta", "eps"], "en", "web"))
+    docs.append((["alpha", "beta", "gamma", "delta", "zeta"], "en", "web"))
+    sf_dir = _write_documents(docs)
+    loaded = load(spark, sf_dir, "documents")
+    two = ngram_jaccard_pairs(loaded, two_pass=True)
+    problems = compare(two, run_oracle(_L3E_ORACLE, sf_dir))
+    assert not problems, problems
+    got_two = {(r.doc_a, r.doc_b) for r in two.collect()}
+    got_one = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(loaded, two_pass=False).collect()
+    }
+    assert got_two == got_one == {(60, 61)}, (got_two, got_one)
+
+
 # --- events corpus: timestamp-heavy paths (lag, RANGE frames, as-of) ----------
 
 _BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in microseconds

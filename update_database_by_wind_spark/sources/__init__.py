@@ -2,9 +2,10 @@
 
 from update_database_by_wind_spark.sources.tables import (
     TABLES,
+    fan_out,
     load,
     load_all,
     register_views,
 )
 
-__all__ = ["TABLES", "load", "load_all", "register_views"]
+__all__ = ["TABLES", "fan_out", "load", "load_all", "register_views"]

@@ -60,6 +60,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-partitioned input up to the
+    session's core count — and a no-op otherwise.
+
+    Single-file fixture tables are written as ONE parquet row group, so
+    the scan cannot split below one task no matter how small
+    ``spark.sql.files.maxPartitionBytes`` goes; a CPU-bound stage fed by
+    such a scan (per-pair similarity folds, corpus-wide tokenization)
+    would run single-threaded.  A production 100 TB corpus is thousands
+    of files/row groups, where this helper does nothing — the guard
+    makes the fan-out strictly a small-input correction, never an extra
+    full-corpus shuffle at scale."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
