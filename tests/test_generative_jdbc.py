@@ -93,3 +93,89 @@ def test_jdbc_upsert_matches_keep_latest_reference(spark, batches):
     df = spark.createDataFrame(last_rows, "pk bigint, seq bigint, val double")
     upsert_jdbc(df, url, "fuzz_t", pk_cols=["pk"], order_col="seq")
     assert read_back() == expected
+
+
+# --- CDC merge: insert/update/delete feeds through cdc_merge_sql --------------
+
+_CDC_OPS = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # pk
+            st.sampled_from(_VALUES),
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=_CDC_OPS)
+@settings(**_SETTINGS)
+def test_jdbc_cdc_merge_matches_apply_reference(spark, batches):
+    """``cdc_merge_sql`` semantics under arbitrary feeds, including the
+    degenerate labels a classifier never emits but an at-least-once
+    transport can replay: a 'delete' for an absent key is a no-op, an
+    'insert' for a present key updates (MERGE matches on the key, not
+    on the label), and within a batch the max-seq row per key wins the
+    stage.  The reference is an independently computed dict apply;
+    after all batches, re-applying the final batch must be a no-op."""
+    from update_database_by_wind_spark.sources.jdbc import (
+        cdc_merge_sql,
+        upsert_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:memory:cdcfz_{uuid.uuid4().hex[:10]};create=true"
+    empty = spark.createDataFrame([], "pk bigint, seq bigint, val double")
+    write_jdbc(empty, url, "cdc_t", mode="overwrite")
+    merge = cdc_merge_sql(
+        "cdc_t", "cdc_t_stage", ["pk"], ["seq", "val"]
+    )
+
+    def apply_batch(rows) -> None:
+        df = spark.createDataFrame(
+            rows, "pk bigint, seq bigint, val double, change_type string"
+        )
+        upsert_jdbc(
+            df,
+            url,
+            "cdc_t",
+            pk_cols=["pk"],
+            order_col="seq",
+            merge_sql=merge,
+            column_types="change_type VARCHAR(16)",
+        )
+
+    expected: dict[int, tuple[int, float]] = {}
+    seq = 0
+    all_rows = []
+    for batch in batches:
+        rows = []
+        for pk, val, change in batch:
+            rows.append((pk, seq, val, change))
+            seq += 1
+        all_rows.append(rows)
+        winners: dict[int, tuple[int, float, str]] = {}
+        for pk, s, v, c in rows:
+            if pk not in winners or s > winners[pk][0]:
+                winners[pk] = (s, v, c)
+        for pk, (s, v, c) in winners.items():
+            if c == "delete":
+                expected.pop(pk, None)
+            else:
+                expected[pk] = (s, v)
+        apply_batch(rows)
+
+    def read_back() -> dict[int, tuple[int, float]]:
+        return {
+            r.pk: (r.seq, r.val)
+            for r in spark.read.jdbc(url, "cdc_t").collect()
+        }
+
+    assert read_back() == expected
+    # idempotence: replaying the final batch leaves the table unchanged
+    apply_batch(all_rows[-1])
+    assert read_back() == expected

@@ -767,23 +767,42 @@ def u12_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
     )
-    old_snap = (
-        orders.filter(F.col("o_orderkey") % 13 != 0)
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 0.9
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_price"),
-            F.col("o_orderstatus").alias("o_status"),
+    old_snap, new_snap = _u12_snapshots(orders)
+    return (
+        _u12_feed(old_snap, new_snap)
+        .groupBy("o_orderstatus", "change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum("price", "total_price"),
         )
+    )
+
+
+def _u12_snapshots(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """OLD/NEW simulated snapshots of the pre-cutoff orders (shared by
+    u12's classifier and u13's end-to-end CDC apply): OLD drifts every
+    %7 price and lacks the %13 keys (future inserts); NEW is clean but
+    lacks the %11 keys (deletes)."""
+    old_snap = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 0.9)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_price"),
+        F.col("o_orderstatus").alias("o_status"),
     )
     new_snap = orders.filter(F.col("o_orderkey") % 11 != 0).select(
         "o_orderkey",
         F.col("o_totalprice").alias("n_price"),
         F.col("o_orderstatus").alias("n_status"),
     )
+    return old_snap, new_snap
+
+
+def _u12_feed(old_snap: DataFrame, new_snap: DataFrame) -> DataFrame:
+    """Row-level classified change feed: one full-outer shuffle join on
+    the PK (both sides hash-partition on the key — the minimal data
+    movement update detection admits), every key labeled insert /
+    update / delete / unchanged."""
     joined = old_snap.join(new_snap, "o_orderkey", "full_outer")
     change = (
         F.when(F.col("o_price").isNull(), "insert")
@@ -791,15 +810,146 @@ def u12_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_price") != F.col("o_price"), "update")
         .otherwise("unchanged")
     )
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("n_status", "o_status").alias("o_orderstatus"),
+        change.alias("change_type"),
+        F.coalesce("n_price", "o_price").alias("price"),
+    )
+
+
+# --- U13: CDC change feed applied through the JDBC MERGE sink -----------------
+
+# The final database state after applying the classified feed must BE
+# the new snapshot, bit-exactly — so the oracle replays new_snap and
+# joins on the feed's per-status insert/update/delete counts.  If the
+# server-side MERGE misrouted a single row (a delete surviving, an
+# update skipped, an insert dropped) the per-status totals break.
+_U13_ORACLE = f"""
+WITH old_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9
+              ELSE o_totalprice END AS price,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}' AND o_orderkey % 13 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}' AND o_orderkey % 11 <> 0
+),
+feed AS (
+  SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN n.price <> o.price THEN 'update'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+),
+feed_stats AS (
+  SELECT o_orderstatus,
+         CAST(SUM(CASE WHEN change_type = 'insert' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ins,
+         CAST(SUM(CASE WHEN change_type = 'update' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_upd,
+         CAST(SUM(CASE WHEN change_type = 'delete' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_del
+  FROM feed GROUP BY o_orderstatus
+)
+SELECT s.o_orderstatus,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('s.price', 'total_price')},
+       f.n_ins, f.n_upd, f.n_del
+FROM new_snap s JOIN feed_stats f USING (o_orderstatus)
+GROUP BY s.o_orderstatus, f.n_ins, f.n_upd, f.n_del
+"""
+
+
+@query("u13_cdc_merge_sink", oracle=_U13_ORACLE, tags=("update", "cdc", "jdbc"))
+def u13_cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U13: CDC follow-through — U12's classified change feed applied
+    to a real database, end to end:
+
+    1. seed in-memory Derby with the OLD snapshot over JDBC;
+    2. compute the row-level insert/update/delete feed (U12's
+       full-outer diff) and drop the 'unchanged' rows — a CDC feed
+       carries changes only;
+    3. apply the feed with ONE server-side set-based statement
+       (``sources/jdbc.cdc_merge_sql``): stage the feed in parallel,
+       then a conditional MERGE routes matched deletes to DELETE,
+       matched non-deletes to UPDATE, unmatched inserts to INSERT —
+       no per-row round-trips, and unmatched deletes are no-ops so
+       re-applying the same feed is idempotent;
+    4. read the table back and aggregate per status, joined with the
+       feed's per-status change counts.  The oracle replays the NEW
+       snapshot directly: the read-back totals match only if the
+       database now equals the new snapshot bit-exactly.
+
+    Scale shape: the diff is the one PK-partitioned shuffle (u12),
+    the stage write is a parallel batch sink, and the MERGE is
+    O(changes) set-based work on the server regardless of target
+    size — the same contract as u11's append-only pipeline, now
+    covering the full insert/update/delete triangle."""
+    import uuid as _uuid
+
+    from update_database_by_wind_spark.sources.jdbc import (
+        cdc_merge_sql,
+        upsert_jdbc,
+        write_jdbc,
+    )
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    )
+    old_snap, new_snap = _u12_snapshots(orders)
+    url = f"jdbc:derby:memory:cdc_{_uuid.uuid4().hex[:10]};create=true"
+    # VARCHAR: Derby maps StringType to CLOB by default, and the MERGE's
+    # conditional WHEN clauses compare change_type while the read-back
+    # aggregate groups on o_orderstatus
+    write_jdbc(
+        old_snap.select(
+            "o_orderkey",
+            F.col("o_price").alias("price"),
+            F.col("o_status").alias("o_orderstatus"),
+        ),
+        url,
+        "orders_t",
+        mode="overwrite",
+        column_types="o_orderstatus VARCHAR(8)",
+    )
+    changes = _u12_feed(old_snap, new_snap).filter(
+        F.col("change_type") != "unchanged"
+    )
+    upsert_jdbc(
+        changes.select("o_orderkey", "price", "o_orderstatus", "change_type"),
+        url,
+        "orders_t",
+        pk_cols=["o_orderkey"],
+        merge_sql=cdc_merge_sql(
+            "orders_t",
+            "orders_t_stage",
+            ["o_orderkey"],
+            ["price", "o_orderstatus"],
+        ),
+        column_types="o_orderstatus VARCHAR(8), change_type VARCHAR(16)",
+    )
+    final = spark.read.jdbc(url, "orders_t")
+    feed_stats = changes.groupBy("o_orderstatus").agg(
+        F.sum((F.col("change_type") == "insert").cast("long")).alias("n_ins"),
+        F.sum((F.col("change_type") == "update").cast("long")).alias("n_upd"),
+        F.sum((F.col("change_type") == "delete").cast("long")).alias("n_del"),
+    )
     return (
-        joined.select(
-            F.coalesce("n_status", "o_status").alias("o_orderstatus"),
-            change.alias("change_type"),
-            F.coalesce("n_price", "o_price").alias("price"),
-        )
-        .groupBy("o_orderstatus", "change_type")
+        final.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
             dec_sum("price", "total_price"),
+        )
+        .join(F.broadcast(feed_stats), "o_orderstatus")
+        .select(
+            "o_orderstatus", "n_rows", "total_price", "n_ins", "n_upd", "n_del"
         )
     )

@@ -115,6 +115,42 @@ def default_merge_sql(
     )
 
 
+def cdc_merge_sql(
+    target: str,
+    stage: str,
+    pk_cols: list[str],
+    value_cols: list[str],
+    change_col: str = "change_type",
+    delete_value: str = "delete",
+) -> str:
+    """CDC-aware ANSI/Derby MERGE: applies an insert/update/delete
+    change feed in ONE server-side set-based statement.
+
+    The stage table carries ``change_col`` alongside the row payload;
+    conditional WHEN clauses route each staged row — matched deletes
+    DELETE, matched non-deletes UPDATE, unmatched non-deletes INSERT
+    (an unmatched delete is a no-op, the correct idempotent re-run
+    behavior: re-applying a feed whose deletes already landed changes
+    nothing).  ``value_cols`` are the target's payload columns and must
+    NOT include ``change_col`` — the marker stays in the stage."""
+
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk_cols)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in value_cols)
+    cols = ", ".join(q(c) for c in pk_cols + value_cols)
+    vals = ", ".join(f"s.{q(c)}" for c in pk_cols + value_cols)
+    is_del = f"s.{q(change_col)} = '{delete_value}'"
+    not_del = f"s.{q(change_col)} <> '{delete_value}'"
+    return (
+        f"MERGE INTO {target} t USING {stage} s ON {on} "
+        f"WHEN MATCHED AND {is_del} THEN DELETE "
+        f"WHEN MATCHED AND {not_del} THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED AND {not_del} THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
 def upsert_jdbc(
     df: DataFrame,
     url: str,
