@@ -214,7 +214,41 @@ def main() -> None:
         }
         if ext_n:
             point["extended"] = ext_n
+        if extended_names:
+            point["skew_receipt"] = _skew_receipt(sfn_dir)
         return point
+
+    def _skew_receipt(sfn_dir: str) -> dict:
+        """J10's salting claim, measured (BASELINE.md §skew): 90% of
+        event rows remapped onto ONE customer key, shuffled-hash join
+        timed three ways — unsalted with AQE's skew splitter off, on
+        (its 256 MB split threshold ignores this sub-GB hot partition,
+        so it measures identical), and with partial salting (only the
+        hot key salted, only hot dim rows replicated)."""
+        from update_database_by_wind_spark.operators.joins import (
+            skewed_events_join,
+        )
+
+        def _t(salts: int, skew_aqe: bool) -> float:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(skew_aqe).lower()
+            )
+            try:
+                best = float("inf")
+                skewed_events_join(spark, sfn_dir, salts=salts).count()
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    skewed_events_join(spark, sfn_dir, salts=salts).count()
+                    best = min(best, time.perf_counter() - t0)
+                return round(best, 3)
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+        return {
+            "unsalted_noaqe": _t(0, False),
+            "unsalted_aqe": _t(0, True),
+            "salted32_partial": _t(32, True),
+        }
 
     # Second + third scale points (10× / 20× by key-shifted
     # replication): Spark's fixed per-query cost (codegen, scheduling)

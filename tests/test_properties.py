@@ -261,3 +261,25 @@ def test_ewma_matches_pandas_reference(spark, sf_smoke):
         rtol=0,
         atol=1e-6,
     )
+
+
+def test_skewed_events_join_partial_salting_preserves_results(spark):
+    """The bench skew receipt (joins.skewed_events_join) must return
+    identical aggregates salted and unsalted — partial salting (only
+    the hot key salted, only hot dim rows replicated) is a pure
+    physical rewrite.  Run at sf0.001 with a salt count that does NOT
+    divide the event count evenly, so uneven salt buckets are
+    exercised too."""
+    from update_database_by_wind_spark.operators.joins import (
+        skewed_events_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    plain = sorted(
+        map(tuple, skewed_events_join(spark, sf_dir).collect())
+    )
+    salted = sorted(
+        map(tuple, skewed_events_join(spark, sf_dir, salts=7).collect())
+    )
+    assert plain == salted
+    assert plain, "receipt join must produce rows"
