@@ -214,8 +214,10 @@ def main() -> None:
         }
         if ext_n:
             point["extended"] = ext_n
-        if extended_names:
-            point["skew_receipt"] = _skew_receipt(sfn_dir)
+        # receipt at every replicated point: the salting win only
+        # emerges once the hot partition dominates (20×); the sf1 row
+        # doubles as the "don't salt small joins" counter-receipt
+        point["skew_receipt"] = _skew_receipt(sfn_dir)
         return point
 
     def _skew_receipt(sfn_dir: str) -> dict:

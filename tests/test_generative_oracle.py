@@ -99,6 +99,12 @@ def _write_documents(docs) -> str:
         # ASCII-vocab corpus
         "mm_binary_decode",
         "mm_chunk_expansion",
+        # round-5: incremental LSH index maintenance — tiny collision-
+        # rich corpora make %7 edits and %13 inserts near-duplicate
+        # each other, exercising the changed×all candidate restriction
+        # and the truncated-old-text edge (docs shorter than the
+        # 10-char edit suffix)
+        "l3k_incremental_index",
     ],
 )
 @given(docs=_DOCS)

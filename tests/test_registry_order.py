@@ -44,16 +44,21 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_first_green_candidates_lead_the_window():
-    """The two queries that can earn a FIRST driver-green row this
-    round — u13 (new) and l3b (oracle added in round 5) — must occupy
-    the very front, followed by the six whose code changed."""
+    """The three queries that can earn a FIRST driver-green row this
+    round — u13 and l3k (new) and l3b (oracle added in round 5) — must
+    occupy the very front, followed by the seven whose code changed."""
     names = list(REGISTRY)
-    assert names[:2] == ["u13_cdc_merge_sink", "l3b_minhash_lsh_pairs"]
-    assert set(names[2:8]) == {
+    assert names[:3] == [
+        "u13_cdc_merge_sink",
+        "l3b_minhash_lsh_pairs",
+        "l3k_incremental_index",
+    ]
+    assert set(names[3:10]) == {
         "l4_cosine_topk_exact",
         "l4b_cosine_topk_blocked",
         "l5_ann_lsh",
         "l7_word_frequency",
         "u12_cdc_classify",
         "j10_salted_skew_join",
+        "l3h_portable_minhash",
     }
