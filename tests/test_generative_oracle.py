@@ -105,6 +105,15 @@ def _write_documents(docs) -> str:
         # and the truncated-old-text edge (docs shorter than the
         # 10-char edit suffix)
         "l3k_incremental_index",
+        # round-5 training-pipeline trio: shuffle-shard order must be
+        # engine-identical on any corpus (incl. empty), BPE pair
+        # counting must agree on 1-char words (no pairs) and on the
+        # weighted tie-breaks of this collision-rich vocab, domain cap
+        # runs here in its all-under-cap regime (the hot path gets its
+        # own low-cap test below)
+        "tr_shuffle_shard",
+        "tr_domain_cap",
+        "t_bpe_pair_counts",
     ],
 )
 @given(docs=_DOCS)
@@ -662,4 +671,28 @@ def test_windsim_feed_matches_sql_replay(spark, codes, days):
     finally:
         con.close()
     problems = compare(feed, oracle)
+    assert not problems, problems
+
+
+# --- round-5 domain cap: force the hot-source (ranking-window) path ----------
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_domain_cap_hot_path_matches_oracle(spark, docs):
+    """At cap=2, any source with ≥3 generated docs takes the
+    count-first split's HOT branch (broadcast semi-join + per-source
+    ranking window) — the branch the fixture-cap registry query never
+    exercises on a ≤15-doc corpus.  Both branches must agree with the
+    single-window oracle, including the kept-key checksum that pins
+    WHICH docs the priority hash selected."""
+    from update_database_by_wind_spark.operators.training import (
+        domain_cap,
+        domain_cap_oracle_sql,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    sf_dir = _write_documents(docs)
+    got = domain_cap(load(spark, sf_dir, "documents"), cap=2)
+    problems = compare(got, run_oracle(domain_cap_oracle_sql(2), sf_dir))
     assert not problems, problems

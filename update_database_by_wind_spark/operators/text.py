@@ -509,3 +509,70 @@ def t_redact_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_removed"),
     )
+
+
+# --- Tbpe: BPE merge-candidate pair counting -----------------------------------
+
+_TBPE_ORACLE = f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest({_SQL_TOKENS.format(c='text')}) AS word FROM documents)
+  GROUP BY word
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, word, c
+  FROM wc, UNNEST(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair,
+       CAST(SUM(c) AS BIGINT) AS n_weighted,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+FROM pairs
+GROUP BY pair
+ORDER BY n_weighted DESC, pair
+LIMIT 20
+"""
+
+
+@query("t_bpe_pair_counts", oracle=_TBPE_ORACLE, tags=("text", "training"))
+def t_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tbpe: the first iteration of BPE merge learning — count every
+    adjacent character pair over the corpus, weighted by word
+    frequency, and return the top-20 merge candidates (the pair a BPE
+    trainer would merge first, then recount).
+
+    Scale shape — the trick that makes BPE training feasible on
+    100 TB: collapse the corpus to its word VOCABULARY first (one
+    map-side-combined groupBy; Heaps' law bounds |vocab| ≪ corpus),
+    then explode character positions over vocabulary entries only.
+    The pair explosion is O(|vocab| · word_len), independent of corpus
+    size; corpus frequency rides along as the weight column.  The
+    final top-20 is a partial-aggregated pair count plus a bounded
+    TakeOrdered — nothing document-sized ever shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        fan_out(docs.select("text"))
+        .select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "c",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "word", "c")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").alias("n_weighted"),
+            F.countDistinct("word").alias("n_word_types"),
+        )
+        .orderBy(F.col("n_weighted").desc(), "pair")
+        .limit(20)
+    )

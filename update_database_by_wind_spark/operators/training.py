@@ -537,3 +537,162 @@ def tr_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+# --- TRshard: deterministic global shuffle into training shards ----------------
+
+_N_SHARDS = 8
+# Second multiplicative constant (xxhash32 prime 2), independent of the
+# split hash's _KNUTH so shard membership and within-shard order are
+# uncorrelated with train/val/test assignment.
+_KNUTH2 = 2246822519
+
+_TRSHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ((doc_id % {_PRIME}) * {_KNUTH}) % {_N_SHARDS} AS shard,
+         ((doc_id % {_PRIME}) * {_KNUTH2}) % {_PRIME} AS ord_key
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+       doc_id, lang
+FROM keyed
+"""
+
+
+@query("tr_shuffle_shard", oracle=_TRSHARD_ORACLE, tags=("training", "sampling"))
+def tr_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRshard: deterministic global shuffle + sharding — every document
+    gets a shard (multiplicative hash of the key) and a reproducible
+    position inside its shard (second, independent hash as the sort
+    key).  This is how a 100 TB corpus is written out in randomized
+    training order: membership and order depend only on the key, so
+    any re-run, any cluster size, and any engine produce byte-identical
+    shards — the property ``df.sample``/``repartition`` order lacks.
+
+    Scale shape: shard assignment is a narrow map; the within-shard
+    position is ONE hash shuffle on ``shard`` plus a per-shard sort.
+    At production scale the same order is produced without a global
+    window: ``repartition(N, shard).sortWithinPartitions(ord_key)``
+    and let the shard writer emit positions implicitly — identical
+    order, no single-task rank over a whole shard.  The window form
+    here is the oracle-checkable statement of those semantics."""
+    docs = load(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH)) % _N_SHARDS
+    ord_key = ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH2)) % _PRIME
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            ord_key.alias("ord_key"),
+            "doc_id",
+            "lang",
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "lang")
+    )
+
+
+# --- TRcap: per-domain document cap --------------------------------------------
+
+_DOMAIN_CAP = 40
+
+def domain_cap(docs: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
+    """Count-first per-domain cap over a fixture-shaped ``documents``
+    frame (see ``tr_domain_cap`` for semantics; ``cap`` is exposed so
+    the generative suite can force the hot-source path on tiny
+    hypothesis corpora, where the fixture cap of 40 would
+    never fire)."""
+    prio = ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH2)) % _PRIME
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("key_sum"),
+    )
+    under = stats.filter(F.col("n_docs") <= cap).select(
+        "source",
+        "n_docs",
+        F.col("n_docs").alias("n_kept"),
+        F.lit(0).cast("long").alias("n_dropped"),
+        F.col("key_sum").alias("kept_key_sum"),
+        F.lit(False).alias("cap_hit"),
+    )
+    hot = stats.filter(F.col("n_docs") > cap).select("source", "n_docs")
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    over = (
+        docs.join(F.broadcast(hot), "source")
+        .select("source", "n_docs", "doc_id", prio.alias("prio"))
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.sum(F.when(F.col("rn") <= cap, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("rn") > cap, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(
+                F.when(F.col("rn") <= cap, F.col("doc_id")).otherwise(0)
+            ).alias("kept_key_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            "kept_key_sum",
+            F.lit(True).alias("cap_hit"),
+        )
+    )
+    return under.unionByName(over)
+
+
+def domain_cap_oracle_sql(cap: int) -> str:
+    """The window-form oracle for ``domain_cap`` at an arbitrary cap
+    (the registry entry uses ``_TRCAP_ORACLE`` = this at the fixture cap of 40)."""
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {_PRIME}) * {_KNUTH2}) % {_PRIME}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= {cap} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_key_sum,
+       COUNT(*) > {cap} AS cap_hit
+FROM ranked
+GROUP BY source
+"""
+
+
+_TRCAP_ORACLE = domain_cap_oracle_sql(_DOMAIN_CAP)
+
+
+@query("tr_domain_cap", oracle=_TRCAP_ORACLE, tags=("training", "sampling"))
+def tr_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRcap: per-domain document cap — keep at most ``_DOMAIN_CAP``
+    documents per source, selected by a deterministic priority hash
+    (so the kept set is reproducible, not partition-dependent), and
+    report per-source kept/dropped counts plus a checksum of the kept
+    keys that pins the exact selection against the oracle.
+
+    Capping over-represented domains is a standard pretraining step
+    (a handful of crawl domains would otherwise dominate the mix).
+
+    Scale shape — the part that matters at 100 TB: a count-first
+    split.  Sources at or under the cap NEVER enter a window — their
+    stats come straight off the map-side-combined groupBy.  Only the
+    few over-cap (hot) sources' rows take the per-source ranking
+    path, via a broadcast semi-join on the hot-source list, so the
+    window's skew exposure is bounded by the hot domains themselves
+    rather than the whole corpus."""
+    return domain_cap(load(spark, sf_dir, "documents"), _DOMAIN_CAP)
