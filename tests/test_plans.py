@@ -229,3 +229,47 @@ def test_chunk_dedup_is_join_free_single_scan(spark, sf_oracle):
     )
     assert "xxhash64(chunk_text" in plan  # hashed before the exchange
     assert "hashpartitioning(h#" in plan  # shuffle keys on the hash
+
+
+def test_domain_cap_hot_branch_broadcasts_and_topk_avoids_sort(
+    spark, sf_oracle
+):
+    """TRcap (L23): the hot-source list must BROADCAST onto the corpus
+    (it is bounded by the domain count, a shuffled join would move the
+    whole corpus twice) and there must be no cartesian/BNLJ anywhere."""
+    plan = formatted_plan(REGISTRY["tr_domain_cap"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pair_counts_aggregates_before_pair_explode(spark, sf_oracle):
+    """Tbpe (L24): the vocabulary groupBy must sit BELOW the pair
+    explode in the plan — exploding character pairs over raw documents
+    (corpus-sized) instead of the vocabulary (Heaps-law bounded) is the
+    scale mistake this operator exists to avoid.  Also: the final
+    top-20 must be a TakeOrderedAndProject, not a global sort."""
+    plan = formatted_plan(REGISTRY["t_bpe_pair_counts"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    # the explode (Generate) must consume the aggregated vocab, i.e.
+    # appear ABOVE at least one HashAggregate in the formatted tree
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate" in l]
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert gen_idx and agg_idx
+    # formatted_plan prints operators root-first: a Generate feeding on
+    # an aggregate output has a HashAggregate listed after it (deeper)
+    assert any(a > min(gen_idx) for a in agg_idx), plan
+
+
+def test_shuffle_shard_is_single_exchange(spark, sf_oracle):
+    """TRshard (L22): one hash exchange on `shard` feeds the per-shard
+    rank — a second data-sized exchange (e.g. a global sort) would
+    double the shuffle volume of every training-order write."""
+    import re
+
+    plan = formatted_plan(REGISTRY["tr_shuffle_shard"].fn(spark, sf_oracle))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
