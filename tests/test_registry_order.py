@@ -44,20 +44,22 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_first_green_candidates_lead_the_window():
-    """The six queries that can earn a FIRST driver-green row this
-    round — u13, l3k, the three new training-pipeline operators, and
-    l3b (oracle added in round 5) — must occupy the very front,
-    followed by the seven whose code changed."""
+    """The seven queries that can earn a FIRST driver-green row this
+    round — u13, l3k, the three new training-pipeline operators, the
+    z-order clustering receipt, and l3b (oracle added in round 5) —
+    must occupy the very front, followed by the seven whose code
+    changed."""
     names = list(REGISTRY)
-    assert names[:6] == [
+    assert names[:7] == [
         "u13_cdc_merge_sink",
         "l3b_minhash_lsh_pairs",
         "l3k_incremental_index",
         "tr_shuffle_shard",
         "tr_domain_cap",
         "t_bpe_pair_counts",
+        "s10_zorder_clustering",
     ]
-    assert set(names[6:13]) == {
+    assert set(names[7:14]) == {
         "l4_cosine_topk_exact",
         "l4b_cosine_topk_blocked",
         "l5_ann_lsh",

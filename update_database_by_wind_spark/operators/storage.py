@@ -62,3 +62,129 @@ def s1b_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+# --- S10: Z-order (Morton-curve) clustering, with a data-skipping receipt ------
+
+# 16-bit bit-spread in PORTABLE arithmetic: bit i of v (extracted with
+# `v & 2^i`, already worth 2^i) is moved to position 2i by multiplying
+# with another 2^i.  Only `&`, `*`, `+` — identical syntax and int64
+# semantics in Spark SQL and DuckDB, so the oracle replays the curve
+# bit-for-bit.  (The usual shift-and-mask spread needs `|`; `+` is NOT
+# a substitute there because overlapping shifts carry.)
+_ZBITS = 16
+
+
+def _spread(col: str) -> str:
+    return "(" + " + ".join(
+        f"(({col}) & {1 << i}) * {1 << i}" for i in range(_ZBITS)
+    ) + ")"
+
+
+def _spread3(col: str) -> str:
+    """3-bit spread (bucket-granularity interleave), same & * + trick."""
+    return "(" + " + ".join(
+        f"(({col}) & {1 << i}) * {1 << i}" for i in range(3)
+    ) + ")"
+
+
+def _zorder_sql(div: str) -> str:
+    """The full S10 statement with engine-specific integer division
+    (`div` keyword in Spark SQL, `//` in DuckDB); everything else is
+    shared arithmetic.  Dimensions are range-normalized to 3 bits by
+    their data max (the boundary-computation step a real z-layout job
+    runs first — Delta's OPTIMIZE ZORDER does the same) so the 64
+    curve buckets cover the ACTUAL domain at any scale factor, then
+    interleaved."""
+    return f"""
+pts AS (
+  SELECT o_custkey AS x, datediff_days AS y FROM s10_keyed
+),
+bounds AS (
+  SELECT MAX(x) AS xmax, MAX(y) AS ymax FROM pts
+),
+b AS (
+  SELECT x, y,
+         ((x * 8) {div} (xmax + 1)) AS xb,
+         ((y * 8) {div} (ymax + 1)) AS yb,
+         ((y * 64) {div} (ymax + 1)) AS yb64
+  FROM pts, bounds
+),
+z AS (
+  SELECT x, y, yb64,
+         ({_spread3('xb')} + 2 * {_spread3('yb')}) AS zbucket
+  FROM b
+),
+zorder AS (
+  SELECT 'zorder' AS scheme,
+         CAST(zbucket AS BIGINT) AS bucket,
+         COUNT(*) AS n_orders,
+         CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+         CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+  FROM z GROUP BY 2
+),
+date_range AS (
+  SELECT 'date_range' AS scheme,
+         CAST(yb64 AS BIGINT) AS bucket,
+         COUNT(*) AS n_orders,
+         CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+         CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+  FROM z GROUP BY 2
+)
+SELECT * FROM zorder UNION ALL SELECT * FROM date_range
+"""
+
+
+_S10_ORACLE = (
+    "WITH s10_keyed AS (SELECT o_custkey,"
+    " datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    " AS datediff_days FROM orders), "
+    + _zorder_sql("//")
+)
+
+
+@query("s10_zorder_clustering", oracle=_S10_ORACLE, tags=("layout",))
+def s10_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: Z-order clustering receipt — interleave the bits of
+    (customer key, order day) into a Morton key, bucket the curve into
+    64 ranges, and report each bucket's bounding box alongside the
+    same stats for a conventional date-range layout.
+
+    Why it matters at 100 TB: file- and row-group-level min/max
+    skipping only prunes on the SORT dimension.  A date-sorted fact
+    table answers customer-scoped queries with a full scan (every
+    file's custkey span is the whole domain — visible here as
+    ``date_range`` buckets whose x_span is the full custkey range
+    while zorder buckets bound both spans at ~1/8).  Sorting by the Morton
+    key bounds BOTH dimensions per bucket, so a predicate on either
+    column prunes most files.  The actual file-stats effect (parquet
+    footer min/max tightening under a z-sorted
+    ``repartitionByRange(zval)`` write) is asserted in
+    tests/test_plans.py::test_zorder_write_tightens_file_stats.
+
+    Plan shape: narrow arithmetic map + two map-side-combined
+    aggregations over one scan — nothing data-sized shuffles; the
+    z-sorted WRITE at scale is ``repartitionByRange`` on zval (range
+    exchange) exactly like any sorted layout job."""
+    keyed = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("datediff_days"),
+    )
+    keyed.createOrReplaceTempView("s10_keyed")
+    return spark.sql("WITH " + _zorder_sql("div"))
+
+
+def zorder_value(x, y):
+    """Morton key as a Column over two 16-bit-normalized dimensions —
+    the sort key a z-layout write job uses (see the plan test).
+
+    Both inputs MUST already be range-normalized to 0..65535
+    (``(v * 65536) div (vmax + 1)``): interleaving raw values of
+    unequal bit width degenerates — the wider dimension owns the top
+    bits and the curve sorts almost entirely by it.  Computing vmax is
+    the cheap boundary pass every z-layout job runs first."""
+    zx = F.expr(_spread("(" + x + ")"))
+    zy = F.expr(_spread("(" + y + ")"))
+    return zx + F.lit(2) * zy
