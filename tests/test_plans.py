@@ -338,3 +338,14 @@ def test_zorder_write_tightens_file_stats(spark, sf_oracle, tmp_path):
     # date-sorted files see the whole customer domain; z-sorted files
     # must cut the span at least in half (measured: ~8x tighter)
     assert z_avg < 0.5 * d_avg, (z_avg, d_avg)
+
+
+def test_bloom_prefilter_joins_all_broadcast(spark, sf_oracle):
+    """J12: all four lookups (3 Bloom positions + the exact-truth semi
+    check) must be BroadcastHashJoins — the probe side (the 100 TB
+    fact) must never shuffle for a filter whose whole point is
+    avoiding a shuffle."""
+    plan = formatted_plan(REGISTRY["j12_bloom_prefilter"].fn(spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad

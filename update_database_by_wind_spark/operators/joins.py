@@ -462,3 +462,136 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_right"),
         )
     )
+
+
+# --- J12: Bloom-filter semi-join prefilter (runtime-filter receipt) -----------
+
+# Portable k=3 Bloom over m=4096 positions: h_i(key) = ((key % P) * A_i) % m,
+# plain modular int64 arithmetic both engines compute identically (the A_i
+# are independent multiplicative constants; P mod-first keeps the product
+# inside int64 for any key — same overflow discipline as training.py).
+_BLOOM_P = 1_000_003
+_BLOOM_M = 4096
+_BLOOM_A = (2654435761, 2246822519, 3266489917)
+_BLOOM_BAL = 7000.0
+
+
+def _bloom_pos_sql(key: str, a: int) -> str:
+    return f"((({key}) % {_BLOOM_P}) * {a}) % {_BLOOM_M}"
+
+
+_J12_ORACLE = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+bloom AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql('c_custkey', _BLOOM_A[0])} AS pos FROM build
+    UNION ALL
+    SELECT {_bloom_pos_sql('c_custkey', _BLOOM_A[1])} FROM build
+    UNION ALL
+    SELECT {_bloom_pos_sql('c_custkey', _BLOOM_A[2])} FROM build
+  )
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {_bloom_pos_sql('o_custkey', _BLOOM_A[0])} AS h0,
+         {_bloom_pos_sql('o_custkey', _BLOOM_A[1])} AS h1,
+         {_bloom_pos_sql('o_custkey', _BLOOM_A[2])} AS h2
+  FROM orders
+),
+flagged AS (
+  SELECT p.o_orderstatus,
+         (b0.pos IS NOT NULL AND b1.pos IS NOT NULL AND b2.pos IS NOT NULL)
+           AS bloom_pass,
+         (t.c_custkey IS NOT NULL) AS true_match
+  FROM probe p
+  LEFT JOIN bloom b0 ON p.h0 = b0.pos
+  LEFT JOIN bloom b1 ON p.h1 = b1.pos
+  LEFT JOIN bloom b2 ON p.h2 = b2.pos
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM build) t
+         ON p.o_custkey = t.c_custkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive
+FROM flagged
+GROUP BY o_orderstatus
+"""
+
+
+@query("j12_bloom_prefilter", oracle=_J12_ORACLE, tags=("join", "runtime-filter"))
+def j12_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: Bloom-filter semi-join prefilter — build a k=3 Bloom over
+    the high-balance customer keys, probe every order against it with
+    three broadcast position-lookups, and report per-status how many
+    probe rows the filter passes vs the exact semi-join truth (the
+    false positives are REAL filter behavior, deterministically
+    reproduced by the oracle because the hashes are portable
+    arithmetic).
+
+    Why it matters at 100 TB: when the build side is too large to
+    broadcast as a hash join but its KEY FINGERPRINT is not, shipping
+    a Bloom filter to the probe scan turns a full fact shuffle into a
+    shuffle of ~matching rows only — Spark's own runtime row-level
+    filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    automates exactly this; the explicit operator shows the mechanism
+    and MEASURES its precision.  The position table here stays a
+    distinct-int relation (≤ m rows, broadcast); a production filter
+    packs it into m bits — same membership semantics, smaller payload.
+    No correctness risk at any scale: passes ⊇ true matches by
+    construction, and the exact join downstream removes the FPs."""
+    cust = load(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    bloom = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_sql("c_custkey", a))
+                        for a in _BLOOM_A
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        *[
+            F.expr(_bloom_pos_sql("o_custkey", a)).alias(f"h{i}")
+            for i, a in enumerate(_BLOOM_A)
+        ],
+    )
+    flagged = probe
+    for i in range(3):
+        b = bloom.withColumnRenamed("pos", f"pos{i}")
+        flagged = flagged.join(
+            F.broadcast(b), F.col(f"h{i}") == F.col(f"pos{i}"), "left"
+        )
+    flagged = flagged.join(
+        F.broadcast(build.distinct()),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    bloom_pass = (
+        F.col("pos0").isNotNull()
+        & F.col("pos1").isNotNull()
+        & F.col("pos2").isNotNull()
+    )
+    true_match = F.col("c_custkey").isNotNull()
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(bloom_pass, 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(true_match, 1).otherwise(0)).alias("n_true_match"),
+        F.sum(F.when(bloom_pass & ~true_match, 1).otherwise(0)).alias(
+            "n_false_positive"
+        ),
+    )
