@@ -114,6 +114,10 @@ def _write_documents(docs) -> str:
         "tr_shuffle_shard",
         "tr_domain_cap",
         "t_bpe_pair_counts",
+        # unigram-LM scoring: collision-rich vocab gives extreme
+        # smoothed probabilities; empty corpora must yield zero rows
+        # through the null normalizing scalars identically
+        "t_unigram_logprob",
     ],
 )
 @given(docs=_DOCS)

@@ -813,3 +813,136 @@ def l5b2_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- L5c: Matryoshka truncated-embedding recall@k ------------------------------
+
+# First 16 of 64 dims, renormalized — the Matryoshka-representation
+# deployment question: how much recall does a 4x cheaper index lose?
+_MRL_DIMS = 16
+
+_MRL_APPROX_ORACLE = f"""
+WITH t AS (
+  SELECT vec_id, embedding[1:{_MRL_DIMS}] AS e16 FROM embeddings
+),
+n AS (
+  SELECT vec_id, e16,
+         sqrt({_SQL_DOT.format(a='e16', b='e16')}) AS nrm
+  FROM t
+),
+q AS (
+  SELECT vec_id AS query_id, e16 AS qe, nrm AS qn
+  FROM n WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         ROUND({_SQL_DOT.format(a='q.qe', b='n.e16')}
+               / NULLIF(q.qn * n.nrm, 0), 6) AS tcos
+  FROM q CROSS JOIN n
+  WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tcos DESC NULLS LAST, neighbor_id)
+           AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+_MRL_RECALL_ORACLE = f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM ({_L4_ORACLE}) e
+LEFT JOIN ({_MRL_APPROX_ORACLE}) m
+  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "l5c_matryoshka_recall",
+    oracle=_MRL_RECALL_ORACLE,
+    tags=("similarity", "ann", "eval"),
+)
+def l5c_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: recall@k of TRUNCATED (Matryoshka) embeddings against the
+    full-dimension exact ground truth — keep the first 16 of 64 dims,
+    renormalize, rank by truncated cosine, and measure per-query how
+    many of the true top-k survive.  This is the evaluation a
+    Matryoshka-trained embedding column exists for: a 4× smaller
+    index/shuffle footprint is only deployable if this recall holds.
+
+    Scale shape = l4's: the bounded query set broadcasts, the corpus
+    streams through the truncated-dot fold (per-row slice + norm are
+    narrow maps computed once, not per pair), and partial
+    WindowGroupLimit bounds the shuffle at top-k per partition.  At
+    100 TB the truncated leg is the cheap one — the expensive exact
+    leg runs on the sampled query set only, exactly like l5b.
+    NULLIF guards a zero truncated norm identically in both engines
+    (ANSI division) — such rows rank last and can never displace a
+    real neighbor.
+
+    Honest fixture note: the synthetic embeddings are isotropic (not
+    Matryoshka-trained), so the measured recall here is ~0 — which is
+    precisely the answer this gate exists to give ("do NOT deploy the
+    truncated index for these vectors").  A Matryoshka-trained model
+    concentrates information in the prefix and scores high here; the
+    oracle checks the MEASUREMENT, which is exact either way."""
+    emb = load(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("e16")
+    ).select(
+        "vec_id",
+        "e16",
+        F.sqrt(dot(F.col("e16"), F.col("e16"))).alias("nrm"),
+    )
+    q = t.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e16").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        fan_out(t.select(F.col("vec_id").alias("neighbor_id"), "e16", "nrm"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("e16"))
+                / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+                6,
+            ).alias("tcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tcos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("mrl_neighbor_id"))
+    )
+    exact = l4_cosine_topk_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.mrl_neighbor_id),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "mrl_neighbor_id")
+    hit = F.when(F.col("mrl_neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+            "recall_at_k"
+        ),
+    )

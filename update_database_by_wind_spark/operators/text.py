@@ -576,3 +576,73 @@ def t_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_weighted").desc(), "pair")
         .limit(20)
     )
+
+
+# --- Tulm: unigram LM quality score (CCNet-style LM filtering) ------------------
+
+_TULM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM wc
+),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(LN((wc.c + 1.0) / (tot.n + tot.v)), 6) AS lp
+  FROM tok t JOIN wc USING (word) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tok,
+       ROUND({sql_dec_avg('lp', 'x').replace(' AS x', '')}, 6)
+         AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("t_unigram_logprob", oracle=_TULM_ORACLE, tags=("text", "quality"))
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tulm: unigram language-model quality score — train add-one-
+    smoothed unigram probabilities on the corpus itself and score each
+    document by its mean token log-probability.  This is the shape of
+    CCNet/LLM-pipeline LM filtering (there a KenLM 5-gram; here the
+    unigram member of the same family, chosen because its arithmetic
+    is exactly replayable): documents whose tokens are improbable
+    under the corpus model (gibberish, boilerplate soup, wrong-
+    language fragments) sink to the bottom and a percentile cut drops them.
+
+    Scale shape: the model is the word-count table (|vocab| rows,
+    Heaps-bounded) built by one map-side-combined groupBy and
+    broadcast back onto the token stream; the two normalizing scalars
+    ride a 1-row broadcast crossJoin; per-doc scoring is one grouped
+    aggregation.  Per-token ln is rounded to 6 before the mean (libm
+    parity) and the mean itself is a decimal-exact sum over rounded
+    values (partition-order independence) — the established engine-
+    parity discipline."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    wc = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = wc.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+    scored = (
+        tok.join(F.broadcast(wc), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))), 6
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(dec_avg("lp", "x"), 6).alias("avg_logprob"),
+    )
