@@ -238,3 +238,114 @@ def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.jdbc(url, target).select(
         "user_id", "event_id", "last_value"
     )
+
+
+# --- ST12: streaming CDC apply (tombstone upsert-delete sink) ------------------
+
+_ST12_ORACLE = """
+SELECT user_id, event_id, last_value FROM (
+  SELECT user_id, event_id, value AS last_value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query(
+    "st12_stream_cdc_apply", oracle=_ST12_ORACLE, tags=("streaming", "sink", "cdc")
+)
+def st12_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: streaming CDC apply — the events replay is treated as a
+    change feed for per-user state ('error' events deactivate the
+    user, everything else upserts its value), applied per micro-batch
+    through the staged server-side MERGE sink and read back with
+    deactivated users filtered out.
+
+    The design decision this operator exists to state: deletes are
+    TOMBSTONES (a ``deleted`` flag carried through the same
+    latest-event-id-wins MERGE), never physical ``DELETE`` rows.
+    Under streaming delivery an out-of-order earlier event arriving
+    after a physical delete finds NOT MATCHED and silently
+    resurrects the row; a tombstone keeps the delete's event_id in
+    the table so the monotone guard rejects stale arrivals exactly
+    like any other update.  (u13's physical-delete MERGE is correct
+    in its BATCH setting because its feed is a consistent snapshot
+    diff, not an unordered stream — the two operators together
+    document when each is right.)  Compaction of old tombstones is a
+    separate maintenance pass (u7's shape) once the watermark has
+    passed their event time.
+
+    Scale shape = st9's: within-batch keep-latest dedup, parallel
+    stage write, ONE set-based MERGE per batch — O(changes), not
+    O(table) — and the final state is provably batch-split
+    independent, which is what makes a streaming sink oracle-able
+    at all."""
+    import hashlib
+    import shutil
+
+    from update_database_by_wind_spark.sources.jdbc import (
+        upsert_jdbc,
+        write_jdbc,
+    )
+    from update_database_by_wind_spark.streaming.pipelines import (
+        events_stream,
+        scratch_dir,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    url = f"jdbc:derby:memory:wind_st12_{tag};create=true"
+    target, stage = "user_cdc", "user_cdc_stage"
+    seed = spark.createDataFrame(
+        [], "user_id long, event_id long, last_value double, deleted int"
+    )
+    write_jdbc(seed, url, target, mode="overwrite")
+    merge_sql = (
+        f"MERGE INTO {target} t USING {stage} s "
+        'ON t."user_id" = s."user_id" '
+        'WHEN MATCHED AND s."event_id" > t."event_id" THEN UPDATE '
+        'SET "event_id" = s."event_id", "last_value" = s."last_value", '
+        '"deleted" = s."deleted" '
+        "WHEN NOT MATCHED THEN INSERT "
+        '("user_id", "event_id", "last_value", "deleted") '
+        'VALUES (s."user_id", s."event_id", s."last_value", s."deleted")'
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_jdbc(
+            batch_df,
+            url,
+            target,
+            pk_cols=["user_id"],
+            stage_table=stage,
+            merge_sql=merge_sql,
+            order_col="event_id",
+        )
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("last_value"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("deleted"),
+    )
+    ckpt = scratch_dir("wind_spark_st12_")
+    try:
+        handle = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.jdbc(url, target)
+        .filter(F.col("deleted") == 0)
+        .select("user_id", "event_id", "last_value")
+    )
