@@ -37,8 +37,11 @@ HEADLINE = [
 ]
 
 # extension surface, timed alongside but kept OUT of the headline
-# metric so the total stays comparable across rounds (l3j added r4)
+# metric so the total stays comparable across rounds (l3j added r4;
+# s10/j12 added r5 — the layout and runtime-filter receipts)
 EXTENDED = [
+    "s10_zorder_clustering",
+    "j12_bloom_prefilter",
     "l3e_ngram_jaccard",
     "l3j_chunk_dedup",
     "l4c_cosine_topk_vectorized",
