@@ -110,6 +110,10 @@ def _write_events(events, unit: str) -> str:
         # read-back whatever the batch split; duplicate values and
         # unordered rows exercise the monotone event_id guard
         "st12_stream_cdc_apply",
+        # e1 is batch, but it consumes the same events table: sparse
+        # generated users exercise partial funnels (signup w/o click,
+        # click before signup must NOT count) and the n1=0 NULLIF leg
+        "e1_event_funnel",
     ],
 )
 @given(events=_EVENTS)

@@ -349,3 +349,25 @@ def test_bloom_prefilter_joins_all_broadcast(spark, sf_oracle):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_event_funnel_is_single_exchange(spark, sf_oracle):
+    """E1: the chained-window funnel must shuffle the events ONCE on
+    user_id — the whole point of the window formulation over the
+    three-round aggregate+join chain the oracle uses."""
+    import re
+
+    plan = formatted_plan(REGISTRY["e1_event_funnel"].fn(spark, sf_oracle))
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln)
+    ]
+    # one hash exchange for the user window; the final 3-row union of
+    # 1-row aggregates may add SinglePartition exchanges (metadata-
+    # sized) — no second data-sized hash exchange is allowed
+    hash_ex = [
+        ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
+    ]
+    assert len(hash_ex) >= 1
+    assert plan.count("hashpartitioning(user_id") <= 2, plan  # tree+detail

@@ -44,14 +44,14 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_first_green_candidates_lead_the_window():
-    """The eleven queries that can earn a FIRST driver-green row this
+    """The twelve queries that can earn a FIRST driver-green row this
     round — u13, l3k, the three new training-pipeline operators, the
     z-order clustering receipt, the Bloom prefilter, the Matryoshka
     recall gate, the unigram-LM score, the streaming tombstone-CDC
-    sink, and l3b (oracle added in round 5) — must occupy the very
-    front, followed by the seven whose code changed."""
+    sink, the event funnel, and l3b (oracle added in round 5) — must
+    occupy the very front, followed by the seven whose code changed."""
     names = list(REGISTRY)
-    assert names[:11] == [
+    assert names[:12] == [
         "u13_cdc_merge_sink",
         "l3b_minhash_lsh_pairs",
         "l3k_incremental_index",
@@ -63,8 +63,9 @@ def test_first_green_candidates_lead_the_window():
         "l5c_matryoshka_recall",
         "t_unigram_logprob",
         "st12_stream_cdc_apply",
+        "e1_event_funnel",
     ]
-    assert set(names[11:18]) == {
+    assert set(names[12:19]) == {
         "l4_cosine_topk_exact",
         "l4b_cosine_topk_blocked",
         "l5_ann_lsh",

@@ -481,3 +481,122 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 20)
         .drop("rn")
     )
+
+
+# --- E1: ordered-event funnel (MATCH_RECOGNIZE-lite) ---------------------------
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM t1) AS n1,
+         (SELECT COUNT(*) FROM t2) AS n2,
+         (SELECT COUNT(*) FROM t3) AS n3
+)
+SELECT '1_signup' AS step, CAST(n1 AS BIGINT) AS n_users,
+       ROUND(CAST(n1 AS DOUBLE) / NULLIF(n1, 0), 6) AS conversion
+FROM counts
+UNION ALL
+SELECT '2_click', CAST(n2 AS BIGINT),
+       ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6)
+FROM counts
+UNION ALL
+SELECT '3_purchase', CAST(n3 AS BIGINT),
+       ROUND(CAST(n3 AS DOUBLE) / NULLIF(n1, 0), 6)
+FROM counts
+"""
+
+
+@query("e1_event_funnel", oracle=_FUNNEL_ORACLE, tags=("timeseries", "funnel"))
+def e1_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ordered-event conversion funnel — how many users sign up,
+    then click at-or-after their signup, then purchase at-or-after
+    that click (timestamp-resolution ordering: same-instant
+    progression counts, identically in both engines).  The
+    MATCH_RECOGNIZE/funnel family of event analytics, expressed with
+    chained per-user window minimums.
+
+    Scale shape — the reason for the window formulation: the naive
+    plan is a chain of three user-level aggregate+join rounds (the
+    oracle's CTE shape), i.e. three shuffles and three join builds.
+    Here the events shuffle ONCE on user_id; `t1` is a window MIN of
+    signup times, `t2` a window MIN of clicks gated on the t1 COLUMN
+    (windows chain through ordinary column references — each step
+    reuses the same hash partitioning, so Catalyst plans one
+    Exchange), `t3` likewise; the per-user frame then collapses into
+    three global conditional counts.  One data-sized shuffle total,
+    any number of funnel steps."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+    # collapse to one row per user — the groupBy's required
+    # partitioning (user_id) is exactly what the window exchange
+    # already established, so Catalyst adds NO second data-sized
+    # shuffle (ENSURE_REQUIREMENTS reuse; pinned by the plan test)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),  # COUNT skips nulls: users past step
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+
+    def conv(n: str):
+        return F.round(
+            F.col(n).cast("double") / F.nullif(F.col("n1"), F.lit(0)), 6
+        )
+
+    def step(label: str, n: str):
+        return F.struct(
+            F.lit(label).alias("step"),
+            F.col(n).alias("n_users"),
+            conv(n).alias("conversion"),
+        )
+
+    # explode ONE 1-row frame into the 3 step rows — referencing
+    # `counts` three times via union would replan (and rescan) the
+    # whole funnel once per branch
+    return counts.select(
+        F.explode(
+            F.array(
+                step("1_signup", "n1"),
+                step("2_click", "n2"),
+                step("3_purchase", "n3"),
+            )
+        ).alias("s")
+    ).select("s.step", "s.n_users", "s.conversion")
