@@ -700,3 +700,85 @@ def test_domain_cap_hot_path_matches_oracle(spark, docs):
     got = domain_cap(load(spark, sf_dir, "documents"), cap=2)
     problems = compare(got, run_oracle(domain_cap_oracle_sql(2), sf_dir))
     assert not problems, problems
+
+
+# --- round-5 orders/customer corpora: fuzz the Bloom prefilter + z-order ------
+
+_BASE_DAY_US = 694_224_000_000_000  # 1992-01-02 00:00:00 UTC in µs
+
+_CUSTOMERS = st.lists(
+    st.sampled_from([0.0, 6999.75, 7000.0, 7000.25, 9999.5]),  # vs >7000 cut
+    min_size=0,
+    max_size=7,
+)
+_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # o_custkey, incl. orphans
+        st.integers(min_value=0, max_value=40),  # day offset
+        st.sampled_from(["O", "F", "P"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _write_orders_customer(balances, orders) -> str:
+    """Fixture-shaped orders.parquet + customer.parquet with only the
+    columns the queries under test reference (load() reads by name)."""
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_oc_")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(balances)), pa.int64()),
+                "c_acctbal": pa.array(balances, pa.float64()),
+            }
+        ),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+                "o_custkey": pa.array([c for c, _, _ in orders], pa.int64()),
+                "o_orderstatus": pa.array(
+                    [s for _, _, s in orders], pa.string()
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        _BASE_DAY_US + d * 86_400_000_000
+                        for _, d, _ in orders
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize(
+    "name", ["j12_bloom_prefilter", "s10_zorder_clustering"]
+)
+@given(balances=_CUSTOMERS, orders=_ORDERS)
+@settings(**_SETTINGS)
+def test_orders_query_matches_oracle_on_generated_corpus(
+    spark, name, balances, orders
+):
+    """j12: orphan probe keys, boundary balances (exactly 7000 must
+    NOT build), and empty build sets must reproduce the identical
+    pass/true/false-positive counts — the Bloom's false positives are
+    part of the contract.  s10: degenerate domains (single customer,
+    single day, empty table) must normalize and bucket identically
+    through the NULL-propagating bounds row."""
+    sf_dir = _write_orders_customer(balances, orders)
+    try:
+        spec = REGISTRY[name]
+        problems = compare(
+            spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir)
+        )
+        assert not problems, (name, problems)
+    finally:
+        import shutil
+
+        shutil.rmtree(sf_dir, ignore_errors=True)
