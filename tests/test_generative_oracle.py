@@ -704,7 +704,7 @@ def test_domain_cap_hot_path_matches_oracle(spark, docs):
 
 # --- round-5 orders/customer corpora: fuzz the Bloom prefilter + z-order ------
 
-_BASE_DAY_US = 694_224_000_000_000  # 1992-01-02 00:00:00 UTC in µs
+_BASE_DAY_US = 694_224_000_000_000  # 1992-01-01 00:00:00 UTC in µs
 
 _CUSTOMERS = st.lists(
     st.sampled_from([0.0, 6999.75, 7000.0, 7000.25, 9999.5]),  # vs >7000 cut

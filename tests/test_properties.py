@@ -176,8 +176,10 @@ def test_hash_split_partitions_input_deterministically(spark, ids, n_parts):
     row to exactly one split, and the assignment is a pure function of
     the key — identical under any partitioning (the property
     randomSplit lacks)."""
+    from update_database_by_wind_spark.operators.training import _bucket_col
+
     df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    bucket = _bucket_col()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

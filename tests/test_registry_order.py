@@ -1,8 +1,8 @@
 """Registry iteration order IS evidence policy: the round driver's
 external correctness check covers a prefix window of the registry, so
 these tests pin the contract that the window is spent first on queries
-that can earn a FIRST driver-green row, then on this round's code
-churn, then on the stalest regression evidence.
+whose code changed this round, then on the stalest regression evidence
+(round-1 green, then round-2 green).
 """
 
 import update_database_by_wind_spark.operators as ops
@@ -11,15 +11,15 @@ from update_database_by_wind_spark.registry import REGISTRY
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND5_FRONT)] == ops._ROUND5_FRONT
+    assert names[: len(ops._ROUND6_FRONT)] == ops._ROUND6_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND5_FRONT)
+    front = set(ops._ROUND6_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R2_R4 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R3_R5 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -28,49 +28,41 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND5_FRONT, *ops._DRIVER_VERIFIED_R2_R4]:
+    for n in [*ops._ROUND6_FRONT, *ops._DRIVER_VERIFIED_R3_R5]:
         assert n in REGISTRY, n
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-5 front (first-green candidates + churn + stalest
-    regression slots) or in the r2–r4 driver-green defer list.  A
-    query in neither would sit just past the window and earn no
-    evidence this round without anyone deciding that."""
-    covered = set(ops._ROUND5_FRONT) | set(ops._DRIVER_VERIFIED_R2_R4)
+    in the round-6 front (changed-code + stalest regression slots) or
+    in the r3–r5 driver-green defer list.  A query in neither would sit
+    just past the window and earn no evidence this round without
+    anyone deciding that."""
+    covered = set(ops._ROUND6_FRONT) | set(ops._DRIVER_VERIFIED_R3_R5)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
-def test_first_green_candidates_lead_the_window():
-    """The twelve queries that can earn a FIRST driver-green row this
-    round — u13, l3k, the three new training-pipeline operators, the
-    z-order clustering receipt, the Bloom prefilter, the Matryoshka
-    recall gate, the unigram-LM score, the streaming tombstone-CDC
-    sink, the event funnel, and l3b (oracle added in round 5) — must
-    occupy the very front, followed by the seven whose code changed."""
+def test_changed_code_queries_lead_the_window():
+    """The six queries whose round-6 diff changes their output or plan
+    — the Bloom-prefilter and shard/bucket hash fixes (advisor-proved
+    degeneracies) plus l8's count()-fold — must occupy the very front,
+    followed by the seven whose driver evidence is round-1 stale."""
     names = list(REGISTRY)
-    assert names[:12] == [
-        "u13_cdc_merge_sink",
-        "l3b_minhash_lsh_pairs",
-        "l3k_incremental_index",
-        "tr_shuffle_shard",
-        "tr_domain_cap",
-        "t_bpe_pair_counts",
-        "s10_zorder_clustering",
+    assert names[:6] == [
         "j12_bloom_prefilter",
-        "l5c_matryoshka_recall",
-        "t_unigram_logprob",
-        "st12_stream_cdc_apply",
-        "e1_event_funnel",
+        "tr_shuffle_shard",
+        "tr_hash_split",
+        "tr_decontamination",
+        "tr_stratified_sample",
+        "l8_tfidf_top_terms",
     ]
-    assert set(names[12:19]) == {
-        "l4_cosine_topk_exact",
-        "l4b_cosine_topk_blocked",
-        "l5_ann_lsh",
-        "l7_word_frequency",
-        "u12_cdc_classify",
-        "j10_salted_skew_join",
-        "l3h_portable_minhash",
+    assert set(names[6:13]) == {
+        "ts_rsi",
+        "ts_sessionize_batch",
+        "ts_vwap",
+        "ud1_scalar_python_udf",
+        "ud5_udtf_bigrams",
+        "w7_percent_rank_cume_dist",
+        "w8_value_window_family",
     }

@@ -69,11 +69,20 @@ def dec_avg(c: str | Column, alias: str) -> Column:
     return (total / n).alias(alias)
 
 
-def sql_dec_avg(expr: str, alias: str) -> str:
+def sql_dec_avg_expr(expr: str) -> str:
+    """Alias-free form of :func:`sql_dec_avg`, for embedding inside a
+    larger expression (e.g. under a ROUND(...)).  Callers used to strip
+    the alias off ``sql_dec_avg`` with ``.replace(' AS x', '')`` —
+    string surgery that would silently produce broken SQL if the alias
+    formatting ever changed (round-5 advisor finding)."""
     return (
         f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f" / COUNT({expr})"
     )
+
+
+def sql_dec_avg(expr: str, alias: str) -> str:
+    return f"{sql_dec_avg_expr(expr)} AS {alias}"
 
 
 # --- second-moment statistics from exact power sums -----------------

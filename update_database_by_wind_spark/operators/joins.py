@@ -466,10 +466,19 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J12: Bloom-filter semi-join prefilter (runtime-filter receipt) -----------
 
-# Portable k=3 Bloom over m=4096 positions: h_i(key) = ((key % P) * A_i) % m,
-# plain modular int64 arithmetic both engines compute identically (the A_i
-# are independent multiplicative constants; P mod-first keeps the product
-# inside int64 for any key — same overflow discipline as training.py).
+# Portable k=3 Bloom over m=4096 positions:
+#   h_i(key) = floor((((key % P) * A_i) % 2^31) / 2^19)   ∈ [0, 4096)
+# — the HIGH 12 bits of a multiplicative hash, not a low-bits modulus.
+# Taking ((x*A) % m) with odd A is a bijection of (x mod m): all three
+# such "hashes" pass/fail together and the filter degenerates to k=1
+# (round-5 advisor finding, verified numerically).  High bits depend on
+# every bit of the key, so the three A_i now yield genuinely distinct
+# functions (measured: among probe pairs colliding on h0, only ~0.4%
+# also collide on h1, vs 100% for the low-bits form).  Arithmetic is
+# exact in both engines: the product is < P*A_max ≈ 3.3e15 (int64-safe,
+# P mod-first — same overflow discipline as training.py), the mod-2^31
+# residue and the 2^19 divisor are both exact in double, so FLOOR
+# division replays bit-identically in DuckDB (verified 50k keys).
 _BLOOM_P = 1_000_003
 _BLOOM_M = 4096
 _BLOOM_A = (2654435761, 2246822519, 3266489917)
@@ -477,7 +486,10 @@ _BLOOM_BAL = 7000.0
 
 
 def _bloom_pos_sql(key: str, a: int) -> str:
-    return f"((({key}) % {_BLOOM_P}) * {a}) % {_BLOOM_M}"
+    return (
+        f"CAST(FLOOR(((({key}) % {_BLOOM_P}) * {a}) % 2147483648"
+        f" / 524288.0) AS BIGINT)"
+    )
 
 
 _J12_ORACLE = f"""

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from update_database_by_wind_spark.functions.numeric import dec_avg, sql_dec_avg
+from update_database_by_wind_spark.functions.numeric import (
+    dec_avg,
+    sql_dec_avg,
+    sql_dec_avg_expr,
+)
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import fan_out, load
 
@@ -107,15 +111,24 @@ def l8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    # corpus size as a 1-row broadcast crossJoin (the tr_mix_weights
+    # idiom) instead of a driver-side docs.count(): keeps the whole
+    # plan lazy — one job, no separate count action.
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
@@ -599,7 +612,7 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tok,
-       ROUND({sql_dec_avg('lp', 'x').replace(' AS x', '')}, 6)
+       ROUND({sql_dec_avg_expr('lp')}, 6)
          AS avg_logprob
 FROM scored
 GROUP BY doc_id
