@@ -103,6 +103,48 @@ def _duckdb_total(names: list[str], sf_dir: str) -> float:
     return round(total, 3)
 
 
+def _extended_child_main(sf_dir: str, names: list[str]) -> None:
+    """Child-process mode (``bench.py --extended-child <sf_dir> <names>``):
+    time the given registry queries in a FRESH JVM and print one JSON
+    line.  Round-5 finding (BASELINE.md §Round 5): late extended
+    entries in the long-lived bench process read 4-5× their standalone
+    times at the 10× scale point — heap/GC accumulation from the
+    preceding headline sweeps, not the plans.  A fresh process makes
+    the extended artifact numbers plan-attributable again; the one-off
+    JVM startup is untimed either way."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    spark = get_session(
+        app_name="wind-spark-bench-ext", shuffle_partitions=16
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ext: dict[str, float] = {}
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir).count()  # untimed warm pass
+        ext[name] = _timed_min(spark, name, sf_dir)
+    print(json.dumps({"extended": ext}))
+
+
+def _extended_in_child(sf_dir: str, names: tuple[str, ...]) -> dict:
+    """Run the extended sweep via _extended_child_main in a subprocess;
+    parse the JSON line back.  Falls back to in-process timing if the
+    child fails (a bench artifact beats a missing one)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--extended-child",
+         sf_dir, ",".join(names)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)["extended"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return {}
+
+
 def _timed_min(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     """Best of ``passes`` timed executions — the standard steady-state
     convention: a single local-mode pass carries multi-hundred-ms GC /
@@ -203,10 +245,16 @@ def main() -> None:
         per_query_n = {
             name: _timed_min(spark, name, sfn_dir) for name in HEADLINE
         }
-        ext_n = {}
-        for name in extended_names:
-            REGISTRY[name].fn(spark, sfn_dir).count()
-            ext_n[name] = _timed_min(spark, name, sfn_dir)
+        # extended entries at replicated scales run in a FRESH child
+        # process (_extended_in_child): by this point the long-lived
+        # session's heap/GC state inflates them 4-5× over standalone
+        # timings (round-5 measurement note) — the child numbers are
+        # the plan-attributable ones.
+        ext_n = (
+            _extended_in_child(sfn_dir, extended_names)
+            if extended_names
+            else {}
+        )
         for df in pinned_n:
             df.unpersist()
         point = {
@@ -278,4 +326,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--extended-child":
+        _extended_child_main(sys.argv[2], sys.argv[3].split(","))
+    else:
+        main()

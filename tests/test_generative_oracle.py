@@ -782,3 +782,222 @@ def test_orders_query_matches_oracle_on_generated_corpus(
         import shutil
 
         shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# --- round-6 targeted fuzzes ---------------------------------------------------
+# The generic corpus sweep assigns doc_ids 0..n-1 and ASCII tokens, which
+# under-exercises: l3k's %13/%7 change classes (id 0 is always "new"),
+# tr_shuffle_shard's fixed shard count, t_bpe's substring arithmetic on
+# multi-byte code points, and l5c's recall on vectors where truncation
+# SHOULD work.  Each fuzz below drives exactly that axis.
+
+
+def _write_documents_with_ids(docs) -> str:
+    """documents.parquet with CHOSEN doc_ids (the generic writer's
+    0..n-1 assignment pins l3k's %13/%7 change classes to fixed rows)."""
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_ids_")
+    texts = [" ".join(toks) for _, toks in docs]
+    table = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["web"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+_L3K_TOKS = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12)
+
+# id regimes vs l3k's change detection (new: %13==0; edited: %7==0 with a
+# text long enough that truncating 10 chars changes it):
+#   empty_delta — no id is %13 or %7: changed set EMPTY, result must be
+#     zero rows (nothing to maintain);
+#   all_new — every id %13==0: the stored signature index is EMPTY
+#     (delta-only corpus, the first-ever pull);
+#   edit_heavy — every id %7==0, none %13: change detection rides
+#     entirely on the digest diff, including short texts whose
+#     truncation is a no-op (edited id but UNCHANGED content).
+_L3K_REGIMES = {
+    "empty_delta": st.lists(
+        st.integers(1, 500).filter(lambda i: i % 13 != 0 and i % 7 != 0),
+        min_size=0,
+        max_size=10,
+        unique=True,
+    ),
+    "all_new": st.lists(
+        st.integers(0, 38).map(lambda k: k * 13),
+        min_size=0,
+        max_size=10,
+        unique=True,
+    ),
+    "edit_heavy": st.lists(
+        st.integers(1, 70).map(lambda k: k * 7).filter(lambda i: i % 13 != 0),
+        min_size=0,
+        max_size=10,
+        unique=True,
+    ),
+}
+
+
+@st.composite
+def _docs_with_ids(draw, ids_strategy):
+    ids = draw(ids_strategy)
+    return [(i, draw(_L3K_TOKS)) for i in ids]
+
+
+@pytest.mark.parametrize("regime", sorted(_L3K_REGIMES))
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_l3k_incremental_index_split_point_regimes(spark, regime, data):
+    """l3k (incremental ≡ recompute) under adversarial change-set
+    shapes: an empty delta must produce zero pairs, a delta-only corpus
+    must rebuild from an empty stored index, and an edit-heavy corpus
+    must classify by digest (short texts are 'edited' ids with
+    unchanged content).  All three must match the from-scratch SQL
+    rebuild cell-exactly."""
+    import shutil
+
+    docs = data.draw(_docs_with_ids(_L3K_REGIMES[regime]))
+    sf_dir = _write_documents_with_ids(docs)
+    try:
+        spec = REGISTRY["l3k_incremental_index"]
+        res = spec.fn(spark, sf_dir)
+        problems = compare(res, run_oracle(spec.oracle, sf_dir))
+        assert not problems, (regime, problems)
+        if regime == "empty_delta":
+            assert res.count() == 0
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+@given(docs=_DOCS, n_shards=st.sampled_from([1, 2, 3, 8, 64, 101]))
+@settings(**_SETTINGS)
+def test_shuffle_shard_arbitrary_shard_counts(spark, docs, n_shards):
+    """tr_shuffle_shard at shard counts the fixture query never sees:
+    1 (degenerates to a single globally-ordered shard), counts that
+    exceed the corpus size (most shards empty), and non-powers-of-two.
+    Membership and within-shard order must replay identically in SQL
+    at every count."""
+    import shutil
+
+    from update_database_by_wind_spark.operators.training import (
+        shuffle_shard,
+        shuffle_shard_oracle_sql,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    sf_dir = _write_documents(docs)
+    try:
+        got = shuffle_shard(load(spark, sf_dir, "documents"), n_shards)
+        problems = compare(
+            got, run_oracle(shuffle_shard_oracle_sql(n_shards), sf_dir)
+        )
+        assert not problems, (n_shards, problems)
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# Unicode-heavy vocabulary for the BPE pair counter: CJK, an astral-plane
+# emoji pair (surrogate-paired in UTF-16 engines), a precomposed and a
+# COMBINING-mark accent (two code points rendering as one glyph), and
+# single-char words (no pairs at all).  Both engines index substring()
+# by code point (verified: identical pair lists on all of these), which
+# is exactly the parity this fuzz pins.
+_UNICODE_VOCAB = [
+    "日",
+    "本語",
+    "👍🎉",
+    "é",
+    "étude",
+    "ßß",
+    "好好好",
+    "a",
+    "語語語語",
+]
+
+_UNICODE_DOCS = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_UNICODE_VOCAB), min_size=0, max_size=10),
+        st.sampled_from(["en", "zh"]),
+        st.sampled_from(["web", "book"]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=_UNICODE_DOCS)
+@settings(**_SETTINGS)
+def test_bpe_pair_counts_on_unicode_vocab(spark, docs):
+    """t_bpe_pair_counts on multi-byte text: character-pair extraction
+    (length / sequence / substring) must count code points, not bytes,
+    identically in both engines — including astral-plane emoji and
+    combining marks — and 1-char words must contribute no pairs."""
+    import shutil
+
+    sf_dir = _write_documents(docs)
+    try:
+        spec = REGISTRY["t_bpe_pair_counts"]
+        problems = compare(
+            spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir)
+        )
+        assert not problems, problems
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# One-hot ±1 prefixes (dims 0-15) with an exactly-zero tail: all the
+# information lives in the first 16 dims — the corpus a Matryoshka-
+# trained encoder produces, where the truncated index SHOULD deploy.
+_PREFIX_VECS = st.lists(
+    st.tuples(st.integers(0, 15), st.sampled_from([1.0, -1.0])),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _write_embeddings(vecs) -> str:
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_emb_")
+    arrs = []
+    for d, s in vecs:
+        v = [0.0] * 64
+        v[d] = s
+        arrs.append(v)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(arrs, pa.list_(pa.float32())),
+            "label": pa.array([d for d, _ in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+@given(vecs=_PREFIX_VECS)
+@settings(**_SETTINGS)
+def test_matryoshka_recall_is_perfect_on_prefix_concentrated_vectors(
+    spark, vecs
+):
+    """l5c's honest fixture answer is recall ~0 (isotropic vectors); the
+    gate must also PASS when it should.  With unit one-hot prefixes and
+    an exactly-zero tail, the truncated cosine equals the full-dim dot
+    for every pair (norms are exactly 1.0), so the two rankings — and
+    their shared neighbor_id tie-break — are identical: recall@k must
+    be exactly 1.0 for every query, and the measurement must still
+    match the SQL replay cell-exactly."""
+    import shutil
+
+    sf_dir = _write_embeddings(vecs)
+    try:
+        spec = REGISTRY["l5c_matryoshka_recall"]
+        res = spec.fn(spark, sf_dir)
+        problems = compare(res, run_oracle(spec.oracle, sf_dir))
+        assert not problems, problems
+        assert all(r["recall_at_k"] == 1.0 for r in res.collect())
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)

@@ -351,6 +351,41 @@ def test_bloom_prefilter_joins_all_broadcast(spark, sf_oracle):
         assert bad not in plan, bad
 
 
+def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_oracle, tmp_path):
+    """DPP (SURVEY §4.1): joining the hive-partitioned fact layout to a
+    dim filtered on a NON-join column must inject a runtime
+    DynamicPruningExpression into the fact scan's PartitionFilters —
+    the matching months are only known after the dim filter runs, so
+    static pruning (s1b's receipt) cannot help, and without DPP the
+    100 TB fact side lists every partition directory.  The filter is
+    on the dim's count column (not the month) precisely so Catalyst
+    cannot constant-propagate an IN list across the join."""
+    orders = load(spark, sf_oracle, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    orders.write.partitionBy("o_month").parquet(fact_dir)
+    orders.groupBy("o_month").agg(F.count("*").alias("n")).write.parquet(
+        dim_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    sel = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("n") % 2 == 0)
+        .select("o_month")
+    )
+    joined = fact.join(sel, "o_month").groupBy("o_month").agg(
+        F.count("*").alias("cnt")
+    )
+    plan = formatted_plan(joined)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "dynamicpruningexpression" in ln.lower() for ln in part_lines
+    ), plan
+
+
 def test_event_funnel_is_single_exchange(spark, sf_oracle):
     """E1: the chained-window funnel must shuffle the events ONCE on
     user_id — the whole point of the window formulation over the

@@ -560,10 +560,35 @@ _KNUTH2 = 2246822519
 # (round-5 advisor finding).  ((x*A) % P) % 8 mixes every digit of the
 # key into the shard (measured: 1/8 agreement with the low-bits form,
 # balanced ±3% over the 8 shards on random keys).
-_TRSHARD_ORACLE = f"""
+
+
+def shuffle_shard(docs: DataFrame, n_shards: int = _N_SHARDS) -> DataFrame:
+    """Deterministic shuffle-shard over a fixture-shaped ``documents``
+    frame (see ``tr_shuffle_shard`` for semantics; ``n_shards`` is
+    exposed so the generative suite can fuzz shard-count edge cases —
+    1 shard, more shards than rows — against the same oracle form)."""
+    shard = (((F.col("doc_id") % _PRIME) * F.lit(_KNUTH)) % _PRIME) % n_shards
+    ord_key = ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH2)) % _PRIME
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            ord_key.alias("ord_key"),
+            "doc_id",
+            "lang",
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "lang")
+    )
+
+
+def shuffle_shard_oracle_sql(n_shards: int) -> str:
+    """The window-form oracle for ``shuffle_shard`` at an arbitrary
+    shard count (the registry entry uses this at _N_SHARDS = 8)."""
+    return f"""
 WITH keyed AS (
   SELECT doc_id, lang,
-         (((doc_id % {_PRIME}) * {_KNUTH}) % {_PRIME}) % {_N_SHARDS} AS shard,
+         (((doc_id % {_PRIME}) * {_KNUTH}) % {_PRIME}) % {n_shards} AS shard,
          ((doc_id % {_PRIME}) * {_KNUTH2}) % {_PRIME} AS ord_key
   FROM documents
 )
@@ -573,6 +598,9 @@ SELECT CAST(shard AS BIGINT) AS shard,
        doc_id, lang
 FROM keyed
 """
+
+
+_TRSHARD_ORACLE = shuffle_shard_oracle_sql(_N_SHARDS)
 
 
 @query("tr_shuffle_shard", oracle=_TRSHARD_ORACLE, tags=("training", "sampling"))
@@ -592,20 +620,7 @@ def tr_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and let the shard writer emit positions implicitly — identical
     order, no single-task rank over a whole shard.  The window form
     here is the oracle-checkable statement of those semantics."""
-    docs = load(spark, sf_dir, "documents")
-    shard = (((F.col("doc_id") % _PRIME) * F.lit(_KNUTH)) % _PRIME) % _N_SHARDS
-    ord_key = ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH2)) % _PRIME
-    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
-    return (
-        docs.select(
-            shard.alias("shard"),
-            ord_key.alias("ord_key"),
-            "doc_id",
-            "lang",
-        )
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("shard", "pos", "doc_id", "lang")
-    )
+    return shuffle_shard(load(spark, sf_dir, "documents"))
 
 
 # --- TRcap: per-domain document cap --------------------------------------------
