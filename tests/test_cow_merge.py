@@ -109,6 +109,96 @@ def test_cow_merge_is_idempotent(spark, sf_smoke, tmp_path):
     assert first == second
 
 
+def test_cow_delete_routes_partitions_to_drop_rewrite_untouched(
+    spark, sf_smoke, tmp_path
+):
+    """U14's three-way routing, structurally: TTL-expired partitions
+    vanish as directories (no rewrite), partitions holding an erased
+    key are rewritten (new files), and every other partition keeps its
+    exact files (same paths, sizes, mtimes)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        cow_delete,
+    )
+
+    target_path = str(tmp_path / "orders_by_month")
+    snap = load(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    before = _snapshot(target_path)
+    months = sorted({p.split(os.sep)[0] for p in before})
+    ttl_cutoff = months[2].split("=")[1]  # expire the 2 earliest months
+    # erase exactly one key, so exactly its month is rewritten
+    victim = (
+        snap.filter(F.col("o_month") >= ttl_cutoff)
+        .orderBy("o_orderkey")
+        .first()
+    )
+    predicate = (F.col("o_month") < ttl_cutoff) | (
+        F.col("o_orderkey") == victim["o_orderkey"]
+    )
+    result = cow_delete(spark, target_path, predicate, "o_month")
+
+    assert sorted(result["dropped"]) == [
+        m.split("=")[1] for m in months[:2]
+    ]
+    assert result["rewritten"] == [victim["o_month"]]
+    after = _snapshot(target_path)
+    # dropped partitions: directories gone entirely
+    for m in months[:2]:
+        assert not any(p.startswith(m) for p in after)
+    # rewritten partition: new files
+    vdir = f"o_month={victim['o_month']}"
+    assert {p for p in before if p.startswith(vdir)} != {
+        p for p in after if p.startswith(vdir)
+    }
+    # untouched partitions: byte-identical file census
+    touched = set(months[:2]) | {vdir}
+    ut_before = {
+        p: v
+        for p, v in before.items()
+        if not any(p.startswith(t) for t in touched)
+    }
+    ut_after = {
+        p: v
+        for p, v in after.items()
+        if not any(p.startswith(t) for t in touched)
+    }
+    assert ut_before == ut_after
+    # content: exactly the predicate's rows are gone
+    back = spark.read.parquet(target_path)
+    expected = snap.filter(~predicate)
+    assert back.count() == expected.count()
+    assert (
+        back.join(expected, "o_orderkey", "left_anti").count() == 0
+        and expected.join(back, "o_orderkey", "left_anti").count() == 0
+    )
+
+
+def test_cow_delete_noop_on_no_matches(spark, sf_smoke, tmp_path):
+    """A predicate matching nothing must not touch a single file."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        cow_delete,
+    )
+
+    target_path = str(tmp_path / "orders_by_month")
+    snap = load(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.write.partitionBy("o_month").parquet(target_path)
+    before = _snapshot(target_path)
+    result = cow_delete(
+        spark, target_path, F.col("o_orderkey") < 0, "o_month"
+    )
+    assert result == {"dropped": [], "rewritten": []}
+    assert _snapshot(target_path) == before
+
+
 def test_cow_merge_rejects_cross_partition_key_moves(spark, sf_smoke, tmp_path):
     """The COW contract: keys may not change partition.  With
     validate_keys=True a source batch that moves a key must be

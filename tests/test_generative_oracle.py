@@ -960,8 +960,8 @@ _PREFIX_VECS = st.lists(
 )
 
 
-def _write_embeddings(vecs) -> str:
-    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_emb_")
+def _write_prefix_embeddings(vecs) -> str:
+    sf_dir = tempfile.mkdtemp(prefix="wind_spark_gen_emb16_")
     arrs = []
     for d, s in vecs:
         v = [0.0] * 64
@@ -992,7 +992,7 @@ def test_matryoshka_recall_is_perfect_on_prefix_concentrated_vectors(
     match the SQL replay cell-exactly."""
     import shutil
 
-    sf_dir = _write_embeddings(vecs)
+    sf_dir = _write_prefix_embeddings(vecs)
     try:
         spec = REGISTRY["l5c_matryoshka_recall"]
         res = spec.fn(spark, sf_dir)

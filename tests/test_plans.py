@@ -384,6 +384,10 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_oracle, tmp_pat
     assert any(
         "dynamicpruningexpression" in ln.lower() for ln in part_lines
     ), plan
+    # and the S11 registry query (same shape over its scratch layout)
+    # must plan the same runtime filter
+    s11 = formatted_plan(REGISTRY["s11_dpp_join"].fn(spark, sf_oracle))
+    assert "dynamicpruningexpression" in s11.lower(), s11
 
 
 def test_event_funnel_is_single_exchange(spark, sf_oracle):

@@ -176,6 +176,73 @@ def s10_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH " + _zorder_sql("div"))
 
 
+# --- S11: dynamic partition pruning (runtime directory skipping) ---------------
+
+_S11_ORACLE = f"""
+WITH dim AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+sel AS (SELECT o_month FROM dim WHERE n % 2 = 0),
+fact AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+  FROM orders
+)
+SELECT f.o_month,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('f.o_totalprice', 'total_price')}
+FROM fact f JOIN sel USING (o_month)
+GROUP BY f.o_month
+"""
+
+
+@query("s11_dpp_join", oracle=_S11_ORACLE, tags=("source", "layout"))
+def s11_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: dynamic partition pruning — join the month-partitioned fact
+    layout to a dim filtered on a NON-join column (its row count, so
+    the qualifying months are only known at runtime; Catalyst cannot
+    constant-propagate an IN list the way a literal month filter would
+    allow).  DPP broadcasts the dim filter's result into the fact
+    scan as a runtime PartitionFilter — the scan lists only matching
+    month directories (``DynamicPruningExpression``, asserted in
+    tests/test_plans.py::test_dynamic_partition_pruning_on_partitioned_join).
+
+    Why it matters at 100 TB: S1b's static pruning needs the partition
+    predicate IN the query text; real star-schema queries filter the
+    DIM ("this quarter's active segments"), and without DPP the fact
+    side lists and scans every partition.  DPP is the mechanism that
+    makes dim-filtered queries cost the same as literal-filtered ones.
+    Both the layout write and the dim materialization are scratch
+    artifacts; the oracle replays the logical join over the original
+    table, proving the pruned scan loses no rows."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_dpp_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders.select("o_totalprice", "o_month").write.partitionBy(
+        "o_month"
+    ).parquet(f"{base}/fact")
+    orders.groupBy("o_month").agg(F.count("*").alias("n")).write.parquet(
+        f"{base}/dim"
+    )
+    fact = spark.read.parquet(f"{base}/fact")
+    sel = (
+        spark.read.parquet(f"{base}/dim")
+        .filter(F.col("n") % 2 == 0)
+        .select("o_month")
+    )
+    return fact.join(sel, "o_month").groupBy("o_month").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
 def zorder_value(x, y):
     """Morton key as a Column over two 16-bit-normalized dimensions —
     the sort key a z-layout write job uses (see the plan test).

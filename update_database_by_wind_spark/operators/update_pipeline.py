@@ -953,3 +953,142 @@ def u13_cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "n_rows", "total_price", "n_ins", "n_upd", "n_del"
         )
     )
+
+
+# --- U14: partition-pruned retention delete (TTL + targeted erasure) -----------
+
+
+def cow_delete(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    partition_col: str,
+) -> dict:
+    """Copy-on-write DELETE against a partitioned parquet table — the
+    retention/TTL and GDPR-erasure primitive, with the same pruning
+    economics as :func:`cow_merge`:
+
+    * partitions where EVERY row matches the predicate are **dropped**
+      as directories (a metadata delete — no data is read or written;
+      this is how a TTL sweep removes expired days for free);
+    * partitions with a PARTIAL match are **rewritten** with survivors
+      only, via dynamic partition overwrite;
+    * partitions with no matching row are **never touched** — same
+      paths, sizes, mtimes (asserted structurally in
+      tests/test_cow_merge.py).
+
+    The affected-partition census is ONE metadata-sized aggregate
+    (deleted vs total counts per partition, bounded by partition count,
+    never by row count).  The predicate must be null-safe (evaluate to
+    true/false, not NULL, on every row) — survivors are selected with
+    its negation.  NULL partition values take the rewrite path (their
+    directory name is engine-internal, so they are never dropped
+    structurally).
+
+    Returns ``{"dropped": [...], "rewritten": [...]}`` for
+    observability.
+    """
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    census = (
+        target.groupBy(partition_col)
+        .agg(
+            F.count("*").alias("n_all"),
+            F.sum(F.when(predicate, 1).otherwise(0)).alias("n_del"),
+        )
+        .filter(F.col("n_del") > 0)
+        .collect()
+    )
+    dropped = [
+        r[partition_col]
+        for r in census
+        if r["n_del"] == r["n_all"] and r[partition_col] is not None
+    ]
+    rewritten = [
+        r[partition_col]
+        for r in census
+        if r["n_del"] < r["n_all"] or r[partition_col] is None
+    ]
+    for v in dropped:
+        shutil.rmtree(f"{target_path}/{partition_col}={v}", ignore_errors=True)
+    if rewritten:
+        non_null = [v for v in rewritten if v is not None]
+        in_rewrite = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in rewritten):
+            in_rewrite = in_rewrite | F.col(partition_col).isNull()
+        survivors = target.filter(in_rewrite).filter(~predicate)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.repartition(F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"dropped": dropped, "rewritten": rewritten}
+
+
+_U14_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM orders
+WHERE NOT (strftime(o_orderdate, '%Y-%m') < '1993-07'
+           OR o_orderkey % 131 = 0)
+GROUP BY 1
+"""
+
+
+@query("u14_retention_delete", oracle=_U14_ORACLE, tags=("update", "layout"))
+def u14_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U14: retention sweep as a copy-on-write DELETE — one pass
+    applies a TTL (every month before 1993-07 expires: those partition
+    directories are DROPPED without reading a byte) and a targeted
+    erasure (the %131 keys — a GDPR request's shape: few rows, many
+    partitions: those partitions are REWRITTEN with survivors only).
+    The post-delete monthly rollup must equal the oracle's logical
+    delete over the original table, proving the physical layout
+    surgery lost exactly the right rows.
+
+    Why it matters at 100 TB: retention is the highest-volume delete a
+    lakehouse runs, and the naive form (read all, filter, rewrite all)
+    is a full-table rewrite every night.  The census that routes each
+    partition to drop / rewrite / untouched is metadata-sized, expired
+    partitions cost a directory unlink, and only erasure-touched
+    partitions pay a rewrite — the same contract as Delta's
+    partition-pruned DELETE.  Untouched partitions are proven
+    byte-identical in tests/test_cow_merge.py."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_ret_{tag}"
+    target_path = f"{base}/orders_by_month"
+    shutil.rmtree(base, ignore_errors=True)
+    snap = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    predicate = (F.col("o_month") < "1993-07") | (
+        F.col("o_orderkey") % 131 == 0
+    )
+    cow_delete(spark, target_path, predicate, "o_month")
+    back = spark.read.parquet(target_path)
+    return back.groupBy("o_month").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("o_totalprice", "total_price"),
+    )
