@@ -103,43 +103,62 @@ def _duckdb_total(names: list[str], sf_dir: str) -> float:
     return round(total, 3)
 
 
-def _extended_child_main(sf_dir: str, names: list[str]) -> None:
-    """Child-process mode (``bench.py --extended-child <sf_dir> <names>``):
+def _sweep_child_main(
+    sf_dir: str, names: list[str], pin: bool, warm_dir: str = ""
+) -> None:
+    """Child-process mode (``bench.py --sweep-child <sf_dir> <names> <pin>``):
     time the given registry queries in a FRESH JVM and print one JSON
-    line.  Round-5 finding (BASELINE.md §Round 5): late extended
-    entries in the long-lived bench process read 4-5× their standalone
-    times at the 10× scale point — heap/GC accumulation from the
-    preceding headline sweeps, not the plans.  A fresh process makes
-    the extended artifact numbers plan-attributable again; the one-off
-    JVM startup is untimed either way."""
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    line.  Round-5/6 finding (BASELINE.md): by the time the long-lived
+    bench process reaches the replicated scale points it carries the
+    heap/GC residue of every earlier sweep, and the late entries read
+    2-5× their standalone times (measured at sf2: l7 2.21 s in-process
+    vs 0.91 s fresh, l4 1.88 vs 0.67 — identical replica, identical
+    config).  A fresh process per scale point makes the artifact
+    numbers plan-attributable, and is SYMMETRIC with the DuckDB
+    comparator, which already opens a fresh connection per scale
+    point.  The JVM startup is untimed either way.  ``pin`` caches the
+    five reference tables first (the counterpart of DuckDB's
+    materialized _REF_TABLES)."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_session(
-        app_name="wind-spark-bench-ext", shuffle_partitions=16
+        app_name="wind-spark-bench-sweep", shuffle_partitions=16
     )
     spark.sparkContext.setLogLevel("ERROR")
-    ext: dict[str, float] = {}
+    # same two-tier warm-up as the parent protocol: compile + JIT-tier
+    # every plan on the tiny fixture first (fresh JVM ⇒ cold C2
+    # otherwise — measured ~40-70% inflation on the fact queries), then
+    # one untimed pass per query at the target scale
+    if warm_dir and os.path.isdir(warm_dir):
+        for name in names:
+            REGISTRY[name].fn(spark, warm_dir).count()
+    if pin:
+        for t in _REF_TABLES:
+            load(spark, sf_dir, t).cache().count()
+    res: dict[str, float] = {}
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()  # untimed warm pass
-        ext[name] = _timed_min(spark, name, sf_dir)
-    print(json.dumps({"extended": ext}))
+        res[name] = _timed_min(spark, name, sf_dir)
+    print(json.dumps({"queries": res}))
 
 
-def _extended_in_child(sf_dir: str, names: tuple[str, ...]) -> dict:
-    """Run the extended sweep via _extended_child_main in a subprocess;
-    parse the JSON line back.  Falls back to in-process timing if the
-    child fails (a bench artifact beats a missing one)."""
+def _sweep_in_child(
+    sf_dir: str, names: list[str], pin: bool = True, warm_dir: str = ""
+) -> dict:
+    """Run a timed sweep via _sweep_child_main in a subprocess; parse
+    the JSON line back.  Returns {} if the child fails — callers fall
+    back to in-process timing (a bench artifact beats a missing one)."""
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--extended-child",
-         sf_dir, ",".join(names)],
+        [sys.executable, os.path.abspath(__file__), "--sweep-child",
+         sf_dir, ",".join(names), "1" if pin else "0", warm_dir],
         capture_output=True,
         text=True,
         timeout=1800,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line)["extended"]
+            return json.loads(line)["queries"]
         except (json.JSONDecodeError, KeyError):
             continue
     return {}
@@ -163,11 +182,12 @@ def _timed_min(spark, name: str, sf_dir: str, passes: int = 2) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    # 16g heap for the bench session (32 concurrent task threads + the
-    # pinned reference caches at the sf1 point thrash an 8g heap — GC
-    # spikes of multiple seconds showed up in single-pass timings);
-    # explicit SPARK_DRIVER_MEMORY still wins
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    # 24g heap for the bench session (32 concurrent task threads + the
+    # pinned reference caches at three scale points; 16g left the late
+    # sweeps under enough old-gen pressure to inflate corpus-query
+    # timings 2-5× on a loaded box — round-6 measurement); explicit
+    # SPARK_DRIVER_MEMORY still wins
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     # 16 shuffle partitions measured fastest at sf0.1 on local[32]
     # (AQE coalesces further); prepare() respects values ≤ 64
     spark = get_session(app_name="wind-spark-bench", shuffle_partitions=16)
@@ -230,7 +250,14 @@ def main() -> None:
         and re-run the headline sweep there under the same protocol:
         pin refs, one untimed pass per query at THIS scale (AQE-final
         plans compiled, page cache warm — steady state, same as
-        DuckDB's OS-cached reads), then per-query min of 2."""
+        DuckDB's OS-cached reads), then per-query min of 2.  The
+        headline sweep stays IN the long-lived parent session — that
+        protocol is what every prior round's artifact used (a fresh-JVM
+        sweep re-pays C2 JIT tiering: measured +35-60% on the fact
+        queries, which would break cross-round comparability) — while
+        the EXTENDED entries run in a fresh child process, because they
+        execute last, where accumulated heap/GC residue inflated them
+        2-5× under memory pressure (round-5 measurement note)."""
         from update_database_by_wind_spark.sources.replicate import (
             replicate_sf,
         )
@@ -245,13 +272,10 @@ def main() -> None:
         per_query_n = {
             name: _timed_min(spark, name, sfn_dir) for name in HEADLINE
         }
-        # extended entries at replicated scales run in a FRESH child
-        # process (_extended_in_child): by this point the long-lived
-        # session's heap/GC state inflates them 4-5× over standalone
-        # timings (round-5 measurement note) — the child numbers are
-        # the plan-attributable ones.
         ext_n = (
-            _extended_in_child(sfn_dir, extended_names)
+            _sweep_in_child(
+                sfn_dir, list(extended_names), pin=False, warm_dir=warm_dir
+            )
             if extended_names
             else {}
         )
@@ -267,7 +291,10 @@ def main() -> None:
             point["extended"] = ext_n
         # receipt at every replicated point: the salting win only
         # emerges once the hot partition dominates (20×); the sf1 row
-        # doubles as the "don't salt small joins" counter-receipt
+        # doubles as the "don't salt small joins" counter-receipt.
+        # Deliberately kept in the parent session: the receipt's claim
+        # is the RATIO between its three variants, which share
+        # whatever session state exists.
         point["skew_receipt"] = _skew_receipt(sfn_dir)
         return point
 
@@ -326,7 +353,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--extended-child":
-        _extended_child_main(sys.argv[2], sys.argv[3].split(","))
+    if len(sys.argv) >= 5 and sys.argv[1] == "--sweep-child":
+        _sweep_child_main(
+            sys.argv[2],
+            sys.argv[3].split(","),
+            sys.argv[4] == "1",
+            sys.argv[5] if len(sys.argv) > 5 else "",
+        )
     else:
         main()

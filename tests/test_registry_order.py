@@ -44,15 +44,16 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_changed_code_queries_lead_the_window():
-    """The two NEW round-6 operators (first-possible-green) and the six
-    queries whose round-6 diff changes their output or plan — the
+    """The three NEW round-6 operators (first-possible-green) and the
+    six queries whose round-6 diff changes their output or plan — the
     Bloom-prefilter and shard/bucket hash fixes (advisor-proved
     degeneracies) plus l8's count()-fold — must occupy the very front,
     followed by the seven whose driver evidence is round-1 stale."""
     names = list(REGISTRY)
-    assert names[:8] == [
+    assert names[:9] == [
         "u14_retention_delete",
         "s11_dpp_join",
+        "st13_stream_outer_join",
         "j12_bloom_prefilter",
         "tr_shuffle_shard",
         "tr_hash_split",
@@ -60,7 +61,7 @@ def test_changed_code_queries_lead_the_window():
         "tr_stratified_sample",
         "l8_tfidf_top_terms",
     ]
-    assert set(names[8:15]) == {
+    assert set(names[9:16]) == {
         "ts_rsi",
         "ts_sessionize_batch",
         "ts_vwap",

@@ -24,6 +24,7 @@ watermark eviction, which the late-data test exercises
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -548,6 +549,152 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         dec_sum("p_val", "purchase_value"),
+    )
+
+
+# --- ST13: stream-stream LEFT OUTER interval join ------------------------------
+
+_ST13_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click' AND user_id % 7 = 0 AND user_id >= 0
+),
+p AS (
+  SELECT user_id AS p_user, ts AS p_ts, value AS p_val FROM events
+  WHERE event_type = 'purchase' AND user_id % 7 = 0 AND user_id >= 0
+)
+SELECT c.user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN p.p_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted,
+       {sql_dec_sum('p.p_val', 'purchase_value')}
+FROM c LEFT JOIN p
+  ON c.user_id = p.p_user
+ AND p.p_ts >= c.c_ts
+ AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+@query(
+    "st13_stream_outer_join",
+    oracle=_ST13_ORACLE,
+    tags=("streaming", "join", "watermark"),
+)
+def st13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: stream-stream LEFT OUTER interval join — every click, with
+    its purchases within 30 minutes OR a null row if none came.  The
+    semantics inner joins (st10) cannot give: "which clicks did NOT
+    convert" is only answerable once the join is CERTAIN no match can
+    still arrive, i.e. when the watermark passes the click's interval
+    bound.  Spark holds unmatched left rows in the join state and
+    emits the null-padded row only on watermark advance — so a finite
+    replay would end with the tail of clicks still buffered, their
+    outer rows never emitted.
+
+    The fix is the production pattern for bounded backfills through
+    streaming graphs: a WATERMARK HEARTBEAT — one sentinel event per
+    side, far past the real data (here +10 days, user_id −7: passes
+    the ``% 7`` prefilter, can never match, and is dropped from the
+    result), replayed as its own micro-batch, followed by one empty
+    batch (the watermark computed from a batch takes effect in the
+    NEXT one).  After the heartbeat the watermark clears every real
+    click's bound, all outer rows flush deterministically, and the
+    final table is batch-equivalent → oracle-checked against the plain
+    LEFT JOIN, nulls included.
+
+    Scale shape: identical to st10 — watermarks bound the buffered
+    state on both sides, so the join runs forever on unbounded
+    streams; the heartbeat is only needed to DRAIN a finite replay."""
+    prepare(spark)
+    from update_database_by_wind_spark.sources import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") % 7 == 0)
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    d = scratch_dir("wind_spark_outer_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/batch0")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = (
+        max_ts or datetime.datetime(2024, 1, 1)
+    ) + datetime.timedelta(days=10)
+    (
+        spark.createDataFrame(
+            [
+                (-1, sentinel_ts, -7, "click", 0.0),
+                (-2, sentinel_ts, -7, "purchase", 0.0),
+            ],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{d}/batch1")
+    )
+    # empty third batch: the watermark advanced by the heartbeat takes
+    # effect one trigger later — this batch is that trigger
+    (
+        ev.limit(0)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{d}/batch2")
+    )
+    for i in range(3):  # file source replays in mtime order; pin it
+        for root, _, files in os.walk(f"{d}/batch{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i * 100, 1_700_000_000 + i * 100),
+                )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/batch*")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_val"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    try:
+        out = run_to_memory(pairs, "append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("p_user").isNull().cast("long")).alias(
+                "n_unconverted"
+            ),
+            dec_sum("p_val", "purchase_value"),
+        )
     )
 
 
