@@ -114,6 +114,12 @@ def _write_events(events, unit: str) -> str:
         # generated users exercise partial funnels (signup w/o click,
         # click before signup must NOT count) and the n1=0 NULLIF leg
         "e1_event_funnel",
+        # st13's LEFT OUTER join: sparse corpora hit every regime —
+        # zero clicks (empty result), clicks with no purchases (all
+        # null-padded rows via the watermark heartbeat), purchases
+        # exactly at the 30-minute bound (10-minute quantization makes
+        # boundary hits common), and empty %7 cohorts
+        "st13_stream_outer_join",
     ],
 )
 @given(events=_EVENTS)

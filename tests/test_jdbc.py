@@ -130,3 +130,30 @@ def test_streaming_foreach_batch_jdbc_upsert(spark, sf_oracle, derby_url):
     got_rows = spark.read.jdbc(derby_url, "user_state").collect()
     got = {r["user_id"]: r["last_value"] for r in got_rows if r["user_id"] >= 0}
     assert got == want
+
+
+def test_jdbc_read_pushes_filters_and_prunes_columns(spark, sf_oracle, derby_url):
+    """The filter and the projection must cross the JDBC wire as SQL —
+    at 100 TB the database does the filtering, not Spark.  The plan's
+    PushedFilters entries must be *-starred (fully handled by the
+    source, no residual Spark Filter) and ReadSchema must carry only
+    the projected column (SELECT c_custkey ... WHERE ..., not
+    SELECT *)."""
+    from update_database_by_wind_spark.plans import formatted_plan
+
+    cust = load(spark, sf_oracle, "customer").select("c_custkey", "c_acctbal")
+    write_jdbc(cust, derby_url, "cust_t", mode="overwrite")
+    back = (
+        spark.read.jdbc(derby_url, "cust_t")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    plan = formatted_plan(back)
+    assert "*GreaterThan(c_acctbal,5000.0)" in plan, plan
+    read_schema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    assert "c_custkey" in read_schema and "c_acctbal" not in read_schema
+    # and the pushed plan returns the right rows
+    expected = cust.filter(F.col("c_acctbal") > 5000).count()
+    assert back.count() == expected
