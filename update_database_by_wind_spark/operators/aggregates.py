@@ -553,3 +553,138 @@ def a13_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
         )
     )
+
+
+# --- A14: KMV bottom-k distinct sketch (mergeable, exactly replayable) ----------
+
+# Portable uniformizing hash over the key domain: reduce mod the prime
+# FIRST (int64-safe product), multiply, reduce mod the prime AGAIN so
+# the low bits of the result depend on every digit of the key (the
+# round-6 hash-degeneracy discipline; see operators/training.py).
+_KMV_P = 1_000_003
+_KMV_A = 2246822519
+_KMV_K = 64
+# (k-1) * P as one exact double constant, so both engines evaluate the
+# estimator as a single division with no association ambiguity
+_KMV_NUM = float((_KMV_K - 1) * _KMV_P)
+
+_A14_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         (((o_custkey % {_KMV_P}) * {_KMV_A}) % {_KMV_P}) % {_KMV_P} AS h
+  FROM orders
+),
+full_sk AS (SELECT DISTINCT h FROM keyed ORDER BY h LIMIT {_KMV_K}),
+h0 AS (SELECT DISTINCT h FROM keyed WHERE o_orderkey % 2 = 0
+       ORDER BY h LIMIT {_KMV_K}),
+h1 AS (SELECT DISTINCT h FROM keyed WHERE o_orderkey % 2 = 1
+       ORDER BY h LIMIT {_KMV_K}),
+merged AS (
+  SELECT DISTINCT h
+  FROM (SELECT h FROM h0 UNION ALL SELECT h FROM h1)
+  ORDER BY h LIMIT {_KMV_K}
+),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sk,
+             CAST(MAX(h) AS BIGINT) AS kth,
+             CAST(SUM(h) AS BIGINT) AS s FROM full_sk),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sk,
+             CAST(MAX(h) AS BIGINT) AS kth,
+             CAST(SUM(h) AS BIGINT) AS s FROM merged),
+t AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS true_distinct FROM keyed),
+e AS (
+  SELECT n_sk, kth, s,
+         CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+              ELSE ROUND({_KMV_NUM!r} / kth, 6) END AS est
+  FROM f
+)
+SELECT e.n_sk AS sketch_size,
+       e.kth AS kth_hash,
+       e.est AS est_distinct,
+       t.true_distinct,
+       ROUND(ABS(e.est - t.true_distinct)
+             / NULLIF(CAST(t.true_distinct AS DOUBLE), 0), 6) AS rel_err,
+       (e.n_sk = m.n_sk
+        AND COALESCE(e.kth, -1) = COALESCE(m.kth, -1)
+        AND COALESCE(e.s, -1) = COALESCE(m.s, -1)) AS merge_ok
+FROM e, m, t
+"""
+
+
+@query("a14_kmv_sketch", oracle=_A14_ORACLE, tags=("agg", "sketch", "approx"))
+def a14_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: KMV (k-minimum-values / bottom-k) distinct sketch over the
+    order customer keys — a MERGEABLE cardinality sketch whose every
+    number is exactly replayable, unlike HLL (a3's bracket check).
+    The sketch is the k=64 smallest distinct values of a portable
+    uniformizing hash; the estimator is the classic KMV
+    (k-1)·P / h_(k); and the row carries the receipt that makes it
+    trustworthy at 100 TB:
+
+    * ``merge_ok`` — the corpus is split into two shards (odd/even
+      order keys, so the same customer appears in both), each shard
+      sketched independently, the two sketches merged (union →
+      bottom-k), and the merged sketch proven IDENTICAL to the
+      from-scratch sketch (size + k-th value + exact sum).  This is
+      U9's merge ≡ recompute contract applied to a sketch — the
+      property that lets 1000 executors sketch locally and combine,
+      and lets yesterday's sketch absorb today's delta without a
+      rescan.  (Mathematically exact for KMV: every member of the
+      whole's bottom-k is in its shard's bottom-k.)
+    * ``est_distinct`` / ``true_distinct`` / ``rel_err`` — the
+      estimator against the exact answer, computable at fixture scale
+      (the exact leg is the receipt, not the production path).
+
+    Scale shape: the sketch is distinct(hash) + TakeOrdered(k) — one
+    map-side-combined dedup shuffle of 8-byte hashes and a k-row heap
+    per partition; nothing key-sized ever concentrates.  When the
+    sketch has fewer than k values the exact count IS the sketch size
+    (the standard KMV small-set convention), which the generated-
+    corpus fuzz exercises."""
+    orders = load(spark, sf_dir, "orders")
+    h = (((F.col("o_custkey") % _KMV_P) * F.lit(_KMV_A)) % _KMV_P) % _KMV_P
+    keyed = orders.select("o_orderkey", h.alias("h"))
+
+    def sk(df: DataFrame) -> DataFrame:
+        return df.select("h").distinct().orderBy("h").limit(_KMV_K)
+
+    def stats(s: DataFrame, pfx: str) -> DataFrame:
+        return s.agg(
+            F.count("*").cast("long").alias(f"{pfx}_n"),
+            F.max("h").cast("long").alias(f"{pfx}_kth"),
+            F.sum("h").cast("long").alias(f"{pfx}_s"),
+        )
+
+    full_stats = stats(sk(keyed), "f")
+    merged = sk(
+        sk(keyed.filter(F.col("o_orderkey") % 2 == 0)).unionAll(
+            sk(keyed.filter(F.col("o_orderkey") % 2 == 1))
+        )
+    )
+    merged_stats = stats(merged, "m")
+    true_d = keyed.agg(
+        F.countDistinct("h").cast("long").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("f_n") < _KMV_K, F.col("f_n").cast("double")
+    ).otherwise(F.round(F.lit(_KMV_NUM) / F.col("f_kth"), 6))
+    merge_ok = (
+        (F.col("f_n") == F.col("m_n"))
+        & (F.coalesce("f_kth", F.lit(-1)) == F.coalesce("m_kth", F.lit(-1)))
+        & (F.coalesce("f_s", F.lit(-1)) == F.coalesce("m_s", F.lit(-1)))
+    )
+    return (
+        full_stats.crossJoin(F.broadcast(merged_stats))
+        .crossJoin(F.broadcast(true_d))
+        .select(
+            F.col("f_n").alias("sketch_size"),
+            F.col("f_kth").alias("kth_hash"),
+            est.alias("est_distinct"),
+            "true_distinct",
+            F.round(
+                F.abs(est - F.col("true_distinct"))
+                / F.nullif(F.col("true_distinct").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("rel_err"),
+            merge_ok.alias("merge_ok"),
+        )
+    )
