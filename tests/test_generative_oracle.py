@@ -99,6 +99,10 @@ def _write_documents(docs) -> str:
         # ASCII-vocab corpus
         "mm_binary_decode",
         "mm_chunk_expansion",
+        # round-6 resize leg: empty payloads take the stride-0 sentinel,
+        # 1-char docs resize to themselves, and ≥64-char docs hit
+        # stride > 1 with a ragged final sample
+        "mm_resize_downsample",
         # round-5: incremental LSH index maintenance — tiny collision-
         # rich corpora make %7 edits and %13 inserts near-duplicate
         # each other, exercising the changed×all candidate restriction

@@ -183,3 +183,102 @@ def mm_chunk_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk_text).cast("long").alias("chunk_len"),
         F.md5(chunk_text).alias("chunk_md5"),
     )
+
+
+# --- resize/downsample shape (mapInPandas, strided resampling) -------------------
+
+_MM_TARGET = 64  # target sample count (the "thumbnail" size)
+_MM_RESIZE_SCHEMA = (
+    "doc_id long, orig_len int, stride int, resized_len int,"
+    " resample_checksum long"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'resize' kernel: strided downsampling of the
+    payload to ≤ _MM_TARGET samples — the 1-D analogue of an image
+    thumbnail / audio decimation.  A real deployment calls the codec's
+    resampler here (PIL Image.resize / torchaudio.resample); the
+    strided byte pick keeps the identical batch contract while staying
+    exactly replayable in SQL."""
+    out_cols = ("doc_id", "orig_len", "stride", "resized_len", "resample_checksum")
+    for pdf in batches:
+        rows = {c: [] for c in out_cols}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(b)
+            if n == 0:
+                s, sampled = 0, b""
+            else:
+                s = -(-n // _MM_TARGET)  # ceil(n / target)
+                sampled = b[::s]
+            rows["doc_id"].append(doc_id)
+            rows["orig_len"].append(n)
+            rows["stride"].append(s)
+            rows["resized_len"].append(len(sampled))
+            rows["resample_checksum"].append(int(sum(sampled)) % 1_000_003)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(rows["doc_id"], "int64"),
+                "orig_len": pd.array(rows["orig_len"], "int32"),
+                "stride": pd.array(rows["stride"], "int32"),
+                "resized_len": pd.array(rows["resized_len"], "int32"),
+                "resample_checksum": pd.array(rows["resample_checksum"], "int64"),
+            }
+        )
+
+
+_MM_RESIZE_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(ceil(length(text) / {_MM_TARGET}.0) AS INTEGER)
+              END AS INTEGER) AS stride
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS orig_len,
+       stride,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE CAST(ceil(n / CAST(stride AS DOUBLE)) AS INTEGER)
+            END AS INTEGER) AS resized_len,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE COALESCE(list_sum(list_transform(
+                   range(1, n + 1, stride),
+                   i -> ascii(substring(text, CAST(i AS INTEGER), 1)))), 0)
+            END AS BIGINT) % 1000003 AS resample_checksum
+FROM sized
+"""
+
+
+@query(
+    "mm_resize_downsample",
+    oracle=_MM_RESIZE_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize pipeline: payload + typed metadata →
+    mapInPandas strided downsampling to a ≤64-sample 'thumbnail',
+    emitting the resample geometry (stride, resized length) and a
+    checksum of the sampled bytes.  This is the third leg of the
+    decode / frame-sample / RESIZE media surface: the kernel is where
+    a real codec resampler slots in, the Spark-side plumbing (Arrow
+    batches, schema, pruned payload projection before the Python hop)
+    is the production shape, and the byte-level stand-in keeps the
+    whole path under the exact-match oracle gate.
+
+    Scale shape: the payload column is projected only for the %17 rows
+    that survive pruning, the Python hop is one Arrow round trip at
+    the plan edge, and the emitted features are fixed-width — the
+    payload itself never enters a shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    with_payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("declared_len"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+    return with_payload.mapInPandas(
+        _resize_batches, schema=_MM_RESIZE_SCHEMA
+    )
