@@ -120,6 +120,11 @@ def _write_events(events, unit: str) -> str:
         # exactly at the 30-minute bound (10-minute quantization makes
         # boundary hits common), and empty %7 cohorts
         "st13_stream_outer_join",
+        # ts_twap is batch over the same events: duplicate timestamps
+        # exercise the zero-duration tiebreak, single-event users the
+        # NULL-TWAP leg, and the quantized offsets make exact-tie
+        # orderings common
+        "ts_twap",
     ],
 )
 @given(events=_EVENTS)

@@ -44,18 +44,19 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_changed_code_queries_lead_the_window():
-    """The five NEW round-6 operators (first-possible-green) and the
+    """The six NEW round-6 operators (first-possible-green) and the
     six queries whose round-6 diff changes their output or plan — the
     Bloom-prefilter and shard/bucket hash fixes (advisor-proved
     degeneracies) plus l8's count()-fold — must occupy the very front,
     followed by the seven whose driver evidence is round-1 stale."""
     names = list(REGISTRY)
-    assert names[:11] == [
+    assert names[:12] == [
         "u14_retention_delete",
         "s11_dpp_join",
         "st13_stream_outer_join",
         "a14_kmv_sketch",
         "mm_resize_downsample",
+        "ts_twap",
         "j12_bloom_prefilter",
         "tr_shuffle_shard",
         "tr_hash_split",
@@ -63,7 +64,7 @@ def test_changed_code_queries_lead_the_window():
         "tr_stratified_sample",
         "l8_tfidf_top_terms",
     ]
-    assert set(names[11:18]) == {
+    assert set(names[12:19]) == {
         "ts_rsi",
         "ts_sessionize_batch",
         "ts_vwap",

@@ -55,10 +55,14 @@ def dec_sum(c: str | Column, alias: str) -> Column:
     )
 
 
+def sql_dec_sum_expr(expr: str) -> str:
+    """Alias-free form of :func:`sql_dec_sum`, for embedding inside a
+    larger expression (same rationale as :func:`sql_dec_avg_expr`)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)"
+
+
 def sql_dec_sum(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL({PREC},{SCALE}))) AS DOUBLE) AS {alias}"
-    )
+    return f"{sql_dec_sum_expr(expr)} AS {alias}"
 
 
 def dec_avg(c: str | Column, alias: str) -> Column:

@@ -24,6 +24,7 @@ from update_database_by_wind_spark.functions.numeric import (
     SCALE,
     dec_sum,
     sql_dec_sum,
+    sql_dec_sum_expr,
 )
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
@@ -353,3 +354,71 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round JVM-side (HALF_UP, matching DuckDB ROUND) — Python's round()
     # is banker's and would flip half-way ties the other way
     return raw.withColumn("ewma", F.round("ewma", 6))
+
+
+# --- TWAP: time-weighted average over irregular intervals ------------------------
+
+_TWAP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events WHERE user_id < 40
+)
+SELECT user_id,
+       COUNT(*) AS n_obs,
+       CAST(MAX(t_us) - MIN(t_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(value * (next_us - t_us)
+                           AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)
+             / SUM(next_us - t_us), 6) AS twap,
+       ROUND({sql_dec_sum_expr('value')}
+             / COUNT(*), 6) AS simple_avg
+FROM seq
+GROUP BY user_id
+"""
+
+
+@query("ts_twap", oracle=_TWAP_ORACLE, tags=("timeseries",))
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP: time-weighted average of each user's event values — every
+    observation weighted by how long it REMAINED the latest one (the
+    interval to the next event), the estimator a mark-to-market or
+    exposure calculation needs on irregularly-spaced quotes, where the
+    arithmetic mean (reported alongside as ``simple_avg``) over-weights
+    bursts of rapid updates.
+
+    Mechanics: one window pass assigns each row its holding interval
+    via lead() over (ts, event_id) — the unique tiebreak makes
+    zero-duration ties deterministic — then one grouped aggregate
+    forms Σ value·Δt / Σ Δt.  The last observation has no successor
+    and drops out of both sums (NULL interval), and a single-event
+    user yields NULL TWAP (no held interval at all) identically in
+    both engines.  Intervals stay integer microseconds end to end
+    (unix_micros/epoch_us) and the weighted sum takes the decimal
+    detour, so the quotient is partition-order independent.
+
+    Scale shape: ONE hash exchange on user_id feeds both the window
+    and the aggregate — the same single-shuffle discipline as the rest
+    of the Wts suite; nothing else moves."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
+    )
+    dur = F.col("next_us") - F.col("t_us")
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_obs"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+        F.round(
+            F.sum((F.col("value") * dur).cast(_DEC)).cast("double")
+            / F.sum(dur),
+            6,
+        ).alias("twap"),
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"),
+            6,
+        ).alias("simple_avg"),
+    )
