@@ -145,17 +145,22 @@ def _sweep_in_child(
     sf_dir: str, names: list[str], pin: bool = True, warm_dir: str = ""
 ) -> dict:
     """Run a timed sweep via _sweep_child_main in a subprocess; parse
-    the JSON line back.  Returns {} if the child fails — callers fall
-    back to in-process timing (a bench artifact beats a missing one)."""
+    the JSON line back.  Returns {} on ANY child failure — crash,
+    unparseable output, or timeout (a partial bench artifact beats an
+    aborted multi-hour run); the caller falls back to in-process
+    timing."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--sweep-child",
-         sf_dir, ",".join(names), "1" if pin else "0", warm_dir],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sweep-child",
+             sf_dir, ",".join(names), "1" if pin else "0", warm_dir],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)["queries"]
@@ -279,6 +284,12 @@ def main() -> None:
             if extended_names
             else {}
         )
+        if extended_names and not ext_n:
+            # child failed → the documented in-process fallback (numbers
+            # carry the parent's heap residue but the artifact is whole)
+            for name in extended_names:
+                REGISTRY[name].fn(spark, sfn_dir).count()
+                ext_n[name] = _timed_min(spark, name, sfn_dir)
         for df in pinned_n:
             df.unpersist()
         point = {

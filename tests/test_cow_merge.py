@@ -179,6 +179,50 @@ def test_cow_delete_routes_partitions_to_drop_rewrite_untouched(
     )
 
 
+def test_cow_delete_drops_null_and_escaped_partitions(spark, tmp_path):
+    """Two silent-retention traps, both fixed by resolving directories
+    from their ACTUAL names: (a) a fully-deleted NULL partition cannot
+    take the rewrite path (dynamic overwrite only replaces partitions
+    present in the written output — zero survivors would leave the old
+    files), so its __HIVE_DEFAULT_PARTITION__ directory must be
+    removed; (b) a partition value Spark percent-escapes in the path
+    (':' → '%3A') must still be found and dropped."""
+    from pyspark.sql import functions as F
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        cow_delete,
+    )
+
+    target_path = str(tmp_path / "t")
+    rows = [
+        (1, None),          # NULL partition, fully deleted
+        (2, "keep-me"),     # untouched
+        (3, "x:y"),         # escaped directory name, fully deleted
+        (4, "x:y"),
+        (5, "part-ial"),    # partial delete → rewrite
+        (6, "part-ial"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, part string")
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(
+        target_path
+    )
+    result = cow_delete(
+        spark,
+        target_path,
+        F.col("pk").isin(1, 3, 4, 5),
+        "part",
+    )
+    assert set(map(str, result["dropped"])) == {"None", "x:y"}
+    assert result["rewritten"] == ["part-ial"]
+    import os
+
+    dirs = {d for d in os.listdir(target_path) if d.startswith("part=")}
+    assert "part=__HIVE_DEFAULT_PARTITION__" not in dirs
+    assert not any("x%3Ay" in d or "x:y" in d for d in dirs), dirs
+    back = spark.read.parquet(target_path)
+    assert sorted(r.pk for r in back.collect()) == [2, 6]
+
+
 def test_cow_delete_noop_on_no_matches(spark, sf_smoke, tmp_path):
     """A predicate matching nothing must not touch a single file."""
     from update_database_by_wind_spark.operators.update_pipeline import (

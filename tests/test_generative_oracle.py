@@ -943,22 +943,33 @@ _UNICODE_DOCS = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t_bpe_pair_counts",
+        # the resize kernel strides CODE POINTS (decode before
+        # sampling) — a byte-striding kernel diverges on the first
+        # multi-byte character, which this corpus is built to catch
+        "mm_resize_downsample",
+    ],
+)
 @given(docs=_UNICODE_DOCS)
 @settings(**_SETTINGS)
-def test_bpe_pair_counts_on_unicode_vocab(spark, docs):
-    """t_bpe_pair_counts on multi-byte text: character-pair extraction
-    (length / sequence / substring) must count code points, not bytes,
-    identically in both engines — including astral-plane emoji and
-    combining marks — and 1-char words must contribute no pairs."""
+def test_unicode_vocab_matches_oracle(spark, name, docs):
+    """Multi-byte text parity: character-pair extraction and strided
+    resampling (length / sequence / substring / ascii) must count code
+    points, not bytes, identically in both engines — including
+    astral-plane emoji and combining marks — and 1-char words must
+    contribute no BPE pairs."""
     import shutil
 
     sf_dir = _write_documents(docs)
     try:
-        spec = REGISTRY["t_bpe_pair_counts"]
+        spec = REGISTRY[name]
         problems = compare(
             spec.fn(spark, sf_dir), run_oracle(spec.oracle, sf_dir)
         )
-        assert not problems, problems
+        assert not problems, (name, problems)
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
 

@@ -558,9 +558,10 @@ def a13_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A14: KMV bottom-k distinct sketch (mergeable, exactly replayable) ----------
 
 # Portable uniformizing hash over the key domain: reduce mod the prime
-# FIRST (int64-safe product), multiply, reduce mod the prime AGAIN so
-# the low bits of the result depend on every digit of the key (the
-# round-6 hash-degeneracy discipline; see operators/training.py).
+# FIRST (int64-safe product), multiply, reduce mod the prime.  The
+# final modulus IS the prime here, so no second reduction is needed —
+# the low-bits degeneracy (operators/training.py) only bites when the
+# last modulus is a small divisor-sharing number like 8 or 100.
 _KMV_P = 1_000_003
 _KMV_A = 2246822519
 _KMV_K = 64
@@ -571,7 +572,7 @@ _KMV_NUM = float((_KMV_K - 1) * _KMV_P)
 _A14_ORACLE = f"""
 WITH keyed AS (
   SELECT o_orderkey,
-         (((o_custkey % {_KMV_P}) * {_KMV_A}) % {_KMV_P}) % {_KMV_P} AS h
+         ((o_custkey % {_KMV_P}) * {_KMV_A}) % {_KMV_P} AS h
   FROM orders
 ),
 full_sk AS (SELECT DISTINCT h FROM keyed ORDER BY h LIMIT {_KMV_K}),
@@ -641,7 +642,7 @@ def a14_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard KMV small-set convention), which the generated-
     corpus fuzz exercises."""
     orders = load(spark, sf_dir, "orders")
-    h = (((F.col("o_custkey") % _KMV_P) * F.lit(_KMV_A)) % _KMV_P) % _KMV_P
+    h = ((F.col("o_custkey") % _KMV_P) * F.lit(_KMV_A)) % _KMV_P
     keyed = orders.select("o_orderkey", h.alias("h"))
 
     def sk(df: DataFrame) -> DataFrame:

@@ -199,23 +199,33 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     payload to ≤ _MM_TARGET samples — the 1-D analogue of an image
     thumbnail / audio decimation.  A real deployment calls the codec's
     resampler here (PIL Image.resize / torchaudio.resample); the
-    strided byte pick keeps the identical batch contract while staying
-    exactly replayable in SQL."""
+    strided pick keeps the identical batch contract while staying
+    exactly replayable in SQL.
+
+    The sample unit is the Unicode CODE POINT, not the byte: the
+    oracle's length()/substring()/ascii() are all code-point functions,
+    so a byte-striding kernel would diverge on the first multi-byte
+    character (é is 1 sample here, 2 bytes) — the sibling
+    mm_binary_decode documents the opposite (byte-level) convention
+    and its ASCII-fixture assumption explicitly."""
     out_cols = ("doc_id", "orig_len", "stride", "resized_len", "resample_checksum")
     for pdf in batches:
         rows = {c: [] for c in out_cols}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            n = len(b)
+            chars = bytes(b).decode("utf-8")
+            n = len(chars)
             if n == 0:
-                s, sampled = 0, b""
+                s, sampled = 0, ""
             else:
                 s = -(-n // _MM_TARGET)  # ceil(n / target)
-                sampled = b[::s]
+                sampled = chars[::s]
             rows["doc_id"].append(doc_id)
             rows["orig_len"].append(n)
             rows["stride"].append(s)
             rows["resized_len"].append(len(sampled))
-            rows["resample_checksum"].append(int(sum(sampled)) % 1_000_003)
+            rows["resample_checksum"].append(
+                sum(ord(c) for c in sampled) % 1_000_003
+            )
         yield pd.DataFrame(
             {
                 "doc_id": pd.array(rows["doc_id"], "int64"),

@@ -970,7 +970,12 @@ def cow_delete(
 
     * partitions where EVERY row matches the predicate are **dropped**
       as directories (a metadata delete — no data is read or written;
-      this is how a TTL sweep removes expired days for free);
+      this is how a TTL sweep removes expired days for free), NULL
+      partitions included (their ``__HIVE_DEFAULT_PARTITION__``
+      directory is removed — the rewrite path could NOT handle a fully
+      deleted partition, because dynamic overwrite only replaces
+      partitions present in the written output, so zero survivors
+      would silently leave the old files in place);
     * partitions with a PARTIAL match are **rewritten** with survivors
       only, via dynamic partition overwrite;
     * partitions with no matching row are **never touched** — same
@@ -981,14 +986,20 @@ def cow_delete(
     (deleted vs total counts per partition, bounded by partition count,
     never by row count).  The predicate must be null-safe (evaluate to
     true/false, not NULL, on every row) — survivors are selected with
-    its negation.  NULL partition values take the rewrite path (their
-    directory name is engine-internal, so they are never dropped
-    structurally).
+    its negation.  Dropped directories are resolved by DECODING the
+    actual directory names (Spark percent-escapes special characters
+    in partition paths, Hive ``escapePathName``) rather than
+    re-deriving the escaping — a value like ``1993-07 00:00`` lands in
+    ``col=1993-07 00%3A00`` and a naive f-string path would miss it,
+    silently retaining the expired rows.
 
     Returns ``{"dropped": [...], "rewritten": [...]}`` for
-    observability.
+    observability (a fully-deleted NULL partition reports as ``None``
+    in ``dropped``).
     """
+    import os
     import shutil
+    from urllib.parse import unquote
 
     target = spark.read.parquet(target_path)
     census = (
@@ -1001,17 +1012,23 @@ def cow_delete(
         .collect()
     )
     dropped = [
-        r[partition_col]
-        for r in census
-        if r["n_del"] == r["n_all"] and r[partition_col] is not None
+        r[partition_col] for r in census if r["n_del"] == r["n_all"]
     ]
     rewritten = [
-        r[partition_col]
-        for r in census
-        if r["n_del"] < r["n_all"] or r[partition_col] is None
+        r[partition_col] for r in census if r["n_del"] < r["n_all"]
     ]
-    for v in dropped:
-        shutil.rmtree(f"{target_path}/{partition_col}={v}", ignore_errors=True)
+    if dropped:
+        want = {str(v) for v in dropped if v is not None}
+        drop_null = any(v is None for v in dropped)
+        prefix = f"{partition_col}="
+        for entry in os.listdir(target_path):
+            if not entry.startswith(prefix):
+                continue
+            name = entry[len(prefix):]
+            if (drop_null and name == "__HIVE_DEFAULT_PARTITION__") or (
+                unquote(name) in want
+            ):
+                shutil.rmtree(os.path.join(target_path, entry))
     if rewritten:
         non_null = [v for v in rewritten if v is not None]
         in_rewrite = (
