@@ -285,3 +285,53 @@ def test_skewed_events_join_partial_salting_preserves_results(spark):
     )
     assert plain == salted
     assert plain, "receipt join must produce rows"
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.sampled_from([None, "a", "b:c", "d%3A", "sp ace", "1993-07"]),
+            st.integers(1, 4),  # rows in this partition
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    del_mod=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_cow_delete_equals_logical_delete(spark, tmp_path_factory, parts, del_mod):
+    """U14 law: whatever the partition values (NULL, percent-escaped,
+    already-percent-looking, spaced) and whatever mix of full / partial
+    / zero deletion the predicate induces per partition, the physical
+    COW delete's read-back equals the logical filter(~predicate)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        cow_delete,
+    )
+
+    target_path = str(tmp_path_factory.mktemp("cowdel") / "t")
+    rows, pk = [], 0
+    for val, n in parts:
+        for _ in range(n):
+            rows.append((pk, val))
+            pk += 1
+    df = spark.createDataFrame(rows, "pk long, part string")
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(
+        target_path
+    )
+    predicate = F.col("pk") % del_mod == 0
+    cow_delete(spark, target_path, predicate, "part")
+    expected = sorted(
+        (p, v) for p, v in rows if p % del_mod != 0
+    )
+    # deleting EVERY row leaves a legal empty table, but plain parquet
+    # can no longer infer its schema (no files survive) — the reader
+    # must supply one, exactly as a catalog/Delta table would via
+    # metadata; with any survivor the inferred read works as before
+    back = (
+        spark.read.schema("pk long, part string").parquet(target_path)
+        if not expected
+        else spark.read.parquet(target_path)
+    )
+    got = sorted((r.pk, r.part) for r in back.collect())
+    assert got == expected
