@@ -50,7 +50,7 @@ def test_changed_code_queries_lead_the_window():
     degeneracies) plus l8's count()-fold — must occupy the very front,
     followed by the seven whose driver evidence is round-1 stale."""
     names = list(REGISTRY)
-    assert names[:12] == [
+    assert names[:13] == [
         "u14_retention_delete",
         "s11_dpp_join",
         "st13_stream_outer_join",
@@ -63,8 +63,9 @@ def test_changed_code_queries_lead_the_window():
         "tr_decontamination",
         "tr_stratified_sample",
         "l8_tfidf_top_terms",
+        "t_unigram_logprob",
     ]
-    assert set(names[12:19]) == {
+    assert set(names[13:20]) == {
         "ts_rsi",
         "ts_sessionize_batch",
         "ts_vwap",

@@ -24,7 +24,6 @@ from update_database_by_wind_spark.functions.numeric import (
     SCALE,
     dec_sum,
     sql_dec_sum,
-    sql_dec_sum_expr,
 )
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
@@ -371,8 +370,13 @@ SELECT user_id,
        ROUND(CAST(SUM(CAST(value * (next_us - t_us)
                            AS DECIMAL({PREC},{SCALE}))) AS DOUBLE)
              / SUM(next_us - t_us), 6) AS twap,
-       ROUND({sql_dec_sum_expr('value')}
-             / COUNT(*), 6) AS simple_avg
+       CAST(CASE WHEN CAST(SUM(CAST(value AS DECIMAL(38,6)) * 1000000)
+                      AS BIGINT) < 0
+            THEN -((2 * (-CAST(SUM(CAST(value AS DECIMAL(38,6)) * 1000000)
+                           AS BIGINT)) + COUNT(*)) // (2 * COUNT(*)))
+            ELSE (2 * CAST(SUM(CAST(value AS DECIMAL(38,6)) * 1000000)
+                       AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+            END AS DOUBLE) / 1000000.0 AS simple_avg
 FROM seq
 GROUP BY user_id
 """
@@ -409,7 +413,13 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
     )
     dur = F.col("next_us") - F.col("t_us")
-    return seq.groupBy("user_id").agg(
+    # simple_avg is a mean of exactly-6dp-representable values over a
+    # small integer count — the midpoint class where the engines'
+    # ROUND(double, 6) split (see t_unigram_logprob) — so it is formed
+    # in exact integer arithmetic (half-away-from-zero division).  The
+    # TWAP quotient's denominator is a large microsecond sum, making
+    # its value effectively continuous; plain ROUND stands there.
+    agg = seq.groupBy("user_id").agg(
         F.count("*").alias("n_obs"),
         (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
         F.round(
@@ -417,8 +427,19 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(dur),
             6,
         ).alias("twap"),
-        F.round(
-            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"),
-            6,
+        F.sum(F.col("value").cast("decimal(38,6)") * 1_000_000)
+        .cast("long")
+        .alias("s6"),
+    )
+    return agg.select(
+        "user_id",
+        "n_obs",
+        "span_us",
+        "twap",
+        F.expr(
+            "CAST(CASE WHEN s6 < 0"
+            " THEN -((2 * (-s6) + n_obs) div (2 * n_obs))"
+            " ELSE (2 * s6 + n_obs) div (2 * n_obs) END AS DOUBLE)"
+            " / 1000000.0"
         ).alias("simple_avg"),
     )

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 from update_database_by_wind_spark.functions.numeric import (
     dec_avg,
     sql_dec_avg,
-    sql_dec_avg_expr,
 )
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import fan_out, load
@@ -609,13 +608,20 @@ scored AS (
   SELECT t.doc_id,
          ROUND(LN((wc.c + 1.0) / (tot.n + tot.v)), 6) AS lp
   FROM tok t JOIN wc USING (word) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM(CAST(lp AS DECIMAL(38,6)) * 1000000) AS BIGINT) AS s6
+  FROM scored
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_tok,
-       ROUND({sql_dec_avg_expr('lp')}, 6)
-         AS avg_logprob
-FROM scored
-GROUP BY doc_id
+SELECT doc_id, n_tok,
+       CAST(CASE WHEN s6 < 0
+                 THEN -((2 * (-s6) + n_tok) // (2 * n_tok))
+                 ELSE (2 * s6 + n_tok) // (2 * n_tok) END AS DOUBLE)
+         / 1000000.0 AS avg_logprob
+FROM agg
 """
 
 
@@ -655,7 +661,27 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    # The mean of PRE-ROUNDED 6dp values can land exactly on a decimal
+    # midpoint (e.g. Σ=-4.131307 over 2 tokens → -2.0656535), where the
+    # engines' ROUND(double, 6) legitimately disagree: Spark rounds the
+    # double's shortest decimal repr (BigDecimal HALF_UP) while DuckDB
+    # rounds the exact binary value — a 1-in-the-6th-decimal split the
+    # generative fuzz found.  So the mean is formed in EXACT integer
+    # arithmetic instead: Σ(lp·1e6) as BIGINT, half-away-from-zero
+    # integer division by n, one final identical IEEE division by 1e6.
+    agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
-        F.round(dec_avg("lp", "x"), 6).alias("avg_logprob"),
+        F.sum(F.col("lp").cast(f"decimal(38,6)") * 1_000_000)
+        .cast("long")
+        .alias("s6"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "CAST(CASE WHEN s6 < 0"
+            " THEN -((2 * (-s6) + n_tok) div (2 * n_tok))"
+            " ELSE (2 * s6 + n_tok) div (2 * n_tok) END AS DOUBLE)"
+            " / 1000000.0"
+        ).alias("avg_logprob"),
     )
