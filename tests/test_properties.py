@@ -8,7 +8,7 @@ operators must satisfy on ANY input, not just the fixtures.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import Window
@@ -299,6 +299,11 @@ def test_skewed_events_join_partial_salting_preserves_results(spark):
     ),
     del_mod=st.integers(1, 5),
 )
+# r6's falsifying example, pinned: an all-NULL-partition target reads
+# back with the partition column inferred as VOID, which the survivor
+# rewrite's partitionBy used to reject (fixed by the cast-to-string in
+# cow_delete).
+@example(parts=[(None, 2)], del_mod=2)
 @settings(**_SETTINGS)
 def test_cow_delete_equals_logical_delete(spark, tmp_path_factory, parts, del_mod):
     """U14 law: whatever the partition values (NULL, percent-escaped,
@@ -335,3 +340,27 @@ def test_cow_delete_equals_logical_delete(spark, tmp_path_factory, parts, del_mo
     )
     got = sorted((r.pk, r.part) for r in back.collect())
     assert got == expected
+
+
+def test_cow_delete_null_predicate_rows_are_retained(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to
+    NULL are RETAINED.  The census counts them as kept and the
+    survivor rewrite must agree — before the coalesce fix, the rewrite
+    leg's bare ~predicate silently dropped them from rewritten
+    partitions (the advisor's round-6 finding)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        cow_delete,
+    )
+
+    target_path = str(tmp_path / "t")
+    # part "a": one TRUE-delete row, one NULL-predicate row, one FALSE
+    # row → partial rewrite; part "b": untouched.
+    rows = [(0, 10.0, "a"), (1, None, "a"), (2, 1.0, "a"), (3, None, "b")]
+    df = spark.createDataFrame(rows, "pk long, val double, part string")
+    df.repartition(F.col("part")).write.partitionBy("part").parquet(
+        target_path
+    )
+    stats = cow_delete(spark, target_path, F.col("val") > 5.0, "part")
+    assert stats == {"dropped": [], "rewritten": ["a"]}
+    back = sorted(r.pk for r in spark.read.parquet(target_path).collect())
+    assert back == [1, 2, 3]

@@ -323,12 +323,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandas`` — each user's series is one pandas group, the
     recurrence runs inside Arrow batches, and keys shard across
     executors (state never crosses keys, so the operator scales with
-    key cardinality).  The recurrence is written out explicitly
-    (``0.3·x + 0.7·prev`` per step, IEEE double) so the DuckDB oracle's
-    recursive CTE replays the identical float operations; the final
-    value is rounded to 6 on both sides to absorb any engine-level
-    expression-reassociation, making this UDF path fully hash-checked
-    rather than rows-only."""
+    key cardinality).  The kernel is pandas' vectorized C ewm
+    (``adjust=False`` ⇒ ``y_t = 0.7·y_{t-1} + 0.3·x_t`` per step, IEEE
+    double, divided by ``0.7 + 0.3`` which rounds to exactly 1.0 — a
+    no-op), so the DuckDB oracle's recursive CTE replays the identical
+    float operations without a Python row loop; the final value is
+    rounded to 6 on both sides to absorb any engine-level
+    expression-reassociation (including pandas' constant-series skip,
+    which differs from the explicit recurrence by at most one ulp),
+    making this UDF path fully hash-checked rather than rows-only."""
     import pandas as pd
 
     events = load(spark, sf_dir, "events")
@@ -340,11 +343,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        out, prev = [], None
-        for x in pdf["day_value"]:
-            prev = float(x) if prev is None else 0.3 * float(x) + 0.7 * prev
-            out.append(prev)
-        pdf["ewma"] = out
+        pdf["ewma"] = (
+            pdf["day_value"]
+            .astype("float64")
+            .ewm(alpha=0.3, adjust=False)
+            .mean()
+        )
         return pdf[["user_id", "day", "day_value", "ewma"]]
 
     raw = daily.groupBy("user_id").applyInPandas(

@@ -984,9 +984,11 @@ def cow_delete(
 
     The affected-partition census is ONE metadata-sized aggregate
     (deleted vs total counts per partition, bounded by partition count,
-    never by row count).  The predicate must be null-safe (evaluate to
-    true/false, not NULL, on every row) — survivors are selected with
-    its negation.  Dropped directories are resolved by DECODING the
+    never by row count).  A predicate that evaluates to NULL on a row
+    means "retain" — the census counts NULL as kept and survivors are
+    selected with ``~coalesce(predicate, false)``, so both legs agree
+    (SQL DELETE semantics: only rows where the predicate is TRUE go).
+    Dropped directories are resolved by DECODING the
     actual directory names (Spark percent-escapes special characters
     in partition paths, Hive ``escapePathName``) rather than
     re-deriving the escaping — a value like ``1993-07 00:00`` lands in
@@ -1002,6 +1004,17 @@ def cow_delete(
     from urllib.parse import unquote
 
     target = spark.read.parquet(target_path)
+    if dict(target.dtypes).get(partition_col) == "void":
+        # When every surviving directory is __HIVE_DEFAULT_PARTITION__
+        # (all partition values NULL), Spark infers the partition
+        # column as NullType, and write.partitionBy() rejects a VOID
+        # partition column (INVALID_PARTITION_COLUMN_DATA_TYPE).  Cast
+        # to string — the type the directory encoding round-trips
+        # through anyway — so the survivor rewrite stays legal.  Found
+        # by the round-6 hypothesis fuzz (parts=[(None, 2)]).
+        target = target.withColumn(
+            partition_col, F.col(partition_col).cast("string")
+        )
     census = (
         target.groupBy(partition_col)
         .agg(
@@ -1036,7 +1049,12 @@ def cow_delete(
         )
         if any(v is None for v in rewritten):
             in_rewrite = in_rewrite | F.col(partition_col).isNull()
-        survivors = target.filter(in_rewrite).filter(~predicate)
+        # NULL-evaluating predicate rows must be RETAINED, consistent
+        # with the census (when(predicate, 1).otherwise(0) counts NULL
+        # as kept) — a bare ~predicate would silently drop them.
+        survivors = target.filter(in_rewrite).filter(
+            ~F.coalesce(predicate, F.lit(False))
+        )
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
