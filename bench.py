@@ -68,14 +68,17 @@ EXTENDED = [
 _REF_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
-def _duckdb_total(names: list[str], sf_dir: str) -> float:
-    """Sum over queries of the min of 2 timed passes after 1 untimed
-    warm pass, on ONE connection with all tables registered up front —
-    the statistic and protocol the Spark side uses (_timed_min), applied
+def _duckdb_times(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Per-query min of 2 timed passes after 1 untimed warm pass, on
+    ONE connection with all tables registered up front — the statistic
+    and protocol the Spark side uses (_timed_min), applied
     symmetrically: same per-query minimums, same steady-state warm-up,
     same amortized session setup, and the same reference tables
     materialized in memory (_REF_TABLES ≙ Spark's pinned cache; facts
-    stay as parquet views on both engines)."""
+    stay as parquet views on both engines).  Returned per query (not
+    just summed) so a scale-point ratio swing in the artifact can be
+    attributed to a specific query and a specific side — engine plan
+    vs shared-box comparator noise (the round-6 sf1 l7/l10 ambiguity)."""
     import duckdb
 
     from update_database_by_wind_spark.sources import TABLES
@@ -88,7 +91,7 @@ def _duckdb_total(names: list[str], sf_dir: str) -> float:
                 f"CREATE {kind} {t} AS"
                 f" SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        total = 0.0
+        times: dict[str, float] = {}
         for name in names:
             sql = REGISTRY[name].oracle
             con.sql(sql).fetchall()  # untimed warm pass
@@ -97,10 +100,10 @@ def _duckdb_total(names: list[str], sf_dir: str) -> float:
                 t0 = time.perf_counter()
                 con.sql(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
-            total += best
+            times[name] = round(best, 3)
     finally:
         con.close()
-    return round(total, 3)
+    return times
 
 
 def _sweep_child_main(
@@ -240,6 +243,7 @@ def main() -> None:
     extended = {name: _timed_min(spark, name, sf_dir) for name in EXTENDED}
 
     total = round(sum(per_query.values()), 3)
+    dq = _duckdb_times(HEADLINE, sf_dir)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -247,7 +251,8 @@ def main() -> None:
         "queries": per_query,
         "extended": extended,
         "sf": sf,
-        "duckdb_total": _duckdb_total(HEADLINE, sf_dir),
+        "duckdb_total": round(sum(dq.values()), 3),
+        "duckdb_queries": dq,
     }
 
     def _scale_point(mult: int, extended_names: tuple[str, ...] = ()) -> dict:
@@ -284,22 +289,29 @@ def main() -> None:
             if extended_names
             else {}
         )
+        ext_mode = "child"
         if extended_names and not ext_n:
             # child failed → the documented in-process fallback (numbers
-            # carry the parent's heap residue but the artifact is whole)
+            # carry the parent's heap residue but the artifact is whole);
+            # extended_mode marks which protocol produced the numbers so
+            # the two are never silently mixed in one artifact
+            ext_mode = "in-process-fallback"
             for name in extended_names:
                 REGISTRY[name].fn(spark, sfn_dir).count()
                 ext_n[name] = _timed_min(spark, name, sfn_dir)
         for df in pinned_n:
             df.unpersist()
+        dq_n = _duckdb_times(HEADLINE, sfn_dir)
         point = {
             "sf": sfn,
             "value": round(sum(per_query_n.values()), 3),
             "queries": per_query_n,
-            "duckdb_total": _duckdb_total(HEADLINE, sfn_dir),
+            "duckdb_total": round(sum(dq_n.values()), 3),
+            "duckdb_queries": dq_n,
         }
         if ext_n:
             point["extended"] = ext_n
+            point["extended_mode"] = ext_mode
         # receipt at every replicated point: the salting win only
         # emerges once the hot partition dominates (20×); the sf1 row
         # doubles as the "don't salt small joins" counter-receipt.
