@@ -1,0 +1,97 @@
+"""U15 snapshot-versioning laws (operators/update_pipeline.py):
+
+1. commit cost scales with the CHANGED data — v2's directory holds
+   only the corrected months plus the new partition, nothing else;
+2. snapshot isolation — reading v1 through its manifest after v2 is
+   committed returns exactly the pre-commit table (v1's files are
+   untouched, byte-for-byte);
+3. read-at-v2 sees exactly the corrections.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.update_pipeline import (
+    snapshot_commit,
+    snapshot_read,
+)
+from update_database_by_wind_spark.plans import formatted_plan
+
+
+def _parts(d: str) -> set[str]:
+    return {
+        e.split("=", 1)[1] for e in os.listdir(d) if e.startswith("m=")
+    }
+
+
+def test_snapshot_commit_writes_only_changed_partitions(spark, tmp_path):
+    base = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "pk long, m string, val long",
+    )
+    snapshot_commit(v1, base, 1, "m")
+    # correction touches only partition b; d is brand new
+    v2_delta = spark.createDataFrame(
+        [(3, "b", 99), (5, "d", 50)], "pk long, m string, val long"
+    )
+    before = {
+        p: os.path.getmtime(os.path.join(base, "v1", f"m={p}"))
+        for p in _parts(os.path.join(base, "v1"))
+    }
+    snapshot_commit(v2_delta, base, 2, "m", parts=["b", "d"])
+
+    assert _parts(os.path.join(base, "v1")) == {"a", "b", "c"}
+    assert _parts(os.path.join(base, "v2")) == {"b", "d"}
+    after = {
+        p: os.path.getmtime(os.path.join(base, "v1", f"m={p}"))
+        for p in _parts(os.path.join(base, "v1"))
+    }
+    assert before == after, "v2 commit must not touch v1 files"
+
+    back1 = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 1, "m")
+            .select("pk", "m", "val")  # partitionBy reorders columns on read
+            .collect(),
+        )
+    )
+    assert back1 == sorted(map(tuple, v1.collect()))
+
+    back2 = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 2, "m")
+            .select("pk", "m", "val")
+            .collect(),
+        )
+    )
+    # v2 = v1 with partition b replaced by the correction, plus d
+    expected2 = sorted(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 99), (4, "c", 40), (5, "d", 50)]
+    )
+    assert back2 == expected2
+
+
+def test_snapshot_read_prunes_partitions(spark, tmp_path):
+    """The per-version scans must carry PartitionFilters (directory
+    pruning), not read-then-filter: at 100 TB a version reads only
+    the partitions its manifest assigns to each directory."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(df, base, 1, "m")
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 21)], "pk long, m string, val long"),
+        base,
+        2,
+        "m",
+        parts=["b"],
+    )
+    plan = formatted_plan(snapshot_read(spark, base, 2, "m"))
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(lines) >= 2, plan
+    assert all("m IN" in ln or "m#" in ln for ln in lines), lines

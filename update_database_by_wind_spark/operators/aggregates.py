@@ -689,3 +689,85 @@ def a14_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_ok.alias("merge_ok"),
         )
     )
+
+
+# --- A15: distributed heavy hitters (Misra-Gries candidates + exact pass) ------
+
+# An item qualifies as a heavy hitter when it holds MORE than 1/_HH_K of
+# all rows.  The candidate pass keeps _HH_C counters per partition;
+# Misra-Gries guarantees every item with local frequency > n_p/(C+1)
+# survives, and by pigeonhole a global heavy hitter (> n/K) exceeds
+# n_p/K in at least one partition, so C + 1 > K ⇒ the candidate union
+# is a superset of the true heavy hitters.  C is deliberately > K.
+# K = 140 sits just above the fixture's mean user frequency (events
+# spread over ~n/67 users, measured counts 49-86 at sf0.01), so the
+# cut actually SPLITS the population (41 of 150 qualify) instead of
+# passing everyone or no one — the machinery is identical for the
+# classic skewed case.
+_HH_K = 140
+_HH_C = 191
+
+_A15_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM events)
+"""
+
+
+@query("a15_heavy_hitters", oracle=_A15_ORACLE, tags=("agg", "sketch"))
+def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: frequent-item detection at shuffle-free candidate cost —
+    every user holding > 1/140 of all events, with EXACT counts.
+
+    Two passes, the standard scale shape for heavy hitters over data
+    too large to group-by exactly when the key space is huge:
+
+    1. **Candidate pass** (no shuffle): a bounded Misra-Gries summary
+       per partition via ``mapInPandas`` — per Arrow batch,
+       ``value_counts`` merges into the running summary, and whenever
+       it exceeds ``_HH_C`` counters the (C+1)-th largest count is
+       subtracted from every counter and non-positive ones dropped
+       (the batched MG decrement: each subtraction round removes at
+       least (C+1)·t of total mass, so any item's undercount is at
+       most n_p/(C+1)).  Memory is O(C) per partition regardless of
+       key cardinality; only candidate KEYS leave the executor.
+    2. **Exact pass**: the candidate union (≤ C × partitions rows) is
+       broadcast into a semi-join, and only candidates are counted
+       exactly — the groupBy shuffles a few hundred partially-
+       aggregated rows, not the key universe.
+
+    The threshold compare is exact integer (``n·100 > total``), and
+    the final crossJoin is the 1-row broadcast scalar plan.  MG alone
+    gives count estimates with additive error; the exact second pass
+    is what makes the output hash-checkable against the plain GROUP
+    BY/HAVING oracle."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+
+    def mg_candidates(batches):
+        mg = None
+        for pdf in batches:
+            counts = pdf["user_id"].value_counts()
+            mg = counts if mg is None else mg.add(counts, fill_value=0)
+            if len(mg) > _HH_C:
+                cut = mg.nlargest(_HH_C + 1).iloc[-1]
+                mg = mg[mg > cut] - cut
+        if mg is not None and len(mg):
+            yield pd.DataFrame({"user_id": mg.index.to_numpy()})
+
+    cand = (
+        events.select("user_id")
+        .mapInPandas(mg_candidates, "user_id long")
+        .distinct()
+    )
+    total = events.agg(F.count("*").alias("_total"))
+    return (
+        events.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * _HH_K > F.col("_total"))
+        .select("user_id", "n_events")
+    )

@@ -447,3 +447,77 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000.0"
         ).alias("simple_avg"),
     )
+
+
+# --- E2: interval concurrency (sweep line over session intervals) --------------
+
+_E2_ORACLE = """
+WITH sess AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         MIN(ts) AS s, MAX(ts) AS e
+  FROM events
+  GROUP BY user_id, date_trunc('day', ts)
+),
+deltas AS (
+  SELECT day, user_id, s AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT day, user_id, e AS t, -1 AS delta FROM sess
+),
+run AS (
+  SELECT day, delta,
+         SUM(delta) OVER (
+           PARTITION BY day
+           ORDER BY t, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS live
+  FROM deltas
+)
+SELECT CAST(day AS TIMESTAMP_NS) AS day,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+       CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM run
+GROUP BY day
+"""
+
+
+@query("e2_interval_concurrency", oracle=_E2_ORACLE, tags=("analytics",))
+def e2_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: peak concurrency per day — the classic interval-overlap
+    question (max simultaneous sessions / connections / rentals) as a
+    sweep line, entirely in window functions.
+
+    Each (user, day) session interval [first event, last event]
+    becomes a +1 row at its start and a -1 row at its end; the running
+    sum of deltas in time order is the number of live sessions at each
+    boundary, and its per-day MAX is the answer.  Ties order ends
+    AFTER starts (delta DESC), so touching intervals count as
+    concurrent (closed-interval semantics) and a single-event session
+    still registers itself; user_id breaks remaining ties so the
+    running sequence is fully deterministic on both engines.
+
+    Scale shape: sessions are one map-side-combined groupBy; the sweep
+    window partitions BY DAY, so no global ordering bottleneck exists
+    — each day's sweep is an independent partition, exactly how a
+    1000-executor cluster wants an interval-overlap computed.  State
+    per partition is one running integer."""
+    events = load(spark, sf_dir, "events")
+    sess = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = sess.select(
+        "day", "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            "day", "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.withColumn("live", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        (F.count("*") / 2).cast("long").alias("n_sessions"),
+        F.max("live").alias("max_concurrent"),
+    )

@@ -724,3 +724,65 @@ def tr_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's skew exposure is bounded by the hot domains themselves
     rather than the whole corpus."""
     return domain_cap(load(spark, sf_dir, "documents"), _DOMAIN_CAP)
+
+
+# --- deterministic weighted priority sample ----------------------------------
+
+_WS_TOPK = 5
+
+_TR_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ((doc_id % {_PRIME}) * {_KNUTH}) % {_PRIME} * n_chars AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY priority DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, priority, rk
+FROM ranked WHERE rk <= {_WS_TOPK}
+"""
+
+
+@query(
+    "tr_weighted_sample", oracle=_TR_WSAMPLE_ORACLE, tags=("training", "sample")
+)
+def tr_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling per stratum: top-5 documents per
+    language by ``hash(doc_id) · weight`` priority, weight = n_chars —
+    longer documents are proportionally more likely to hold a top
+    priority, the curriculum/quality-weighted selection a training
+    pipeline runs per shard.
+
+    Determinism is the contract (re-running selects the SAME sample —
+    the reproducibility requirement rand() cannot give across retries
+    and engines), so the "random" leg is the portable uniformizing
+    hash — key reduced mod the prime BEFORE the multiply and again
+    between multiply and use, the round-5/6 lesson on multiplicative
+    hashes — and the priority is a pure int64 product (hash < 2^20,
+    n_chars < 2^10: no overflow, no floating point anywhere), with
+    doc_id as the total tie-break.  This is priority sampling in the
+    Efraimidis-Spiridakis shape with an exact-integer key rather than
+    u^(1/w) (libm pow is NOT bit-portable across engines; a last-ulp
+    difference there could flip a rank, so the exact-integer form is
+    what makes the operator hash-checkable).
+
+    Scale shape: rank-within-group over a (lang)-partitioned window —
+    at 100 TB the same plan with per-partition top-k pushdown
+    (WindowGroupLimit) keeps only k rows per group per task before the
+    shuffle, so the full corpus never sorts."""
+    docs = load(spark, sf_dir, "documents")
+    priority = (
+        ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH)) % _PRIME
+    ) * F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", priority.alias("priority"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _WS_TOPK)
+    )

@@ -1127,3 +1127,203 @@ def u14_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+# --- U15: snapshot versioning + time travel ------------------------------------
+
+
+def snapshot_commit(
+    df: DataFrame,
+    base: str,
+    version: int,
+    partition_col: str,
+    parts: list | None = None,
+) -> dict:
+    """Commit ``df`` as snapshot ``version`` of a manifest-versioned
+    table — the minimal form of the Iceberg/Delta snapshot contract,
+    on plain parquet:
+
+    * the DATA written is only the partitions in ``parts`` (all of
+      ``df`` when None — the initial full commit), laid out under
+      ``{base}/v{version}/`` with normal ``partitionBy`` dirs;
+    * the MANIFEST (``_manifest_v{version}.json``) maps every
+      partition value to the version directory that owns its current
+      files: the previous manifest carried forward, overridden for
+      the committed partitions.  Unchanged partitions are never
+      rewritten and never copied — versions share their files.
+
+    The manifest is metadata-sized (one entry per partition, like
+    cow_delete's census) and each commit is atomic-ish in the same
+    sense as Hive: data lands first, the manifest pointer last, so a
+    reader at version N never sees a half-written N+1.  Time travel =
+    read any retained manifest; version GC = drop ``v{k}`` dirs no
+    manifest references."""
+    import json as _json
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    prev_path = os.path.join(base, f"_manifest_v{version - 1}.json")
+    manifest: dict[str, int] = {}
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            manifest = _json.load(fh)
+    data = df if parts is None else df.filter(
+        F.col(partition_col).isin(list(parts))
+    )
+    data.repartition(F.col(partition_col)).write.partitionBy(
+        partition_col
+    ).mode("append").parquet(os.path.join(base, f"v{version}"))
+    committed = (
+        [str(p) for p in parts]
+        if parts is not None
+        else [
+            str(r[partition_col])
+            for r in df.select(partition_col).distinct().collect()
+        ]
+    )
+    for p in committed:
+        manifest[p] = version
+    with open(os.path.join(base, f"_manifest_v{version}.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return manifest
+
+
+def snapshot_read(
+    spark: SparkSession, base: str, version: int, partition_col: str
+) -> DataFrame:
+    """Read the table AS OF ``version``: group the manifest's
+    partitions by owning version directory and union one pruned scan
+    per directory (the ``isin`` filter on the partition column becomes
+    PartitionFilters — directory-level pruning, no data read from
+    partitions another version owns)."""
+    import json as _json
+    import os
+    from collections import defaultdict
+
+    with open(os.path.join(base, f"_manifest_v{version}.json")) as fh:
+        manifest: dict[str, int] = _json.load(fh)
+    by_version: dict[int, list[str]] = defaultdict(list)
+    for part, v in manifest.items():
+        by_version[v].append(part)
+    scans = [
+        spark.read.parquet(os.path.join(base, f"v{v}")).filter(
+            F.col(partition_col).isin(parts)
+        )
+        for v, parts in sorted(by_version.items())
+    ]
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+_U15_ORACLE = """
+WITH v1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1995-06' AND o_orderkey % 97 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM v1
+  UNION ALL
+  SELECT '2024-01', 900000000 + i, 1000000 + i * 100 FROM range(10) t(i)
+),
+a1 AS (SELECT o_month, COUNT(*) AS n, SUM(cents) AS s FROM v1 GROUP BY 1),
+a2 AS (SELECT o_month, COUNT(*) AS n, SUM(cents) AS s FROM v2 GROUP BY 1)
+SELECT COALESCE(a1.o_month, a2.o_month) AS o_month,
+       CAST(COALESCE(a1.n, 0) AS BIGINT) AS n_v1,
+       CAST(COALESCE(a2.n, 0) AS BIGINT) AS n_v2,
+       CAST(COALESCE(a1.s, 0) AS BIGINT) AS cents_v1,
+       CAST(COALESCE(a2.s, 0) AS BIGINT) AS cents_v2,
+       COALESCE(a1.s, -1) <> COALESCE(a2.s, -1) AS changed
+FROM a1 FULL OUTER JOIN a2 ON a1.o_month = a2.o_month
+"""
+
+
+@query("u15_time_travel", oracle=_U15_ORACLE, tags=("update", "layout"))
+def u15_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U15: snapshot isolation + time travel on plain parquet — commit
+    v1 of a month-partitioned order ledger, commit v2 as a correction
+    batch (orders ending in %97 from 1995-06 onward get a 10% uplift,
+    plus a brand-new 2024-01 partition of late bookings), then read
+    BOTH versions back through their manifests and prove, month by
+    month, that v1 still answers exactly as before the commit and v2
+    answers with exactly the corrections applied.
+
+    v2's commit writes ONLY the changed months plus the new partition
+    — unchanged months stay as v1 files, shared by reference through
+    the manifest (asserted structurally in tests/test_time_travel.py).
+    That is the property that makes nightly corrections affordable at
+    100 TB: commit cost scales with the changed data, read-at-version
+    is a union of directory-pruned scans, and the manifest chain is
+    metadata-sized.  All money math is integer cents (decimal-exact
+    cast, then ``x + x DIV 10`` for the uplift), so both versions are
+    hash-checkable bit-for-bit against the logical oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_tt_{tag}/ledger"
+    shutil.rmtree(f"{tempfile.gettempdir()}/wind_spark_tt_{tag}",
+                  ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+
+    changed = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1995-06"
+    ]
+    corrected = snap.filter(F.col("o_month").isin(changed)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.col("cents") + F.expr("cents DIV 10"),
+        ).otherwise(F.col("cents")),
+    )
+    late = spark.range(10).select(
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    snapshot_commit(
+        corrected.unionByName(late),
+        base,
+        2,
+        "o_month",
+        parts=[*changed, "2024-01"],
+    )
+
+    def agg(df: DataFrame, sfx: str) -> DataFrame:
+        return df.groupBy("o_month").agg(
+            F.count("*").alias(f"n_{sfx}"),
+            F.sum("cents").alias(f"cents_{sfx}"),
+        )
+
+    a1 = agg(snapshot_read(spark, base, 1, "o_month"), "v1")
+    a2 = agg(snapshot_read(spark, base, 2, "o_month"), "v2")
+    return (
+        a1.join(a2, "o_month", "full_outer")
+        .select(
+            "o_month",
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+            F.coalesce("cents_v1", F.lit(0)).alias("cents_v1"),
+            F.coalesce("cents_v2", F.lit(0)).alias("cents_v2"),
+            (
+                F.coalesce("cents_v1", F.lit(-1))
+                != F.coalesce("cents_v2", F.lit(-1))
+            ).alias("changed"),
+        )
+    )

@@ -746,3 +746,57 @@ def st11_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     are oracle-checked against DuckDB's arg_min/arg_max — the batch-
     equivalence guarantee for the financial resample pipeline."""
     return run_to_memory(st11_ohlc_stream(spark, sf_dir))
+
+
+# --- ST14: state-bounded streaming dedup (dropDuplicatesWithinWatermark) -------
+
+_ST14_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_unique,
+       {sql_dec_sum('value', 'total_value')}
+FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+GROUP BY event_type
+"""
+
+
+def st14_dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    # at-least-once delivery simulated: every 10th event is replayed as
+    # an exact duplicate (same event_id, same ts — i.e. well inside the
+    # watermark delay, the window in which the operator GUARANTEES the
+    # duplicate is dropped)
+    noisy = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        noisy.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            dec_sum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "st14_dedup_within_watermark",
+    oracle=_ST14_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def st14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14: exactly-once ingest with BOUNDED state — the production
+    form of ST5's dedup guard.  ``dropDuplicates`` (ST5) must keep
+    every key it has ever seen, so its state store grows with the
+    stream's lifetime and eventually dominates the job at 100 TB/day;
+    ``dropDuplicatesWithinWatermark`` evicts keys once the watermark
+    passes them, so state is bounded by the delay window × key arrival
+    rate — the contract is "duplicates arriving within the watermark
+    delay are dropped", which is exactly what at-least-once sources
+    (Kafka redeliveries, task retries) produce.  The replayed
+    duplicates here carry the original timestamps, so every one lands
+    inside the 10-minute window and the result is the exact distinct
+    aggregate, value-hash-checked against the DISTINCT oracle.  The
+    eviction behavior itself (late re-delivery past the watermark) is
+    asserted in tests/test_streaming.py with injected lateness."""
+    return run_to_memory(st14_dedup_within_watermark_stream(spark, sf_dir))
