@@ -364,3 +364,46 @@ def test_cow_delete_null_predicate_rows_are_retained(spark, tmp_path):
     assert stats == {"dropped": [], "rewritten": ["a"]}
     back = sorted(r.pk for r in spark.read.parquet(target_path).collect())
     assert back == [1, 2, 3]
+
+
+@given(
+    data=st.lists(
+        # values drawn from a small domain with a repetition knob so
+        # genuine heavy hitters appear; hypothesis shrinks toward the
+        # adversarial corner (everything one value / everything unique)
+        st.integers(0, 12),
+        min_size=1,
+        max_size=400,
+    ),
+    n_parts=st.integers(1, 4),
+    batch=st.integers(1, 7),
+    c=st.integers(2, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_candidates_superset_of_heavy_hitters(
+    data, n_parts, batch, c
+):
+    """A15 law (pure-pandas, no Spark): for ANY partitioning and ANY
+    Arrow-batch slicing, the union of per-partition bounded MG
+    summaries contains every item with global frequency > n/K for
+    every K ≤ c (per-partition undercount ≤ n_p/(c+1) + pigeonhole
+    across partitions)."""
+    import pandas as pd
+
+    from update_database_by_wind_spark.operators.aggregates import (
+        _mg_update,
+    )
+
+    parts = [data[i::n_parts] for i in range(n_parts)]
+    candidates = set()
+    for part in parts:
+        mg = None
+        for i in range(0, len(part), batch):
+            chunk = pd.Series(part[i : i + batch])
+            mg = _mg_update(mg, chunk.value_counts(), c)
+        if mg is not None:
+            candidates |= set(mg.index)
+    n = len(data)
+    freq = pd.Series(data).value_counts()
+    heavy = set(freq[freq * c > n].index)
+    assert heavy <= candidates, (heavy - candidates, n_parts, batch, c)

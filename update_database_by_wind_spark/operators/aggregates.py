@@ -707,6 +707,22 @@ def a14_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_K = 140
 _HH_C = 191
 
+
+def _mg_update(mg, counts, c: int):
+    """Merge one batch's ``value_counts`` into a bounded Misra-Gries
+    summary of at most ``c`` counters (the batched MG decrement: when
+    the merge exceeds c counters, subtract the (c+1)-th largest count
+    from every counter and drop the non-positive ones — at least c+1
+    counters lose the full cut each round, so total decrements are
+    ≤ n/(c+1) and any item with frequency > n/(c+1) survives).
+    Property-tested against the exact superset guarantee in
+    tests/test_properties.py."""
+    mg = counts if mg is None else mg.add(counts, fill_value=0)
+    if len(mg) > c:
+        cut = mg.nlargest(c + 1).iloc[-1]
+        mg = mg[mg > cut] - cut
+    return mg
+
 _A15_ORACLE = f"""
 SELECT user_id, COUNT(*) AS n_events
 FROM events
@@ -749,11 +765,7 @@ def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_candidates(batches):
         mg = None
         for pdf in batches:
-            counts = pdf["user_id"].value_counts()
-            mg = counts if mg is None else mg.add(counts, fill_value=0)
-            if len(mg) > _HH_C:
-                cut = mg.nlargest(_HH_C + 1).iloc[-1]
-                mg = mg[mg > cut] - cut
+            mg = _mg_update(mg, pdf["user_id"].value_counts(), _HH_C)
         if mg is not None and len(mg):
             yield pd.DataFrame({"user_id": mg.index.to_numpy()})
 

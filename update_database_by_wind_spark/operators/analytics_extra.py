@@ -504,13 +504,20 @@ def e2_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    # explode each session into its two boundary rows rather than
+    # unioning two selects over `sess` — a union would duplicate the
+    # whole aggregation subtree (two scans + two shuffles of events,
+    # seen in the first .explain of this operator)
     deltas = sess.select(
-        "day", "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        sess.select(
-            "day", "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta")
-        )
-    )
+        "day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select("day", "user_id", "x.t", "x.delta")
     w = (
         Window.partitionBy("day")
         .orderBy(F.col("t").asc(), F.col("delta").desc(), F.col("user_id").asc())
