@@ -95,3 +95,46 @@ def test_snapshot_read_prunes_partitions(spark, tmp_path):
     lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert len(lines) >= 2, plan
     assert all("m IN" in ln or "m#" in ln for ln in lines), lines
+
+
+def test_snapshot_expire_keeps_shared_directories(spark, tmp_path):
+    """GC law: expiring old versions removes a version directory only
+    when no RETAINED manifest references it — v1 survives expiry as
+    long as the head still reads untouched partitions from it, while a
+    fully superseded middle version is reclaimed."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], rows
+        ),
+        base, 1, "m",
+    )
+    # v2 rewrites b; v3 rewrites b again -> v2 fully superseded
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 21)], rows), base, 2, "m",
+        parts=["b"],
+    )
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 22)], rows), base, 3, "m",
+        parts=["b"],
+    )
+    out = snapshot_expire(base, keep_versions=[3])
+    assert out["removed_dirs"] == ["v2"]
+    assert out["removed_manifests"] == [
+        "_manifest_v1.json", "_manifest_v2.json",
+    ]
+    # head still reads a/c from v1 and b from v3
+    back = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 3, "m")
+            .select("pk", "m", "val")
+            .collect(),
+        )
+    )
+    assert back == [(1, "a", 10), (2, "b", 22), (3, "c", 30)]

@@ -1327,3 +1327,38 @@ def u15_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("changed"),
         )
     )
+
+
+def snapshot_expire(base: str, keep_versions: list[int]) -> dict:
+    """Expire snapshots: retain only the manifests in ``keep_versions``
+    and delete every ``v{k}`` data directory that NO retained manifest
+    references — the Iceberg ``expireSnapshots`` contract.  Because
+    commits share unchanged partitions by reference, an old version
+    directory must survive for as long as ANY retained manifest still
+    points at one of its partitions: expiring v1 and v2 while keeping
+    v3 removes v2's directory only if v3 re-wrote every partition v2
+    owned, and keeps v1's directory whenever v3 still reads untouched
+    partitions from it.  Pure metadata work — no data is read."""
+    import json as _json
+    import os
+    import re
+    import shutil
+
+    referenced: set[int] = set()
+    for v in keep_versions:
+        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
+            referenced |= set(_json.load(fh).values())
+    removed_dirs, removed_manifests = [], []
+    for entry in sorted(os.listdir(base)):
+        m = re.fullmatch(r"v(\d+)", entry)
+        if m and int(m.group(1)) not in referenced:
+            shutil.rmtree(os.path.join(base, entry))
+            removed_dirs.append(entry)
+        m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
+        if m and int(m.group(1)) not in keep_versions:
+            os.remove(os.path.join(base, entry))
+            removed_manifests.append(entry)
+    return {
+        "removed_dirs": removed_dirs,
+        "removed_manifests": removed_manifests,
+    }
