@@ -1362,3 +1362,121 @@ def snapshot_expire(base: str, keep_versions: list[int]) -> dict:
         "removed_dirs": removed_dirs,
         "removed_manifests": removed_manifests,
     }
+
+
+# --- U16: incremental join-view maintenance (signed deltas) --------------------
+
+_IVM_CUT = "1997-01-01 00:00:00"
+
+_U16_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_IVM_CUT}'
+),
+final AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 127 = 0 AND o_orderkey % 113 <> 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 113 <> 0
+  UNION ALL
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_CUT}'
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM final JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("u16_join_view_maintenance", oracle=_U16_ORACLE, tags=("update", "ivm"))
+def u16_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U16: incremental maintenance of a materialized join-aggregate
+    view under SIGNED deltas — the Δ-relation algebra that keeps a
+    100 TB view current without recomputing it.
+
+    The view is ``orders ⋈ customer`` rolled up per market segment
+    (row count + money total).  A change batch arrives as signed rows
+    (multiplicity +1 insert / −1 delete; an UPDATE is the pair
+    −old, +new — here a 5% uplift on the %127 keys, deletes on %113,
+    inserts after the cutoff).  Because the dimension side is
+    unchanged, ΔV = agg(ΔA ⋈ C): only the DELTA joins (broadcast dim,
+    delta-sized probe), and the merge into the stored view is a
+    group-key-sized full-outer add with groups dropped when their
+    multiplicity reaches zero.  COUNT maintains as Σ sign and SUM as
+    Σ sign·x — both exact here because the money is integer cents
+    (decimal-exact cast, ``DIV 20`` uplift), so the incrementally
+    maintained view hash-matches the oracle's FULL recompute: the
+    merge ≡ recompute contract (u9) extended through a join.
+
+    At scale: the stored view lives partitioned by group key; each
+    batch shuffles only ΔV (≤ groups touched), never the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit(_IVM_CUT).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", cents.alias("cents"))
+
+    v0 = (
+        base.join(F.broadcast(customer), base.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+    deleted = base.filter(F.col("o_orderkey") % 113 == 0)
+    updated = base.filter(
+        (F.col("o_orderkey") % 127 == 0) & (F.col("o_orderkey") % 113 != 0)
+    )
+    inserted = orders.filter(
+        F.col("o_orderdate") >= F.lit(_IVM_CUT).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", cents.alias("cents"))
+
+    def signed(df: DataFrame, sign: int, cents_col=None) -> DataFrame:
+        c = F.col("cents") if cents_col is None else cents_col
+        return df.select(
+            "o_custkey", F.lit(sign).alias("sign"), c.alias("cents")
+        )
+
+    delta = (
+        signed(deleted, -1)
+        .unionByName(signed(updated, -1))
+        .unionByName(
+            signed(
+                updated, 1, F.col("cents") + F.expr("cents DIV 20")
+            )
+        )
+        .unionByName(signed(inserted, 1))
+    )
+    dv = (
+        delta.join(
+            F.broadcast(customer), delta.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("sign").alias("d_n"),
+            F.sum(F.col("sign") * F.col("cents")).alias("d_cents"),
+        )
+    )
+    return (
+        v0.join(dv, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            (
+                F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce("total_cents", F.lit(0))
+                + F.coalesce("d_cents", F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
