@@ -407,3 +407,179 @@ def test_misra_gries_candidates_superset_of_heavy_hitters(
     freq = pd.Series(data).value_counts()
     heavy = set(freq[freq * c > n].index)
     assert heavy <= candidates, (heavy - candidates, n_parts, batch, c)
+
+
+# --- round-7 operator laws -----------------------------------------------------
+
+_IVM_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["ins", "del", "upd"]),
+        st.integers(0, 9),   # pk (collisions on purpose)
+        st.integers(0, 3),   # group key
+        st.integers(-50, 50),  # value (exact integers)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows=_ROWS, ops=_IVM_OPS)
+@settings(**_SETTINGS)
+def test_ivm_merge_equals_recompute(spark, rows, ops):
+    """U16 law: maintaining a grouped (count, sum) view through ANY
+    signed delta batch (inserts of new keys, deletes and updates of
+    existing ones — updates as the -old/+new pair) equals recomputing
+    the view from the final table.  Groups whose multiplicity reaches
+    zero must vanish."""
+    base = {}  # pk -> (group, val)
+    for pk, grp, val in ((int(k), int(b), int(v)) for k, b, v in rows):
+        base[pk] = (grp, val)  # keep-last on duplicate pk
+
+    final = dict(base)
+    deltas = []  # (group, sign, val)
+    for op, pk, grp, val in ops:
+        if op == "ins" and pk not in final:
+            final[pk] = (grp, val)
+            deltas.append((grp, 1, val))
+        elif op == "del" and pk in final:
+            g, v = final.pop(pk)
+            deltas.append((g, -1, v))
+        elif op == "upd" and pk in final:
+            g, v = final[pk]
+            final[pk] = (g, val)
+            deltas.append((g, -1, v))
+            deltas.append((g, 1, val))
+
+    v0_df = spark.createDataFrame(
+        [(g, v) for g, v in base.values()] or [(None, None)],
+        "grp int, val long",
+    ).filter(F.col("grp").isNotNull())
+    v0 = v0_df.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    )
+    d_df = spark.createDataFrame(
+        deltas or [(None, None, None)], "grp int, sign int, val long"
+    ).filter(F.col("grp").isNotNull())
+    dv = d_df.groupBy("grp").agg(
+        F.sum("sign").alias("d_n"),
+        F.sum(F.col("sign") * F.col("val")).alias("d_s"),
+    )
+    maintained = (
+        v0.join(dv, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n"
+            ),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("d_s", F.lit(0))).alias(
+                "s"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    got = {
+        r["grp"]: (r["n"], r["s"]) for r in maintained.collect()
+    }
+    want: dict = {}
+    for g, v in final.values():
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want
+
+
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # day
+        st.integers(0, 5),    # user (unique per day via unique_by below)
+        st.integers(0, 20),   # start
+        st.integers(0, 10),   # duration (0 => point interval)
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(iv=_INTERVALS)
+@settings(**_SETTINGS)
+def test_sweep_line_concurrency_equals_brute_force(spark, iv):
+    """E2 law: the ±1 sweep-line max equals the brute-force count of
+    closed intervals covering any boundary point, per day — including
+    point intervals (which must count themselves) and touching
+    intervals (closed semantics: end == start counts as concurrent)."""
+    rows = [(d, u, s, s + dur) for d, u, s, dur in iv]
+    df = spark.createDataFrame(rows, "day int, user_id int, s long, e long")
+    deltas = df.select(
+        "day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select("day", "user_id", "x.t", "x.delta")
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["day"]: r["m"]
+        for r in deltas.withColumn("live", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("live").alias("m"))
+        .collect()
+    }
+    want: dict = {}
+    for d in {r[0] for r in rows}:
+        day_iv = [(s, e) for dd, _, s, e in rows if dd == d]
+        boundaries = {s for s, _ in day_iv} | {e for _, e in day_iv}
+        want[d] = max(
+            sum(1 for s, e in day_iv if s <= t <= e) for t in boundaries
+        )
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=30, unique=True),
+    n_parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_deterministic_and_weight_monotone(spark, ids, n_parts):
+    """L26 laws: (a) the selection is identical under any partitioning
+    (pure function of the data); (b) it equals a pandas replay of the
+    same exact-integer priority; (c) between two docs with the SAME
+    hash, the heavier one never ranks lower."""
+    from update_database_by_wind_spark.operators.training import (
+        _KNUTH,
+        _PRIME,
+    )
+
+    rows = [(i, (i * 7) % 500 + 1) for i in ids]  # (doc_id, weight)
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    priority = (
+        ((F.col("doc_id") % _PRIME) * F.lit(_KNUTH)) % _PRIME
+    ) * F.col("n_chars")
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+
+    def select_top(frame, k=5):
+        return sorted(
+            r["doc_id"]
+            for r in frame.select(
+                "doc_id", priority.alias("priority")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        )
+
+    a = select_top(df.repartition(1))
+    b = select_top(df.repartition(n_parts))
+    assert a == b
+    # pandas replay of the identical integer arithmetic
+    pri = {i: ((i % _PRIME) * _KNUTH) % _PRIME * wt for i, wt in rows}
+    want = sorted(
+        sorted(pri, key=lambda i: (-pri[i], i))[:5]
+    )
+    assert a == want

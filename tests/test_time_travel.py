@@ -138,3 +138,54 @@ def test_snapshot_expire_keeps_shared_directories(spark, tmp_path):
         )
     )
     assert back == [(1, "a", 10), (2, "b", 22), (3, "c", 30)]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_COMMITS = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # partition
+            st.integers(0, 99),                # value
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(commits=_COMMITS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_store_replays_like_a_dict(
+    spark, tmp_path_factory, commits
+):
+    """U15 law: for ANY sequence of partial commits, reading the table
+    AS OF every version equals a dict replay (each commit wholly
+    replaces the partitions it touches and leaves the rest at their
+    previous version).  This is the snapshot-isolation contract under
+    arbitrary touch patterns, not just the fixture's."""
+    base = str(tmp_path_factory.mktemp("ttfuzz") / "t")
+    states = []  # per version: {part: val}
+    state: dict = {}
+    for v, batch in enumerate(commits, start=1):
+        rows = [(p, val) for p, val in batch]
+        df = spark.createDataFrame(rows, "m string, val long")
+        snapshot_commit(
+            df, base, v, "m", parts=None if v == 1 else [p for p, _ in batch]
+        )
+        state = {**state, **dict(batch)}
+        states.append(dict(state))
+    for v, want in enumerate(states, start=1):
+        got = {
+            r["m"]: r["val"]
+            for r in snapshot_read(spark, base, v, "m").collect()
+        }
+        assert got == want, (v, got, want)
