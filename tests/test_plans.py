@@ -410,3 +410,55 @@ def test_event_funnel_is_single_exchange(spark, sf_oracle):
     ]
     assert len(hash_ex) >= 1
     assert plan.count("hashpartitioning(user_id") <= 2, plan  # tree+detail
+
+
+def test_heavy_hitters_candidates_broadcast_not_shuffled_fact(spark, sf_oracle):
+    """A15: the exact pass must BROADCAST the candidate set into the
+    semi-join (candidates are O(C x partitions) rows — shuffling the
+    fact side against them would be the wrong plan at 100 TB), and the
+    only nested-loop join is the declared 1-row scalar crossJoin."""
+    import re
+
+    plan = formatted_plan(REGISTRY["a15_heavy_hitters"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # formatted mode lists each node twice (tree + detail): count ids
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj) == 1, plan  # the 1-row scalar crossJoin only
+
+
+def test_weighted_sample_pushes_group_limit(spark, sf_oracle):
+    """L26: rank-within-group top-k must plan WindowGroupLimit on BOTH
+    sides of the exchange (partial per-task top-k before the shuffle,
+    final after) — the property that keeps the full corpus from ever
+    sorting."""
+    plan = formatted_plan(REGISTRY["tr_weighted_sample"].fn(spark, sf_oracle))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_interval_concurrency_single_scan(spark, sf_oracle):
+    """E2: the boundary-delta construction must NOT duplicate the
+    session aggregation subtree — exactly one events scan (the union
+    formulation planned two scans + two shuffles of events; the
+    explode formulation is the fix)."""
+    import re
+
+    plan = formatted_plan(
+        REGISTRY["e2_interval_concurrency"].fn(spark, sf_oracle)
+    )
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+
+
+def test_ivm_delta_joins_broadcast_dimension(spark, sf_oracle):
+    """U16: both the view build and the delta maintenance must
+    broadcast the customer dimension (the delta side is batch-sized;
+    shuffling fact or delta against a shuffled dim would not survive
+    scale), with no cartesian shapes."""
+    plan = formatted_plan(
+        REGISTRY["u16_join_view_maintenance"].fn(spark, sf_oracle)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
