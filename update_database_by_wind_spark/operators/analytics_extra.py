@@ -528,3 +528,68 @@ def e2_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / 2).cast("long").alias("n_sessions"),
         F.max("live").alias("max_concurrent"),
     )
+
+
+# --- W9: gaps and islands (consecutive-day streaks) ----------------------------
+
+_W9_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day_d
+  FROM events WHERE event_type = 'purchase'
+),
+grp AS (
+  SELECT user_id, day_d,
+         day_d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY day_d) AS INTEGER) AS g
+  FROM active
+),
+islands AS (
+  SELECT user_id, g, COUNT(*) AS streak_len
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM islands
+GROUP BY user_id
+"""
+
+
+@query("w9_gaps_islands", oracle=_W9_ORACLE, tags=("window", "analytics"))
+def w9_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: gaps-and-islands — each user's purchase-day streaks via the
+    classic row-number difference: for consecutive calendar days,
+    ``day − row_number`` is constant, so each island collapses to one
+    group key with NO self-join and no recursion (the naive
+    formulation is a quadratic self-join or an iterative fix-point;
+    this is two window/aggregate passes over one (user)-partitioned
+    shuffle).  Longest-streak / retention-streak questions are the
+    canonical consumer.
+
+    Distinct from ts_sessionize_batch: sessions split on a TIME gap
+    threshold over raw timestamps; islands are exact CALENDAR
+    adjacency over the distinct-day grid — the date arithmetic is
+    integer-exact on both engines, so the query hash-matches."""
+    events = load(spark, sf_dir, "events")
+    active = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day_d"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day_d")
+    )
+    islands = (
+        active.withColumn("g", F.date_sub(F.col("day_d"), rn))
+        .groupBy("user_id", "g")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
