@@ -53,13 +53,13 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_changed_code_queries_lead_the_window():
-    """The eight NEW round-7 operators (first-possible-green), then the
+    """The nine NEW round-7 operators (first-possible-green), then the
     two queries whose round-7 diff changes their code (cow_delete's
     VOID-partition + NULL-predicate fixes behind u14; ts_ewma's
     vectorized kernel), then the 13 round-2-stale queries the r6
     verdict named as the rotation backlog."""
     names = list(REGISTRY)
-    assert names[:10] == [
+    assert names[:11] == [
         "a15_heavy_hitters",
         "e2_interval_concurrency",
         "st14_dedup_within_watermark",
@@ -68,10 +68,11 @@ def test_changed_code_queries_lead_the_window():
         "u16_join_view_maintenance",
         "s12_incremental_ingest",
         "w9_gaps_islands",
+        "u17_write_expectations",
         "u14_retention_delete",
         "ts_ewma",
     ]
-    assert set(names[10:23]) == {
+    assert set(names[11:24]) == {
         "q10_returned_item_revenue",
         "q12_late_shipment_priority",
         "q13_customer_distribution",

@@ -1480,3 +1480,95 @@ def u16_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+# --- U17: write-path expectations with dead-letter quarantine ------------------
+
+_U17_ORACLE = """
+WITH batch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 181 = 0
+              THEN -CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS cents,
+         CASE WHEN o_orderkey % 191 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+flagged AS (
+  SELECT cents,
+         CONCAT(
+           CASE WHEN cents <= 0 THEN 'price_positive;' ELSE '' END,
+           CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer)
+                THEN 'fk_customer;' ELSE '' END
+         ) AS reason
+  FROM batch
+)
+SELECT CASE WHEN reason = '' THEN 'ok' ELSE reason END AS reason,
+       COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM flagged
+GROUP BY 1
+"""
+
+
+@query("u17_write_expectations", oracle=_U17_ORACLE, tags=("update", "quality"))
+def u17_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U17: constraint ENFORCEMENT on the write path — the Delta
+    CHECK-constraint / DLT-expectations pattern, distinct from the DQ
+    audits (DQ1/DQ2 report on data already stored; this gates a batch
+    BEFORE it lands, quarantining violators to a dead-letter side
+    instead of failing the job or silently loading garbage).
+
+    The incoming batch carries two injected defect classes (price sign
+    flips on the %181 keys, dangling customer FKs on the %191 keys);
+    two declared rules evaluate per row — a scalar CHECK
+    (``cents > 0``) and a referential rule (customer key must exist,
+    checked with a broadcast left join: the dimension ships to
+    executors, the batch never shuffles).  Every row gets a
+    deterministic semicolon-joined reason string in declared rule
+    order ('ok' when clean — rows failing BOTH rules form their own
+    quarantine class), and the result is the per-reason census with
+    money totals: the accept/reject manifest a pipeline logs with
+    each write.  At 100 TB the cost is one map pass plus the
+    broadcast probe."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    raw_cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    batch = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 181 == 0, -raw_cents)
+        .otherwise(raw_cents)
+        .alias("cents"),
+        F.when(
+            F.col("o_orderkey") % 191 == 0, F.col("o_custkey") + 10000000
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    probed = batch.join(
+        F.broadcast(customer),
+        batch.o_custkey == customer.c_custkey,
+        "left",
+    )
+    reason = F.concat(
+        F.when(F.col("cents") <= 0, F.lit("price_positive;")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("c_custkey").isNull(), F.lit("fk_customer;")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        probed.select(
+            F.when(reason == "", "ok").otherwise(reason).alias("reason"),
+            "cents",
+        )
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
