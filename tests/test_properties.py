@@ -583,3 +583,41 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark, ids, n_parts):
         sorted(pri, key=lambda i: (-pri[i], i))[:5]
     )
     assert a == want
+
+
+def test_ewma_vectorized_kernel_matches_explicit_recurrence_on_fixtures(spark):
+    """ts_ewma parity guard: pandas' ewm(adjust=False) kernel skips
+    the update when the running value equals the next input (its
+    'constant-series' optimization), which can differ from the
+    oracle's explicit fl(0.3·x + 0.7·prev) by one ulp — harmless
+    UNLESS that ulp lands on a 6-decimal ROUND midpoint.  This test
+    replays BOTH forms over the real fixture series at the driver's
+    scale factors and asserts the rounded outputs are bit-identical,
+    so the hypothetical divergence is checked against every input the
+    driver will actually use (sf0.001 smoke + sf0.01 correctness)."""
+    import math
+
+    import pandas as pd
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        from update_database_by_wind_spark.functions.numeric import dec_sum
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        daily = (
+            events.filter(F.col("event_type") == "purchase")
+            .groupBy(
+                "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+            )
+            .agg(dec_sum("value", "day_value"))
+            .toPandas()
+        )
+        for _, g in daily.groupby("user_id"):
+            series = g.sort_values("day")["day_value"].astype("float64")
+            vec = series.ewm(alpha=0.3, adjust=False).mean().to_numpy()
+            prev = None
+            for i, x in enumerate(series):
+                prev = x if prev is None else 0.3 * x + 0.7 * prev
+                # the 6-decimal HALF_UP round both engines apply
+                r_loop = math.floor(abs(prev) * 1e6 + 0.5) / 1e6
+                r_vec = math.floor(abs(vec[i]) * 1e6 + 0.5) / 1e6
+                assert r_loop == r_vec, (sf_dir, i, prev, vec[i])

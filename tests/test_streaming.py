@@ -216,3 +216,67 @@ def test_events_stream_matches_batch_timestamps(spark):
         sv = sv.replace(tzinfo=None) if sv.tzinfo else sv
         bv = bv.replace(tzinfo=None) if bv.tzinfo else bv
         assert sv == bv, (c, sv, bv)
+
+
+def test_dedup_within_watermark_evicts_state_after_expiry(spark):
+    """ST14's bounded-state guarantee, both directions: a key
+    re-delivered while its state lives is dropped (the previous test),
+    and once the watermark passes the key's expiry its state is
+    EVICTED — a later re-delivery with a fresh event time is treated
+    as new and re-emitted.  That re-emission is the observable proof
+    the store does not grow with the stream's lifetime (plain
+    dropDuplicates would have dropped it forever).  Batch order is
+    pinned via file mtimes (the file source processes oldest-first);
+    the spacer batch matters because eviction for batch N's watermark
+    runs as N completes, while matching in N still sees pre-eviction
+    state."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="wind_spark_evict_")
+    batches = [
+        # key 1 @ t0 + a watermark advancer 2h later (delay = 10 min,
+        # so key 1's state expiry ~t0+10min is far below the watermark)
+        ("f1", [(1, "2024-01-01 00:00:00"), (99, "2024-01-01 02:00:00")]),
+        # spacer: lets the eviction computed from f1's watermark run
+        ("f2", [(98, "2024-01-01 02:00:01")]),
+        # fresh-timestamp redelivery of key 1 AFTER its state is gone
+        ("f3", [(1, "2024-01-01 02:00:02")]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string")
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.parquet(f"{d}/{name}")
+        )
+        t = 1_700_000_000 + i * 10
+        for root, _, files in os.walk(f"{d}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "evict_test_result"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wind_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [r["event_id"] for r in spark.table(name).collect()]
+    assert emitted.count(1) == 2, emitted  # re-emitted after eviction
+    assert sorted(set(emitted)) == [1, 98, 99]
+    # and the store really shrank: some batch reports an eviction
+    assert any(
+        op.get("numRowsRemoved", 0) > 0
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )

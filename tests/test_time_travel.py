@@ -189,3 +189,32 @@ def test_snapshot_store_replays_like_a_dict(
             for r in snapshot_read(spark, base, v, "m").collect()
         }
         assert got == want, (v, got, want)
+
+
+def test_snapshot_commit_refuses_gap_in_manifest_chain(spark, tmp_path):
+    """Guard: a delta commit with no predecessor manifest must raise —
+    starting silently from an empty manifest would orphan every
+    untouched partition at read time."""
+    import pytest
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")
+    snapshot_commit(df, base, 1, "m")
+    with pytest.raises(ValueError, match="missing predecessor manifest"):
+        snapshot_commit(df, base, 3, "m", parts=["a"])  # skipped v2
+
+
+def test_snapshot_commit_refuses_empty_declared_part(spark, tmp_path):
+    """Guard: a declared part with zero rows must raise — a manifest
+    pointer to a directory that was never written would make the
+    partition vanish at that version without a delete being asked."""
+    import pytest
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(df, base, 1, "m")
+    delta = spark.createDataFrame([(2, "b", 21)], "pk long, m string, val long")
+    with pytest.raises(ValueError, match="contributed no rows"):
+        snapshot_commit(delta, base, 2, "m", parts=["b", "c"])  # c empty

@@ -753,7 +753,7 @@ def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
        exactly — the groupBy shuffles a few hundred partially-
        aggregated rows, not the key universe.
 
-    The threshold compare is exact integer (``n·100 > total``), and
+    The threshold compare is exact integer (``n·140 > total``), and
     the final crossJoin is the 1-row broadcast scalar plan.  MG alone
     gives count estimates with additive error; the exact second pass
     is what makes the output hash-checkable against the plain GROUP

@@ -1157,7 +1157,14 @@ def snapshot_commit(
     sense as Hive: data lands first, the manifest pointer last, so a
     reader at version N never sees a half-written N+1.  Time travel =
     read any retained manifest; version GC = drop ``v{k}`` dirs no
-    manifest references."""
+    manifest references.
+
+    Guards (both raise rather than lose data): a delta commit whose
+    predecessor manifest is missing is refused (it would silently
+    orphan every untouched partition), and a declared part that
+    contributed no rows is refused (an empty commit is not a partition
+    delete).  Partition values must be non-null strings — the manifest
+    is string-keyed."""
     import json as _json
     import os
 
@@ -1167,6 +1174,14 @@ def snapshot_commit(
     if os.path.exists(prev_path):
         with open(prev_path) as fh:
             manifest = _json.load(fh)
+    elif version != 1:
+        # a delta commit that silently started from an EMPTY manifest
+        # would drop every untouched partition from read time on —
+        # refuse, don't lose data (reviewer finding, round 7)
+        raise ValueError(
+            f"snapshot_commit: missing predecessor manifest {prev_path}; "
+            f"commits must be consecutive (expected v{version - 1} first)"
+        )
     data = df if parts is None else df.filter(
         F.col(partition_col).isin(list(parts))
     )
@@ -1181,6 +1196,27 @@ def snapshot_commit(
             for r in df.select(partition_col).distinct().collect()
         ]
     )
+    # a declared part with no rows would get a manifest pointer to a
+    # directory partitionBy never created — the partition would vanish
+    # at this version without anyone asking for a delete (deletes are
+    # cow_delete's job, not an empty commit's).  Directory names are
+    # DECODED (Hive percent-escapes special characters — the cow_delete
+    # lesson) rather than re-derived.
+    from urllib.parse import unquote
+
+    vdir = os.path.join(base, f"v{version}")
+    prefix = f"{partition_col}="
+    written = {
+        unquote(e[len(prefix):])
+        for e in os.listdir(vdir)
+        if e.startswith(prefix)
+    }
+    missing = [p for p in committed if p not in written]
+    if missing:
+        raise ValueError(
+            f"snapshot_commit: parts {missing} contributed no rows; "
+            "an empty commit is not a partition delete"
+        )
     for p in committed:
         manifest[p] = version
     with open(os.path.join(base, f"_manifest_v{version}.json"), "w") as fh:

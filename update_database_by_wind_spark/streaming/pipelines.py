@@ -797,6 +797,9 @@ def st14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates here carry the original timestamps, so every one lands
     inside the 10-minute window and the result is the exact distinct
     aggregate, value-hash-checked against the DISTINCT oracle.  The
-    eviction behavior itself (late re-delivery past the watermark) is
-    asserted in tests/test_streaming.py with injected lateness."""
+    eviction behavior itself is asserted in tests/test_streaming.py
+    (test_dedup_within_watermark_evicts_state_after_expiry): once the
+    watermark passes a key's expiry its state is removed, and a
+    fresh-timestamp redelivery re-emits — the observable proof the
+    store is bounded."""
     return run_to_memory(st14_dedup_within_watermark_stream(spark, sf_dir))
