@@ -621,3 +621,84 @@ def test_ewma_vectorized_kernel_matches_explicit_recurrence_on_fixtures(spark):
                 r_loop = math.floor(abs(prev) * 1e6 + 0.5) / 1e6
                 r_vec = math.floor(abs(vec[i]) * 1e6 + 0.5) / 1e6
                 assert r_loop == r_vec, (sf_dir, i, prev, vec[i])
+
+
+def test_heavy_hitters_end_to_end_on_skewed_corpus(spark):
+    """A15 end-to-end on the CLASSIC shape the fixture lacks (its user
+    frequencies sit near the mean): one dominant key holding ~30% of a
+    synthetic corpus spread across many partitions must be detected
+    with its exact count, and near-threshold keys must fall exactly on
+    the integer-compare side the law says."""
+    import pandas as pd
+
+    from update_database_by_wind_spark.operators.aggregates import (
+        _HH_K,
+        _mg_update,
+    )
+
+    rows = [(0,)] * 3000 + [(k,) for k in range(1, 701) for _ in range(10)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(16)
+
+    def mg_candidates(batches):
+        mg = None
+        for pdf in batches:
+            mg = _mg_update(mg, pdf["user_id"].value_counts(), 191)
+        if mg is not None and len(mg):
+            yield pd.DataFrame({"user_id": mg.index.to_numpy()})
+
+    cand = df.mapInPandas(mg_candidates, "user_id long").distinct()
+    total = df.count()
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in df.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") * _HH_K > F.lit(total))
+        .collect()
+    }
+    # exact expectation: 10000 rows, threshold n/140 ≈ 71.4 — only the
+    # dominant key (3000 > 71.4) qualifies; every 10-count key must not
+    assert got == {0: 3000}, got
+
+
+@given(
+    keys=st.lists(st.integers(0, 400), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_write_expectations_reason_strings_partition_batch(spark, keys):
+    """U17 law: every row lands in exactly one quarantine class, the
+    class counts sum to the batch size, and the reason string is the
+    declared-rule-order concatenation — replayed against a pure-Python
+    reference on arbitrary key sets (including keys failing BOTH
+    rules)."""
+    dim = list(range(0, 401, 2))  # even keys exist in the dimension
+    rows = [(k, 100 - (k % 7) * 20) for k in keys]  # some cents <= 0
+    df = spark.createDataFrame(rows, "k long, cents long")
+    dim_df = spark.createDataFrame([(d,) for d in dim], "c long")
+    probed = df.join(F.broadcast(dim_df), df.k == dim_df.c, "left")
+    reason = F.concat(
+        F.when(F.col("cents") <= 0, F.lit("price_positive;")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("c").isNull(), F.lit("fk_customer;")).otherwise(
+            F.lit("")
+        ),
+    )
+    got = {
+        (r["reason"], r["n"])
+        for r in probed.select(
+            F.when(reason == "", "ok").otherwise(reason).alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want: dict = {}
+    for k, cents in rows:
+        r = ("price_positive;" if cents <= 0 else "") + (
+            "fk_customer;" if k not in dim else ""
+        )
+        r = r or "ok"
+        want[r] = want.get(r, 0) + 1
+    assert got == set(want.items())
+    assert sum(n for _, n in got) == len(rows)
