@@ -374,7 +374,46 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SCALE3", "1") != "0" and sf <= 0.15:
             out["scale3"] = _scale_point(20)
 
-    print(json.dumps(out))
+    detail = json.dumps(out)
+    print(detail)
+    # The driver records only the last ~2000 bytes of stdout.  The
+    # full-detail line above outgrew that window in round 7 (the
+    # per-query DuckDB columns pushed it past 2000 bytes and the graded
+    # artifact came back "parsed": null).  So: persist the detail line
+    # to a sidecar for humans, then print a compact (<~700 byte)
+    # summary line LAST — headline metric/value/queries plus the
+    # value/duckdb_total of each scale point — so a JSON-parseable
+    # record always sits wholly inside any tail window.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_detail.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(detail + "\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "duckdb_total": out["duckdb_total"],
+    }
+    for key in ("scale2", "scale3"):
+        if key in out:
+            point = out[key]
+            compact[key] = {
+                "sf": point["sf"],
+                "value": point["value"],
+                "duckdb_total": point["duckdb_total"],
+            }
+            if "extended_mode" in point:
+                compact[key]["extended_mode"] = point["extended_mode"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
