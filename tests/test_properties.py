@@ -585,19 +585,27 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark, ids, n_parts):
     assert a == want
 
 
-def test_ewma_vectorized_kernel_matches_explicit_recurrence_on_fixtures(spark):
-    """ts_ewma parity guard: pandas' ewm(adjust=False) kernel skips
-    the update when the running value equals the next input (its
-    'constant-series' optimization), which can differ from the
-    oracle's explicit fl(0.3·x + 0.7·prev) by one ulp — harmless
-    UNLESS that ulp lands on a 6-decimal ROUND midpoint.  This test
-    replays BOTH forms over the real fixture series at the driver's
-    scale factors and asserts the rounded outputs are bit-identical,
-    so the hypothetical divergence is checked against every input the
-    driver will actually use (sf0.001 smoke + sf0.01 correctness)."""
-    import math
+def _ewma_scalar_recurrence(series):
+    """The oracle's recursive CTE, literally: y ← fl(0.3·x + 0.7·y)."""
+    out, prev = [], None
+    for x in series:
+        prev = x if prev is None else 0.3 * x + 0.7 * prev
+        out.append(prev)
+    return out
 
-    import pandas as pd
+
+def test_ewma_vectorized_kernel_matches_explicit_recurrence_on_fixtures(spark):
+    """ts_ewma parity guard on the driver's real inputs: the
+    across-users numpy kernel must reproduce the oracle's explicit
+    fl(0.3·x + 0.7·prev) recurrence BIT-exactly (not merely after
+    rounding) over every fixture series at both driver scale factors
+    (sf0.001 smoke + sf0.01 correctness).  pandas' ewm(adjust=False)
+    fails this bar — its constant-series skip diverges by an ulp,
+    which fuzzing showed landing on 6-decimal ROUND midpoints — which
+    is why the kernel replays the recurrence itself."""
+    from update_database_by_wind_spark.operators.analytics_extra import (
+        _ewma_exact_kernel,
+    )
 
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         from update_database_by_wind_spark.functions.numeric import dec_sum
@@ -611,16 +619,60 @@ def test_ewma_vectorized_kernel_matches_explicit_recurrence_on_fixtures(spark):
             .agg(dec_sum("value", "day_value"))
             .toPandas()
         )
-        for _, g in daily.groupby("user_id"):
-            series = g.sort_values("day")["day_value"].astype("float64")
-            vec = series.ewm(alpha=0.3, adjust=False).mean().to_numpy()
-            prev = None
-            for i, x in enumerate(series):
-                prev = x if prev is None else 0.3 * x + 0.7 * prev
-                # the 6-decimal HALF_UP round both engines apply
-                r_loop = math.floor(abs(prev) * 1e6 + 0.5) / 1e6
-                r_vec = math.floor(abs(vec[i]) * 1e6 + 0.5) / 1e6
-                assert r_loop == r_vec, (sf_dir, i, prev, vec[i])
+        got = _ewma_exact_kernel(daily)
+        for _, g in got.groupby("user_id"):
+            g = g.sort_values("day")
+            want = _ewma_scalar_recurrence(
+                g["day_value"].astype("float64").tolist()
+            )
+            assert g["ewma"].tolist() == want, (sf_dir, g["user_id"].iloc[0])
+
+
+_EWMA_SERIES = st.lists(
+    st.lists(
+        # 6-decimal-quantized doubles — the dec_sum output domain the
+        # operator actually feeds the kernel
+        st.integers(0, 1_000_000_000).map(lambda i: i / 1e6),
+        min_size=1,
+        max_size=12,
+    ).map(
+        # inject constant runs: duplicate each value with its successor
+        # sometimes, the exact shape that triggers pandas' skip and the
+        # shape the advisor asked to fuzz
+        lambda xs: [v for x in xs for v in (x, x)][: len(xs) + 3]
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(series_by_user=_EWMA_SERIES)
+@settings(max_examples=120, deadline=None)
+def test_ewma_kernel_bit_exact_on_arbitrary_series(series_by_user):
+    """Advisor ask (round 7→8): a hypothesis property over ARBITRARY
+    quantized float series — not just the two fixture dirs — proving
+    the vectorized kernel and the oracle's explicit recurrence agree
+    bit-for-bit, so a one-ulp divergence can never land on a ROUND
+    midpoint at any scale factor.  Pure-pandas invocation: no Spark
+    needed, the kernel is deterministic numpy."""
+    from update_database_by_wind_spark.operators.analytics_extra import (
+        _ewma_exact_kernel,
+    )
+
+    rows = [
+        (u, d, v)
+        for u, xs in enumerate(series_by_user)
+        for d, v in enumerate(xs)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "day", "day_value"])
+    # shuffle row order: the kernel must not depend on input order
+    got = _ewma_exact_kernel(pdf.sample(frac=1, random_state=0))
+    for u, g in got.groupby("user_id"):
+        g = g.sort_values("day")
+        want = _ewma_scalar_recurrence(
+            g["day_value"].astype("float64").tolist()
+        )
+        assert g["ewma"].tolist() == want, (u, g["day_value"].tolist())
 
 
 def test_heavy_hitters_end_to_end_on_skewed_corpus(spark):

@@ -218,3 +218,99 @@ def test_snapshot_commit_refuses_empty_declared_part(spark, tmp_path):
     delta = spark.createDataFrame([(2, "b", 21)], "pk long, m string, val long")
     with pytest.raises(ValueError, match="contributed no rows"):
         snapshot_commit(delta, base, 2, "m", parts=["b", "c"])  # c empty
+
+
+def test_snapshot_commit_retry_after_refusal_does_not_double(
+    spark, tmp_path
+):
+    """Retry safety (advisor finding, round 7): a guard-refused attempt
+    must leave nothing a successful retry appends on top of.  The old
+    mode('append') write doubled partition b's rows on retry; staging
+    + rename makes the retried commit's directory exactly the delta."""
+    import pytest
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(df, base, 1, "m")
+    delta = spark.createDataFrame(
+        [(2, "b", 21)], "pk long, m string, val long"
+    )
+    with pytest.raises(ValueError, match="contributed no rows"):
+        snapshot_commit(delta, base, 2, "m", parts=["b", "c"])  # fails
+    snapshot_commit(delta, base, 2, "m", parts=["b"])  # retry succeeds
+    back = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 2, "m")
+            .select("pk", "m", "val")
+            .collect(),
+        )
+    )
+    assert back == [(1, "a", 10), (2, "b", 21)], back
+
+
+def test_snapshot_commit_retry_clears_crashed_partial(spark, tmp_path):
+    """A v{N} dir left by a CRASHED attempt (no manifest published) is
+    cleared by the retry, and a stale stage dir never leaks into the
+    committed data."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")
+    snapshot_commit(df, base, 1, "m")
+    # simulate a crashed v2 attempt: partial data dir + stage residue,
+    # but no _manifest_v2.json was ever published
+    crashed = spark.createDataFrame(
+        [(9, "a", 99)], "pk long, m string, val long"
+    )
+    crashed.write.partitionBy("m").parquet(os.path.join(base, "v2"))
+    crashed.write.partitionBy("m").parquet(os.path.join(base, "_tmp_v2"))
+    delta = spark.createDataFrame(
+        [(1, "a", 11)], "pk long, m string, val long"
+    )
+    snapshot_commit(delta, base, 2, "m", parts=["a"])
+    back = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 2, "m")
+            .select("pk", "m", "val")
+            .collect(),
+        )
+    )
+    assert back == [(1, "a", 11)], back
+    assert not os.path.exists(os.path.join(base, "_tmp_v2"))
+
+
+def test_snapshot_commit_refuses_published_version(spark, tmp_path):
+    """Once a version's manifest exists the version is published —
+    re-committing it would mutate data under readers' feet."""
+    import pytest
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")
+    snapshot_commit(df, base, 1, "m")
+    with pytest.raises(ValueError, match="already committed"):
+        snapshot_commit(df, base, 1, "m")
+
+
+def test_snapshot_expire_refuses_to_drop_head(spark, tmp_path):
+    """Expiry guard (advisor finding, round 7): keep_versions that
+    omits the newest manifest must raise — the current snapshot is
+    never expirable, matching Iceberg's expireSnapshots contract."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit(spark.createDataFrame([(1, "a", 10)], rows), base, 1, "m")
+    snapshot_commit(
+        spark.createDataFrame([(1, "a", 11)], rows), base, 2, "m", parts=["a"]
+    )
+    with pytest.raises(ValueError, match="head snapshot"):
+        snapshot_expire(base, keep_versions=[1])
+    # nothing was removed by the refused call
+    assert os.path.isdir(os.path.join(base, "v2"))
+    assert os.path.exists(os.path.join(base, "_manifest_v2.json"))

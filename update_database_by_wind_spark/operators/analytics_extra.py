@@ -317,23 +317,62 @@ SELECT user_id, day, day_value, ROUND(e, 6) AS ewma FROM ew
 """
 
 
+def _ewma_exact_kernel(pdf):
+    """Bit-exact vectorized replay of the oracle's explicit recurrence
+    ``y_t = fl(fl(0.3·x_t) + fl(0.7·y_{t-1}))`` for every series in
+    the batch at once: the sequential dependency is along TIME, so the
+    kernel loops over time steps (max days per user — short) and
+    vectorizes across USERS with numpy elementwise mult/add, which are
+    the identical correctly-rounded IEEE-double operations the scalar
+    loop performs.
+
+    pandas' own ``ewm(adjust=False)`` C kernel is NOT a valid
+    replacement here: its constant-series skip (when the next input
+    equals the running value it keeps the value instead of computing
+    ``fl(0.3x + 0.7x)``) diverges from the explicit recurrence by an
+    ulp, and measured fuzzing over 6-decimal-quantized inputs (the
+    dec_sum domain) shows that ulp landing on a 6-decimal ROUND
+    midpoint in ~0.3% of short series with repeated day values —
+    which would flip the driver's hash check.  The round-8 advisor
+    flagged exactly this; tests/test_properties.py pins the bit-parity
+    with a hypothesis property over arbitrary quantized series."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["user_id", "day"]).reset_index(drop=True)
+    rn = pdf.groupby("user_id").cumcount().to_numpy()
+    uid_codes, _ = pd.factorize(pdf["user_id"], sort=True)
+    n_users = int(uid_codes.max()) + 1
+    steps = int(rn.max()) + 1
+    x = np.full((steps, n_users), np.nan)
+    x[rn, uid_codes] = pdf["day_value"].to_numpy(dtype="float64")
+    y = np.empty_like(x)
+    cur = x[0].copy()
+    y[0] = cur
+    for t in range(1, steps):
+        xt = x[t]
+        upd = 0.3 * xt + 0.7 * cur
+        cur = np.where(np.isnan(xt), cur, upd)
+        y[t] = cur
+    pdf["ewma"] = y[rn, uid_codes]
+    return pdf[["user_id", "day", "day_value", "ewma"]]
+
+
 @query("ts_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "udf"))
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α=0.3) of daily purchase value via
-    ``applyInPandas`` — each user's series is one pandas group, the
-    recurrence runs inside Arrow batches, and keys shard across
-    executors (state never crosses keys, so the operator scales with
-    key cardinality).  The kernel is pandas' vectorized C ewm
-    (``adjust=False`` ⇒ ``y_t = 0.7·y_{t-1} + 0.3·x_t`` per step, IEEE
-    double, divided by ``0.7 + 0.3`` which rounds to exactly 1.0 — a
-    no-op), so the DuckDB oracle's recursive CTE replays the identical
-    float operations without a Python row loop; the final value is
-    rounded to 6 on both sides to absorb any engine-level
-    expression-reassociation (including pandas' constant-series skip,
-    which differs from the explicit recurrence by at most one ulp),
-    making this UDF path fully hash-checked rather than rows-only."""
-    import pandas as pd
-
+    ``applyInPandas`` — users shard into hash buckets so each pandas
+    group carries MANY series, and the kernel vectorizes across them
+    (one numpy step per day, elementwise across users in the bucket),
+    replaying the DuckDB oracle's recursive-CTE float operations
+    bit-for-bit (see _ewma_exact_kernel for why pandas' ewm cannot be
+    used).  State never crosses buckets, the per-bucket matrix is
+    (max days × users-in-bucket) doubles, and the bucket count bounds
+    peak batch memory at any scale — at 100 TB raise the bucket count,
+    nothing else changes.  The final value is rounded to 6 JVM-side
+    (HALF_UP, matching DuckDB ROUND — Python's round() is banker's and
+    would flip half-way ties the other way), keeping this UDF path
+    fully hash-checked rather than rows-only."""
     events = load(spark, sf_dir, "events")
     daily = (
         events.filter(F.col("event_type") == "purchase")
@@ -341,21 +380,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("value", "day_value"))
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        pdf["ewma"] = (
-            pdf["day_value"]
-            .astype("float64")
-            .ewm(alpha=0.3, adjust=False)
-            .mean()
-        )
-        return pdf[["user_id", "day", "day_value", "ewma"]]
-
-    raw = daily.groupBy("user_id").applyInPandas(
-        ewma, "user_id long, day timestamp, day_value double, ewma double"
+    raw = daily.groupBy((F.col("user_id") % 64).alias("bucket")).applyInPandas(
+        lambda pdf: _ewma_exact_kernel(pdf),
+        "user_id long, day timestamp, day_value double, ewma double",
     )
-    # round JVM-side (HALF_UP, matching DuckDB ROUND) — Python's round()
-    # is banker's and would flip half-way ties the other way
     return raw.withColumn("ewma", F.round("ewma", 6))
 
 

@@ -277,8 +277,14 @@ def incremental_ingest(
         spark.read.parquet(
             *[os.path.join(src_dir, b) for b in new]
         ).write.mode("append").parquet(target_dir)
-        with open(state_path, "w") as fh:
+        # temp-file + os.replace: a crash mid-write must leave the old
+        # manifest intact, never a torn one (advisor finding, round 7)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump(sorted(done | set(new)), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, state_path)
     return new
 
 

@@ -1159,16 +1159,36 @@ def snapshot_commit(
     read any retained manifest; version GC = drop ``v{k}`` dirs no
     manifest references.
 
-    Guards (both raise rather than lose data): a delta commit whose
+    Guards (all raise rather than lose data): a delta commit whose
     predecessor manifest is missing is refused (it would silently
-    orphan every untouched partition), and a declared part that
-    contributed no rows is refused (an empty commit is not a partition
-    delete).  Partition values must be non-null strings — the manifest
-    is string-keyed."""
+    orphan every untouched partition), a version whose manifest
+    already exists is refused (re-committing published data), and a
+    declared part that contributed no rows is refused (an empty
+    commit is not a partition delete).  Partition values must be
+    non-null strings — the manifest is string-keyed.
+
+    Retry safety (advisor finding, round 7): data is staged under
+    ``_tmp_v{version}`` and renamed into place only after every
+    pre-publish guard has passed, and the manifest is written via
+    temp-file + ``os.replace``.  A crashed or guard-refused attempt
+    leaves at worst a stale temp dir / partial ``v{version}`` dir
+    that no manifest references; the retry clears both before
+    writing, so a retried commit can never append on top of a
+    partial one and a torn manifest can never be observed."""
     import json as _json
     import os
+    import shutil
 
     os.makedirs(base, exist_ok=True)
+    manifest_path = os.path.join(base, f"_manifest_v{version}.json")
+    if os.path.exists(manifest_path):
+        # the manifest pointer IS the publish: once it exists, readers
+        # may hold this version — a re-commit would mutate published
+        # data underneath them
+        raise ValueError(
+            f"snapshot_commit: version {version} is already committed "
+            f"({manifest_path} exists); commit the next version instead"
+        )
     prev_path = os.path.join(base, f"_manifest_v{version - 1}.json")
     manifest: dict[str, int] = {}
     if os.path.exists(prev_path):
@@ -1185,9 +1205,16 @@ def snapshot_commit(
     data = df if parts is None else df.filter(
         F.col(partition_col).isin(list(parts))
     )
+    # stage, verify, then rename: an unpublished v{version} dir can only
+    # be the residue of a crashed attempt (the manifest-exists guard
+    # above refuted the committed case), so both it and the stage dir
+    # are safe to clear on entry
+    tmp_dir = os.path.join(base, f"_tmp_v{version}")
+    vdir = os.path.join(base, f"v{version}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     data.repartition(F.col(partition_col)).write.partitionBy(
         partition_col
-    ).mode("append").parquet(os.path.join(base, f"v{version}"))
+    ).parquet(tmp_dir)
     committed = (
         [str(p) for p in parts]
         if parts is not None
@@ -1204,24 +1231,41 @@ def snapshot_commit(
     # lesson) rather than re-derived.
     from urllib.parse import unquote
 
-    vdir = os.path.join(base, f"v{version}")
     prefix = f"{partition_col}="
     written = {
         unquote(e[len(prefix):])
-        for e in os.listdir(vdir)
+        for e in os.listdir(tmp_dir)
         if e.startswith(prefix)
     }
     missing = [p for p in committed if p not in written]
     if missing:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         raise ValueError(
             f"snapshot_commit: parts {missing} contributed no rows; "
             "an empty commit is not a partition delete"
         )
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.replace(tmp_dir, vdir)
     for p in committed:
         manifest[p] = version
-    with open(os.path.join(base, f"_manifest_v{version}.json"), "w") as fh:
-        _json.dump(manifest, fh)
+    _atomic_write_json(manifest_path, manifest)
     return manifest
+
+
+def _atomic_write_json(path: str, payload) -> None:
+    """Write JSON via same-directory temp file + ``os.replace`` so a
+    crash mid-write can never leave a torn file at ``path`` (advisor
+    finding, round 7 — the manifest pointer must be atomic for the
+    'data first, pointer last' commit story to hold)."""
+    import json as _json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
 
 
 def snapshot_read(
@@ -1374,12 +1418,31 @@ def snapshot_expire(base: str, keep_versions: list[int]) -> dict:
     points at one of its partitions: expiring v1 and v2 while keeping
     v3 removes v2's directory only if v3 re-wrote every partition v2
     owned, and keeps v1's directory whenever v3 still reads untouched
-    partitions from it.  Pure metadata work — no data is read."""
+    partitions from it.  Pure metadata work — no data is read.
+
+    The head (newest) snapshot is never expirable: ``keep_versions``
+    must include the maximum existing manifest version, matching
+    Iceberg's ``expireSnapshots`` contract that the current snapshot
+    always survives (advisor finding, round 7 — without this,
+    ``keep_versions=[1]`` after a v2 commit would irreversibly delete
+    the newest data)."""
     import json as _json
     import os
     import re
     import shutil
 
+    existing = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    ]
+    head = max(existing) if existing else None
+    if head is not None and head not in keep_versions:
+        raise ValueError(
+            f"snapshot_expire: keep_versions {sorted(keep_versions)} "
+            f"omits the head snapshot v{head}; the current snapshot "
+            "cannot be expired"
+        )
     referenced: set[int] = set()
     for v in keep_versions:
         with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
