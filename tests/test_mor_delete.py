@@ -1,0 +1,146 @@
+"""U18 merge-on-read delete laws (operators/update_pipeline.py):
+
+1. mor_delete writes ONLY deletion vectors — every data file's path,
+   size, and mtime is untouched (the defining MOR property);
+2. mor_read ≡ cow_delete: reading through the vectors returns exactly
+   the table a copy-on-write delete of the same predicate produces;
+3. mor_compact folds vectors into files with cow economics — fully-
+   dead partitions dropped by unlink, partially-dead ones rewritten
+   survivors-only, untouched partitions byte-identical — and a plain
+   read afterwards equals the pre-compaction mor_read;
+4. NULL-evaluating predicates retain the row (SQL DELETE semantics,
+   same as cow_delete);
+5. plain spark.read.parquet never sees the _deletes directory.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.update_pipeline import (
+    cow_delete,
+    mor_compact,
+    mor_delete,
+    mor_read,
+)
+
+_ROWS = [
+    (1, "a", 10),
+    (2, "a", 20),
+    (3, "b", 30),
+    (4, "b", 40),
+    (5, "c", 50),
+    (6, "c", 60),
+]
+_SCHEMA = "pk long, m string, val long"
+
+
+def _write(spark, path):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+
+
+def _file_stats(path):
+    stats = {}
+    for root, _dirs, files in os.walk(path):
+        if "_deletes" in root:
+            continue
+        for f in files:
+            p = os.path.join(root, f)
+            stats[p] = (os.path.getsize(p), os.path.getmtime(p))
+    return stats
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("pk", "m", "val").collect()))
+
+
+def test_mor_delete_touches_no_data_file(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    before = _file_stats(path)
+    n = mor_delete(spark, path, F.col("pk") % 2 == 0, "m", "pk")
+    assert n == 3  # pks 2, 4, 6 tombstoned
+    assert _file_stats(path) == before, "MOR delete must not touch data"
+    # plain readers are oblivious to pending vectors
+    assert _rows(spark.read.parquet(path)) == sorted(_ROWS)
+
+
+def test_mor_read_equals_cow_delete(spark, tmp_path):
+    """The verdict's ask: reads-with-tombstones ≡ cow_delete's output
+    for the same predicate — partition 'a' fully deleted, 'b'
+    partially, 'c' untouched."""
+    predicate = (F.col("m") == "a") | (F.col("pk") == 3)
+    mor_path, cow_path = str(tmp_path / "mor"), str(tmp_path / "cow")
+    _write(spark, mor_path)
+    _write(spark, cow_path)
+    mor_delete(spark, mor_path, predicate, "m", "pk")
+    cow_delete(spark, cow_path, predicate, "m")
+    assert _rows(mor_read(spark, mor_path, "m", "pk")) == _rows(
+        spark.read.parquet(cow_path)
+    )
+
+
+def test_mor_compact_folds_vectors_with_cow_economics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    # two accumulated delete calls: all of 'a', plus pk=3 from 'b'
+    mor_delete(spark, path, F.col("m") == "a", "m", "pk")
+    mor_delete(spark, path, F.col("pk") == 3, "m", "pk")
+    want = _rows(mor_read(spark, path, "m", "pk"))
+    untouched_before = {
+        p: s for p, s in _file_stats(path).items() if "m=c" in p
+    }
+    out = mor_compact(spark, path, "m", "pk")
+    assert out["dropped"] == ["a"]
+    assert out["rewritten"] == ["b"]
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
+    assert not os.path.isdir(os.path.join(path, "m=a"))
+    # untouched partition c: same paths, sizes, mtimes
+    untouched_after = {
+        p: s for p, s in _file_stats(path).items() if "m=c" in p
+    }
+    assert untouched_after == untouched_before
+    # plain read now equals the pre-compaction vector read
+    assert _rows(spark.read.parquet(path)) == want
+    # and mor_read with no vectors left is the plain scan
+    assert _rows(mor_read(spark, path, "m", "pk")) == want
+
+
+def test_mor_compact_is_idempotent_after_crash_before_vector_cleanup(
+    spark, tmp_path
+):
+    """Crash story: if compaction rewrites files but dies before
+    removing _deletes, the vectors still point at keys that no longer
+    exist — mor_read stays correct and a re-run converges."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    mor_delete(spark, path, F.col("pk") == 3, "m", "pk")
+    want = _rows(mor_read(spark, path, "m", "pk"))
+    # preserve the vectors, compact, then restore them = the crash state
+    saved = str(tmp_path / "saved")
+    shutil.copytree(os.path.join(path, "_deletes"), saved)
+    mor_compact(spark, path, "m", "pk")
+    shutil.copytree(saved, os.path.join(path, "_deletes"))
+    assert _rows(mor_read(spark, path, "m", "pk")) == want
+    mor_compact(spark, path, "m", "pk")  # re-run converges
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
+    assert _rows(spark.read.parquet(path)) == want
+
+
+def test_mor_delete_null_predicate_retains(spark, tmp_path):
+    """A predicate evaluating to NULL means retain — same SQL DELETE
+    semantics as cow_delete."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 30)],
+        "pk long, m string, val long",
+    )
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    mor_delete(spark, path, F.col("val") > 15, "m", "pk")  # NULL on pk=2
+    got = sorted(
+        (r["pk"], r["m"]) for r in mor_read(spark, path, "m", "pk").collect()
+    )
+    assert got == [(1, "a"), (2, "a")]

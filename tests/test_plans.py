@@ -468,3 +468,31 @@ def test_ivm_delta_joins_broadcast_dimension(spark, sf_oracle):
     assert len(bhj) >= 2, plan  # view build AND delta leg
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mor_read_anti_join_is_broadcast(spark, tmp_path):
+    """U18: the deletion-vector anti-join must broadcast the vector
+    side — the data scan never shuffles to apply tombstones (the MOR
+    read-path premise at 100 TB: vectors are keys-only and tiny next
+    to the data)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_delete,
+        mor_read,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "pk long, m string, val long",
+    )
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    mor_delete(spark, path, F.col("pk") == 2, "m", "pk")
+    plan = formatted_plan(mor_read(spark, path, "m", "pk"))
+    bhj = set(re.findall(r"\((\d+)\) BroadcastHashJoin", plan))
+    assert len(bhj) == 1, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

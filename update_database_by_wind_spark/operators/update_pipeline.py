@@ -1129,7 +1129,268 @@ def u14_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U15: snapshot versioning + time travel ------------------------------------
+# --- U18: merge-on-read delete (deletion vectors) ------------------------------
+
+
+def mor_delete(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    partition_col: str,
+    key_col: str,
+) -> int:
+    """Merge-on-read DELETE: record the matching rows' keys as
+    per-partition deletion vectors under ``{target_path}/_deletes/``
+    and touch NO data file — the other half of the production delete
+    story next to :func:`cow_delete` (COW pays the rewrite at delete
+    time; MOR pays an anti-join at read time and defers the rewrite to
+    :func:`mor_compact`), the Iceberg v2 position-delete / Delta
+    deletion-vector contract re-expressed on plain parquet.
+
+    The underscore prefix makes the vector directory invisible to any
+    plain ``spark.read.parquet(target_path)`` (Spark's hidden-file
+    filter skips ``_``/``.`` paths), so existing readers keep seeing
+    the un-deleted table until they opt into :func:`mor_read` —
+    exactly how engines stage DVs next to data files.  Vectors
+    accumulate across calls (each delete appends its keys), are
+    partitioned by ``partition_col`` so compaction can prune, and
+    carry keys only — a delete of k rows writes O(k) key bytes, never
+    data.  NULL-evaluating predicates retain the row (SQL DELETE
+    semantics, same as cow_delete).  Returns the number of tombstoned
+    keys this call."""
+    import os
+
+    target = spark.read.parquet(target_path)
+    doomed = target.filter(F.coalesce(predicate, F.lit(False))).select(
+        partition_col, key_col
+    )
+    doomed.persist()
+    try:
+        n = doomed.count()
+        if n:
+            # a zero-match delete writes nothing: an empty partitioned
+            # write would create a _SUCCESS-only directory that breaks
+            # parquet schema inference on the next vector read
+            doomed.repartition(F.col(partition_col)).write.partitionBy(
+                partition_col
+            ).mode("append").parquet(os.path.join(target_path, "_deletes"))
+    finally:
+        doomed.unpersist()
+    return n
+
+
+def mor_read(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Read a table with pending deletion vectors applied: data scan
+    LEFT ANTI JOIN the tombstoned ``(partition, key)`` pairs.  The
+    vector side is keys-only and broadcast (erasure/TTL vectors are
+    tiny next to the data — the MOR premise; if vectors ever grow
+    past broadcast size, compaction is overdue and the join degrades
+    gracefully to a shuffle on the same keys).  With no vectors
+    present this is exactly the plain scan — zero overhead."""
+    import os
+
+    data = spark.read.parquet(target_path)
+    dels_path = os.path.join(target_path, "_deletes")
+    if not os.path.isdir(dels_path):
+        return data
+    dels = (
+        spark.read.parquet(dels_path)
+        .select(partition_col, key_col)
+        .distinct()
+    )
+    return data.join(
+        F.broadcast(dels), on=[partition_col, key_col], how="left_anti"
+    )
+
+
+def mor_compact(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    key_col: str,
+) -> dict:
+    """Fold pending deletion vectors back into the data files so reads
+    stop paying the anti-join — cow_delete's economics applied only to
+    the partitions that actually carry tombstones:
+
+    * the affected-partition list comes from the VECTORS (metadata-
+      sized — never a data scan);
+    * partitions whose every row is tombstoned are dropped as
+      directories;
+    * partially-tombstoned partitions are rewritten survivors-only via
+      dynamic partition overwrite;
+    * untouched partitions are never read or written;
+    * the vector directory is removed last, so a crash mid-compaction
+      leaves vectors in place and mor_read stays correct (applying a
+      tombstone to an already-rewritten partition is a no-op —
+      compaction is idempotent).
+
+    Returns ``{"dropped": [...], "rewritten": [...]}``."""
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    dels_path = os.path.join(target_path, "_deletes")
+    if not os.path.isdir(dels_path):
+        return {"dropped": [], "rewritten": []}
+    dels = (
+        spark.read.parquet(dels_path)
+        .select(partition_col, key_col)
+        .distinct()
+    )
+    data = spark.read.parquet(target_path)
+    census = (
+        data.join(
+            F.broadcast(
+                dels.select(partition_col).distinct()
+            ),
+            on=partition_col,
+            how="left_semi",
+        )
+        .join(
+            F.broadcast(dels.withColumn("__dead", F.lit(1))),
+            on=[partition_col, key_col],
+            how="left",
+        )
+        .groupBy(partition_col)
+        .agg(
+            F.count("*").alias("n_all"),
+            F.sum(F.coalesce("__dead", F.lit(0))).alias("n_del"),
+        )
+        .collect()
+    )
+    dropped = [
+        r[partition_col] for r in census if r["n_del"] == r["n_all"]
+    ]
+    rewritten = [
+        r[partition_col]
+        for r in census
+        if 0 < r["n_del"] < r["n_all"]
+    ]
+    if dropped:
+        want = {str(v) for v in dropped if v is not None}
+        drop_null = any(v is None for v in dropped)
+        prefix = f"{partition_col}="
+        for entry in os.listdir(target_path):
+            if not entry.startswith(prefix):
+                continue
+            name = entry[len(prefix):]
+            if (drop_null and name == "__HIVE_DEFAULT_PARTITION__") or (
+                unquote(name) in want
+            ):
+                shutil.rmtree(os.path.join(target_path, entry))
+    if rewritten:
+        survivors = data.filter(
+            F.col(partition_col).isin(rewritten)
+        ).join(
+            F.broadcast(dels), on=[partition_col, key_col], how="left_anti"
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.repartition(F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    shutil.rmtree(dels_path)
+    return {"dropped": dropped, "rewritten": rewritten}
+
+
+_U18_ORACLE = f"""
+WITH live AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+  FROM orders
+  WHERE NOT (strftime(o_orderdate, '%Y-%m') < '1996-07'
+             OR o_orderkey % 131 = 0)
+),
+roll AS (
+  SELECT o_month, COUNT(*) AS n_rows,
+         {sql_dec_sum('o_totalprice', 'total_price')}
+  FROM live GROUP BY o_month
+)
+SELECT 'mor' AS phase, o_month, n_rows, total_price FROM roll
+UNION ALL
+SELECT 'compacted' AS phase, o_month, n_rows, total_price FROM roll
+"""
+
+
+@query("u18_mor_delete", oracle=_U18_ORACLE, tags=("update", "layout"))
+def u18_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U18: the same retention-sweep shape as U14 (a TTL — months
+    before 1996-07 expire — plus %131-key erasure) executed
+    merge-on-read: two
+    mor_delete calls write only deletion vectors (data files
+    untouched — asserted structurally in tests/test_mor_delete.py),
+    mor_read serves the logically-deleted table through the vector
+    anti-join, then mor_compact folds the vectors into the files.
+    The result carries BOTH phases — ``phase='mor'`` aggregated
+    through the vector read, ``phase='compacted'`` aggregated from a
+    plain post-compaction scan — against one oracle rollup duplicated
+    per phase, so the driver hash-checks the deferred-delete read
+    path AND the compaction rewrite in a single row.
+
+    Why it matters at 100 TB: COW makes deletes expensive and reads
+    free; MOR makes deletes metadata-cheap (O(deleted keys) written,
+    zero data rewritten — the shape GDPR erasure queues need, many
+    small deletes arriving continuously) and defers the rewrite to
+    one batched compaction, which then pays cow_delete's economics:
+    drop fully-dead partitions by unlink, rewrite only partially-dead
+    ones, never touch the rest."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_mor_{tag}"
+    target_path = f"{base}/orders_by_month"
+    shutil.rmtree(base, ignore_errors=True)
+    snap = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    snap.repartition(F.col("o_month")).write.partitionBy("o_month").parquet(
+        target_path
+    )
+    # two independent delete requests, as they arrive in production —
+    # the TTL sweep and a targeted erasure; vectors accumulate
+    mor_delete(
+        spark, target_path, F.col("o_month") < "1996-07", "o_month",
+        "o_orderkey",
+    )
+    mor_delete(
+        spark, target_path, F.col("o_orderkey") % 131 == 0, "o_month",
+        "o_orderkey",
+    )
+
+    def roll(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("o_month").agg(
+            F.count("*").alias("n_rows"),
+            dec_sum("o_totalprice", "total_price"),
+        ).select(
+            F.lit(phase).alias("phase"), "o_month", "n_rows", "total_price"
+        )
+
+    pre = roll(mor_read(spark, target_path, "o_month", "o_orderkey"), "mor")
+    # materialize the MOR-phase rollup BEFORE compaction rewrites the
+    # files underneath its lazy plan (month-cardinality rows — a
+    # metadata-sized collect, bounded by partition count)
+    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    mor_compact(spark, target_path, "o_month", "o_orderkey")
+    post = roll(spark.read.parquet(target_path), "compacted")
+    return pre.unionByName(post)
 
 
 def snapshot_commit(
