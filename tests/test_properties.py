@@ -754,3 +754,45 @@ def test_write_expectations_reason_strings_partition_batch(spark, keys):
         want[r] = want.get(r, 0) + 1
     assert got == set(want.items())
     assert sum(n for _, n in got) == len(rows)
+
+
+_QSK_VALUES = st.lists(st.integers(0, 1_000_000_000), min_size=1, max_size=300)
+
+
+@given(
+    values=_QSK_VALUES,
+    shard_of=st.lists(st.integers(0, 4), min_size=300, max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_quantile_sketch_laws_under_arbitrary_sharding(values, shard_of):
+    """A16 laws, fuzzed over arbitrary values AND arbitrary shard
+    assignments (the verdict's ask): (1) bin-wise counter addition of
+    per-shard histograms equals the from-scratch histogram — the
+    mergeability contract under ANY partitioning; (2) for every
+    percentile, the first bin whose cumulative count reaches the
+    integer rank r = (pct·n + 99) DIV 100 brackets the exact r-th
+    order statistic within one bin width.  Pure-python replay of the
+    integer arithmetic both engines run."""
+    from collections import Counter
+
+    W = 16384
+    n = len(values)
+    full = Counter(v // W for v in values)
+    shards = [Counter() for _ in range(5)]
+    for v, s in zip(values, shard_of):
+        shards[s][v // W] += 1
+    merged = Counter()
+    for sh in shards:
+        merged.update(sh)
+    assert merged == full  # law 1: merge ≡ recompute
+
+    ordered = sorted(values)
+    cum, cdf = 0, []
+    for b in sorted(full):
+        cum += full[b]
+        cdf.append((b, cum))
+    for pct in (25, 50, 75, 90, 99):
+        r = (pct * n + 99) // 100
+        bin_ = next(b for b, c in cdf if c >= r)
+        exact = ordered[r - 1]
+        assert bin_ * W <= exact <= (bin_ + 1) * W - 1  # law 2: bracket

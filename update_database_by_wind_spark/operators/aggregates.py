@@ -783,3 +783,188 @@ def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") * _HH_K > F.col("_total"))
         .select("user_id", "n_events")
     )
+
+
+# --- A16: mergeable fixed-boundary quantile sketch ------------------------------
+
+# Histogram-CDF sketch over integer cents.  The bin boundaries are
+# FIXED by construction (bin = cents DIV 2^14), independent of the
+# data, which is what makes the sketch mergeable by plain counter
+# addition: 1000 executors histogram locally, shards combine by
+# summing bins, yesterday's sketch absorbs today's delta without a
+# rescan — the same contract as a14's KMV but for quantiles.  The
+# power-of-two width keeps the bin id one exact integer division in
+# both engines (no float, no midpoint traps), and bounds the absolute
+# quantile error at one bin width ($163.84) by construction.
+_QSK_W = 16384  # 2^14 cents per bin
+_QSK_PCTS = (25, 50, 75, 90, 99)
+
+_A16_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+hist AS (
+  SELECT cents // {_QSK_W} AS bin, COUNT(*) AS cnt FROM c GROUP BY 1
+),
+h0 AS (
+  SELECT cents // {_QSK_W} AS bin, COUNT(*) AS cnt FROM c
+  WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+h1 AS (
+  SELECT cents // {_QSK_W} AS bin, COUNT(*) AS cnt FROM c
+  WHERE o_orderkey % 2 = 1 GROUP BY 1
+),
+merged AS (
+  SELECT bin, SUM(cnt) AS cnt
+  FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY bin
+),
+fs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cnt) AS BIGINT) AS n,
+              CAST(SUM(bin * cnt) AS BIGINT) AS chk FROM hist),
+ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cnt) AS BIGINT) AS n,
+              CAST(SUM(bin * cnt) AS BIGINT) AS chk FROM merged),
+ranks AS (
+  SELECT pct, (pct * fs.n + 99) // 100 AS r
+  FROM (VALUES (25), (50), (75), (90), (99)) t(pct), fs
+),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+sel AS (
+  SELECT ranks.pct, ranks.r, MIN(cum.bin) AS bin
+  FROM ranks JOIN cum ON cum.cum >= ranks.r
+  GROUP BY ranks.pct, ranks.r
+),
+ordered AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+),
+ex AS (SELECT sel.pct, MIN(ordered.cents) AS exact_cents
+       FROM sel JOIN ordered ON ordered.rn = sel.r GROUP BY sel.pct)
+SELECT CAST(sel.pct AS INTEGER) AS pct,
+       CAST(sel.r AS BIGINT) AS rank_r,
+       CAST(sel.bin AS BIGINT) AS bin,
+       CAST(sel.bin * {_QSK_W} AS BIGINT) AS lo_cents,
+       CAST((sel.bin + 1) * {_QSK_W} - 1 AS BIGINT) AS hi_cents,
+       CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       ex.exact_cents BETWEEN sel.bin * {_QSK_W}
+           AND (sel.bin + 1) * {_QSK_W} - 1 AS within_bound,
+       (fs.nb = ms.nb AND fs.n = ms.n AND fs.chk = ms.chk) AS merge_ok
+FROM sel JOIN ex ON ex.pct = sel.pct, fs, ms
+"""
+
+
+@query(
+    "a16_quantile_sketch",
+    oracle=_A16_ORACLE,
+    tags=("agg", "sketch", "approx"),
+)
+def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: mergeable quantile sketch — a fixed-boundary histogram CDF
+    over order totals in integer cents, the percentile companion to
+    a14's mergeable cardinality sketch.  Per requested percentile the
+    row carries the full receipt:
+
+    * ``bin`` / ``lo_cents`` / ``hi_cents`` — the sketch's answer: the
+      first bin whose cumulative count reaches the target rank, and
+      the value bracket it implies (error ≤ one bin width by
+      construction, no data-dependent tuning);
+    * ``exact_cents`` + ``within_bound`` — the true order statistic at
+      the SAME integer rank, proven to land inside the bracket (the
+      a9b/l3b recall-guarantee pattern: the oracle asserts the bound,
+      not just the estimate).  The exact leg is the fixture-scale
+      receipt, not the production path;
+    * ``merge_ok`` — the corpus split odd/even by order key, each
+      shard histogrammed independently, merged by bin-wise counter
+      addition, and the merged sketch proven IDENTICAL to the
+      from-scratch one (bin count + total + Σ bin·cnt checksum) —
+      U9's merge ≡ recompute contract, which is what makes the
+      sketch shard-parallel and delta-absorbing at 100 TB.
+
+    Every number is integer-exact: cents via the decimal cast, bin ids
+    by ``DIV 2^14``, and ranks by ``(pct·n + 99) DIV 100`` — the
+    integer form of ceil(q·n).  The float form is a measured parity
+    trap: 0.9 × 15000 evaluates to 13500.000000000002 in IEEE double
+    (ceil → 13501) while a decimal engine gets exactly 13500, so no
+    float q ever appears on either side.
+
+    Scale shape: ONE map-side-combined groupBy on ~3.7k bin ids per
+    shard; the CDF walk and rank selection run on sketch-sized data
+    (single-partition window over the histogram — thousands of rows
+    by construction, never data-sized)."""
+    orders = load(spark, sf_dir, "orders")
+    c = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    binned = c.withColumn("bin", F.expr(f"cents DIV {_QSK_W}"))
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+    def stats(h: DataFrame, pfx: str) -> DataFrame:
+        return h.agg(
+            F.count("*").cast("long").alias(f"{pfx}_nb"),
+            F.sum("cnt").cast("long").alias(f"{pfx}_n"),
+            F.sum(F.col("bin") * F.col("cnt"))
+            .cast("long")
+            .alias(f"{pfx}_chk"),
+        )
+
+    full_h = hist(binned)
+    merged_h = (
+        hist(binned.filter(F.col("o_orderkey") % 2 == 0))
+        .unionByName(hist(binned.filter(F.col("o_orderkey") % 2 == 1)))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    fs = stats(full_h, "f")
+    ms = stats(merged_h, "m")
+
+    pcts = spark.createDataFrame([(p,) for p in _QSK_PCTS], "pct int")
+    ranks = pcts.crossJoin(F.broadcast(fs.select("f_n"))).select(
+        "pct", F.expr("(pct * f_n + 99) DIV 100").alias("r")
+    )
+    cum = full_h.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    sel = (
+        ranks.join(cum, cum["cum"] >= ranks["r"])
+        .groupBy("pct", "r")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ordered = c.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents"))
+    )
+    ex = (
+        sel.join(ordered, ordered["rn"] == sel["r"])
+        .groupBy("pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    merge_ok = (
+        (F.col("f_nb") == F.col("m_nb"))
+        & (F.col("f_n") == F.col("m_n"))
+        & (F.col("f_chk") == F.col("m_chk"))
+    )
+    return (
+        sel.join(ex, "pct")
+        .crossJoin(F.broadcast(fs))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "pct",
+            F.col("r").alias("rank_r"),
+            "bin",
+            (F.col("bin") * _QSK_W).alias("lo_cents"),
+            ((F.col("bin") + 1) * _QSK_W - 1).alias("hi_cents"),
+            "exact_cents",
+            F.col("exact_cents").between(
+                F.col("bin") * _QSK_W, (F.col("bin") + 1) * _QSK_W - 1
+            ).alias("within_bound"),
+            merge_ok.alias("merge_ok"),
+        )
+    )
