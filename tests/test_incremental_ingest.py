@@ -40,3 +40,55 @@ def test_crash_between_append_and_commit_heals_via_dedup(spark, tmp_path):
     ]
     # manifest now committed: a further run is a no-op
     assert incremental_ingest(spark, src, target, state) == []
+
+
+def test_streaming_bridge_lands_identical_table_to_batch_loop(
+    spark, tmp_path
+):
+    """ST15 × S12: the same landed batches ingested once through the
+    manifest loop and once through the file-source/foreachBatch bridge
+    must produce identical target tables — the two discovery paths are
+    interchangeable."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    bt, st_t = str(tmp_path / "batch_t"), str(tmp_path / "stream_t")
+    state, ckpt = str(tmp_path / "state.json"), str(tmp_path / "ckpt")
+    rows = spark.range(40).select(
+        F.concat(F.lit("k"), (F.col("id") % 4)).alias("o_month"),
+        F.col("id").alias("cents"),
+    )
+    rows.filter(F.col("id") < 25).write.parquet(f"{src}/batch1")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "o_month string, cents long"
+        ).parquet(f"{src}/*")
+        h = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(st_t)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        h.awaitTermination()
+
+    assert incremental_ingest(spark, src, bt, state) == ["batch1"]
+    run_stream()
+    rows.filter(F.col("id") >= 25).write.parquet(f"{src}/batch2")
+    assert incremental_ingest(spark, src, bt, state) == ["batch2"]
+    run_stream()
+    assert incremental_ingest(spark, src, bt, state) == []
+    run_stream()  # no-op too
+
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(bt).select("o_month", "cents").collect())
+    )
+    stream_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(st_t).select("o_month", "cents").collect(),
+        )
+    )
+    assert batch_rows == stream_rows and len(batch_rows) == 40

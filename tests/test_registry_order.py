@@ -11,15 +11,15 @@ from update_database_by_wind_spark.registry import REGISTRY
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND7_FRONT)] == ops._ROUND7_FRONT
+    assert names[: len(ops._ROUND8_FRONT)] == ops._ROUND8_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND7_FRONT)
+    front = set(ops._ROUND8_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R4_R6 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R5_R7 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -28,7 +28,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND7_FRONT, *ops._DRIVER_VERIFIED_R4_R6]:
+    for n in [*ops._ROUND8_FRONT, *ops._DRIVER_VERIFIED_R5_R7]:
         assert n in REGISTRY, n
 
 
@@ -37,7 +37,7 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND7_FRONT) & set(ops._DRIVER_VERIFIED_R4_R6)
+    dup = set(ops._ROUND8_FRONT) & set(ops._DRIVER_VERIFIED_R5_R7)
     assert not dup, dup
 
 
@@ -47,43 +47,45 @@ def test_every_query_is_either_prioritized_or_known_verified():
     slots) or in the r4–r6 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that."""
-    covered = set(ops._ROUND7_FRONT) | set(ops._DRIVER_VERIFIED_R4_R6)
+    covered = set(ops._ROUND8_FRONT) | set(ops._DRIVER_VERIFIED_R5_R7)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_changed_code_queries_lead_the_window():
-    """The nine NEW round-7 operators (first-possible-green), then the
-    two queries whose round-7 diff changes their code (cow_delete's
-    VOID-partition + NULL-predicate fixes behind u14; ts_ewma's
-    vectorized kernel), then the 13 round-2-stale queries the r6
-    verdict named as the rotation backlog."""
+    """The three NEW round-8 operators (first-possible-green), then
+    the three queries whose round-8 diff changes their code (atomic
+    manifest + retry-safe snapshot commits behind u15/s12; ts_ewma's
+    bit-exact across-users kernel), then the three round-3-stale
+    stragglers the r7 verdict named as round 8's rotation leaders,
+    then the 45 round-4-stale queries."""
     names = list(REGISTRY)
-    assert names[:11] == [
-        "a15_heavy_hitters",
-        "e2_interval_concurrency",
-        "st14_dedup_within_watermark",
-        "tr_weighted_sample",
+    assert names[:9] == [
+        "u18_mor_delete",
+        "a16_quantile_sketch",
+        "st15_stream_ingest_bridge",
         "u15_time_travel",
-        "u16_join_view_maintenance",
         "s12_incremental_ingest",
-        "w9_gaps_islands",
-        "u17_write_expectations",
-        "u14_retention_delete",
         "ts_ewma",
+        "tr_k_anonymity",
+        "tr_label_centroids",
+        "tr_sequence_pack",
     ]
-    assert set(names[11:24]) == {
-        "q10_returned_item_revenue",
-        "q12_late_shipment_priority",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        "q21_suppliers_kept_waiting",
-        "q22_dormant_high_balance",
-        "q2_min_cost_supplier",
-        "q4_order_priority_check",
-        "q5_local_supplier_volume",
-        "w6_ntile_acctbal_quartiles",
-    }
+    # the r4 backlog fills the rest of the window, alphabetically
+    assert names[9:54] == sorted(names[9:54])
+    assert len(ops._ROUND8_FRONT) == 54
+
+
+def test_st15_oracle_is_verbatim_s12_oracle():
+    """ST15's whole claim is that streaming discovery lands the table
+    the batch manifest loop lands — the two queries must share ONE
+    oracle, byte for byte.  (The string is inlined in pipelines.py to
+    avoid a worker-side import cycle; this test is the tie.)"""
+    from update_database_by_wind_spark.operators.sources_ops import (
+        _S12_ORACLE,
+    )
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ST15_ORACLE,
+    )
+
+    assert _ST15_ORACLE == _S12_ORACLE

@@ -941,8 +941,10 @@ def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = c.withColumn(
         "rn", F.row_number().over(Window.orderBy("cents"))
     )
+    # broadcast the 5-row rank selection into the ordered scan — the
+    # default plan sort-merge-joined the DATA-sized side on rn
     ex = (
-        sel.join(ordered, ordered["rn"] == sel["r"])
+        ordered.join(F.broadcast(sel), ordered["rn"] == sel["r"])
         .groupBy("pct")
         .agg(F.min("cents").alias("exact_cents"))
     )
@@ -952,7 +954,7 @@ def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("f_chk") == F.col("m_chk"))
     )
     return (
-        sel.join(ex, "pct")
+        sel.join(F.broadcast(ex), "pct")
         .crossJoin(F.broadcast(fs))
         .crossJoin(F.broadcast(ms))
         .select(

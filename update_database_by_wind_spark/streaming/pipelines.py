@@ -803,3 +803,126 @@ def st14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh-timestamp redelivery re-emits — the observable proof the
     store is bounded."""
     return run_to_memory(st14_dedup_within_watermark_stream(spark, sf_dir))
+
+
+# --- ST15: streaming ingest bridge (S12's discovery via the file source) -------
+
+# Byte-identical to sources_ops._S12_ORACLE by DESIGN: the two
+# discovery paths must land the IDENTICAL table, so they share the
+# batch-side oracle verbatim.  The string is inlined rather than
+# imported — a module-level import of operators.sources_ops from here
+# is a cycle (Spark workers import this module first when unpickling
+# stateful functions; the operators package __init__ then runs
+# reorder() before this module's decorators have registered) — and
+# tests/test_registry_order.py pins the two strings equal.
+_ST15_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       CASE WHEN strftime(o_orderdate, '%Y-%m') < '1996-01'
+            THEN 1 ELSE 2 END AS ingest_run,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "st15_stream_ingest_bridge",
+    oracle=_ST15_ORACLE,
+    tags=("streaming", "source", "update"),
+)
+def st15_stream_ingest_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15: s12's checkpointed batch-ingest loop re-expressed on the
+    streaming surface — the file source's checkpoint takes the role of
+    s12's JSON manifest, and ``foreachBatch`` appends each discovered
+    batch to the same kind of target table.  Two extraction batches
+    land (orders before / from 1996-01, exactly s12's split) and the
+    stream runs once after each landing with ``availableNow`` plus a
+    PERSISTENT checkpoint; the file-source log guarantees each file is
+    processed exactly once across runs, so a third run is a no-op —
+    all three asserted in-query by target row-count deltas, the same
+    in-query proof style as s12.  The rollup is checked against s12's
+    oracle VERBATIM: batch discovery (manifest loop) and streaming
+    discovery (file-source checkpoint) provably land identical tables,
+    closing the seam between the incremental-ingest story and the
+    streaming surface.
+
+    At scale this is the Auto Loader shape: discovery cost is a
+    listing diffed against the checkpoint log (metadata-sized), data
+    cost is new files only, and the same code runs continuously
+    (micro-batch triggers) or as a scheduled catch-up (availableNow)
+    without changing semantics."""
+    import hashlib
+    import shutil
+
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_stbr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, target, ckpt = f"{base}/src", f"{base}/t", f"{base}/ckpt"
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def run_ingest() -> None:
+        stream = spark.readStream.schema("o_month string, cents long").parquet(
+            f"{src}/*"
+        )
+        handle = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(
+                    target
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+
+    def target_count() -> int:
+        return spark.read.parquet(target).count()
+
+    try:
+        snap.filter(F.col("o_month") < "1996-01").write.parquet(
+            f"{src}/batch1"
+        )
+        n1 = snap.filter(F.col("o_month") < "1996-01").count()
+        run_ingest()
+        assert target_count() == n1
+        snap.filter(F.col("o_month") >= "1996-01").write.parquet(
+            f"{src}/batch2"
+        )
+        run_ingest()
+        n_all = snap.count()
+        assert target_count() == n_all
+        run_ingest()  # no new files -> exactly-once no-op
+        assert target_count() == n_all
+        out = (
+            spark.read.parquet(target)
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .select(
+                "o_month",
+                F.when(F.col("o_month") < "1996-01", 1)
+                .otherwise(2)
+                .cast("int")
+                .alias("ingest_run"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+        # materialize before the checkpoint/scratch cleanup below —
+        # month-cardinality rows, a metadata-sized collect
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
