@@ -144,3 +144,91 @@ def test_mor_delete_null_predicate_retains(spark, tmp_path):
         (r["pk"], r["m"]) for r in mor_read(spark, path, "m", "pk").collect()
     )
     assert got == [(1, "a"), (2, "a")]
+
+
+def test_mor_null_partition_and_key_tombstones_apply(spark, tmp_path):
+    """Round-8 review finding: tombstones for NULL partition values or
+    NULL keys must still apply — plain = never matches NULL, which
+    silently retained 'deleted' rows and made compaction discard the
+    vectors.  Null-safe joins end to end: delete from the NULL
+    partition, read sees it gone, compaction physically drops/rewrites
+    it and preserves cow_delete parity."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "b", 30), (None, "b", 40)],
+        "pk long, m string, val long",
+    )
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    # tombstone one row of the NULL partition and the NULL-keyed row
+    n = mor_delete(
+        spark, path, (F.col("pk") == 1) | F.col("pk").isNull(), "m", "pk"
+    )
+    assert n == 2
+    got = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in mor_read(spark, path, "m", "pk").collect()
+    )
+    assert got == [(2, None, 20), (3, "b", 30)]
+    out = mor_compact(spark, path, "m", "pk")
+    assert out["dropped"] == []
+    assert set(out["rewritten"]) == {None, "b"}
+    assert sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    ) == [(2, None, 20), (3, "b", 30)]
+
+
+def test_mor_fully_deleted_null_partition_is_dropped(spark, tmp_path):
+    """The drop_null branch must be reachable: a fully-tombstoned NULL
+    partition is removed as __HIVE_DEFAULT_PARTITION__."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    mor_delete(spark, path, F.col("m").isNull(), "m", "pk")
+    out = mor_compact(spark, path, "m", "pk")
+    assert out["dropped"] == [None]
+    assert not os.path.isdir(
+        os.path.join(path, "m=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert [
+        (r["pk"], r["m"]) for r in spark.read.parquet(path).collect()
+    ] == [(2, "b")]
+
+
+def test_mor_crashed_vector_write_residue_reads_as_no_vectors(
+    spark, tmp_path
+):
+    """Round-8 review finding: a crash mid mor_delete leaves _deletes/
+    holding only hidden staging files; that residue must read as 'no
+    vectors' (the delete never returned success), not break every
+    later read with a schema-inference error."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    os.makedirs(os.path.join(path, "_deletes", "_temporary", "0"))
+    with open(os.path.join(path, "_deletes", "_SUCCESS"), "w"):
+        pass
+    assert _rows(mor_read(spark, path, "m", "pk")) == sorted(_ROWS)
+    assert mor_compact(spark, path, "m", "pk") == {
+        "dropped": [],
+        "rewritten": [],
+    }
+    # and a real delete afterwards still works
+    mor_delete(spark, path, F.col("pk") == 1, "m", "pk")
+    assert len(_rows(mor_read(spark, path, "m", "pk"))) == len(_ROWS) - 1
+
+
+def test_mor_delete_everything_keeps_table_readable(spark, tmp_path):
+    """Round-8 review finding: compacting a table whose every row is
+    tombstoned must yield an EMPTY readable table (schema retained via
+    a zero-row root file), not an unreadable directory."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    mor_delete(spark, path, F.lit(True), "m", "pk")
+    out = mor_compact(spark, path, "m", "pk")
+    assert sorted(out["dropped"]) == ["a", "b", "c"]
+    assert spark.read.parquet(path).count() == 0
+    assert spark.read.parquet(path).schema.fieldNames() is not None
+    assert mor_read(spark, path, "m", "pk").count() == 0
+    assert mor_delete(spark, path, F.lit(True), "m", "pk") == 0

@@ -772,10 +772,17 @@ def test_quantile_sketch_laws_under_arbitrary_sharding(values, shard_of):
     percentile, the first bin whose cumulative count reaches the
     integer rank r = (pct·n + 99) DIV 100 brackets the exact r-th
     order statistic within one bin width.  Pure-python replay of the
-    integer arithmetic both engines run."""
+    integer arithmetic both engines run, over the operator's OWN
+    constants (review finding: a re-declared W would let the test
+    drift from the operator)."""
     from collections import Counter
 
-    W = 16384
+    from update_database_by_wind_spark.operators.aggregates import (
+        _QSK_PCTS,
+        _QSK_W,
+    )
+
+    W = _QSK_W
     n = len(values)
     full = Counter(v // W for v in values)
     shards = [Counter() for _ in range(5)]
@@ -791,7 +798,7 @@ def test_quantile_sketch_laws_under_arbitrary_sharding(values, shard_of):
     for b in sorted(full):
         cum += full[b]
         cdf.append((b, cum))
-    for pct in (25, 50, 75, 90, 99):
+    for pct in _QSK_PCTS:
         r = (pct * n + 99) // 100
         bin_ = next(b for b, c in cdf if c >= r)
         exact = ordered[r - 1]

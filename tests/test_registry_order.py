@@ -43,8 +43,8 @@ def test_front_and_defer_do_not_overlap():
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-7 front (new + changed-code + stalest regression
-    slots) or in the r4–r6 driver-green defer list.  A query in
+    in the round-8 front (new + changed-code + stalest regression
+    slots) or in the r5–r7 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that."""
     covered = set(ops._ROUND8_FRONT) | set(ops._DRIVER_VERIFIED_R5_R7)

@@ -826,7 +826,7 @@ ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cnt) AS BIGINT) AS n,
               CAST(SUM(bin * cnt) AS BIGINT) AS chk FROM merged),
 ranks AS (
   SELECT pct, (pct * fs.n + 99) // 100 AS r
-  FROM (VALUES (25), (50), (75), (90), (99)) t(pct), fs
+  FROM (VALUES {", ".join(f"({p})" for p in _QSK_PCTS)}) t(pct), fs
 ),
 cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
 sel AS (

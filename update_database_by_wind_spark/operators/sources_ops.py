@@ -279,12 +279,11 @@ def incremental_ingest(
         ).write.mode("append").parquet(target_dir)
         # temp-file + os.replace: a crash mid-write must leave the old
         # manifest intact, never a torn one (advisor finding, round 7)
-        tmp = f"{state_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(sorted(done | set(new)), fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, state_path)
+        from update_database_by_wind_spark.functions.fsutil import (
+            atomic_write_json,
+        )
+
+        atomic_write_json(state_path, sorted(done | set(new)))
     return new
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from update_database_by_wind_spark.functions.fsutil import atomic_write_json
 from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
@@ -1160,7 +1161,7 @@ def mor_delete(
     keys this call."""
     import os
 
-    target = spark.read.parquet(target_path)
+    target = _string_partition(spark.read.parquet(target_path), partition_col)
     doomed = target.filter(F.coalesce(predicate, F.lit(False))).select(
         partition_col, key_col
     )
@@ -1179,32 +1180,88 @@ def mor_delete(
     return n
 
 
+def _string_partition(df: DataFrame, partition_col: str) -> DataFrame:
+    """cow_delete's VOID guard, shared by the MOR family: when every
+    surviving directory is ``__HIVE_DEFAULT_PARTITION__`` Spark infers
+    the partition column as NullType, which ``partitionBy`` rejects
+    and null-safe comparisons against string vector columns cannot
+    resolve — cast to string, the type the directory encoding
+    round-trips through anyway."""
+    if dict(df.dtypes).get(partition_col) == "void":
+        return df.withColumn(
+            partition_col, F.col(partition_col).cast("string")
+        )
+    return df
+
+
+def _read_vectors(
+    spark: SparkSession, target_path: str, partition_col: str, key_col: str
+):
+    """Load the pending deletion vectors as renamed columns
+    ``(__dv_p, __dv_k)``, or None when no COMMITTED vector file
+    exists.  Committed means a real part file: a crash mid
+    ``mor_delete`` can leave ``_deletes/`` holding only the hidden
+    ``_temporary`` staging dir or ``_SUCCESS`` (round-8 review
+    finding) — a delete that never returned success never happened,
+    so its residue must read as "no vectors", not as a schema
+    inference error."""
+    import os
+
+    dels_path = os.path.join(target_path, "_deletes")
+    if not os.path.isdir(dels_path):
+        return None
+    committed = any(
+        not f.startswith(("_", "."))
+        for _root, _dirs, files in os.walk(dels_path)
+        for f in files
+    )
+    if not committed:
+        return None
+    return (
+        spark.read.parquet(dels_path)
+        .select(
+            F.col(partition_col).alias("__dv_p"),
+            F.col(key_col).alias("__dv_k"),
+        )
+        .distinct()
+    )
+
+
+def _vector_match(data: DataFrame, dels: DataFrame, partition_col, key_col):
+    """Null-safe join condition data ⋈ vectors: tombstones for a NULL
+    partition or NULL key must still apply (round-8 review finding —
+    plain ``=`` never matches NULL, silently retaining 'deleted'
+    rows)."""
+    return data[partition_col].eqNullSafe(dels["__dv_p"]) & data[
+        key_col
+    ].eqNullSafe(dels["__dv_k"])
+
+
 def mor_read(
     spark: SparkSession,
     target_path: str,
     partition_col: str,
     key_col: str,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Read a table with pending deletion vectors applied: data scan
-    LEFT ANTI JOIN the tombstoned ``(partition, key)`` pairs.  The
-    vector side is keys-only and broadcast (erasure/TTL vectors are
-    tiny next to the data — the MOR premise; if vectors ever grow
-    past broadcast size, compaction is overdue and the join degrades
-    gracefully to a shuffle on the same keys).  With no vectors
-    present this is exactly the plain scan — zero overhead."""
-    import os
-
-    data = spark.read.parquet(target_path)
-    dels_path = os.path.join(target_path, "_deletes")
-    if not os.path.isdir(dels_path):
+    LEFT ANTI JOIN the tombstoned ``(partition, key)`` pairs,
+    null-safe on both columns.  By default the vector side is
+    broadcast — erasure/TTL vectors are keys-only and tiny next to
+    the data, the MOR premise.  The hint is mandatory once given
+    (Spark never falls back by size), so a caller whose vectors have
+    outgrown broadcast capacity — compaction overdue — passes
+    ``broadcast_vectors=False`` for a shuffled anti-join on the same
+    condition.  With no committed vectors this is exactly the plain
+    scan — zero overhead."""
+    data = _string_partition(spark.read.parquet(target_path), partition_col)
+    dels = _read_vectors(spark, target_path, partition_col, key_col)
+    if dels is None:
         return data
-    dels = (
-        spark.read.parquet(dels_path)
-        .select(partition_col, key_col)
-        .distinct()
-    )
+    right = F.broadcast(dels) if broadcast_vectors else dels
     return data.join(
-        F.broadcast(dels), on=[partition_col, key_col], how="left_anti"
+        right, on=_vector_match(data, dels, partition_col, key_col),
+        how="left_anti",
     )
 
 
@@ -1228,36 +1285,36 @@ def mor_compact(
     * the vector directory is removed last, so a crash mid-compaction
       leaves vectors in place and mor_read stays correct (applying a
       tombstone to an already-rewritten partition is a no-op —
-      compaction is idempotent).
+      compaction is idempotent);
+    * a compaction that empties the WHOLE table leaves one zero-row
+      root parquet file carrying the schema, so the emptied table
+      stays readable (and a later mor_delete/mor_read still works) —
+      re-seed with a fresh ``mode('overwrite')`` partitioned write
+      before appending partitioned data again.
 
     Returns ``{"dropped": [...], "rewritten": [...]}``."""
     import os
     import shutil
     from urllib.parse import unquote
 
-    dels_path = os.path.join(target_path, "_deletes")
-    if not os.path.isdir(dels_path):
+    dels = _read_vectors(spark, target_path, partition_col, key_col)
+    if dels is None:
         return {"dropped": [], "rewritten": []}
-    dels = (
-        spark.read.parquet(dels_path)
-        .select(partition_col, key_col)
-        .distinct()
-    )
-    data = spark.read.parquet(target_path)
+    data = _string_partition(spark.read.parquet(target_path), partition_col)
+    schema = data.schema
+    parts = dels.select("__dv_p").distinct()
     census = (
         data.join(
-            F.broadcast(
-                dels.select(partition_col).distinct()
-            ),
-            on=partition_col,
+            F.broadcast(parts),
+            on=data[partition_col].eqNullSafe(parts["__dv_p"]),
             how="left_semi",
         )
         .join(
             F.broadcast(dels.withColumn("__dead", F.lit(1))),
-            on=[partition_col, key_col],
+            on=_vector_match(data, dels, partition_col, key_col),
             how="left",
         )
-        .groupBy(partition_col)
+        .groupBy(data[partition_col])
         .agg(
             F.count("*").alias("n_all"),
             F.sum(F.coalesce("__dead", F.lit(0))).alias("n_del"),
@@ -1285,10 +1342,16 @@ def mor_compact(
             ):
                 shutil.rmtree(os.path.join(target_path, entry))
     if rewritten:
-        survivors = data.filter(
-            F.col(partition_col).isin(rewritten)
-        ).join(
-            F.broadcast(dels), on=[partition_col, key_col], how="left_anti"
+        non_null = [v for v in rewritten if v is not None]
+        in_rewrite = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in rewritten):
+            in_rewrite = in_rewrite | F.col(partition_col).isNull()
+        survivors = data.filter(in_rewrite).join(
+            F.broadcast(dels),
+            on=_vector_match(data, dels, partition_col, key_col),
+            how="left_anti",
         )
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -1303,7 +1366,16 @@ def mor_compact(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    shutil.rmtree(dels_path)
+    prefix = f"{partition_col}="
+    if not any(e.startswith(prefix) for e in os.listdir(target_path)):
+        # every partition was dropped: without this, the emptied table
+        # has no parquet footer left and every later read crashes with
+        # UNABLE_TO_INFER_SCHEMA (round-8 review finding) — persist the
+        # schema as one zero-row root file instead
+        spark.createDataFrame([], schema).write.mode("append").parquet(
+            target_path
+        )
+    shutil.rmtree(os.path.join(target_path, "_deletes"))
     return {"dropped": dropped, "rewritten": rewritten}
 
 
@@ -1509,24 +1581,8 @@ def snapshot_commit(
     os.replace(tmp_dir, vdir)
     for p in committed:
         manifest[p] = version
-    _atomic_write_json(manifest_path, manifest)
+    atomic_write_json(manifest_path, manifest)
     return manifest
-
-
-def _atomic_write_json(path: str, payload) -> None:
-    """Write JSON via same-directory temp file + ``os.replace`` so a
-    crash mid-write can never leave a torn file at ``path`` (advisor
-    finding, round 7 — the manifest pointer must be atomic for the
-    'data first, pointer last' commit story to hold)."""
-    import json as _json
-    import os
-
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        _json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
 
 
 def snapshot_read(
