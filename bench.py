@@ -38,8 +38,10 @@ HEADLINE = [
 
 # extension surface, timed alongside but kept OUT of the headline
 # metric so the total stays comparable across rounds (l3j added r4;
-# s10/j12 added r5 — the layout and runtime-filter receipts)
+# s10/j12 added r5 — the layout and runtime-filter receipts; a16
+# added r8 — the mergeable-sketch aggregation shape)
 EXTENDED = [
+    "a16_quantile_sketch",
     "s10_zorder_clustering",
     "j12_bloom_prefilter",
     "l3e_ngram_jaccard",

@@ -232,3 +232,15 @@ def test_mor_delete_everything_keeps_table_readable(spark, tmp_path):
     assert spark.read.parquet(path).schema.fieldNames() is not None
     assert mor_read(spark, path, "m", "pk").count() == 0
     assert mor_delete(spark, path, F.lit(True), "m", "pk") == 0
+
+
+def test_mor_read_shuffle_fallback_equals_broadcast_path(spark, tmp_path):
+    """broadcast_vectors=False (the oversized-vectors escape hatch) must
+    produce exactly the broadcast plan's rows — only the join strategy
+    differs."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    mor_delete(spark, path, F.col("pk") % 2 == 0, "m", "pk")
+    a = _rows(mor_read(spark, path, "m", "pk"))
+    b = _rows(mor_read(spark, path, "m", "pk", broadcast_vectors=False))
+    assert a == b == [(1, "a", 10), (3, "b", 30), (5, "c", 50)]
