@@ -174,6 +174,34 @@ def _sweep_in_child(
     return {}
 
 
+def compact_summary(out: dict) -> dict:
+    """The LAST stdout line's payload: headline metric/value/unit/
+    per-query times plus each scale point's value/duckdb_total/
+    extended_mode, and nothing else.  Kept deliberately small — the
+    driver records only the final ~2000 bytes of stdout, and round 7's
+    artifact was unparseable because the full-detail line outgrew that
+    window.  tests/test_bench_contract.py pins the size budget."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "duckdb_total": out["duckdb_total"],
+    }
+    for key in ("scale2", "scale3"):
+        if key in out:
+            point = out[key]
+            compact[key] = {
+                "sf": point["sf"],
+                "value": point["value"],
+                "duckdb_total": point["duckdb_total"],
+            }
+            if "extended_mode" in point:
+                compact[key]["extended_mode"] = point["extended_mode"]
+    return compact
+
+
 def _timed_min(spark, name: str, sf_dir: str, passes: int = 2) -> float:
     """Best of ``passes`` timed executions — the standard steady-state
     convention: a single local-mode pass carries multi-hundred-ms GC /
@@ -397,25 +425,7 @@ def main() -> None:
             fh.write(detail + "\n")
     except OSError:
         pass
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": out["unit"],
-        "queries": out["queries"],
-        "sf": out["sf"],
-        "duckdb_total": out["duckdb_total"],
-    }
-    for key in ("scale2", "scale3"):
-        if key in out:
-            point = out[key]
-            compact[key] = {
-                "sf": point["sf"],
-                "value": point["value"],
-                "duckdb_total": point["duckdb_total"],
-            }
-            if "extended_mode" in point:
-                compact[key]["extended_mode"] = point["extended_mode"]
-    print(json.dumps(compact))
+    print(json.dumps(compact_summary(out)))
 
 
 if __name__ == "__main__":

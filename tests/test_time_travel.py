@@ -314,3 +314,62 @@ def test_snapshot_expire_refuses_to_drop_head(spark, tmp_path):
     # nothing was removed by the refused call
     assert os.path.isdir(os.path.join(base, "v2"))
     assert os.path.exists(os.path.join(base, "_manifest_v2.json"))
+
+
+_CRASHY_COMMITS = st.lists(
+    st.tuples(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 99)),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ),
+        # pre-commit failure mode injected before the real commit:
+        # none / crashed data write (partial v-dir, no manifest) /
+        # refused attempt (empty declared part raises)
+        st.sampled_from(["none", "crash", "refuse"]),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(commits=_CRASHY_COMMITS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_store_survives_crashed_and_refused_attempts(
+    spark, tmp_path_factory, commits
+):
+    """Retry-safety law, fuzzed (round-8 hardening of the advisor's
+    finding): before EVERY commit, an adversary may leave behind a
+    crashed attempt's partial v{N} directory or make a guard-refused
+    attempt — and the store must still replay exactly like a dict,
+    at every version."""
+    import pytest
+
+    base = str(tmp_path_factory.mktemp("ttcrash") / "t")
+    states, state = [], {}
+    for v, (batch, failure) in enumerate(commits, start=1):
+        rows = [(p, val) for p, val in batch]
+        df = spark.createDataFrame(rows, "m string, val long")
+        parts = None if v == 1 else [p for p, _ in batch]
+        if failure == "crash":
+            # a prior attempt wrote data then died before the manifest
+            df.withColumn("val", F.col("val") + 1000).write.partitionBy(
+                "m"
+            ).parquet(os.path.join(base, f"v{v}"))
+        elif failure == "refuse" and v > 1:
+            with pytest.raises(ValueError, match="contributed no rows"):
+                snapshot_commit(df, base, v, "m", parts=[*parts, "zz"])
+        snapshot_commit(df, base, v, "m", parts=parts)
+        state = {**state, **dict(batch)}
+        states.append(dict(state))
+    for v, want in enumerate(states, start=1):
+        got = {
+            r["m"]: r["val"]
+            for r in snapshot_read(spark, base, v, "m").collect()
+        }
+        assert got == want, (v, got, want)
