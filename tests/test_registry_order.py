@@ -53,16 +53,17 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_changed_code_queries_lead_the_window():
-    """The three NEW round-8 operators (first-possible-green), then
+    """The four NEW round-8 operators (first-possible-green), then
     the three queries whose round-8 diff changes their code (atomic
     manifest + retry-safe snapshot commits behind u15/s12; ts_ewma's
     bit-exact across-users kernel), then the three round-3-stale
     stragglers the r7 verdict named as round 8's rotation leaders,
     then the 45 round-4-stale queries."""
     names = list(REGISTRY)
-    assert names[:9] == [
+    assert names[:10] == [
         "u18_mor_delete",
         "a16_quantile_sketch",
+        "a16b_grouped_quantile_sketch",
         "st15_stream_ingest_bridge",
         "u15_time_travel",
         "s12_incremental_ingest",
@@ -72,8 +73,8 @@ def test_changed_code_queries_lead_the_window():
         "tr_sequence_pack",
     ]
     # the r4 backlog fills the rest of the window, alphabetically
-    assert names[9:54] == sorted(names[9:54])
-    assert len(ops._ROUND8_FRONT) == 54
+    assert names[10:55] == sorted(names[10:55])
+    assert len(ops._ROUND8_FRONT) == 55
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

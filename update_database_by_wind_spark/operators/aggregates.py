@@ -970,3 +970,197 @@ def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_ok.alias("merge_ok"),
         )
     )
+
+
+_A16B_ORACLE = f"""
+WITH c AS (
+  SELECT o_orderstatus AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+hist AS (
+  SELECT grp, cents // {_QSK_W} AS bin, COUNT(*) AS cnt
+  FROM c GROUP BY 1, 2
+),
+h0 AS (
+  SELECT grp, cents // {_QSK_W} AS bin, COUNT(*) AS cnt FROM c
+  WHERE o_orderkey % 2 = 0 GROUP BY 1, 2
+),
+h1 AS (
+  SELECT grp, cents // {_QSK_W} AS bin, COUNT(*) AS cnt FROM c
+  WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
+),
+merged AS (
+  SELECT grp, bin, SUM(cnt) AS cnt
+  FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY grp, bin
+),
+cmp AS (
+  SELECT COALESCE(f.grp, m.grp) AS grp,
+         BOOL_AND(f.cnt IS NOT NULL AND m.cnt IS NOT NULL
+                  AND f.cnt = m.cnt) AS merge_ok
+  FROM hist f FULL OUTER JOIN merged m
+    ON f.grp = m.grp AND f.bin = m.bin
+  GROUP BY 1
+),
+totals AS (SELECT grp, SUM(cnt) AS n FROM hist GROUP BY 1),
+ranks AS (
+  SELECT totals.grp, pct, (pct * totals.n + 99) // 100 AS r
+  FROM (VALUES {", ".join(f"({p})" for p in _QSK_PCTS)}) t(pct), totals
+),
+cum AS (
+  SELECT grp, bin,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
+  FROM hist
+),
+sel AS (
+  SELECT ranks.grp, ranks.pct, ranks.r, MIN(cum.bin) AS bin
+  FROM ranks JOIN cum ON cum.grp = ranks.grp AND cum.cum >= ranks.r
+  GROUP BY 1, 2, 3
+),
+ordered AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn
+  FROM c
+),
+ex AS (
+  SELECT sel.grp, sel.pct, MIN(ordered.cents) AS exact_cents
+  FROM sel JOIN ordered ON ordered.grp = sel.grp AND ordered.rn = sel.r
+  GROUP BY 1, 2
+)
+SELECT sel.grp AS o_orderstatus,
+       CAST(sel.pct AS INTEGER) AS pct,
+       CAST(sel.r AS BIGINT) AS rank_r,
+       CAST(sel.bin AS BIGINT) AS bin,
+       CAST(sel.bin * {_QSK_W} AS BIGINT) AS lo_cents,
+       CAST((sel.bin + 1) * {_QSK_W} - 1 AS BIGINT) AS hi_cents,
+       CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       ex.exact_cents BETWEEN sel.bin * {_QSK_W}
+           AND (sel.bin + 1) * {_QSK_W} - 1 AS within_bound,
+       cmp.merge_ok
+FROM sel
+JOIN ex ON ex.grp = sel.grp AND ex.pct = sel.pct
+JOIN cmp ON cmp.grp = sel.grp
+"""
+
+
+@query(
+    "a16b_grouped_quantile_sketch",
+    oracle=_A16B_ORACLE,
+    tags=("agg", "sketch", "approx"),
+)
+def a16b_grouped_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A16b: the mergeable quantile sketch PER GROUP — percentiles of
+    order value by order status, the shape production sketching jobs
+    actually run (p99 latency per service, spend percentiles per
+    segment).  Same fixed power-of-two bin boundaries as a16, so each
+    group's histogram merges by counter addition independently;
+    ``merge_ok`` here is proven per group and STRICTER than a16's
+    (the odd/even shard merge must equal the from-scratch histogram
+    bin-for-bin through a full-outer compare, not just in summary
+    stats).  Ranks are the same integer form (pct·n_g + 99) DIV 100
+    over each group's own count, the bracket law is per group, and
+    the exact order statistic comes from a row_number window
+    partitioned by group — which at scale is ONE hash shuffle on the
+    group key, strictly cheaper than a16's global-sort receipt leg.
+
+    Scale shape: the histogram aggregation is map-side combined on
+    (group, bin) — cardinality |groups| × ~3.7k bins — and every
+    downstream step (CDF window, rank join, bracket) runs on
+    sketch-sized data partitioned by group.  1000 executors sketch
+    locally, shards combine per group, and adding a group never
+    re-shuffles another group's data."""
+    orders = load(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderstatus").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    binned = c.withColumn("bin", F.expr(f"cents DIV {_QSK_W}"))
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
+
+    full_h = hist(binned)
+    merged_h = (
+        hist(binned.filter(F.col("o_orderkey") % 2 == 0))
+        .unionByName(hist(binned.filter(F.col("o_orderkey") % 2 == 1)))
+        .groupBy("grp", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # bin-for-bin merge ≡ recompute per group via full-outer compare
+    mh = merged_h.select(
+        F.col("grp").alias("m_grp"),
+        F.col("bin").alias("m_bin"),
+        F.col("cnt").alias("m_cnt"),
+    )
+    cmp = (
+        full_h.join(
+            mh,
+            (F.col("grp") == F.col("m_grp"))
+            & (F.col("bin") == F.col("m_bin")),
+            "full_outer",
+        )
+        .groupBy(F.coalesce("grp", "m_grp").alias("grp"))
+        .agg(
+            F.min(
+                F.col("cnt").isNotNull()
+                & F.col("m_cnt").isNotNull()
+                & (F.col("cnt") == F.col("m_cnt"))
+            ).alias("merge_ok")
+        )
+    )
+    totals = full_h.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    pcts = spark.createDataFrame([(p,) for p in _QSK_PCTS], "pct int")
+    ranks = totals.crossJoin(F.broadcast(pcts)).select(
+        "grp", "pct", F.expr("(pct * n + 99) DIV 100").alias("r")
+    )
+    cum = full_h.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("grp")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(F.col("grp").alias("c_grp"), "bin", "cum")
+    sel = (
+        ranks.join(
+            F.broadcast(cum),
+            (F.col("c_grp") == F.col("grp")) & (F.col("cum") >= F.col("r")),
+        )
+        .groupBy("grp", "pct", "r")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ordered = c.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("grp").orderBy("cents")),
+    ).select(F.col("grp").alias("o_grp"), "cents", "rn")
+    ex = (
+        ordered.join(
+            F.broadcast(sel),
+            (F.col("o_grp") == F.col("grp")) & (F.col("rn") == F.col("r")),
+        )
+        .groupBy("grp", "pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        sel.join(F.broadcast(ex), ["grp", "pct"])
+        .join(F.broadcast(cmp), "grp")
+        .select(
+            F.col("grp").alias("o_orderstatus"),
+            "pct",
+            F.col("r").alias("rank_r"),
+            "bin",
+            (F.col("bin") * _QSK_W).alias("lo_cents"),
+            ((F.col("bin") + 1) * _QSK_W - 1).alias("hi_cents"),
+            "exact_cents",
+            F.col("exact_cents").between(
+                F.col("bin") * _QSK_W, (F.col("bin") + 1) * _QSK_W - 1
+            ).alias("within_bound"),
+            "merge_ok",
+        )
+    )

@@ -12,9 +12,11 @@ way to stream into a store with upsert semantics.
 
 Note on Spark 4's ``transformWithStateInPandas``: the successor API
 imports cleanly here but its driver worker requires a working
-``google.protobuf`` install, which this environment lacks (verified:
-state-schema pre-init crashes with ``ImportError: cannot import name
-'descriptor' from 'google.protobuf'``; installs are not permitted).
+``google.protobuf`` install, which this environment lacks (re-verified
+round 8: ``import google.protobuf`` raises ``ModuleNotFoundError: No
+module named 'google'`` — no Python protobuf is present at all, not
+even vendored inside the pyspark distribution; installs are not
+permitted).
 ``applyInPandasWithState`` is therefore the supported arbitrary-state
 path in this repo; the TWS port is a mechanical swap
 (StatefulProcessor.init/handleInputRows over the same state tuple)
