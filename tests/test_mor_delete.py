@@ -244,3 +244,63 @@ def test_mor_read_shuffle_fallback_equals_broadcast_path(spark, tmp_path):
     a = _rows(mor_read(spark, path, "m", "pk"))
     b = _rows(mor_read(spark, path, "m", "pk", broadcast_vectors=False))
     assert a == b == [(1, "a", 10), (3, "b", 30), (5, "c", 50)]
+
+
+def test_mor_staged_part_file_under_temporary_reads_as_no_vectors(
+    spark, tmp_path
+):
+    """Second review pass, round 8: the REALISTIC crash residue is a
+    part file staged under _deletes/_temporary/... (FileOutputCommitter
+    layout) — it must not count as a committed vector, because Spark's
+    read filters hidden paths and would find zero data files."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    staged = os.path.join(
+        path, "_deletes", "_temporary", "0", "_temporary", "attempt_1",
+        "m=a",
+    )
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    assert _rows(mor_read(spark, path, "m", "pk")) == sorted(_ROWS)
+    assert mor_compact(spark, path, "m", "pk") == {
+        "dropped": [],
+        "rewritten": [],
+    }
+
+
+def test_mor_delete_everything_crash_mid_drop_is_recoverable(
+    spark, tmp_path
+):
+    """Second review pass, round 8: the zero-row schema reseed must
+    land BEFORE the first partition unlink, so a compaction that dies
+    halfway through dropping a fully-tombstoned table leaves it
+    readable and the retry converges."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    mor_delete(spark, path, F.lit(True), "m", "pk")
+    # simulate the crash state the old ordering left: run the real
+    # compaction, then reconstruct "died after dropping m=a only" by
+    # restoring the other partitions and the vectors
+    saved = str(tmp_path / "saved")
+    shutil.copytree(path, saved)
+    mor_compact(spark, path, "m", "pk")
+    # crash state: reseed file present (written first), m=a gone,
+    # m=b/m=c still on disk, vectors still pending
+    for part in ("m=b", "m=c"):
+        shutil.copytree(
+            os.path.join(saved, part), os.path.join(path, part)
+        )
+    shutil.copytree(
+        os.path.join(saved, "_deletes"), os.path.join(path, "_deletes")
+    )
+    # mid-crash: table still readable, tombstones still applied
+    assert spark.read.parquet(path).count() == 4  # b + c rows remain
+    assert mor_read(spark, path, "m", "pk").count() == 0
+    # retry converges to the empty-but-readable table
+    out = mor_compact(spark, path, "m", "pk")
+    assert sorted(out["dropped"]) == ["b", "c"]
+    assert spark.read.parquet(path).count() == 0
+    assert not os.path.isdir(os.path.join(path, "_deletes"))

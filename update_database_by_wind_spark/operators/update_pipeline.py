@@ -1210,11 +1210,16 @@ def _read_vectors(
     dels_path = os.path.join(target_path, "_deletes")
     if not os.path.isdir(dels_path):
         return None
-    committed = any(
-        not f.startswith(("_", "."))
-        for _root, _dirs, files in os.walk(dels_path)
-        for f in files
-    )
+    committed = False
+    for _root, dirs, files in os.walk(dels_path):
+        # prune hidden dirs IN the walk: a part file staged under
+        # _temporary/... is exactly the uncommitted residue this check
+        # exists to ignore (second review pass, round 8 — the naive
+        # walk counted it as committed)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(not f.startswith(("_", ".")) for f in files):
+            committed = True
+            break
     if not committed:
         return None
     return (
@@ -1333,14 +1338,39 @@ def mor_compact(
         want = {str(v) for v in dropped if v is not None}
         drop_null = any(v is None for v in dropped)
         prefix = f"{partition_col}="
-        for entry in os.listdir(target_path):
-            if not entry.startswith(prefix):
-                continue
-            name = entry[len(prefix):]
-            if (drop_null and name == "__HIVE_DEFAULT_PARTITION__") or (
-                unquote(name) in want
-            ):
-                shutil.rmtree(os.path.join(target_path, entry))
+        doomed_dirs = [
+            entry
+            for entry in os.listdir(target_path)
+            if entry.startswith(prefix)
+            and (
+                (
+                    drop_null
+                    and entry[len(prefix):] == "__HIVE_DEFAULT_PARTITION__"
+                )
+                or unquote(entry[len(prefix):]) in want
+            )
+        ]
+        all_dirs = [
+            e for e in os.listdir(target_path) if e.startswith(prefix)
+        ]
+        if not rewritten and set(doomed_dirs) == set(all_dirs):
+            # this compaction empties the whole table: persist the
+            # schema as a zero-row root file BEFORE the first unlink
+            # (second review pass, round 8 — reseeding after the drops
+            # left a crash window in which the table was unreadable
+            # and the retry itself crashed), unless a prior crashed
+            # attempt already left one
+            has_root_file = any(
+                not e.startswith(("_", "."))
+                and os.path.isfile(os.path.join(target_path, e))
+                for e in os.listdir(target_path)
+            )
+            if not has_root_file:
+                spark.createDataFrame([], schema).write.mode(
+                    "append"
+                ).parquet(target_path)
+        for entry in doomed_dirs:
+            shutil.rmtree(os.path.join(target_path, entry))
     if rewritten:
         non_null = [v for v in rewritten if v is not None]
         in_rewrite = (
@@ -1366,15 +1396,6 @@ def mor_compact(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    prefix = f"{partition_col}="
-    if not any(e.startswith(prefix) for e in os.listdir(target_path)):
-        # every partition was dropped: without this, the emptied table
-        # has no parquet footer left and every later read crashes with
-        # UNABLE_TO_INFER_SCHEMA (round-8 review finding) — persist the
-        # schema as one zero-row root file instead
-        spark.createDataFrame([], schema).write.mode("append").parquet(
-            target_path
-        )
     shutil.rmtree(os.path.join(target_path, "_deletes"))
     return {"dropped": dropped, "rewritten": rewritten}
 
