@@ -53,15 +53,16 @@ def test_every_query_is_either_prioritized_or_known_verified():
 
 
 def test_changed_code_queries_lead_the_window():
-    """The four NEW round-8 operators (first-possible-green), then
+    """The five NEW round-8 operators (first-possible-green), then
     the three queries whose round-8 diff changes their code (atomic
     manifest + retry-safe snapshot commits behind u15/s12; ts_ewma's
     bit-exact across-users kernel), then the three round-3-stale
     stragglers the r7 verdict named as round 8's rotation leaders,
     then the 45 round-4-stale queries."""
     names = list(REGISTRY)
-    assert names[:10] == [
+    assert names[:11] == [
         "u18_mor_delete",
+        "u19_txn_snapshot",
         "a16_quantile_sketch",
         "a16b_grouped_quantile_sketch",
         "st15_stream_ingest_bridge",
@@ -73,8 +74,8 @@ def test_changed_code_queries_lead_the_window():
         "tr_sequence_pack",
     ]
     # the r4 backlog fills the rest of the window, alphabetically
-    assert names[10:55] == sorted(names[10:55])
-    assert len(ops._ROUND8_FRONT) == 55
+    assert names[11:56] == sorted(names[11:56])
+    assert len(ops._ROUND8_FRONT) == 56
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

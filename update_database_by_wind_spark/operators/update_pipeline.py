@@ -2009,3 +2009,282 @@ def u17_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# --- U19: multi-table transactional snapshot commit ----------------------------
+
+
+def txn_commit(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    updates: dict,
+) -> dict:
+    """Commit changes to SEVERAL snapshot tables as ONE atomic
+    transaction — the Iceberg multi-table-transaction / catalog-commit
+    contract, layered on the hardened single-table machinery
+    (:func:`snapshot_commit`):
+
+    * each table lives as its own snapshot store under
+      ``{base}/{table}/`` (manifest chain, shared version dirs);
+    * ``updates`` maps ``table -> (df, partition_col, parts)`` and
+      each table advances by exactly one TABLE version, committed via
+      snapshot_commit (staged + renamed + guarded, per that
+      function's retry contract);
+    * the TRANSACTION pointer ``_txn_v{version}.json`` — table name →
+      table version, carried forward for untouched tables — is
+      written LAST via atomic temp-file replace.  The pointer is the
+      only publish: txn_read resolves every table through it, so a
+      reader at transaction N sees a mutually consistent set of table
+      versions, and a crash anywhere before the pointer write leaves
+      the previous transaction fully intact.
+
+    Retry safety: a crashed attempt can leave ORPHANED table commits
+    (table manifest + version dir published, txn pointer absent).  No
+    txn pointer ever references them, so the retry detects and
+    removes them before re-committing — without this, the retried
+    snapshot_commit would refuse on its own already-committed guard.
+    Guards mirror the single-table ones: a txn pointer that already
+    exists refuses re-commit, and a missing predecessor pointer
+    refuses a gap."""
+    import json as _json
+    import os
+    import shutil
+
+    os.makedirs(base, exist_ok=True)
+    ptr_path = os.path.join(base, f"_txn_v{version}.json")
+    if os.path.exists(ptr_path):
+        raise ValueError(
+            f"txn_commit: transaction {version} is already committed "
+            f"({ptr_path} exists); commit the next version instead"
+        )
+    prev_path = os.path.join(base, f"_txn_v{version - 1}.json")
+    pointer: dict[str, int] = {}
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            pointer = _json.load(fh)
+    elif version != 1:
+        raise ValueError(
+            f"txn_commit: missing predecessor pointer {prev_path}; "
+            f"transactions must be consecutive (expected v{version - 1})"
+        )
+    # union of table versions ANY retained pointer references — the
+    # reachability set; table commits outside it are crashed-attempt
+    # orphans and safe to reclaim (metadata-sized scan)
+    referenced: dict[str, set] = {}
+    for entry in os.listdir(base):
+        if entry.startswith("_txn_v") and entry.endswith(".json"):
+            with open(os.path.join(base, entry)) as fh:
+                for t, tv in _json.load(fh).items():
+                    referenced.setdefault(t, set()).add(tv)
+    for table, (df, partition_col, parts) in updates.items():
+        target_tv = pointer.get(table, 0) + 1
+        tdir = os.path.join(base, table)
+        orphan_manifest = os.path.join(
+            tdir, f"_manifest_v{target_tv}.json"
+        )
+        if os.path.exists(orphan_manifest) and target_tv not in referenced.get(
+            table, set()
+        ):
+            os.remove(orphan_manifest)
+            shutil.rmtree(
+                os.path.join(tdir, f"v{target_tv}"), ignore_errors=True
+            )
+        snapshot_commit(df, tdir, target_tv, partition_col, parts)
+        pointer[table] = target_tv
+    atomic_write_json(ptr_path, pointer)
+    return pointer
+
+
+def txn_read(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    table: str,
+    partition_col: str,
+) -> DataFrame:
+    """Read ``table`` AS OF transaction ``version``: resolve the table
+    version through the txn pointer, then the ordinary directory-
+    pruned snapshot read.  Tables untouched by later transactions
+    resolve to their older versions — cross-table consistency comes
+    from the pointer, not from table-version numerology."""
+    import json as _json
+    import os
+
+    with open(os.path.join(base, f"_txn_v{version}.json")) as fh:
+        pointer = _json.load(fh)
+    return snapshot_read(
+        spark, os.path.join(base, table), pointer[table], partition_col
+    )
+
+
+_U19_CUT = "1997-01"
+
+_U19_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+o2 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U19_CUT}' AND o_orderkey % 97 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM o1
+),
+l2 AS (
+  SELECT l_orderkey, o_month,
+         CASE WHEN o_month >= '{_U19_CUT}' AND l_orderkey % 97 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+ov1 AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o1 GROUP BY 1),
+lv1 AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l1 GROUP BY 1),
+ov2 AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o2 GROUP BY 1),
+lv2 AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l2 GROUP BY 1)
+SELECT 1 AS txn_version, ov1.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ov1 JOIN lv1 ON ov1.o_month = lv1.o_month
+UNION ALL
+SELECT 2 AS txn_version, ov2.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ov2 JOIN lv2 ON ov2.o_month = lv2.o_month
+"""
+
+
+@query("u19_txn_snapshot", oracle=_U19_ORACLE, tags=("update", "layout"))
+def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U19: a two-table ledger (orders + their lineitems, both
+    month-partitioned) committed and corrected TRANSACTIONALLY —
+    txn v1 is the initial commit of both tables, txn v2 applies one
+    correction that must never be seen half-applied: orders with
+    %97 keys from 1997-01 onward get a 10% cents uplift AND their
+    lineitems get their quantities doubled, committed as changed
+    months only in the SAME transaction.
+
+    The result reads BOTH tables back at BOTH transactions through
+    the txn pointer and rolls each month up per version — order
+    counts/cents from the orders table, item counts/quantities from
+    the lineitem table — plus ``orphan_items``, the REAL anti-join
+    count of lineitems without a parent order at that transaction,
+    which the oracle asserts is zero at both versions: the physical
+    receipt that a transaction's table versions are mutually
+    consistent (a torn commit — corrected lineitems against
+    uncorrected orders, or a month present in one table's version
+    and missing from the other's — would break either the rollup
+    values or the orphan count).
+
+    Why it matters at 100 TB: nightly corrections routinely span
+    fact + dimension + derived tables, and per-table snapshot
+    atomicity (U15) cannot stop a reader from seeing table A at
+    tonight's version with table B at yesterday's.  The txn pointer
+    is one metadata-sized JSON rename on top of the per-table
+    manifests — commit cost still scales with changed partitions,
+    and crashed attempts leave reclaimable orphans, never a torn
+    published state (tests/test_txn_snapshot.py walks the crash
+    windows)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_txn_{tag}/ledger"
+    shutil.rmtree(f"{tempfile.gettempdir()}/wind_spark_txn_{tag}",
+                  ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month", F.col("l_quantity").cast("long").alias("qty")
+    )
+    txn_commit(
+        spark, base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+    )
+
+    changed = [
+        r.o_month
+        for r in o1.select("o_month").distinct().collect()
+        if r.o_month >= _U19_CUT
+    ]
+    o2 = o1.filter(F.col("o_month").isin(changed)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.col("cents") + F.expr("cents DIV 10"),
+        ).otherwise(F.col("cents")),
+    )
+    l2 = l1.filter(F.col("o_month").isin(changed)).withColumn(
+        "qty",
+        F.when(
+            F.col("l_orderkey") % 97 == 0, F.col("qty") * 2
+        ).otherwise(F.col("qty")),
+    )
+    txn_commit(
+        spark, base, 2,
+        {
+            "orders": (o2, "o_month", changed),
+            "items": (l2, "o_month", changed),
+        },
+    )
+
+    def roll(v: int) -> DataFrame:
+        ov = txn_read(spark, base, v, "orders", "o_month")
+        lv = txn_read(spark, base, v, "items", "o_month")
+        o_agg = ov.groupBy("o_month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("order_cents"),
+        )
+        l_agg = lv.groupBy("o_month").agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+        orphans = (
+            lv.join(
+                ov.select(F.col("o_orderkey").alias("k")),
+                lv["l_orderkey"] == F.col("k"),
+                "left_anti",
+            )
+            .groupBy("o_month")
+            .agg(F.count("*").alias("orphan_items"))
+        )
+        return (
+            o_agg.join(l_agg, "o_month")
+            .join(orphans, "o_month", "left")
+            .select(
+                F.lit(v).alias("txn_version"),
+                "o_month",
+                "n_orders",
+                "order_cents",
+                "n_items",
+                "total_qty",
+                F.coalesce("orphan_items", F.lit(0))
+                .cast("long")
+                .alias("orphan_items"),
+            )
+        )
+
+    return roll(1).unionByName(roll(2))
+
+
