@@ -38,7 +38,7 @@ def _rows(df):
 
 def _seed(spark, base):
     txn_commit(
-        spark, base, 1,
+        base, 1,
         {
             "a": (_df(spark, [(1, "x", 10), (2, "y", 20)]), "m", None),
             "b": (_df(spark, [(1, "x", 100), (2, "y", 200)]), "m", None),
@@ -61,7 +61,7 @@ def test_crashed_attempt_is_invisible_and_retry_converges(spark, tmp_path):
     ]
     # the retry (with the REAL correction) reclaims the orphan first
     txn_commit(
-        spark, base, 2,
+        base, 2,
         {
             "a": (_df(spark, [(1, "x", 11)]), "m", ["x"]),
             "b": (_df(spark, [(1, "x", 101)]), "m", ["x"]),
@@ -79,7 +79,7 @@ def test_untouched_table_resolves_to_older_version(spark, tmp_path):
     base = str(tmp_path / "t")
     _seed(spark, base)
     txn_commit(
-        spark, base, 2,
+        base, 2,
         {"a": (_df(spark, [(2, "y", 21)]), "m", ["y"])},  # b untouched
     )
     with open(os.path.join(base, "_txn_v2.json")) as fh:
@@ -97,27 +97,30 @@ def test_pointer_guards(spark, tmp_path):
     _seed(spark, base)
     with pytest.raises(ValueError, match="already committed"):
         txn_commit(
-            spark, base, 1, {"a": (_df(spark, [(1, "x", 1)]), "m", None)}
+            base, 1, {"a": (_df(spark, [(1, "x", 1)]), "m", None)}
         )
     with pytest.raises(ValueError, match="missing predecessor pointer"):
         txn_commit(
-            spark, base, 3,
+            base, 3,
             {"a": (_df(spark, [(1, "x", 1)]), "m", ["x"])},
         )
 
 
 def test_orphan_reclaim_spares_referenced_versions(spark, tmp_path):
-    """A table version a retained pointer references is NEVER
-    reclaimed, even when a later transaction advances the table."""
+    """Normal commits never delete referenced versions (every txn
+    version remains readable after later commits) — and the sparing
+    guard's protective direction is exercised directly: when the
+    TARGET table version is referenced by a retained pointer, the
+    reclamation must not touch it and the commit must REFUSE
+    (snapshot_commit's already-committed guard) rather than destroy
+    published data."""
     base = str(tmp_path / "t")
     _seed(spark, base)
     txn_commit(
-        spark, base, 2, {"a": (_df(spark, [(2, "y", 21)]), "m", ["y"])}
+        base, 2, {"a": (_df(spark, [(2, "y", 21)]), "m", ["y"])}
     )
-    # both a@1 (referenced by txn 1) and a@2 (txn 2) must survive a
-    # further commit's reclamation scan
     txn_commit(
-        spark, base, 3, {"a": (_df(spark, [(1, "x", 12)]), "m", ["x"])}
+        base, 3, {"a": (_df(spark, [(1, "x", 12)]), "m", ["x"])}
     )
     for tv in (1, 2, 3):
         assert os.path.exists(
@@ -129,3 +132,71 @@ def test_orphan_reclaim_spares_referenced_versions(spark, tmp_path):
     assert _rows(txn_read(spark, base, 3, "a", "m")) == [
         (1, "x", 12), (2, "y", 21),
     ]
+    # protective direction (second review pass, round 8: the original
+    # test never reached the guard): corrupt state where the NEXT
+    # target version a@4 already exists AND is referenced by a stray
+    # retained pointer — reclamation must spare it and the commit must
+    # raise, leaving manifest + data intact
+    snapshot_commit(
+        _df(spark, [(1, "x", 13)]), os.path.join(base, "a"), 4, "m",
+        parts=["x"],
+    )
+    with open(os.path.join(base, "_txn_v9.json"), "w") as fh:
+        json.dump({"a": 4}, fh)
+    with pytest.raises(ValueError, match="already committed"):
+        txn_commit(
+            base, 4, {"a": (_df(spark, [(1, "x", 14)]), "m", ["x"])}
+        )
+    assert os.path.exists(os.path.join(base, "a", "_manifest_v4.json"))
+    assert os.path.isdir(os.path.join(base, "a", "v4"))
+
+
+def test_torn_pointer_fires_the_orphan_detector(spark, tmp_path):
+    """The u19 consistency receipt must have teeth: keys that exist
+    only at a later table version orphan their child rows under a
+    deliberately TORN pointer (child table at v2, parent at v1) —
+    proving orphan-count zero in the real query is a detection, not a
+    tautology."""
+    base = str(tmp_path / "t")
+    # parent/child: child rows reference parent pks; v2 adds pk 3 to
+    # BOTH tables in the same transaction
+    txn_commit(
+        base, 1,
+        {
+            "parent": (_df(spark, [(1, "x", 0), (2, "y", 0)]), "m", None),
+            "child": (_df(spark, [(1, "x", 11), (2, "y", 22)]), "m", None),
+        },
+    )
+    txn_commit(
+        base, 2,
+        {
+            "parent": (_df(spark, [(3, "z", 0)]), "m", ["z"]),
+            "child": (_df(spark, [(3, "z", 33)]), "m", ["z"]),
+        },
+    )
+
+    def orphans(parent_df, child_df):
+        return child_df.join(
+            parent_df.select(F.col("pk").alias("k")),
+            child_df["pk"] == F.col("k"),
+            "left_anti",
+        ).count()
+
+    # consistent reads: zero orphans at both transactions
+    for v in (1, 2):
+        assert orphans(
+            txn_read(spark, base, v, "parent", "m"),
+            txn_read(spark, base, v, "child", "m"),
+        ) == 0
+    # torn resolution (child@2 against parent@1): the detector fires
+    with open(os.path.join(base, "_txn_v1.json")) as fh:
+        p1 = json.load(fh)
+    with open(os.path.join(base, "_txn_v2.json")) as fh:
+        p2 = json.load(fh)
+    torn = {"parent": p1["parent"], "child": p2["child"]}
+    with open(os.path.join(base, "_txn_v3.json"), "w") as fh:
+        json.dump(torn, fh)
+    assert orphans(
+        txn_read(spark, base, 3, "parent", "m"),
+        txn_read(spark, base, 3, "child", "m"),
+    ) == 1

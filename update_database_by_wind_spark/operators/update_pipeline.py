@@ -2015,7 +2015,6 @@ def u17_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txn_commit(
-    spark: SparkSession,
     base: str,
     version: int,
     updates: dict,
@@ -2040,19 +2039,28 @@ def txn_commit(
       the previous transaction fully intact.
 
     Retry safety: a crashed attempt can leave ORPHANED table commits
-    (table manifest + version dir published, txn pointer absent).  No
-    txn pointer ever references them, so the retry detects and
-    removes them before re-committing — without this, the retried
-    snapshot_commit would refuse on its own already-committed guard.
-    Guards mirror the single-table ones: a txn pointer that already
-    exists refuses re-commit, and a missing predecessor pointer
-    refuses a gap."""
+    (table manifest + version dir published, txn pointer absent) and
+    stale pointer temp files.  No txn pointer ever references the
+    orphans, so the retry detects and removes them before
+    re-committing — without this, the retried snapshot_commit would
+    refuse on its own already-committed guard — and a target table
+    version that IS referenced by a retained pointer is never
+    reclaimed (snapshot_commit then refuses the re-commit, raising
+    rather than destroying published data).  Guards mirror the
+    single-table ones: a txn pointer that already exists refuses
+    re-commit, and a missing predecessor pointer refuses a gap."""
+    import glob
     import json as _json
     import os
     import shutil
 
     os.makedirs(base, exist_ok=True)
     ptr_path = os.path.join(base, f"_txn_v{version}.json")
+    # stale temp files from a crash inside the pointer write (review
+    # finding: unlike table-level residue, nothing else ever reclaims
+    # them)
+    for stale in glob.glob(f"{ptr_path}.tmp.*"):
+        os.remove(stale)
     if os.path.exists(ptr_path):
         raise ValueError(
             f"txn_commit: transaction {version} is already committed "
@@ -2135,12 +2143,17 @@ o2 AS (
          CASE WHEN o_month >= '{_U19_CUT}' AND o_orderkey % 97 = 0
               THEN cents + cents // 10 ELSE cents END AS cents
   FROM o1
+  UNION ALL
+  SELECT 900000000 + i, '2024-01', 1000000 + i * 100 FROM range(5) t(i)
 ),
 l2 AS (
   SELECT l_orderkey, o_month,
          CASE WHEN o_month >= '{_U19_CUT}' AND l_orderkey % 97 = 0
               THEN qty * 2 ELSE qty END AS qty
   FROM l1
+  UNION ALL
+  SELECT 900000000 + i, '2024-01', i + off
+  FROM range(5) t(i), (VALUES (1), (7)) o(off)
 ),
 ov1 AS (SELECT o_month, COUNT(*) AS n_orders,
                CAST(SUM(cents) AS BIGINT) AS order_cents
@@ -2170,21 +2183,24 @@ def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     month-partitioned) committed and corrected TRANSACTIONALLY —
     txn v1 is the initial commit of both tables, txn v2 applies one
     correction that must never be seen half-applied: orders with
-    %97 keys from 1997-01 onward get a 10% cents uplift AND their
-    lineitems get their quantities doubled, committed as changed
-    months only in the SAME transaction.
+    %97 keys from 1997-01 onward get a 10% cents uplift, their
+    lineitems get their quantities doubled, AND a brand-new 2024-01
+    month of late bookings lands in BOTH tables — changed months
+    only, in the SAME transaction.
 
     The result reads BOTH tables back at BOTH transactions through
     the txn pointer and rolls each month up per version — order
     counts/cents from the orders table, item counts/quantities from
-    the lineitem table — plus ``orphan_items``, the REAL anti-join
+    the lineitem table — plus ``orphan_items``, the real anti-join
     count of lineitems without a parent order at that transaction,
-    which the oracle asserts is zero at both versions: the physical
-    receipt that a transaction's table versions are mutually
-    consistent (a torn commit — corrected lineitems against
-    uncorrected orders, or a month present in one table's version
-    and missing from the other's — would break either the rollup
-    values or the orphan count).
+    which the oracle asserts is zero at both versions.  The new
+    2024-01 month is what gives that receipt teeth: its order keys
+    exist ONLY at table version 2, so any torn resolution (items at
+    v2 against orders at v1) yields ten orphaned lineitems — proven
+    to fire on a deliberately torn pointer in
+    tests/test_txn_snapshot.py, not just asserted zero on the happy
+    path.  Value tearing (corrected quantities against uncorrected
+    cents) is caught by the rollup columns themselves.
 
     Why it matters at 100 TB: nightly corrections routinely span
     fact + dimension + derived tables, and per-table snapshot
@@ -2219,14 +2235,18 @@ def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "o_month", F.col("l_quantity").cast("long").alias("qty")
     )
     txn_commit(
-        spark, base, 1,
+        base, 1,
         {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
     )
 
+    # month list pushed down before the distinct/collect (review
+    # finding: filtering driver-side shipped every month to the driver)
     changed = [
         r.o_month
-        for r in o1.select("o_month").distinct().collect()
-        if r.o_month >= _U19_CUT
+        for r in o1.filter(F.col("o_month") >= _U19_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
     ]
     o2 = o1.filter(F.col("o_month").isin(changed)).withColumn(
         "cents",
@@ -2241,11 +2261,29 @@ def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") % 97 == 0, F.col("qty") * 2
         ).otherwise(F.col("qty")),
     )
+    late_o = spark.range(5).select(
+        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    late_l = spark.range(5).select(
+        (F.lit(900000000) + F.col("id")).alias("l_orderkey"),
+        F.lit("2024-01").alias("o_month"),
+        (F.col("id") + 1).alias("qty"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.lit(900000000) + F.col("id")).alias("l_orderkey"),
+            F.lit("2024-01").alias("o_month"),
+            (F.col("id") + 7).alias("qty"),
+        )
+    )
     txn_commit(
-        spark, base, 2,
+        base, 2,
         {
-            "orders": (o2, "o_month", changed),
-            "items": (l2, "o_month", changed),
+            "orders": (o2.unionByName(late_o), "o_month",
+                       [*changed, "2024-01"]),
+            "items": (l2.unionByName(late_l), "o_month",
+                      [*changed, "2024-01"]),
         },
     )
 
