@@ -304,3 +304,83 @@ def test_mor_delete_everything_crash_mid_drop_is_recoverable(
     assert sorted(out["dropped"]) == ["b", "c"]
     assert spark.read.parquet(path).count() == 0
     assert not os.path.isdir(os.path.join(path, "_deletes"))
+
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+_MOR_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 9),                       # pk (deduped below)
+        st.sampled_from(["a", "b", None]),       # partition, NULL included
+        st.integers(0, 99),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+_MOR_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.sets(st.integers(0, 9), max_size=4)),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(rows=_MOR_ROWS, ops=_MOR_OPS)
+# re-deleting an uncompacted key: the vector write matches the still-
+# physical row again (count reflects the physical table), while the
+# logical table is unchanged — the case a model-only count would miss
+@example(
+    rows=[(1, "a", 5)],
+    ops=[("delete", {1}), ("delete", {1}), ("compact", None)],
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mor_family_replays_like_a_dict(spark, tmp_path_factory, rows, ops):
+    """U18 law, model-based: for ANY table (NULL partitions included)
+    and ANY interleaving of key-set deletes and compactions, mor_read
+    equals a plain dict replay after every step, and a final
+    compaction converges the physical table to the model — the whole
+    family (vectors, null-safe anti-join, compaction economics, empty-
+    table reseed) under arbitrary schedules, not just the fixtures."""
+    path = str(tmp_path_factory.mktemp("morfuzz") / "t")
+    df = spark.createDataFrame(rows, _SCHEMA)
+    df.repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    model = {pk: (m, val) for pk, m, val in rows}
+
+    def check():
+        got = sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read(spark, path, "m", "pk").collect()
+        )
+        want = sorted((pk, m, v) for pk, (m, v) in model.items())
+        assert got == want, (got, want)
+
+    physical = set(model)  # rows still in data files (vectors aside)
+    for op, arg in ops:
+        if op == "delete":
+            n = mor_delete(
+                spark, path, F.col("pk").isin(sorted(arg)), "m", "pk"
+            )
+            # the count is physical-table matches: tombstoned-but-not-
+            # compacted rows still match a repeated predicate
+            assert n == len(physical & arg), (n, physical, arg)
+            for pk in arg:
+                model.pop(pk, None)
+        else:
+            mor_compact(spark, path, "m", "pk")
+            physical = set(model)
+        check()
+    mor_compact(spark, path, "m", "pk")
+    got_plain = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got_plain == sorted((pk, m, v) for pk, (m, v) in model.items())
