@@ -10,7 +10,12 @@
 3. pointer guards mirror the single-table ones (no gaps, no
    re-commit of a published transaction);
 4. orphan reclamation never touches a table version any retained
-   pointer references.
+   pointer references — and when the target version IS referenced,
+   the commit refuses rather than destroying published data;
+5. the consistency receipt has teeth: a deliberately torn pointer
+   (child table new, parent old) makes the orphan anti-join fire —
+   on the toy ledger here AND at the registry query's own scale
+   (= 10, the documented figure).
 """
 
 import json
@@ -200,3 +205,43 @@ def test_torn_pointer_fires_the_orphan_detector(spark, tmp_path):
         txn_read(spark, base, 3, "parent", "m"),
         txn_read(spark, base, 3, "child", "m"),
     ) == 1
+
+
+def test_registry_ledger_torn_pointer_orphans_ten_items(spark):
+    """The docstring's concrete claim — 'a torn resolution yields ten
+    orphaned lineitems' on the registry query's own ledger — asserted
+    against the real artifact: run u19 at the smoke scale, then hand-
+    write a torn pointer (items at table v2, orders at table v1) and
+    count the 2024-01 late-booking lineitems left without parents."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        u19_txn_snapshot,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    u19_txn_snapshot(spark, sf_dir).count()  # builds the ledger
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_txn_{tag}/ledger"
+    with open(os.path.join(base, "_txn_v1.json")) as fh:
+        p1 = json.load(fh)
+    with open(os.path.join(base, "_txn_v2.json")) as fh:
+        p2 = json.load(fh)
+    torn = {"orders": p1["orders"], "items": p2["items"]}
+    with open(os.path.join(base, "_txn_v3.json"), "w") as fh:
+        json.dump(torn, fh)
+    ov = txn_read(spark, base, 3, "orders", "o_month")
+    lv = txn_read(spark, base, 3, "items", "o_month")
+    orphans = lv.join(
+        ov.select(F.col("o_orderkey").alias("k")),
+        lv["l_orderkey"] == F.col("k"),
+        "left_anti",
+    )
+    assert orphans.count() == 10
+    assert [
+        r["o_month"]
+        for r in orphans.select("o_month").distinct().collect()
+    ] == ["2024-01"]

@@ -1,10 +1,18 @@
 """Filesystem durability helpers shared by the metadata-commit paths
-(snapshot manifests, ingest checkpoints)."""
+(snapshot manifests, txn pointers, ingest checkpoints)."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import time
+
+# a temp file this old cannot belong to a live writer — reclaiming
+# younger ones would race a concurrent committer's os.replace (the
+# round-8 third-pass review finding: deleting an in-flight tmp makes
+# the other writer's replace raise AFTER its data already published)
+_STALE_TMP_SECONDS = 3600
 
 
 def atomic_write_json(path: str, payload) -> None:
@@ -14,7 +22,23 @@ def atomic_write_json(path: str, payload) -> None:
     'data first, pointer last' commit story to hold).  One shared
     implementation for every manifest/checkpoint writer (round-8
     review finding: two hand-rolled copies of durability-critical
-    logic drift apart)."""
+    logic drift apart).
+
+    Temp residue policy: a crash between the write and the replace
+    leaves ``{path}.tmp.{pid}`` behind.  The residue is inert — every
+    reader filters on the real name — and is reclaimed HERE, for all
+    writers at once, only when old enough that no live writer can own
+    it (age-gated; an unconditional delete would race a concurrent
+    commit's replace), with the glob pattern escaped so metacharacters
+    in ``path`` can neither hide the residue nor match unrelated
+    files."""
+    now = time.time()
+    for stale in glob.glob(glob.escape(path) + ".tmp.*"):
+        try:
+            if now - os.path.getmtime(stale) > _STALE_TMP_SECONDS:
+                os.remove(stale)
+        except OSError:
+            pass  # already reclaimed by a concurrent writer
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(payload, fh)

@@ -2039,28 +2039,26 @@ def txn_commit(
       the previous transaction fully intact.
 
     Retry safety: a crashed attempt can leave ORPHANED table commits
-    (table manifest + version dir published, txn pointer absent) and
-    stale pointer temp files.  No txn pointer ever references the
-    orphans, so the retry detects and removes them before
-    re-committing — without this, the retried snapshot_commit would
-    refuse on its own already-committed guard — and a target table
-    version that IS referenced by a retained pointer is never
-    reclaimed (snapshot_commit then refuses the re-commit, raising
-    rather than destroying published data).  Guards mirror the
-    single-table ones: a txn pointer that already exists refuses
-    re-commit, and a missing predecessor pointer refuses a gap."""
-    import glob
+    (table manifest + version dir published, txn pointer absent).  No
+    txn pointer ever references them, so the retry detects and
+    removes them before re-committing — without this, the retried
+    snapshot_commit would refuse on its own already-committed guard —
+    and a target table version that IS referenced by a retained
+    pointer is never reclaimed (snapshot_commit then refuses the
+    re-commit, raising rather than destroying published data).
+    Pointer-write temp residue is inert (readers filter on the real
+    name) and reclaimed age-gated inside
+    :func:`~update_database_by_wind_spark.functions.fsutil.atomic_write_json`
+    for every manifest/pointer/checkpoint writer at once.  Guards
+    mirror the single-table ones: a txn pointer that already exists
+    refuses re-commit, and a missing predecessor pointer refuses a
+    gap."""
     import json as _json
     import os
     import shutil
 
     os.makedirs(base, exist_ok=True)
     ptr_path = os.path.join(base, f"_txn_v{version}.json")
-    # stale temp files from a crash inside the pointer write (review
-    # finding: unlike table-level residue, nothing else ever reclaims
-    # them)
-    for stale in glob.glob(f"{ptr_path}.tmp.*"):
-        os.remove(stale)
     if os.path.exists(ptr_path):
         raise ValueError(
             f"txn_commit: transaction {version} is already committed "
