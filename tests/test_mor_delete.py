@@ -331,9 +331,10 @@ _MOR_OPS = st.lists(
 
 
 @given(rows=_MOR_ROWS, ops=_MOR_OPS)
-# re-deleting an uncompacted key: the vector write matches the still-
-# physical row again (count reflects the physical table), while the
-# logical table is unchanged — the case a model-only count would miss
+# re-deleting an uncompacted key: the predicate matches the still-
+# physical row again, but the existing-vector anti-join (round-8
+# advisor fix) must report it as zero NEW tombstones and append no
+# duplicate vector row
 @example(
     rows=[(1, "a", 5)],
     ops=[("delete", {1}), ("delete", {1}), ("compact", None)],
@@ -363,20 +364,18 @@ def test_mor_family_replays_like_a_dict(spark, tmp_path_factory, rows, ops):
         want = sorted((pk, m, v) for pk, (m, v) in model.items())
         assert got == want, (got, want)
 
-    physical = set(model)  # rows still in data files (vectors aside)
     for op, arg in ops:
         if op == "delete":
             n = mor_delete(
                 spark, path, F.col("pk").isin(sorted(arg)), "m", "pk"
             )
-            # the count is physical-table matches: tombstoned-but-not-
-            # compacted rows still match a repeated predicate
-            assert n == len(physical & arg), (n, physical, arg)
+            # the count is NEWLY tombstoned keys — the logical table's
+            # matches, regardless of what compaction has folded yet
+            assert n == len(set(model) & arg), (n, set(model), arg)
             for pk in arg:
                 model.pop(pk, None)
         else:
             mor_compact(spark, path, "m", "pk")
-            physical = set(model)
         check()
     mor_compact(spark, path, "m", "pk")
     got_plain = sorted(
@@ -384,3 +383,27 @@ def test_mor_family_replays_like_a_dict(spark, tmp_path_factory, rows, ops):
         for r in spark.read.parquet(path).collect()
     )
     assert got_plain == sorted((pk, m, v) for pk, (m, v) in model.items())
+
+
+def test_overlapping_deletes_count_only_new_keys_and_dont_grow_vectors(
+    spark, tmp_path
+):
+    """Round-8 advisor finding: mor_delete must evaluate against the
+    logical (MOR) state, not the raw scan — a second delete whose
+    predicate overlaps already-tombstoned rows returns only the NEWLY
+    tombstoned count and appends no duplicate vector rows."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    assert mor_delete(spark, path, F.col("pk").isin(1, 3), "m", "pk") == 2
+    # pk 1 and 3 are already tombstoned; only pk 5 is new
+    assert (
+        mor_delete(spark, path, F.col("pk").isin(1, 3, 5), "m", "pk") == 1
+    )
+    vec = spark.read.parquet(os.path.join(path, "_deletes"))
+    assert vec.count() == 3  # one physical row per tombstoned key
+    # a fully-redundant delete writes nothing and returns zero
+    assert mor_delete(spark, path, F.col("pk").isin(1, 5), "m", "pk") == 0
+    assert spark.read.parquet(os.path.join(path, "_deletes")).count() == 3
+    assert _rows(mor_read(spark, path, "m", "pk")) == [
+        (2, "a", 20), (4, "b", 40), (6, "c", 60),
+    ]

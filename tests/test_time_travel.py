@@ -373,3 +373,56 @@ def test_snapshot_store_survives_crashed_and_refused_attempts(
             for r in snapshot_read(spark, base, v, "m").collect()
         }
         assert got == want, (v, got, want)
+
+
+def test_recommit_of_expired_intermediate_version_is_refused(
+    spark, tmp_path
+):
+    """Round-8 advisor finding (medium): after expiry removes an
+    intermediate manifest but keeps its v-dir (a retained newer
+    manifest still shares it), re-committing that version passed the
+    old guards and rmtree'd the shared directory — corrupting the
+    retained head.  The commit must refuse any version at or below
+    the max committed manifest version, and the shared data must
+    survive the refused attempt byte-for-byte."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], rows
+        ),
+        base, 1, "m",
+    )
+    # v2 rewrites b; v3 rewrites c -> head v3 still reads b from v2
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 21)], rows), base, 2, "m",
+        parts=["b"],
+    )
+    snapshot_commit(
+        spark.createDataFrame([(3, "c", 31)], rows), base, 3, "m",
+        parts=["c"],
+    )
+    out = snapshot_expire(base, keep_versions=[3])
+    # v2's manifest is gone but its directory survives (head shares it)
+    assert "_manifest_v2.json" in out["removed_manifests"]
+    assert "v2" not in out["removed_dirs"]
+    with pytest.raises(ValueError, match="not newer than"):
+        snapshot_commit(
+            spark.createDataFrame([(9, "b", 99)], rows), base, 2, "m",
+            parts=["b"],
+        )
+    back = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, base, 3, "m")
+            .select("pk", "m", "val")
+            .collect(),
+        )
+    )
+    assert back == [(1, "a", 10), (2, "b", 21), (3, "c", 31)]

@@ -11,7 +11,12 @@ import time
 # a temp file this old cannot belong to a live writer — reclaiming
 # younger ones would race a concurrent committer's os.replace (the
 # round-8 third-pass review finding: deleting an in-flight tmp makes
-# the other writer's replace raise AFTER its data already published)
+# the other writer's replace raise AFTER its data already published).
+# Assumption (documented per the round-8 advisor): metadata commits
+# are single-writer per path and a writer never stalls longer than
+# this between opening its tmp and replacing it — a >1h-stalled
+# writer's live tmp WOULD be reclaimed and its replace would raise
+# (fail loud, never torn).
 _STALE_TMP_SECONDS = 3600
 
 
@@ -45,3 +50,13 @@ def atomic_write_json(path: str, payload) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    # the rename publishes the pointer, but the rename itself lives in
+    # the parent directory's metadata — fsync the directory too, or a
+    # power failure can roll the publish back after callers observed
+    # it (advisor finding, round 8: 'data first, pointer last' needs
+    # the pointer durable, not just un-torn)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)

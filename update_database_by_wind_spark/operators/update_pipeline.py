@@ -1157,14 +1157,27 @@ def mor_delete(
     partitioned by ``partition_col`` so compaction can prune, and
     carry keys only — a delete of k rows writes O(k) key bytes, never
     data.  NULL-evaluating predicates retain the row (SQL DELETE
-    semantics, same as cow_delete).  Returns the number of tombstoned
-    keys this call."""
+    semantics, same as cow_delete).  Returns the number of keys NEWLY
+    tombstoned by this call: the predicate is evaluated against the
+    raw scan, so rows earlier vectors already tombstoned can match
+    again — they are anti-joined out before counting or writing
+    (advisor finding, round 8: without this, repeated overlapping
+    deletes re-append duplicate vector rows, growing the vector files
+    and inflating the returned count; the vector side is keys-only
+    and broadcast-sized by the MOR premise)."""
     import os
 
     target = _string_partition(spark.read.parquet(target_path), partition_col)
     doomed = target.filter(F.coalesce(predicate, F.lit(False))).select(
         partition_col, key_col
     )
+    existing = _read_vectors(spark, target_path, partition_col, key_col)
+    if existing is not None:
+        doomed = doomed.join(
+            F.broadcast(existing),
+            on=_vector_match(doomed, existing, partition_col, key_col),
+            how="left_anti",
+        )
     doomed.persist()
     try:
         n = doomed.count()
@@ -1531,6 +1544,7 @@ def snapshot_commit(
     partial one and a torn manifest can never be observed."""
     import json as _json
     import os
+    import re
     import shutil
 
     os.makedirs(base, exist_ok=True)
@@ -1542,6 +1556,27 @@ def snapshot_commit(
         raise ValueError(
             f"snapshot_commit: version {version} is already committed "
             f"({manifest_path} exists); commit the next version instead"
+        )
+    existing = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    ]
+    if existing and version <= max(existing):
+        # the manifest-exists guard above is not enough once
+        # snapshot_expire has run: expiry can remove an INTERMEDIATE
+        # version's manifest while keeping its v-dir alive because a
+        # retained newer manifest still reads shared partitions from it
+        # (advisor finding, round 8).  Re-committing that version would
+        # pass both older guards, rmtree the shared v-dir, and silently
+        # corrupt every partition the retained head maps to it.  Commits
+        # are consecutive by contract, so any version at or below the
+        # max known manifest is a re-commit of history — refuse.
+        raise ValueError(
+            f"snapshot_commit: version {version} is not newer than the "
+            f"max committed version v{max(existing)}; retained manifests "
+            f"may share v{version}'s directory (expired intermediates "
+            "stay referenced) — commit the next version instead"
         )
     prev_path = os.path.join(base, f"_manifest_v{version - 1}.json")
     manifest: dict[str, int] = {}
