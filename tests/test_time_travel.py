@@ -426,3 +426,76 @@ def test_recommit_of_expired_intermediate_version_is_refused(
         )
     )
     assert back == [(1, "a", 10), (2, "b", 21), (3, "c", 31)]
+
+
+def test_snapshot_changes_classifies_and_skips_carried_rows(
+    spark, tmp_path
+):
+    """U20 CDF laws on a hand-built store: v2 rewrites partition b
+    (one row updated, one carried forward verbatim, one deleted) and
+    adds partition d (insert).  The changelog must emit exactly the
+    three changed rows with before/after images — the verbatim
+    carried-forward row and the untouched partition a must not
+    appear — and the identity diff (v→v) must be empty."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30), (4, "b", 40)], rows
+        ),
+        base, 1, "m",
+    )
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 21), (3, "b", 30), (9, "d", 90)],
+                              rows),
+        base, 2, "m", parts=["b", "d"],
+    )
+    feed = sorted(
+        map(
+            tuple,
+            snapshot_changes(spark, base, 1, 2, "m", "pk", ["val"])
+            .select("m", "pk", "change_type", "val_before", "val_after")
+            .collect(),
+        )
+    )
+    assert feed == [
+        ("b", 2, "update", 20, 21),
+        ("b", 4, "delete", 40, None),
+        ("d", 9, "insert", None, 90),
+    ]
+    assert (
+        snapshot_changes(spark, base, 2, 2, "m", "pk", ["val"]).count() == 0
+    )
+
+
+def test_snapshot_changes_scans_only_changed_partitions(spark, tmp_path):
+    """U20 cost law: both sides of the diff carry PartitionFilters
+    restricted to the manifest-diff partitions — partition a, owned by
+    v1 in BOTH manifests, is pruned at directory level, never read."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], rows),
+        base, 1, "m",
+    )
+    snapshot_commit(
+        spark.createDataFrame([(2, "b", 21)], rows), base, 2, "m",
+        parts=["b"],
+    )
+    plan = formatted_plan(
+        snapshot_changes(spark, base, 1, 2, "m", "pk", ["val"])
+    )
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert lines, plan
+    # every scan carries the changed-partition equality (the v1 side is
+    # its manifest-wide IN list CONJOINED with `= b`, which prunes the
+    # directory listing to b alone — partition a is never read)
+    assert all("= b)" in ln for ln in lines), lines

@@ -2359,3 +2359,194 @@ def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(1).unionByName(roll(2))
 
 
+
+
+# --- U20: change data feed between snapshot versions ---------------------------
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    base: str,
+    v_from: int,
+    v_to: int,
+    partition_col: str,
+    key_col: str,
+    value_cols: list,
+) -> DataFrame:
+    """Row-level changelog between two committed snapshot versions —
+    the Delta ``table_changes`` / Iceberg changelog-scan contract on
+    the plain-parquet snapshot store: every row inserted, deleted, or
+    value-changed between ``v_from`` and ``v_to``, tagged
+    ``change_type`` ∈ {insert, delete, update} with ``{col}_before`` /
+    ``{col}_after`` images.
+
+    The cost model is the point: the two manifests are diffed FIRST
+    (metadata-sized — one entry per partition), and only partitions
+    whose owning version differs are scanned from either side.  A
+    commit rewrites whole partitions, so "owning version unchanged"
+    proves "no row changed" without reading a byte; within rewritten
+    partitions the diff is a per-(partition, key) full-outer join,
+    with unchanged rows (a rewrite can carry rows forward verbatim)
+    filtered out.  At 100 TB a nightly correction touching 1% of
+    partitions yields a CDF scan of 2% of the table (both images of
+    the changed 1%) — never a full-table diff, and downstream
+    incremental consumers (u16's Δ-view maintenance is the natural
+    reader) get exactly the signed rows they need.
+
+    Keys are assumed stable within a partition (a key that moves
+    between partitions reads as delete + insert — the same contract
+    as partition-keyed CDC everywhere)."""
+    import json as _json
+    import os
+
+    def manifest(v: int) -> dict:
+        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
+            return _json.load(fh)
+
+    m_from, m_to = manifest(v_from), manifest(v_to)
+    changed = sorted(
+        p
+        for p in set(m_from) | set(m_to)
+        if m_from.get(p) != m_to.get(p)
+    )
+
+    def side(v: int, m: dict) -> DataFrame:
+        parts = [p for p in changed if p in m]
+        cols = [partition_col, key_col, *value_cols]
+        if not parts:
+            scan = snapshot_read(spark, base, v, partition_col)
+            return scan.select(*cols).limit(0)
+        return (
+            snapshot_read(spark, base, v, partition_col)
+            .filter(F.col(partition_col).isin(parts))
+            .select(*cols)
+        )
+
+    old = side(v_from, m_from)
+    new = side(v_to, m_to)
+    joined = old.alias("a").join(
+        new.alias("b"),
+        on=[
+            F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"),
+            F.col(f"a.{key_col}") == F.col(f"b.{key_col}"),
+        ],
+        how="full_outer",
+    )
+    differs = F.lit(False)
+    for c in value_cols:
+        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return joined.filter(
+        F.col(f"a.{key_col}").isNull()
+        | F.col(f"b.{key_col}").isNull()
+        | differs
+    ).select(
+        F.coalesce(f"a.{partition_col}", f"b.{partition_col}").alias(
+            partition_col
+        ),
+        F.coalesce(f"a.{key_col}", f"b.{key_col}").alias(key_col),
+        F.when(F.col(f"a.{key_col}").isNull(), "insert")
+        .when(F.col(f"b.{key_col}").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        *[F.col(f"a.{c}").alias(f"{c}_before") for c in value_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_after") for c in value_cols],
+    )
+
+
+_U20_ORACLE = """
+WITH v1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN cents + cents // 10
+              ELSE cents END AS cents
+  FROM v1 WHERE o_month >= '1995-06' AND o_orderkey % 113 <> 0
+  UNION ALL
+  SELECT o_month, o_orderkey, cents FROM v1 WHERE o_month < '1995-06'
+  UNION ALL
+  SELECT '2024-01', 900000000 + i, 1000000 + i * 100 FROM range(10) t(i)
+)
+SELECT COALESCE(a.o_month, b.o_month) AS o_month,
+       COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.cents AS cents_before,
+       b.cents AS cents_after
+FROM v1 a FULL OUTER JOIN v2 b
+  ON a.o_month = b.o_month AND a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.cents <> b.cents
+"""
+
+
+@query("u20_change_data_feed", oracle=_U20_ORACLE, tags=("update", "cdf"))
+def u20_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U20: change data feed — commit v1 of the month-partitioned
+    ledger, commit v2 as a correction batch carrying all three change
+    kinds (months from 1995-06 rewritten: %113 keys deleted, %97 keys
+    get a 10% integer-cents uplift, everything else carried forward
+    verbatim; plus a brand-new 2024-01 partition of inserts), then ask
+    :func:`snapshot_changes` for the v1→v2 row-level changelog and
+    hash-check it against the oracle's logical full-outer diff.
+
+    The physical path never diffs the whole table: the manifest diff
+    names the changed partitions (metadata), both version images are
+    read directory-pruned for just those partitions, and verbatim
+    carried-forward rows inside rewritten partitions are filtered by
+    the value comparison — so the emitted feed is exactly the oracle's
+    logical diff, produced at changed-partition cost.  This is the
+    read-side completion of the snapshot story: u15 proves versions
+    answer queries as-of, u20 proves the DELTA between versions is
+    recoverable row-for-row, which is what downstream incremental
+    consumers (u16's signed-delta view maintenance) ingest."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_cdf_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    changed = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1995-06"
+    ]
+    corrected = (
+        snap.filter(F.col("o_month").isin(changed))
+        .filter(F.col("o_orderkey") % 113 != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                F.col("cents") + F.expr("cents DIV 10"),
+            ).otherwise(F.col("cents")),
+        )
+    )
+    late = spark.range(10).select(
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    snapshot_commit(
+        corrected.unionByName(late),
+        base,
+        2,
+        "o_month",
+        parts=[*changed, "2024-01"],
+    )
+    return snapshot_changes(
+        spark, base, 1, 2, "o_month", "o_orderkey", ["cents"]
+    )
