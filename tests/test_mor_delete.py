@@ -407,3 +407,43 @@ def test_overlapping_deletes_count_only_new_keys_and_dont_grow_vectors(
     assert _rows(mor_read(spark, path, "m", "pk")) == [
         (2, "a", 20), (4, "b", 40), (6, "c", 60),
     ]
+
+
+def test_sequence_vectors_express_upserts_and_resurrection(spark, tmp_path):
+    """U18b law: with sequence-aware vectors a batch's new image
+    survives its own tombstone (upsert), a LATER delete kills it, and
+    a still-later insert resurrects the key — the Iceberg v2
+    sequence-number semantics plain vectors cannot express."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10, 0), (2, "a", 20, 0)], "pk long, m string, val long, __seq long"
+    ).repartition(F.col("m")).write.partitionBy("m").parquet(path)
+
+    def live():
+        return sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read_seq(spark, path, "m", "pk").collect()
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "op string, m string, pk long, val long"
+        )
+
+    # seq 1: upsert pk 1 -> new image survives its own tombstone
+    mor_cdc_apply(spark, path, batch([("U", "a", 1, 11)]), "m", "pk",
+                  ["val"], seq=1)
+    assert live() == [(1, "a", 11), (2, "a", 20)]
+    # seq 2: delete pk 1 -> the seq-1 image dies (strictly-smaller rule)
+    mor_cdc_apply(spark, path, batch([("D", "a", 1, None)]), "m", "pk",
+                  ["val"], seq=2)
+    assert live() == [(2, "a", 20)]
+    # seq 3: re-insert pk 1 -> resurrected; the seq-2 tombstone is older
+    mor_cdc_apply(spark, path, batch([("I", "a", 1, 12)]), "m", "pk",
+                  ["val"], seq=3)
+    assert live() == [(1, "a", 12), (2, "a", 20)]

@@ -2550,3 +2550,108 @@ def u20_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_changes(
         spark, base, 1, 2, "o_month", "o_orderkey", ["cents"]
     )
+
+
+# --- U18b: sequence-aware MOR (CDC upserts through deletion vectors) -----------
+
+
+def mor_cdc_apply(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    partition_col: str,
+    key_col: str,
+    value_cols: list,
+    seq: int,
+    op_col: str = "op",
+) -> None:
+    """Apply one CDC micro-batch (rows tagged ``op`` ∈ {I, U, D}) to a
+    MOR table using SEQUENCE-AWARE deletion vectors — the Iceberg v2
+    sequence-number contract that makes upserts expressible on
+    merge-on-read: an update is a tombstone for the key's OLDER images
+    plus an appended new image carrying the batch's sequence number.
+
+    Plain (sequence-free) vectors cannot express upserts: the
+    re-appended image would match its own tombstone's key and vanish.
+    Here every data row carries ``__seq`` (the base load is 0, each
+    CDC batch a strictly larger number) and every vector row carries
+    the sequence of the batch that wrote it; :func:`mor_read_seq`
+    applies a vector only to data rows with a STRICTLY SMALLER
+    sequence, so a batch's new image survives its own tombstone and a
+    later delete still kills it.
+
+    Cost shape: O(batch) — U/D ops append key-only vector rows, U/I
+    ops append data rows; the table is never read or rewritten, which
+    is exactly why this is the right sink for a continuous CDC stream
+    (compaction amortizes the read-side anti-join away separately)."""
+    import os
+
+    ops = F.col(op_col)
+    # __seq is pinned to long: a bare int literal writes int32,
+    # which would type-clash with a long-seq base table at read time
+    seq_col = F.lit(seq).cast("long").alias("__seq")
+    vec = batch.filter(ops.isin("U", "D")).select(
+        partition_col, key_col, seq_col
+    )
+    if vec.limit(1).count():
+        vec.repartition(F.col(partition_col)).write.partitionBy(
+            partition_col
+        ).mode("append").parquet(os.path.join(target_path, "_deletes"))
+    data = batch.filter(ops.isin("U", "I")).select(
+        partition_col, key_col, *value_cols, seq_col
+    )
+    if data.limit(1).count():
+        data.repartition(F.col(partition_col)).write.partitionBy(
+            partition_col
+        ).mode("append").parquet(target_path)
+
+
+def mor_read_seq(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Read a sequence-aware MOR table: a data row is live unless some
+    vector tombstones its key with a strictly larger sequence (written
+    by a LATER batch).  The vector side is keys + one long — broadcast
+    by the MOR premise — and the anti-join condition is the null-safe
+    key match AND ``vector.__seq > row.__seq``."""
+    data = _string_partition(spark.read.parquet(target_path), partition_col)
+    dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
+    if dels is None:
+        return data
+    cond = _vector_match(data, dels, partition_col, key_col) & (
+        dels["__dv_seq"] > data["__seq"]
+    )
+    return data.join(F.broadcast(dels), on=cond, how="left_anti")
+
+
+def _read_vectors_seq(
+    spark: SparkSession, target_path: str, partition_col: str, key_col: str
+):
+    """Sequence-aware twin of :func:`_read_vectors`: keeps ``__seq``
+    (renamed ``__dv_seq``), collapsed to the MAX sequence per key —
+    one vector row per key is enough because the kill rule is
+    ``__dv_seq > row.__seq`` and a larger sequence dominates."""
+    import os
+
+    dels_path = os.path.join(target_path, "_deletes")
+    if not os.path.isdir(dels_path):
+        return None
+    committed = False
+    for _root, dirs, files in os.walk(dels_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(not f.startswith(("_", ".")) for f in files):
+            committed = True
+            break
+    if not committed:
+        return None
+    return (
+        spark.read.parquet(dels_path)
+        .groupBy(
+            F.col(partition_col).alias("__dv_p"),
+            F.col(key_col).alias("__dv_k"),
+        )
+        .agg(F.max("__seq").alias("__dv_seq"))
+    )

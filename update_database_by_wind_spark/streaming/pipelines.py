@@ -939,3 +939,161 @@ def st15_stream_ingest_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- ST16: streaming CDC upserts into a sequence-aware MOR table ---------------
+
+_ST16_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT o_month,
+         CASE WHEN o_orderkey % 97 = 0 THEN cents + cents // 10
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 113 <> 0
+  UNION ALL
+  SELECT '2024-01', 1000000 + i * 100 FROM range(10) t(i)
+)
+SELECT o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY o_month
+"""
+
+
+@query(
+    "st16_stream_mor_cdc",
+    oracle=_ST16_ORACLE,
+    tags=("streaming", "update", "mor"),
+)
+def st16_stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: a CDC stream applied to a merge-on-read table — the
+    streaming half of the U18 delete story, closed into upserts via
+    sequence-aware deletion vectors (``mor_cdc_apply`` /
+    ``mor_read_seq``, the Iceberg v2 sequence-number contract).
+
+    The base ledger loads as sequence 0.  Two CDC extraction batches
+    land as files (updates = 10% uplift on the %97 keys, deletes on
+    the %113 keys — months before 1996-01 in batch one, the rest plus
+    a 2024-01 insert batch in batch two) and a file-source stream with
+    a persistent checkpoint applies each micro-batch through
+    ``foreachBatch``: O(batch) appends only — key-only vector rows for
+    U/D, new images for U/I, sequence = epoch + 1 — the table is never
+    read or rewritten in the hot path.  After each run an in-query
+    receipt (raise-style, ``python -O``-proof) pins the logical row
+    count, and a third run proves the checkpoint makes replay a
+    no-op.  The final ``mor_read_seq`` rollup is hash-checked against
+    the oracle's logical final state, so the vector-sequence algebra
+    (a batch's new image survives its own tombstone; older images
+    die) is proven end to end through the streaming surface.
+
+    Why it matters at 100 TB: a CDC firehose cannot pay MERGE's
+    read-modify-write per batch; vector appends make ingest latency
+    independent of table size, and compaction (u18's mor_compact
+    economics) amortizes the read-side anti-join on its own
+    schedule."""
+    import hashlib
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_read_seq,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_st16_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, target, ckpt = f"{base}/cdc", f"{base}/t", f"{base}/ckpt"
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snap.withColumn("__seq", F.lit(0).cast("long")).repartition(
+        F.col("o_month")
+    ).write.partitionBy("o_month").parquet(target)
+
+    def cdc_ops(month_pred) -> DataFrame:
+        scoped = snap.filter(month_pred)
+        upd = (
+            scoped.filter(
+                (F.col("o_orderkey") % 97 == 0)
+                & (F.col("o_orderkey") % 113 != 0)
+            )
+            .withColumn("cents", F.col("cents") + F.expr("cents DIV 10"))
+            .withColumn("op", F.lit("U"))
+        )
+        dels = scoped.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+            "op", F.lit("D")
+        )
+        return upd.unionByName(dels).select(
+            "op", "o_month", "o_orderkey", "cents"
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        mor_cdc_apply(
+            spark, target, batch_df, "o_month", "o_orderkey", ["cents"],
+            seq=epoch_id + 1,
+        )
+
+    def run_cdc() -> None:
+        stream = spark.readStream.schema(
+            "op string, o_month string, o_orderkey long, cents long"
+        ).parquet(f"{src}/*")
+        handle = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+
+    def live_count() -> int:
+        return mor_read_seq(spark, target, "o_month", "o_orderkey").count()
+
+    def expect(observed: int, expected: int, when: str) -> None:
+        if observed != expected:
+            raise ValueError(
+                f"st16_stream_mor_cdc: {when}: logical table holds "
+                f"{observed} rows, expected {expected}"
+            )
+
+    try:
+        n_base = snap.count()
+        d_total = snap.filter(F.col("o_orderkey") % 113 == 0).count()
+        d_early = snap.filter(
+            (F.col("o_orderkey") % 113 == 0) & (F.col("o_month") < "1996-01")
+        ).count()
+        cdc_ops(F.col("o_month") < "1996-01").write.parquet(f"{src}/b1")
+        run_cdc()
+        expect(live_count(), n_base - d_early, "after CDC batch 1")
+        inserts = spark.range(10).select(
+            F.lit("I").alias("op"),
+            F.lit("2024-01").alias("o_month"),
+            (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+            (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+        )
+        cdc_ops(F.col("o_month") >= "1996-01").unionByName(
+            inserts
+        ).write.parquet(f"{src}/b2")
+        run_cdc()
+        expect(live_count(), n_base - d_total + 10, "after CDC batch 2")
+        run_cdc()  # no new files -> checkpointed no-op
+        expect(live_count(), n_base - d_total + 10, "after no-op replay")
+        out = (
+            mor_read_seq(spark, target, "o_month", "o_orderkey")
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+        # materialize before the scratch cleanup — month-cardinality rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
