@@ -335,3 +335,158 @@ def l3i_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("keep"),
         )
     )
+
+
+# --- G2: integer-exact damped PageRank -----------------------------------------
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Distributed damped PageRank over a directed edge list
+    ``(src, dst)``, in EXACT integer arithmetic so the fixpoint
+    iteration is bit-portable across engines, partitionings, and
+    cluster sizes — the floating-point formulation is association-
+    sensitive (a groupBy sum's addend order changes with the shuffle),
+    which makes cross-engine hash verification impossible.
+
+    Recurrence (every vertex starts at ``scale``):
+
+        r'(v) = BASE + Σ_{(u,v)∈E} (r(u) * damp_pct) div (100 * deg(u))
+
+    with ``BASE = scale * (100 - damp_pct) div 100``.  Integer floor
+    division leaks a little mass per hop (the classic fixed-point
+    trade: determinism over stochasticity — ranks are ORDINAL scores,
+    and the leak is uniform enough to preserve ordering), and both
+    engines' integral division agree because every operand is
+    positive.  Callers wanting the undirected variant pass the
+    symmetrized edge list; every vertex then has deg ≥ 1, so there are
+    no dangling-mass cases to special-case.
+
+    Scale design: the edge list joined with out-degrees is computkpointed
+    once; each iteration is one join (ranks are hash-partitioned on
+    ``node`` by the previous groupBy, and the join + re-aggregation
+    reuse that partitioning) plus one aggregation — the standard
+    O(E/p)-per-round distributed PageRank, with ``localCheckpoint``
+    lineage cuts and eager block frees (`_free_ckpt`) keeping plan
+    depth and executor storage O(1) in the iteration count."""
+    base = scale * (100 - damp_pct) // 100
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(scale).cast("long").alias("pr"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("(pr * 85) div (100 * deg)").alias("c")
+            if damp_pct == 85
+            else F.expr(f"(pr * {damp_pct}) div (100 * deg)").alias("c"),
+        )
+        new_ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(base) + F.sum("c")).cast("long").alias("pr"))
+            .localCheckpoint()
+        )
+        _free_ckpt(ranks)
+        ranks = new_ranks
+    _free_ckpt(e)
+    return ranks
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`pagerank_integer` over
+    the customer↔supplier trade graph — r0..rN as chained CTEs, the
+    identical integer recurrence (`//` and `div` agree on positive
+    operands)."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + SUM((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       node // 2 AS node_key,
+       pr,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rn
+FROM r{iterations}
+ORDER BY pr DESC, node
+LIMIT 20"""
+    )
+
+
+_G2_ORACLE = _pagerank_oracle()
+
+
+@query("g2_pagerank", oracle=_G2_ORACLE, tags=("graph", "iterative"))
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: damped PageRank over the bipartite customer↔supplier trade
+    graph (an edge per distinct trading pair from orders ⋈ lineitem,
+    symmetrized), 5 iterations of the integer-exact recurrence, top-20
+    vertices with deterministic tie-breaks.  Node ids pack both
+    keyspaces into one long (customer → 2k, supplier → 2k+1).
+
+    This is the repo's iterative-algorithm leg beyond connected
+    components: the oracle UNROLLS the identical recurrence as chained
+    CTEs, so the driver hash-checks a genuinely iterative distributed
+    computation cell-exactly — possible only because the arithmetic is
+    integer (see :func:`pagerank_integer`; a float PageRank cannot be
+    hash-verified across engines).  At 100 TB the per-round cost is
+    one edge-sized join + one aggregation, ranks stay co-partitioned
+    across rounds, and lineage/storage stay O(1) in rounds."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).union(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    ranks = pagerank_integer(edges, iterations=5)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "pr",
+            "rn",
+        )
+    )
