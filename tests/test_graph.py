@@ -81,3 +81,69 @@ def test_cluster_sizes_consistent(spark, sf_oracle):
     for r in by_cluster:
         assert r["n"] == r["sz"] >= 2
         assert r["min_doc"] == r["cluster_id"]
+
+
+def _pagerank_model(edge_tuples, iterations=5, scale=1_000_000, damp=85):
+    """Driver-side mirror of pagerank_integer's exact recurrence."""
+    verts = sorted({u for u, _ in edge_tuples} | {v for _, v in edge_tuples})
+    deg = {}
+    for u, _ in edge_tuples:
+        deg[u] = deg.get(u, 0) + 1
+    base = scale * (100 - damp) // 100
+    pr = {v: scale for v in verts}
+    for _ in range(iterations):
+        nxt = {v: base for v in verts}
+        for u, v in edge_tuples:
+            nxt[v] += (pr[u] * damp) // (100 * deg[u])
+        pr = nxt
+    return pr
+
+
+def _pagerank_spark(spark, edge_tuples, **kw):
+    from update_database_by_wind_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(edge_tuples, "src long, dst long")
+    got = pagerank_integer(edges, **kw)
+    return {r["node"]: r["pr"] for r in got.collect()}
+
+
+def test_pagerank_directed_source_mass_survives(spark):
+    # 0 has zero in-degree; its outbound mass must keep flowing to 1
+    # every round (the round-9 advisor's finding: dropping 0 from the
+    # rank table after round 1 starves the whole chain).
+    edges = [(0, 1), (1, 2), (2, 1)]
+    got = _pagerank_spark(spark, edges, iterations=5)
+    want = _pagerank_model(edges, iterations=5)
+    assert got == want
+    # 0 itself stays at BASE every round.
+    assert got[0] == 150_000
+
+
+def test_pagerank_sink_vertex_retained(spark):
+    # 3 is a pure sink (no out-edges): it must appear in the result
+    # with its received rank, not vanish from the vertex set.
+    edges = [(0, 3), (1, 3), (0, 1)]
+    got = _pagerank_spark(spark, edges, iterations=3)
+    want = _pagerank_model(edges, iterations=3)
+    assert got == want
+
+
+def test_pagerank_symmetrized_matches_model_and_partitioning(spark):
+    base_edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    sym = base_edges + [(v, u) for u, v in base_edges]
+    want = _pagerank_model(sym, iterations=4)
+    from update_database_by_wind_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    for parts in (1, 13):
+        edges = spark.createDataFrame(sym, "src long, dst long").repartition(
+            parts
+        )
+        got = {
+            r["node"]: r["pr"]
+            for r in pagerank_integer(edges, iterations=4).collect()
+        }
+        assert got == want

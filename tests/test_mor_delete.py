@@ -15,6 +15,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.operators.update_pipeline import (
@@ -447,3 +449,104 @@ def test_sequence_vectors_express_upserts_and_resurrection(spark, tmp_path):
     mor_cdc_apply(spark, path, batch([("I", "a", 1, 12)]), "m", "pk",
                   ["val"], seq=3)
     assert live() == [(1, "a", 12), (2, "a", 20)]
+
+
+def test_seq_aware_compact_preserves_upserts(spark, tmp_path):
+    """The round-9 advisor's corruption scenario, now refused/ fixed:
+    after an upsert (new image shares its tombstone's key),
+    mor_compact_seq must keep the new image and drop only the old one;
+    the post-compaction table must read identically through BOTH a
+    plain scan and mor_read_seq, carry no _deletes dir, and stay a
+    valid mor_cdc_apply target."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10, 0), (2, "a", 20, 0), (3, "b", 30, 0)],
+        "pk long, m string, val long, __seq long",
+    ).repartition(F.col("m")).write.partitionBy("m").parquet(path)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "op string, m string, pk long, val long"
+        )
+
+    # seq 1: upsert pk 1, delete pk 2; seq 2: delete+reinsert pk 3
+    # (resurrection) — the three shapes key-only compaction corrupts.
+    mor_cdc_apply(
+        spark, path, batch([("U", "a", 1, 11), ("D", "a", 2, None)]),
+        "m", "pk", ["val"], seq=1,
+    )
+    mor_cdc_apply(
+        spark, path, batch([("D", "b", 3, None), ("I", "b", 3, 31)]),
+        "m", "pk", ["val"], seq=2,
+    )
+    want = [(1, "a", 11), (3, "b", 31)]
+
+    def live_seq():
+        return sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read_seq(spark, path, "m", "pk").collect()
+        )
+
+    assert live_seq() == want
+    res = mor_compact_seq(spark, path, "m", "pk")
+    assert set(res["rewritten"]) == {"a", "b"} and not res["dropped"]
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
+    plain = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert plain == want
+    assert live_seq() == want  # seq read with no vectors = plain scan
+    # the table is still a valid CDC target after compaction
+    mor_cdc_apply(
+        spark, path, batch([("U", "a", 1, 12)]), "m", "pk", ["val"], seq=3
+    )
+    assert live_seq() == [(1, "a", 12), (3, "b", 31)]
+    # idempotence: a second compact (fresh vectors) also folds cleanly
+    mor_compact_seq(spark, path, "m", "pk")
+    assert live_seq() == [(1, "a", 12), (3, "b", 31)]
+
+
+def test_seq_unaware_family_refuses_seq_tables(spark, tmp_path):
+    """mor_delete / mor_read / mor_compact on an __seq table must
+    refuse (ValueError), never corrupt — and the refusal fires even
+    when only the VECTORS carry __seq."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10, 0)], "pk long, m string, val long, __seq long"
+    ).write.partitionBy("m").parquet(path)
+
+    with pytest.raises(ValueError, match="mor_read_seq"):
+        mor_read(spark, path, "m", "pk")
+    with pytest.raises(ValueError, match="mor_cdc_apply"):
+        mor_delete(spark, path, F.col("pk") == 1, "m", "pk")
+    with pytest.raises(ValueError, match="mor_compact_seq"):
+        mor_compact(spark, path, "m", "pk")
+    # and the seq family refuses plain tables / missing seeds
+    plain = str(tmp_path / "p")
+    spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")\
+        .write.partitionBy("m").parquet(plain)
+    with pytest.raises(ValueError, match="mor_read"):
+        mor_read_seq(spark, plain, "m", "pk")
+    with pytest.raises(ValueError, match="mor_compact"):
+        mor_compact_seq(spark, plain, "m", "pk")
+    with pytest.raises(ValueError, match="__seq = 0"):
+        mor_cdc_apply(
+            spark, plain,
+            spark.createDataFrame(
+                [("U", "a", 1, 11)], "op string, m string, pk long, val long"
+            ),
+            "m", "pk", ["val"], seq=1,
+        )

@@ -29,7 +29,7 @@ literally the definition the distributed loop converges to.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.operators.dedup import (
@@ -313,7 +313,6 @@ def l3i_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from update_database_by_wind_spark.operators.extended2 import (
         l3c_embedding_neardup,
     )
-    from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     pairs = l3c_embedding_neardup(spark, sf_dir)
@@ -366,6 +365,14 @@ def pagerank_integer(
     symmetrized edge list; every vertex then has deg ≥ 1, so there are
     no dangling-mass cases to special-case.
 
+    The vertex set is ``distinct(src ∪ dst)``, carried through every
+    round: a vertex that receives no contribution (zero in-degree on
+    genuinely directed input) keeps rank BASE rather than dropping out
+    of the table — dropping it would also erase its OUTBOUND mass from
+    round 2 on.  Sink vertices (zero out-degree) keep their received
+    rank; their damped mass leaks, the standard dangling-node
+    simplification, stated here rather than hidden.
+
     Scale design: the edge list joined with out-degrees is computkpointed
     once; each iteration is one join (ranks are hash-partitioned on
     ``node`` by the previous groupBy, and the join + re-aggregation
@@ -376,25 +383,39 @@ def pagerank_integer(
     base = scale * (100 - damp_pct) // 100
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src").localCheckpoint()
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(scale).cast("long").alias("pr"),
+    verts = (
+        edges.select("src")
+        .union(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .localCheckpoint()
+    )
+    ranks = verts.select(
+        "node", F.lit(scale).cast("long").alias("pr")
     ).localCheckpoint()
     for _ in range(iterations):
         contrib = e.join(ranks, e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
-            F.expr("(pr * 85) div (100 * deg)").alias("c")
-            if damp_pct == 85
-            else F.expr(f"(pr * {damp_pct}) div (100 * deg)").alias("c"),
+            F.expr(f"(pr * {damp_pct}) div (100 * deg)").alias("c"),
         )
         new_ranks = (
-            contrib.groupBy("node")
-            .agg((F.lit(base) + F.sum("c")).cast("long").alias("pr"))
+            verts.join(
+                contrib.groupBy("node").agg(F.sum("c").alias("c")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
             .localCheckpoint()
         )
         _free_ckpt(ranks)
         ranks = new_ranks
     _free_ckpt(e)
+    _free_ckpt(verts)
     return ranks
 
 

@@ -1168,6 +1168,7 @@ def mor_delete(
     import os
 
     target = _string_partition(spark.read.parquet(target_path), partition_col)
+    _refuse_seq(target, "mor_delete", "mor_cdc_apply with op='D'")
     doomed = target.filter(F.coalesce(predicate, F.lit(False))).select(
         partition_col, key_col
     )
@@ -1191,6 +1192,20 @@ def mor_delete(
     finally:
         doomed.unpersist()
     return n
+
+
+def _refuse_seq(data: DataFrame, caller: str, instead: str) -> None:
+    """Guard the sequence-UNAWARE MOR functions against sequence-aware
+    tables (round-9 advisor finding): their key-only kill rule would
+    silently delete a CDC upsert's own re-appended image (the vector
+    and the new image share a key), and ``mor_delete`` would append
+    ``__seq``-less vector rows into a ``_deletes`` directory whose
+    reader requires the column.  Corruption → refusal."""
+    if "__seq" in data.columns:
+        raise ValueError(
+            f"{caller}: table carries __seq (sequence-aware MOR); the "
+            f"key-only vector rules would corrupt it — use {instead}"
+        )
 
 
 def _string_partition(df: DataFrame, partition_col: str) -> DataFrame:
@@ -1235,14 +1250,17 @@ def _read_vectors(
             break
     if not committed:
         return None
-    return (
-        spark.read.parquet(dels_path)
-        .select(
-            F.col(partition_col).alias("__dv_p"),
-            F.col(key_col).alias("__dv_k"),
+    raw = spark.read.parquet(dels_path)
+    if "__seq" in raw.columns:
+        raise ValueError(
+            "_read_vectors: _deletes carries __seq (sequence-aware "
+            "vectors); the key-only readers would over-delete — use "
+            "mor_read_seq / mor_compact_seq"
         )
-        .distinct()
-    )
+    return raw.select(
+        F.col(partition_col).alias("__dv_p"),
+        F.col(key_col).alias("__dv_k"),
+    ).distinct()
 
 
 def _vector_match(data: DataFrame, dels: DataFrame, partition_col, key_col):
@@ -1273,6 +1291,7 @@ def mor_read(
     condition.  With no committed vectors this is exactly the plain
     scan — zero overhead."""
     data = _string_partition(spark.read.parquet(target_path), partition_col)
+    _refuse_seq(data, "mor_read", "mor_read_seq")
     dels = _read_vectors(spark, target_path, partition_col, key_col)
     if dels is None:
         return data
@@ -1310,15 +1329,39 @@ def mor_compact(
       re-seed with a fresh ``mode('overwrite')`` partitioned write
       before appending partitioned data again.
 
+    Refuses sequence-aware tables (round-9 advisor finding): matching
+    vectors on key alone would fold a CDC upsert's own tombstone into
+    its NEW image — use :func:`mor_compact_seq` there.
+
     Returns ``{"dropped": [...], "rewritten": [...]}``."""
+    data = _string_partition(spark.read.parquet(target_path), partition_col)
+    _refuse_seq(data, "mor_compact", "mor_compact_seq")
+    dels = _read_vectors(spark, target_path, partition_col, key_col)
+    if dels is None:
+        return {"dropped": [], "rewritten": []}
+    cond = _vector_match(data, dels, partition_col, key_col)
+    return _compact_core(spark, target_path, partition_col, data, dels, cond)
+
+
+def _compact_core(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    data: DataFrame,
+    dels: DataFrame,
+    cond,
+) -> dict:
+    """Shared compaction machinery for :func:`mor_compact` (kill rule:
+    key match) and :func:`mor_compact_seq` (kill rule: key match AND
+    ``__dv_seq > __seq``).  ``cond`` is the prebuilt dead-row join
+    condition between exactly these ``data``/``dels`` frames; every
+    other invariant (vector-derived partition list, unlink fully-dead
+    dirs, survivors-only dynamic overwrite, vectors removed LAST,
+    zero-row schema file before a whole-table empty) is identical."""
     import os
     import shutil
     from urllib.parse import unquote
 
-    dels = _read_vectors(spark, target_path, partition_col, key_col)
-    if dels is None:
-        return {"dropped": [], "rewritten": []}
-    data = _string_partition(spark.read.parquet(target_path), partition_col)
     schema = data.schema
     parts = dels.select("__dv_p").distinct()
     census = (
@@ -1329,7 +1372,7 @@ def mor_compact(
         )
         .join(
             F.broadcast(dels.withColumn("__dead", F.lit(1))),
-            on=_vector_match(data, dels, partition_col, key_col),
+            on=cond,
             how="left",
         )
         .groupBy(data[partition_col])
@@ -1393,7 +1436,7 @@ def mor_compact(
             in_rewrite = in_rewrite | F.col(partition_col).isNull()
         survivors = data.filter(in_rewrite).join(
             F.broadcast(dels),
-            on=_vector_match(data, dels, partition_col, key_col),
+            on=cond,
             how="left_anti",
         )
         prev = spark.conf.get(
@@ -2586,6 +2629,17 @@ def mor_cdc_apply(
     (compaction amortizes the read-side anti-join away separately)."""
     import os
 
+    if os.path.isdir(target_path):
+        try:
+            existing_cols = spark.read.parquet(target_path).columns
+        except Exception:
+            existing_cols = None  # no committed data yet -> nothing to clash
+        if existing_cols is not None and "__seq" not in existing_cols:
+            raise ValueError(
+                "mor_cdc_apply: target is a plain (sequence-free) MOR "
+                "table; appending __seq rows would fork its schema — "
+                "seed the base load with __seq = 0 first"
+            )
     ops = F.col(op_col)
     # __seq is pinned to long: a bare int literal writes int32,
     # which would type-clash with a long-seq base table at read time
@@ -2618,6 +2672,11 @@ def mor_read_seq(
     by the MOR premise — and the anti-join condition is the null-safe
     key match AND ``vector.__seq > row.__seq``."""
     data = _string_partition(spark.read.parquet(target_path), partition_col)
+    if "__seq" not in data.columns:
+        raise ValueError(
+            "mor_read_seq: table carries no __seq column — this is a "
+            "plain MOR table; use mor_read"
+        )
     dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
     if dels is None:
         return data
@@ -2625,6 +2684,42 @@ def mor_read_seq(
         dels["__dv_seq"] > data["__seq"]
     )
     return data.join(F.broadcast(dels), on=cond, how="left_anti")
+
+
+def mor_compact_seq(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    key_col: str,
+) -> dict:
+    """Sequence-aware compaction (the round-9 advisor's missing piece:
+    :func:`mor_compact`'s key-only kill rule would fold a CDC upsert's
+    own tombstone into its NEW image, so compacting an st16-style
+    table silently dropped every upserted or resurrected row).  Same
+    economics as :func:`mor_compact` — vector-derived partition list,
+    unlink fully-dead partitions, survivors-only dynamic overwrite,
+    vectors removed last (idempotent after a crash) — but a data row
+    is dead only when some vector tombstones its key with a STRICTLY
+    LARGER sequence, exactly :func:`mor_read_seq`'s rule, so
+    post-compaction plain scans and seq reads agree.
+
+    Survivors keep their ``__seq`` column: the table stays a valid
+    :func:`mor_cdc_apply` target and later batches (with larger
+    sequence numbers) keep working — compaction is a pure layout
+    change, invisible to the CDC algebra."""
+    data = _string_partition(spark.read.parquet(target_path), partition_col)
+    if "__seq" not in data.columns:
+        raise ValueError(
+            "mor_compact_seq: table carries no __seq column — this is "
+            "a plain MOR table; use mor_compact"
+        )
+    dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
+    if dels is None:
+        return {"dropped": [], "rewritten": []}
+    cond = _vector_match(data, dels, partition_col, key_col) & (
+        dels["__dv_seq"] > data["__seq"]
+    )
+    return _compact_core(spark, target_path, partition_col, data, dels, cond)
 
 
 def _read_vectors_seq(

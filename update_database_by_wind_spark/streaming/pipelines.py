@@ -991,9 +991,12 @@ def st16_stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why it matters at 100 TB: a CDC firehose cannot pay MERGE's
     read-modify-write per batch; vector appends make ingest latency
-    independent of table size, and compaction (u18's mor_compact
-    economics) amortizes the read-side anti-join on its own
-    schedule."""
+    independent of table size, and SEQUENCE-AWARE compaction
+    (``mor_compact_seq`` — u18's mor_compact economics with the
+    ``__dv_seq > __seq`` kill rule; the key-only mor_compact would
+    fold an upsert's own tombstone into its new image and now refuses
+    these tables) amortizes the read-side anti-join on its own
+    schedule — exercised end to end by u21_mor_seq_compact."""
     import hashlib
 
     from update_database_by_wind_spark.operators.update_pipeline import (
