@@ -8,18 +8,25 @@ round, then on the stalest regression evidence.
 import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
+# The new round-10 operators, in window order.  Grows during the round:
+# every newly-registered query is appended HERE and to the top of
+# _ROUND10_FRONT in the same commit.
+_R10_NEW = [
+    "u21_mor_seq_compact",
+]
+
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND8_FRONT)] == ops._ROUND8_FRONT
+    assert names[: len(ops._ROUND10_FRONT)] == ops._ROUND10_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND8_FRONT)
+    front = set(ops._ROUND10_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R5_R7 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R6_R9 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -28,7 +35,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND8_FRONT, *ops._DRIVER_VERIFIED_R5_R7]:
+    for n in [*ops._ROUND10_FRONT, *ops._DRIVER_VERIFIED_R6_R9]:
         assert n in REGISTRY, n
 
 
@@ -37,45 +44,49 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND8_FRONT) & set(ops._DRIVER_VERIFIED_R5_R7)
+    dup = set(ops._ROUND10_FRONT) & set(ops._DRIVER_VERIFIED_R6_R9)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-8 front (new + changed-code + stalest regression
-    slots) or in the r5–r7 driver-green defer list.  A query in
+    in the round-10 front (new + changed-code + stalest regression
+    slots) or in the r6–r9 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that."""
-    covered = set(ops._ROUND8_FRONT) | set(ops._DRIVER_VERIFIED_R5_R7)
+    covered = set(ops._ROUND10_FRONT) | set(ops._DRIVER_VERIFIED_R6_R9)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_changed_code_queries_lead_the_window():
-    """The five NEW round-8 operators (first-possible-green), then
-    the three queries whose round-8 diff changes their code (atomic
-    manifest + retry-safe snapshot commits behind u15/s12; ts_ewma's
-    bit-exact across-users kernel), then the three round-3-stale
-    stragglers the r7 verdict named as round 8's rotation leaders,
-    then the 45 round-4-stale queries."""
+    """NEW round-10 operators first (first-possible-green), then the
+    three round-9 operators the missed r9 rotation orphaned (the r9
+    window replayed the r8 front verbatim), then u18 whose code
+    changed this round (MOR refusal guards + shared _compact_core),
+    then the six r4-stale queries the r8 rotation consciously
+    overflowed, then the whole 47-query r5 block alphabetically."""
     names = list(REGISTRY)
-    assert names[:11] == [
+    n_new = len(_R10_NEW)
+    assert names[:n_new] == _R10_NEW
+    assert names[n_new : n_new + 4] == [
+        "g2_pagerank",
+        "u20_change_data_feed",
+        "st16_stream_mor_cdc",
         "u18_mor_delete",
-        "u19_txn_snapshot",
-        "a16_quantile_sketch",
-        "a16b_grouped_quantile_sketch",
-        "st15_stream_ingest_bridge",
-        "u15_time_travel",
-        "s12_incremental_ingest",
-        "ts_ewma",
-        "tr_k_anonymity",
-        "tr_label_centroids",
-        "tr_sequence_pack",
     ]
-    # the r4 backlog fills the rest of the window, alphabetically
-    assert names[11:56] == sorted(names[11:56])
-    assert len(ops._ROUND8_FRONT) == 56
+    assert names[n_new + 4 : n_new + 10] == [
+        "ts_rolling_corr",
+        "u11_wind_update_pipeline",
+        "u2_upsert_merge",
+        "ud2_pandas_scalar_udf",
+        "ud3_pandas_grouped_agg",
+        "w4_cumulative_spend",
+    ]
+    # the r5 block fills the rest of the window, alphabetically
+    tail = names[n_new + 10 : len(ops._ROUND10_FRONT)]
+    assert len(tail) == 47 and tail == sorted(tail)
+    assert len(ops._ROUND10_FRONT) == n_new + 57
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

@@ -2750,3 +2750,173 @@ def _read_vectors_seq(
         )
         .agg(F.max("__seq").alias("__dv_seq"))
     )
+
+
+_U21_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+s1 AS (  -- seq 1: 10% uplift on the %97 keys, delete the %113 keys
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN cents + cents // 10
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 113 <> 0
+),
+s2 AS (  -- seq 2: delete the %89 keys, resurrect the %113-and-%3 keys
+  SELECT o_month, o_orderkey, cents FROM s1 WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_month, o_orderkey, 123400 + (o_orderkey % 1000) * 10
+  FROM base WHERE o_orderkey % 113 = 0 AND o_orderkey % 3 = 0
+),
+s3 AS (  -- seq 3 (after compaction): 5% uplift on the surviving %97 keys
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 113 <> 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM s2
+),
+roll2 AS (
+  SELECT o_month, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM s2 GROUP BY o_month
+),
+roll3 AS (
+  SELECT o_month, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM s3 GROUP BY o_month
+)
+SELECT 'pre_compact' AS phase, o_month, n_rows, total_cents FROM roll2
+UNION ALL
+SELECT 'compacted' AS phase, o_month, n_rows, total_cents FROM roll2
+UNION ALL
+SELECT 'post_cdc' AS phase, o_month, n_rows, total_cents FROM roll3
+"""
+
+
+@query("u21_mor_seq_compact", oracle=_U21_ORACLE, tags=("update", "mor"))
+def u21_mor_seq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U21: the full sequence-aware MOR lifecycle, closing the round-9
+    advisor's corruption finding with a driver-checked proof: CDC
+    batches (upsert / delete / delete-then-resurrect-in-one-batch)
+    land as O(batch) appends, :func:`mor_compact_seq` folds the
+    vectors under the ``__dv_seq > __seq`` kill rule — the key-only
+    :func:`mor_compact` would have deleted every upserted and
+    resurrected image here, and now refuses such tables — and the
+    table remains a live CDC target afterwards.
+
+    Three hash-checked phases against one oracle:
+
+    * ``pre_compact`` — rollup through :func:`mor_read_seq` with the
+      vectors of two CDC batches pending (10% uplift on the %97 keys +
+      delete %113 at seq 1; delete %89 and same-batch delete+reinsert
+      of the %113∧%3 keys at seq 2 — the image survives its own-seq
+      tombstone, strictly-smaller rule);
+    * ``compacted`` — the SAME rollup from a plain post-compaction
+      scan: equality proves compaction dropped exactly the dead
+      images, kept upserts/resurrections, and removed the vector dir
+      (asserted in-query, raise-style);
+    * ``post_cdc`` — a third batch (5% uplift on the surviving %97
+      keys) applied to the compacted table, read back through
+      :func:`mor_read_seq`: compaction is invisible to the CDC
+      algebra, sequence numbers keep working.
+
+    Why it matters at 100 TB: CDC ingest cost stays O(batch) and
+    read-side anti-join cost is bounded by compacting on a schedule;
+    the kill rule must be sequence-aware or scheduled compaction
+    silently destroys every row the stream ever updated."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_morseq_{tag}"
+    target = f"{base}/orders_by_month"
+    shutil.rmtree(base, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snap.withColumn("__seq", F.lit(0).cast("long")).repartition(
+        F.col("o_month")
+    ).write.partitionBy("o_month").parquet(target)
+
+    key = F.col("o_orderkey")
+    b1 = (
+        snap.filter((key % 97 == 0) & (key % 113 != 0))
+        .withColumn("cents", F.col("cents") + F.expr("cents DIV 10"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            snap.filter(key % 113 == 0).withColumn("op", F.lit("D"))
+        )
+        .select("op", "o_month", "o_orderkey", "cents")
+    )
+    mor_cdc_apply(
+        spark, target, b1, "o_month", "o_orderkey", ["cents"], seq=1
+    )
+    b2 = (
+        snap.filter((key % 89 == 0) & (key % 113 != 0))
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            snap.filter((key % 113 == 0) & (key % 3 == 0))
+            .withColumn(
+                "cents", F.lit(123400) + (key % 1000) * 10
+            )
+            .withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            snap.filter((key % 113 == 0) & (key % 3 == 0))
+            .withColumn(
+                "cents", F.lit(123400) + (key % 1000) * 10
+            )
+            .withColumn("op", F.lit("I"))
+        )
+        .select("op", "o_month", "o_orderkey", "cents")
+    )
+    mor_cdc_apply(
+        spark, target, b2, "o_month", "o_orderkey", ["cents"], seq=2
+    )
+
+    def roll(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("o_month").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(
+            F.lit(phase).alias("phase"), "o_month", "n_rows", "total_cents"
+        )
+
+    pre = roll(
+        mor_read_seq(spark, target, "o_month", "o_orderkey"), "pre_compact"
+    )
+    # materialize before compaction rewrites the files under the lazy
+    # plan (month-cardinality rows — metadata-sized)
+    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    mor_compact_seq(spark, target, "o_month", "o_orderkey")
+    if os.path.isdir(os.path.join(target, "_deletes")):
+        raise ValueError(
+            "u21_mor_seq_compact: compaction left the vector dir behind"
+        )
+    compacted = roll(spark.read.parquet(target), "compacted")
+    compacted = spark.createDataFrame(compacted.collect(), compacted.schema)
+    b3 = (
+        mor_read_seq(spark, target, "o_month", "o_orderkey")
+        .filter((key % 97 == 0) & (key % 113 != 0))
+        .withColumn("cents", F.col("cents") + F.expr("cents DIV 20"))
+        .select(
+            F.lit("U").alias("op"), "o_month", "o_orderkey", "cents"
+        )
+        # b3 is derived FROM the table it is about to be applied TO:
+        # cut the lineage so the append never scans its own target
+        # mid-write (distributed materialization, not a collect)
+        .localCheckpoint()
+    )
+    mor_cdc_apply(
+        spark, target, b3, "o_month", "o_orderkey", ["cents"], seq=3
+    )
+    post = roll(
+        mor_read_seq(spark, target, "o_month", "o_orderkey"), "post_cdc"
+    )
+    return pre.unionByName(compacted).unionByName(post)
