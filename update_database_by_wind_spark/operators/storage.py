@@ -255,3 +255,145 @@ def zorder_value(x, y):
     zx = F.expr(_spread("(" + x + ")"))
     zy = F.expr(_spread("(" + y + ")"))
     return zx + F.lit(2) * zy
+
+
+# --- S13: file-level min/max skipping index (data skipping beyond dirs) --------
+
+
+def build_file_stats_index(
+    spark: SparkSession, table_path: str, column: str
+) -> DataFrame:
+    """Build a file-level min/max statistics index for ``column`` over
+    every committed parquet file under ``table_path`` — the Delta /
+    Iceberg data-skipping contract (per-file column stats in the
+    transaction log) re-expressed on plain parquet.
+
+    The stats come from the parquet FOOTERS via pyarrow
+    (``read_metadata`` per file: row-group statistics written by every
+    parquet writer) — a metadata-sized driver loop over the file
+    LISTING, never a data scan; at cluster scale the same loop is a
+    ``spark.read.format("binaryFile")``-style parallel footer sweep,
+    but the listing here is bounded by file count by construction.
+    Returns a DataFrame ``(file, vmin, vmax, n_rows)`` — itself tiny
+    and broadcastable, the index a planner probes before listing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            meta = pq.read_metadata(p)
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.schema.num_columns)
+            }[column]
+            vmin = vmax = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"build_file_stats_index: {p} row group {rg} "
+                        f"carries no min/max for {column}"
+                    )
+                vmin = st.min if vmin is None else min(vmin, st.min)
+                vmax = st.max if vmax is None else max(vmax, st.max)
+            rows.append((p, vmin, vmax, meta.num_rows))
+    return spark.createDataFrame(
+        rows, f"file string, vmin long, vmax long, n_rows long"
+    )
+
+
+def skipping_read(
+    spark: SparkSession,
+    index: DataFrame,
+    lo: int,
+    hi: int,
+) -> tuple:
+    """Plan a band read ``column BETWEEN lo AND hi`` through the stats
+    index: keep only files whose [vmin, vmax] intersects the band,
+    read exactly those.  Returns ``(df, n_kept, n_total)`` so callers
+    can assert the skipping actually skipped.  The index collect is
+    metadata-sized (file count)."""
+    files = [
+        (r["file"], r["vmin"] <= hi and r["vmax"] >= lo)
+        for r in index.collect()
+    ]
+    kept = [f for f, keep in files if keep]
+    if not kept:
+        # empty band: zero-file read; preserve schema via the index's
+        # first file filtered to nothing
+        first = files[0][0]
+        df = spark.read.parquet(first).limit(0)
+        return df, 0, len(files)
+    return spark.read.parquet(*kept), len(kept), len(files)
+
+
+_S13_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 299
+GROUP BY o_orderpriority
+"""
+
+
+@query("s13_file_skipping_index", oracle=_S13_ORACLE, tags=("source", "layout"))
+def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: file-level min/max data skipping on a NON-partition column —
+    the layer between S1b's directory pruning and S10's row-group
+    story, and the mechanism Delta/Iceberg call data skipping: a
+    custkey-range-clustered write gives every file a tight custkey
+    span; a footer-stats index (:func:`build_file_stats_index`) then
+    turns a key-band query into a read of the FEW intersecting files.
+
+    In-query receipts (raise-style): the pruned read must touch
+    < half the files, and a full-scan filter must return the same
+    count — so the hash-checked result proves the pruned plan loses no
+    rows, and the receipt proves it actually pruned.
+
+    Why it matters at 100 TB: partitioning spends the directory
+    dimension (usually time); every OTHER selective dimension must
+    prune at the file level or pay a full scan.  Clustering + footer
+    stats is how lakehouse tables make customer-scoped queries cheap
+    on a time-partitioned fact table — same receipts as here, just
+    with the index kept in the table log instead of rebuilt."""
+    import hashlib
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_skip_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    # range-cluster on the skip column: 16 files, each a tight span
+    orders.repartitionByRange(16, "o_custkey").write.parquet(base)
+    index = build_file_stats_index(spark, base, "o_custkey")
+    pruned, n_kept, n_total = skipping_read(spark, index, 100, 299)
+    pruned = pruned.filter(F.col("o_custkey").between(100, 299))
+    if n_kept * 2 >= n_total:
+        raise ValueError(
+            f"s13_file_skipping_index: index kept {n_kept}/{n_total} "
+            "files — clustering failed to localize the band"
+        )
+    full = (
+        spark.read.parquet(base)
+        .filter(F.col("o_custkey").between(100, 299))
+        .count()
+    )
+    got = pruned.count()
+    if got != full:
+        raise ValueError(
+            f"s13_file_skipping_index: pruned read lost rows "
+            f"({got} != {full})"
+        )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
