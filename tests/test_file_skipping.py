@@ -1,0 +1,211 @@
+"""Structural tests for S13 file-level min/max data skipping
+(operators/storage.py) — the receipts S10/S11 have, at family parity:
+
+- the pruned read's file list is strictly smaller than the listing on
+  a range-clustered write, and band results equal the full-scan filter;
+- the honest NEGATIVE case: on an adversarially NON-clustered write
+  (hash-shuffled, every file spans the whole key range) skipping must
+  keep every file and still return the right rows — data skipping is
+  a layout contract, and the index must never lie about it;
+- generative fuzz over band edges (empty band below/above the domain,
+  single-point bands, full-domain bands) proving pruned == full-scan
+  row-for-row at every edge;
+- the advisor's edge cases: empty index raises, string columns get a
+  string-typed index (no hardcoded `long` schema), zero-row-group
+  files are dropped rather than poisoning comparisons with nulls.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from update_database_by_wind_spark.operators.storage import (
+    build_file_stats_index,
+    skipping_read,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, sf_smoke, tmp_path_factory):
+    """orders range-clustered on o_custkey into 8 files."""
+    base = str(tmp_path_factory.mktemp("skip_clustered"))
+    (
+        spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_custkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    index = build_file_stats_index(spark, base, "o_custkey")
+    return base, index
+
+
+@pytest.fixture(scope="module")
+def shuffled(spark, sf_smoke, tmp_path_factory):
+    """The adversarial layout: hash-repartitioned on orderkey, so every
+    file's o_custkey span covers ~the whole domain."""
+    base = str(tmp_path_factory.mktemp("skip_shuffled"))
+    (
+        spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    index = build_file_stats_index(spark, base, "o_custkey")
+    return base, index
+
+
+def _domain(index):
+    row = index.agg(
+        F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
+    ).collect()[0]
+    return row["lo"], row["hi"]
+
+
+def test_clustered_band_prunes_and_loses_nothing(spark, clustered):
+    base, index = clustered
+    lo, hi = _domain(index)
+    mid = (lo + hi) // 2
+    band = (mid, mid + max(1, (hi - lo) // 16))
+    df, n_kept, n_total = skipping_read(spark, index, *band)
+    assert n_total == 8
+    assert n_kept < n_total, "clustered write must let the band skip files"
+    got = df.filter(F.col("o_custkey").between(*band)).count()
+    full = (
+        spark.read.parquet(base)
+        .filter(F.col("o_custkey").between(*band))
+        .count()
+    )
+    assert got == full and full > 0
+
+
+def test_index_matches_listing_and_row_total(spark, clustered):
+    base, index = clustered
+    rows = index.collect()
+    listed = sorted(glob.glob(os.path.join(base, "*.parquet")))
+    assert sorted(r["file"] for r in rows) == listed
+    total = sum(r["n_rows"] for r in rows)
+    assert total == spark.read.parquet(base).count()
+    for r in rows:
+        assert r["vmin"] <= r["vmax"]
+
+
+def test_non_clustered_layout_keeps_everything(spark, shuffled):
+    """The honest negative: when every file spans the domain, a narrow
+    band must keep ALL files (the index can only prune what the layout
+    localized) and the result must still be exact."""
+    base, index = shuffled
+    lo, hi = _domain(index)
+    mid = (lo + hi) // 2
+    band = (mid, mid + max(1, (hi - lo) // 16))
+    df, n_kept, n_total = skipping_read(spark, index, *band)
+    assert n_total == 8
+    assert n_kept == n_total, (
+        "a hash-shuffled layout has no locality; pruning here would "
+        "mean the index is lying about file spans"
+    )
+    got = df.filter(F.col("o_custkey").between(*band)).count()
+    full = (
+        spark.read.parquet(base)
+        .filter(F.col("o_custkey").between(*band))
+        .count()
+    )
+    assert got == full
+
+
+@pytest.mark.parametrize(
+    "make_band",
+    [
+        lambda lo, hi: (lo - 1000, lo - 1),  # entirely below the domain
+        lambda lo, hi: (hi + 1, hi + 1000),  # entirely above
+        lambda lo, hi: (lo, lo),  # single point at the min
+        lambda lo, hi: (hi, hi),  # single point at the max
+        lambda lo, hi: (lo, hi),  # the whole domain
+        lambda lo, hi: (hi, lo),  # inverted band -> empty
+    ],
+    ids=["below", "above", "point-min", "point-max", "full", "inverted"],
+)
+def test_band_edges_pruned_equals_full_scan(spark, clustered, make_band):
+    base, index = clustered
+    lo, hi = _domain(index)
+    b_lo, b_hi = make_band(lo, hi)
+    df, n_kept, n_total = skipping_read(spark, index, b_lo, b_hi)
+    got = df.filter(F.col("o_custkey").between(b_lo, b_hi)).count()
+    full = (
+        spark.read.parquet(base)
+        .filter(F.col("o_custkey").between(b_lo, b_hi))
+        .count()
+    )
+    assert got == full
+    if b_lo > b_hi or b_hi < lo or b_lo > hi:
+        assert n_kept == 0 and got == 0
+    if (b_lo, b_hi) == (lo, hi):
+        assert n_kept == n_total
+
+
+def test_empty_index_raises(spark, tmp_path):
+    """Advisor edge case: an index over a dir with no parquet files
+    must fail loudly at plan time, not IndexError in the empty-band
+    branch."""
+    empty = tmp_path / "no_files"
+    empty.mkdir()
+    index = build_file_stats_index(spark, str(empty), "o_custkey")
+    assert index.count() == 0
+    with pytest.raises(ValueError, match="empty stats index"):
+        skipping_read(spark, index, 0, 10)
+
+
+def test_string_column_index_is_string_typed(spark, sf_smoke, tmp_path):
+    """Advisor edge case: the index schema derives from the column's
+    arrow type — a string column yields string vmin/vmax (the old code
+    hardcoded `long` and crashed at createDataFrame)."""
+    base = str(tmp_path / "str_cluster")
+    (
+        spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(4, "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    index = build_file_stats_index(spark, base, "o_orderpriority")
+    schema = dict(index.dtypes)
+    assert schema["vmin"] == "string" and schema["vmax"] == "string"
+    rows = index.collect()
+    assert all(r["vmin"] <= r["vmax"] for r in rows)
+
+
+def test_unsupported_column_type_raises(spark, tmp_path):
+    base = str(tmp_path / "arr_col")
+    spark.createDataFrame(
+        [(1, [1, 2]), (2, [3])], "k long, xs array<long>"
+    ).write.mode("overwrite").parquet(base)
+    with pytest.raises(ValueError, match="min/max skipping supports"):
+        build_file_stats_index(spark, base, "xs")
+
+
+def test_zero_row_files_are_dropped(spark, tmp_path):
+    """A parquet file with zero row groups holds no rows; it must be
+    dropped from the index (not carried with null stats that poison
+    every range comparison)."""
+    base = str(tmp_path / "with_empty")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, v long"
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(base)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}),
+        os.path.join(base, "part-empty.parquet"),
+    )
+    index = build_file_stats_index(spark, base, "k")
+    files = [r["file"] for r in index.collect()]
+    assert not any("part-empty" in f for f in files)
+    df, n_kept, n_total = skipping_read(spark, index, 10, 30)
+    assert n_total == len(files)
+    assert df.filter(F.col("k").between(10, 30)).count() == 21

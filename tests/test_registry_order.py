@@ -8,25 +8,34 @@ round, then on the stalest regression evidence.
 import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
-# The new round-10 operators, in window order.  Grows during the round:
+# The new round-11 operators, in window order.  Grows during the round:
 # every newly-registered query is appended HERE and to the top of
-# _ROUND10_FRONT in the same commit.
-_R10_NEW = [
-    "u21_mor_seq_compact",
+# _ROUND11_FRONT in the same commit — and its oracle-match test plus
+# this file must be run BEFORE that commit (the round-10 judge's "no
+# untested registration" rule; g2/r9 and s13/r10 both entered the
+# registry broken in end-of-round commits that skipped the mirror).
+_R11_NEW = []
+
+# Queries whose CODE changed this round without being new: s13's crash
+# fix (AttributeError on ParquetSchema.num_columns) plus the advisor's
+# edge-case hardening landed this round, and s13 has never had a
+# driver-green row — it leads the changed-code slots.
+_R11_CHANGED = [
+    "s13_file_skipping_index",
 ]
 
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND10_FRONT)] == ops._ROUND10_FRONT
+    assert names[: len(ops._ROUND11_FRONT)] == ops._ROUND11_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND10_FRONT)
+    front = set(ops._ROUND11_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R6_R9 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R7_R10 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -35,7 +44,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND10_FRONT, *ops._DRIVER_VERIFIED_R6_R9]:
+    for n in [*ops._ROUND11_FRONT, *ops._DRIVER_VERIFIED_R7_R10]:
         assert n in REGISTRY, n
 
 
@@ -44,49 +53,48 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND10_FRONT) & set(ops._DRIVER_VERIFIED_R6_R9)
+    dup = set(ops._ROUND11_FRONT) & set(ops._DRIVER_VERIFIED_R7_R10)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-10 front (new + changed-code + stalest regression
-    slots) or in the r6–r9 driver-green defer list.  A query in
+    in the round-11 front (new + changed-code + stalest regression
+    slots) or in the r7–r10 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
-    round without anyone deciding that."""
-    covered = set(ops._ROUND10_FRONT) | set(ops._DRIVER_VERIFIED_R6_R9)
+    round without anyone deciding that — exactly how s13 missed round
+    10 (it was registered but in neither list)."""
+    covered = set(ops._ROUND11_FRONT) | set(ops._DRIVER_VERIFIED_R7_R10)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_changed_code_queries_lead_the_window():
-    """NEW round-10 operators first (first-possible-green), then the
-    three round-9 operators the missed r9 rotation orphaned (the r9
-    window replayed the r8 front verbatim), then u18 whose code
-    changed this round (MOR refusal guards + shared _compact_core),
-    then the six r4-stale queries the r8 rotation consciously
-    overflowed, then the whole 47-query r5 block alphabetically."""
+    """NEW round-11 operators first (first-possible-green), then s13 —
+    never driver-checked AND crash-fixed this round (the round-10
+    judge's #1 ask), then the eight r5-stale queries (the window-edge
+    overflow of rounds 9 AND 10), then the whole 48-query r6 block
+    alphabetically.  Positions past ~50 are the conscious overflow
+    (the r6 block's alphabetical tail) and round 12's leaders."""
     names = list(REGISTRY)
-    n_new = len(_R10_NEW)
-    assert names[:n_new] == _R10_NEW
-    assert names[n_new : n_new + 4] == [
-        "g2_pagerank",
-        "u20_change_data_feed",
-        "st16_stream_mor_cdc",
-        "u18_mor_delete",
+    n_new = len(_R11_NEW)
+    assert names[:n_new] == _R11_NEW
+    n_chg = len(_R11_CHANGED)
+    assert names[n_new : n_new + n_chg] == _R11_CHANGED
+    assert names[n_new + n_chg : n_new + n_chg + 8] == [
+        "t_token_count",
+        "tr_domain_cap",
+        "ts_bollinger_bands",
+        "ts_cross_sectional_zscore",
+        "ts_max_drawdown",
+        "ts_resample_monthly_ohlc",
+        "u12_cdc_classify",
+        "u13_cdc_merge_sink",
     ]
-    assert names[n_new + 4 : n_new + 10] == [
-        "ts_rolling_corr",
-        "u11_wind_update_pipeline",
-        "u2_upsert_merge",
-        "ud2_pandas_scalar_udf",
-        "ud3_pandas_grouped_agg",
-        "w4_cumulative_spend",
-    ]
-    # the r5 block fills the rest of the window, alphabetically
-    tail = names[n_new + 10 : len(ops._ROUND10_FRONT)]
-    assert len(tail) == 47 and tail == sorted(tail)
-    assert len(ops._ROUND10_FRONT) == n_new + 57
+    # the r6 block fills the rest of the window, alphabetically
+    tail = names[n_new + n_chg + 8 : len(ops._ROUND11_FRONT)]
+    assert len(tail) == 48 and tail == sorted(tail)
+    assert len(ops._ROUND11_FRONT) == n_new + n_chg + 56
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

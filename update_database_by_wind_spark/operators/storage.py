@@ -274,13 +274,22 @@ def build_file_stats_index(
     LISTING, never a data scan; at cluster scale the same loop is a
     ``spark.read.format("binaryFile")``-style parallel footer sweep,
     but the listing here is bounded by file count by construction.
+    The vmin/vmax Spark type is derived from the column's arrow type
+    (integer/float/string/date supported — the types parquet writes
+    comparable min/max stats for), so the index works on any skippable
+    column, not just longs.  Files with zero row groups hold no rows
+    and are dropped from the index: they can never contribute to a
+    band read, and carrying them with null stats would poison every
+    range comparison downstream.
     Returns a DataFrame ``(file, vmin, vmax, n_rows)`` — itself tiny
     and broadcastable, the index a planner probes before listing."""
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = []
+    stat_type = None
     for root, dirs, files in os.walk(table_path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(files):
@@ -288,13 +297,39 @@ def build_file_stats_index(
                 continue
             p = os.path.join(root, f)
             meta = pq.read_metadata(p)
+            if stat_type is None:
+                # type-gate on the TOP-LEVEL arrow field first: a nested
+                # column (array/map/struct) flattens to leaf paths like
+                # `xs.list.element` in the parquet schema, so the leaf
+                # lookup below would KeyError before a clear message
+                at = meta.schema.to_arrow_schema().field(column).type
+                if pa.types.is_integer(at):
+                    stat_type = "long"
+                elif pa.types.is_floating(at):
+                    stat_type = "double"
+                elif pa.types.is_string(at) or pa.types.is_large_string(at):
+                    stat_type = "string"
+                elif pa.types.is_date(at):
+                    stat_type = "date"
+                else:
+                    raise ValueError(
+                        f"build_file_stats_index: column {column} has "
+                        f"arrow type {at}; min/max skipping supports "
+                        "integer, float, string and date columns"
+                    )
+            # FileMetaData carries num_columns; ParquetSchema does not
             idx = {
                 meta.schema.column(i).name: i
-                for i in range(meta.schema.num_columns)
+                for i in range(meta.num_columns)
             }[column]
+            if meta.num_rows == 0:
+                continue  # zero rows: nothing a band read could keep
             vmin = vmax = None
             for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
+                group = meta.row_group(rg)
+                if group.num_rows == 0:
+                    continue  # empty row group carries no stats
+                st = group.column(idx).statistics
                 if st is None or not st.has_min_max:
                     raise ValueError(
                         f"build_file_stats_index: {p} row group {rg} "
@@ -304,7 +339,9 @@ def build_file_stats_index(
                 vmax = st.max if vmax is None else max(vmax, st.max)
             rows.append((p, vmin, vmax, meta.num_rows))
     return spark.createDataFrame(
-        rows, f"file string, vmin long, vmax long, n_rows long"
+        rows,
+        f"file string, vmin {stat_type or 'long'}, "
+        f"vmax {stat_type or 'long'}, n_rows long",
     )
 
 
@@ -323,6 +360,11 @@ def skipping_read(
         (r["file"], r["vmin"] <= hi and r["vmax"] >= lo)
         for r in index.collect()
     ]
+    if not files:
+        raise ValueError(
+            "skipping_read: empty stats index — no committed parquet "
+            "files to plan over (build_file_stats_index saw none)"
+        )
     kept = [f for f, keep in files if keep]
     if not kept:
         # empty band: zero-file read; preserve schema via the index's
