@@ -147,3 +147,74 @@ def test_pagerank_symmetrized_matches_model_and_partitioning(spark):
             for r in pagerank_integer(edges, iterations=4).collect()
         }
         assert got == want
+
+
+# --- triangle_count ------------------------------------------------------------
+
+
+def _tri(spark, edge_tuples):
+    from update_database_by_wind_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(edge_tuples, "a long, b long")
+    return {r["vtx"]: r["n_tri"] for r in triangle_count(edges).collect()}
+
+
+def _tri_brute(edge_tuples):
+    """Reference: enumerate all canonical x<y<z vertex triples over the
+    adjacency set."""
+    import itertools
+
+    adj = set()
+    verts = set()
+    for a, b in edge_tuples:
+        adj.add((min(a, b), max(a, b)))
+        verts.update((a, b))
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(verts), 3):
+        if (x, y) in adj and (x, z) in adj and (y, z) in adj:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_shapes(spark):
+    # one triangle + a pendant edge + a square (no triangle)
+    edges = [
+        (1, 2), (2, 3), (1, 3),  # triangle
+        (3, 4),  # pendant
+        (10, 11), (11, 12), (12, 13), (10, 13),  # 4-cycle, 0 triangles
+    ]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_k4_every_vertex_in_three(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_random_graphs_match_brute_force(spark):
+    """Seeded pseudo-random graphs (including degree ties, hubs, and
+    disconnected pieces) against the canonical-triple reference — the
+    degree-orientation single-count claim, fuzzed."""
+    for seed in range(6):
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for k in range(60)
+                for a in [(seed * 7919 + k * 104729) % 23]
+                for b in [(seed * 31 + k * 130363) % 23]
+                if a != b
+            }
+        )
+        assert _tri(spark, edges) == _tri_brute(edges), seed
+
+
+def test_triangle_deterministic_under_partitioning(spark):
+    from update_database_by_wind_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(8) for b in range(a + 1, 8) if (a + b) % 3]
+    df1 = spark.createDataFrame(edges, "a long, b long").repartition(1)
+    df13 = spark.createDataFrame(edges, "a long, b long").repartition(13)
+    one = sorted(map(tuple, triangle_count(df1).collect()))
+    many = sorted(map(tuple, triangle_count(df13).collect()))
+    assert one == many

@@ -14,7 +14,9 @@ from update_database_by_wind_spark.registry import REGISTRY
 # this file must be run BEFORE that commit (the round-10 judge's "no
 # untested registration" rule; g2/r9 and s13/r10 both entered the
 # registry broken in end-of-round commits that skipped the mirror).
-_R11_NEW = []
+_R11_NEW = [
+    "g3_triangle_count",
+]
 
 # Queries whose CODE changed this round without being new: s13's crash
 # fix (AttributeError on ParquetSchema.num_columns) plus the advisor's
