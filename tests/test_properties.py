@@ -803,3 +803,19 @@ def test_quantile_sketch_laws_under_arbitrary_sharding(values, shard_of):
         bin_ = next(b for b, c in cdf if c >= r)
         exact = ordered[r - 1]
         assert bin_ * W <= exact <= (bin_ + 1) * W - 1  # law 2: bracket
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_smoke):
+    """A17 invariants at the smoke SF (different corpus than the oracle
+    gate): CMS estimates are lower-bounded by exact counts (every
+    occurrence of k lands in all d of k's buckets), and shard-sum
+    counters equal from-scratch counters."""
+    import update_database_by_wind_spark.operators  # noqa: F401
+    from update_database_by_wind_spark.registry import REGISTRY
+
+    rows = REGISTRY["a17_countmin_sketch"].fn(spark, sf_smoke).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_est"] == r["exact_cnt"] + r["overcount"]
+        assert r["merge_ok"] is True

@@ -16,6 +16,7 @@ from update_database_by_wind_spark.registry import REGISTRY
 # registry broken in end-of-round commits that skipped the mirror).
 _R11_NEW = [
     "g3_triangle_count",
+    "a17_countmin_sketch",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

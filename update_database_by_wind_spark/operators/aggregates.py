@@ -1164,3 +1164,189 @@ def a16b_grouped_quantile_sketch(
             "merge_ok",
         )
     )
+
+
+# --- A17: count-min sketch (mergeable frequency estimates, portable hashes) ----
+
+# d=3 hash rows of width 64.  Each row's hash is the KMV-style portable
+# uniformizer ((k % P) * A_j) % P, reduced mod P BETWEEN the multiply
+# and the small width modulus (the round-6 lesson: without the middle
+# reduction, (k * A) % W is a bijection of k's low bits and the three
+# "independent" rows collapse into one).  All operands stay < 2^51 so
+# the arithmetic replays exactly in any engine with 64-bit integers.
+_CMS_P = 1_000_003
+_CMS_W = 64
+_CMS_A = (2654435761, 2246822519, 3266489917)
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    return f"((({key} % {_CMS_P}) * {_CMS_A[j]}) % {_CMS_P}) % {_CMS_W}"
+
+
+_A17_ORACLE = f"""
+WITH ev AS (SELECT event_id, user_id AS k FROM events),
+b AS (
+  SELECT 0 AS j, {_cms_bucket_sql(0, 'k')} AS b, event_id FROM ev
+  UNION ALL
+  SELECT 1 AS j, {_cms_bucket_sql(1, 'k')} AS b, event_id FROM ev
+  UNION ALL
+  SELECT 2 AS j, {_cms_bucket_sql(2, 'k')} AS b, event_id FROM ev
+),
+counters AS (SELECT j, b, COUNT(*) AS c FROM b GROUP BY j, b),
+sharded AS (
+  SELECT j, b, event_id % 2 AS sh, COUNT(*) AS c FROM b GROUP BY j, b, sh
+),
+resum AS (SELECT j, b, SUM(c) AS c FROM sharded GROUP BY j, b),
+mrg AS (
+  SELECT (COUNT(*) = SUM(CASE WHEN counters.c = resum.c THEN 1 ELSE 0 END))
+           AS merge_ok
+  FROM counters JOIN resum USING (j, b)
+),
+exact AS (SELECT k, COUNT(*) AS exact_cnt FROM ev GROUP BY k),
+probes AS (
+  SELECT * FROM (
+    SELECT k, exact_cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, k) AS BIGINT)
+             AS rn
+    FROM exact
+  ) WHERE rn <= 12
+),
+pb AS (
+  SELECT k, exact_cnt, rn, 0 AS j, {_cms_bucket_sql(0, 'k')} AS b FROM probes
+  UNION ALL
+  SELECT k, exact_cnt, rn, 1 AS j, {_cms_bucket_sql(1, 'k')} AS b FROM probes
+  UNION ALL
+  SELECT k, exact_cnt, rn, 2 AS j, {_cms_bucket_sql(2, 'k')} AS b FROM probes
+),
+est AS (
+  SELECT k, exact_cnt, rn, MIN(c) AS cms_est
+  FROM pb JOIN counters USING (j, b)
+  GROUP BY k, exact_cnt, rn
+)
+SELECT est.k AS user_id,
+       est.exact_cnt,
+       est.cms_est,
+       est.cms_est - est.exact_cnt AS overcount,
+       est.rn,
+       mrg.merge_ok
+FROM est, mrg
+ORDER BY est.rn
+"""
+
+
+@query("a17_countmin_sketch", oracle=_A17_ORACLE, tags=("agg", "sketch", "approx"))
+def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: count-min sketch over event user frequencies — the
+    MERGEABLE point-frequency estimator that completes the sketch
+    family (a3/a14 cardinality, a15 heavy hitters, a16 quantiles):
+    d=3 counter rows of width 64, estimate = min over rows of the
+    hashed bucket's counter.  Every number is exact integer
+    arithmetic, so unlike library CMS implementations the whole
+    sketch replays cell-exactly in the oracle.
+
+    In-row receipts:
+
+    * ``merge_ok`` — the corpus is split into two shards (odd/even
+      event ids), each shard's counter table built independently, the
+      shards summed counter-by-counter, and the merged table proven
+      identical to the from-scratch counters.  CMS merge IS counter
+      addition, the property that lets every executor sketch its
+      partition and combine — and lets yesterday's sketch absorb
+      today's delta without a rescan.
+    * ``overcount = cms_est - exact_cnt`` per probed key — CMS never
+      undercounts (every occurrence of k lands in k's buckets), and
+      the deliberately narrow width (150 users into 64 buckets)
+      makes collisions real so the receipt shows genuine positive
+      overcounts being cut by the min over rows, not a trivial
+      zero column.
+
+    Scale shape: the counter build is one explode to (row, bucket)
+    pairs — 3 narrow rows per event — feeding a groupBy that
+    map-side-combines into at most d*W = 192 groups; the probe-side
+    estimate joins those 192 rows broadcast.  Nothing key-cardinality-
+    sized ever shuffles, which is the entire point of a sketch at
+    100 TB."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def buckets(df: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        ((F.col("user_id") % _CMS_P) * _CMS_A[j])
+                        % _CMS_P
+                        % _CMS_W
+                    ).alias("b"),
+                )
+                for j in range(3)
+            ]
+        )
+        return df.select("event_id", F.explode(arr).alias("jb")).select(
+            "event_id", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+        )
+    bk = buckets(ev)
+    counters = bk.groupBy("j", "b").agg(F.count("*").alias("c"))
+    resum = (
+        bk.withColumn("sh", F.col("event_id") % 2)
+        .groupBy("j", "b", "sh")
+        .agg(F.count("*").alias("c"))
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c2"))
+    )
+    mrg = (
+        counters.join(resum, ["j", "b"])
+        .agg(
+            (
+                F.count("*")
+                == F.sum(
+                    F.when(F.col("c") == F.col("c2"), 1).otherwise(0)
+                )
+            ).alias("merge_ok")
+        )
+    )
+    exact = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("k"))
+    probes = (
+        exact.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 12)
+    )
+    pb = probes.select(
+        "k",
+        "exact_cnt",
+        "rn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            ((F.col("k") % _CMS_P) * _CMS_A[j])
+                            % _CMS_P
+                            % _CMS_W
+                        ).alias("b"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("jb"),
+    ).select("k", "exact_cnt", "rn", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        pb.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("k", "exact_cnt", "rn")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(mrg))
+        .select(
+            F.col("k").alias("user_id"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+            "rn",
+            "merge_ok",
+        )
+        .orderBy("rn")
+    )
