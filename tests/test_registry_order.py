@@ -17,6 +17,7 @@ from update_database_by_wind_spark.registry import REGISTRY
 _R11_NEW = [
     "g3_triangle_count",
     "a17_countmin_sketch",
+    "u22_merge_schema_evolution",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -2920,3 +2920,108 @@ def u21_mor_seq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         mor_read_seq(spark, target, "o_month", "o_orderkey"), "post_cdc"
     )
     return pre.unionByName(compacted).unionByName(post)
+
+
+# --- U22: MERGE with schema evolution (source grows a column mid-stream) -------
+
+_U22_ORACLE = f"""
+WITH target AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+),
+source AS (
+  SELECT o_orderkey, o_totalprice AS price, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'branch' END
+           AS o_channel
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_RECENT}'
+),
+merged AS (
+  SELECT t.o_orderkey, t.price, t.o_orderstatus,
+         CAST(NULL AS VARCHAR) AS o_channel
+  FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s
+                    WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT COALESCE(o_channel, 'legacy') AS channel,
+       o_orderstatus,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('price', 'total_price')}
+FROM merged
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "u22_merge_schema_evolution",
+    oracle=_U22_ORACLE,
+    tags=("update", "merge", "schema"),
+)
+def u22_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U22: the MERGE-with-schema-evolution contract (Delta's
+    ``withSchemaEvolution()`` / ``mergeSchema`` on the write path):
+    the stored target was written BEFORE the upstream feed grew
+    ``o_channel``; the next source batch carries it.  The merge must
+    simultaneously (a) upsert overlapping keys source-wins, (b) widen
+    the table schema in the same commit, and (c) backfill NULL for
+    every pre-evolution row — silently dropping the new column (u2's
+    plain merge would) or failing the batch are the two production
+    outages this operator exists to prevent.  U6 proves the READ side
+    of evolution (mergeSchema over mixed-vintage files); this proves
+    the WRITE side: one merge commit leaves one uniform-schema table.
+
+    The target round-trips through real parquet storage both before
+    and after the merge, so the hash-checked aggregate reads the
+    EVOLVED STORED table, not an in-memory plan: the 'legacy' channel
+    group is exactly the untouched pre-cutoff rows (NULL-backfilled),
+    and the named channels carry only post-evolution source rows.
+
+    Scale shape: identical to u2 — one anti-join keyed on the PK plus
+    a union; schema widening itself is metadata-only (the writer adds
+    a column to the footer schema; no stored byte is rewritten for
+    old files in a log-based table, and here the COW rewrite is the
+    same single pass the merge already pays)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_mergevo_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    ).write.parquet(f"{base}/v1")
+    stored = spark.read.parquet(f"{base}/v1")
+    source = orders.filter(
+        F.col("o_orderdate") >= F.lit(_RECENT).cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, "web")
+        .otherwise("branch")
+        .alias("o_channel"),
+    )
+    merged = stored.join(source, "o_orderkey", "left_anti").unionByName(
+        source, allowMissingColumns=True
+    )
+    merged.write.parquet(f"{base}/v2")
+    back = spark.read.parquet(f"{base}/v2")
+    if "o_channel" not in back.columns:
+        raise ValueError(
+            "u22_merge_schema_evolution: merge commit failed to widen "
+            "the stored schema"
+        )
+    return back.groupBy(
+        F.coalesce("o_channel", F.lit("legacy")).alias("channel"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("price", "total_price"),
+    )
