@@ -18,6 +18,7 @@ _R11_NEW = [
     "g3_triangle_count",
     "a17_countmin_sketch",
     "u22_merge_schema_evolution",
+    "st17_stream_quantile_sketch",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1100,3 +1100,175 @@ def st16_stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- ST17: streaming quantile-sketch maintenance -------------------------------
+
+# a16's fixed-boundary histogram, maintained by the streaming state
+# store: bin width 128 cents over event values (bounded domain -> a few
+# hundred bins of state, the bounded-cardinality complete-mode shape).
+_STQ_W = 128
+_STQ_PCTS = (50, 90, 99)
+
+_ST17_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+hist AS (
+  SELECT cents // {_STQ_W} AS bin, COUNT(*) AS cnt FROM c GROUP BY 1
+),
+fs AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+ranks AS (
+  SELECT pct, (pct * fs.n + 99) // 100 AS r
+  FROM (VALUES {", ".join(f"({p})" for p in _STQ_PCTS)}) t(pct), fs
+),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+sel AS (
+  SELECT ranks.pct, ranks.r, MIN(cum.bin) AS bin
+  FROM ranks JOIN cum ON cum.cum >= ranks.r
+  GROUP BY ranks.pct, ranks.r
+),
+ordered AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+),
+ex AS (
+  SELECT sel.pct, MIN(ordered.cents) AS exact_cents
+  FROM sel JOIN ordered ON ordered.rn = sel.r GROUP BY sel.pct
+)
+SELECT CAST(sel.pct AS INTEGER) AS pct,
+       CAST(sel.r AS BIGINT) AS rank_r,
+       CAST(sel.bin AS BIGINT) AS bin,
+       CAST(sel.bin * {_STQ_W} AS BIGINT) AS lo_cents,
+       CAST((sel.bin + 1) * {_STQ_W} - 1 AS BIGINT) AS hi_cents,
+       CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       ex.exact_cents BETWEEN sel.bin * {_STQ_W}
+           AND (sel.bin + 1) * {_STQ_W} - 1 AS within_bound,
+       TRUE AS stream_ok
+FROM sel JOIN ex ON ex.pct = sel.pct
+"""
+
+
+def st17_quantile_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder: the streaming histogram — each micro-batch's bin counts
+    fold into the state store by counter addition, which is exactly
+    the sketch's merge operation.  No watermark: complete-mode output
+    over a BOUNDED bin domain (value range / bin width), the
+    legitimate complete-mode shape."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("bin", F.expr(f"cents DIV {_STQ_W}"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query("st17_stream_quantile_sketch", oracle=_ST17_ORACLE, tags=("streaming",))
+def st17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17: a16's mergeable quantile sketch maintained BY Structured
+    Streaming — the state store performs the shard merges that a16
+    proves in-row (each micro-batch is a shard; complete-mode groupBy
+    folds it in by counter addition).  This closes the loop between
+    the sketch family and the streaming surface: a live pipeline gets
+    percentile brackets over the full history at any point, with
+    sketch-sized state, no re-scan.
+
+    The percentile selection runs batch-side on the FINAL streamed
+    sketch (the CDF walk is sketch-sized — a few hundred bins); the
+    receipts mirror a16:
+
+    * ``within_bound`` — the exact order statistic at the identical
+      integer rank ((pct·n + 99) DIV 100 — never float ceil) falls
+      inside the selected bin's value bracket;
+    * ``stream_ok`` — the streamed histogram compared bin-for-bin
+      (full-outer) against a from-scratch batch recompute of the same
+      table: streaming maintenance ≡ batch recompute, the st15/s12
+      bridge contract applied to aggregation state.  The oracle pins
+      it TRUE, so a silent divergence hash-mismatches.
+
+    Scale: state is O(bins) per state-store partition, micro-batch
+    work is one map-side-combined count per bin; the exact-leg
+    row_number is the fixture-scale receipt, not the production
+    path."""
+    from update_database_by_wind_spark.sources import load
+
+    hist = run_to_memory(
+        st17_quantile_hist_stream(spark, sf_dir), "complete"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    batch_h = (
+        batch.withColumn("bin", F.expr(f"cents DIV {_STQ_W}"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("b_cnt"))
+    )
+    stream_ok = (
+        hist.join(
+            batch_h, hist["bin"] == batch_h["bin"], "full_outer"
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("cnt").isNotNull()
+                    & F.col("b_cnt").isNotNull()
+                    & (F.col("cnt") == F.col("b_cnt"))
+                ),
+                F.lit(False),
+            ).alias("stream_ok")
+        )
+    )
+    fs = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    pcts = spark.createDataFrame([(p,) for p in _STQ_PCTS], "pct int")
+    ranks = pcts.crossJoin(F.broadcast(fs)).select(
+        "pct", F.expr("(pct * n + 99) DIV 100").alias("r")
+    )
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    sel = (
+        ranks.join(cum, cum["cum"] >= ranks["r"])
+        .groupBy("pct", "r")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ordered = batch.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents"))
+    )
+    ex = (
+        ordered.join(F.broadcast(sel), ordered["rn"] == sel["r"])
+        .groupBy("pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        sel.join(ex, "pct")
+        .crossJoin(F.broadcast(stream_ok))
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("r").cast("long").alias("rank_r"),
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * _STQ_W).cast("long").alias("lo_cents"),
+            ((F.col("bin") + 1) * _STQ_W - 1).cast("long").alias("hi_cents"),
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            F.col("exact_cents").between(
+                F.col("bin") * _STQ_W, (F.col("bin") + 1) * _STQ_W - 1
+            ).alias("within_bound"),
+            "stream_ok",
+        )
+    )
