@@ -19,6 +19,7 @@ _R11_NEW = [
     "a17_countmin_sketch",
     "u22_merge_schema_evolution",
     "st17_stream_quantile_sketch",
+    "o7_incremental_topk",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

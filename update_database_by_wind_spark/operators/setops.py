@@ -167,3 +167,65 @@ def o5b_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("kind"), "l_returnflag", "n_rows")
     )
     return inter.unionByName(exc)
+
+
+# --- O7: incremental top-k maintenance (top-k is a mergeable monoid) -----------
+
+_O7_K = 15
+_O7_CUT = "1997-01-01 00:00:00"
+
+_O7_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_O7_K}
+"""
+
+
+@query("o7_incremental_topk", oracle=_O7_ORACLE, tags=("sort", "update"))
+def o7_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: leaderboard maintenance under appends — the top-k summary
+    is a MERGEABLE monoid: topk(A ∪ B) = topk(topk(A) ∪ B), so an
+    append batch folds into yesterday's k-row summary without ever
+    rescanning history.  The query exercises exactly that path: the
+    pre-1997 history is collapsed to its k-row summary FIRST, the
+    later orders play the append batch, and the output is
+    topk(summary ∪ batch) — while the oracle recomputes top-k from
+    the full table, so the hash match IS the monoid proof (a wrong
+    summary cut, an off-by-one at the boundary, or a dropped tie
+    would mismatch).
+
+    Unique tie-break (price desc, orderkey asc) keeps the cut
+    deterministic — without it, equal prices at rank k make the
+    result partitioning-dependent and the proof meaningless.
+
+    Scale shape: both topk legs are TakeOrderedAndProject (per-
+    partition k-row heaps, merged on one task — no global sort ever
+    materializes; the plan assertion lives with o2's in
+    tests/test_plans.py), and the maintained leg reads k + |batch|
+    rows, independent of history size — the entire point for a
+    100 TB fact table absorbing daily appends."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit(_O7_CUT).cast("timestamp")
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        ).limit(_O7_K)
+
+    summary = topk(orders.filter(F.col("o_orderdate") < cut))
+    batch = orders.filter(F.col("o_orderdate") >= cut)
+    maintained = topk(summary.unionByName(batch))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return maintained.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
