@@ -20,6 +20,7 @@ _R11_NEW = [
     "u22_merge_schema_evolution",
     "st17_stream_quantile_sketch",
     "o7_incremental_topk",
+    "dq3_mad_outliers",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

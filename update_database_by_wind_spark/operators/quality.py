@@ -133,3 +133,141 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- DQ3: robust outlier profile (median / MAD, exact integer arithmetic) ------
+
+_DQ3_MULT = 5
+
+_DQ3_ORACLE = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+med AS (
+  SELECT event_type, cents AS median_cents, n
+  FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT c.event_type, ABS(c.cents - m.median_cents) AS d
+  FROM c JOIN med m ON m.event_type = c.event_type
+),
+dranked AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d AS mad_cents
+  FROM dranked WHERE rn = (n + 1) // 2
+),
+flagged AS (
+  SELECT c.event_type,
+         CASE WHEN ABS(c.cents - m.median_cents)
+                   > {_DQ3_MULT} * x.mad_cents
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM c
+  JOIN med m ON m.event_type = c.event_type
+  JOIN mad x ON x.event_type = c.event_type
+)
+SELECT f.event_type,
+       CAST(m.n AS BIGINT) AS n,
+       m.median_cents,
+       x.mad_cents,
+       CAST(SUM(f.is_outlier) AS BIGINT) AS n_outliers,
+       CAST(SUM(f.is_outlier) * 1000000 // m.n AS BIGINT) AS outlier_ppm
+FROM flagged f
+JOIN med m ON m.event_type = f.event_type
+JOIN mad x ON x.event_type = f.event_type
+GROUP BY f.event_type, m.n, m.median_cents, x.mad_cents
+"""
+
+
+@query("dq3_mad_outliers", oracle=_DQ3_ORACLE, tags=("quality", "audit"))
+def dq3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: robust outlier profile per event type — median and MAD
+    (median absolute deviation) computed as EXPLICIT order statistics
+    in integer cents, then every value beyond 5×MAD flagged.  Mean/
+    stddev outlier rules break down exactly when outliers are present
+    (the outliers inflate the very scale they are judged against);
+    median/MAD has a 50% breakdown point and is the standard audit
+    gate for ingest pipelines.
+
+    Exactness discipline: the lower median at integer rank
+    ``(n+1) DIV 2`` — never an interpolating MEDIAN()/percentile
+    builtin, whose float midpoints diverge across engines (the a16
+    lesson); deviations, the 5×MAD threshold and the ppm rate are all
+    integer arithmetic, so every cell hash-matches.
+
+    Scale shape: two rank selections per group (each one windowed
+    pass partitioned by event_type — the group count is small and
+    bounded; a high-cardinality grouping would swap in a16's
+    histogram-CDF rank selection instead, same receipts), one
+    broadcast join of the 4-row profile back onto the scan for
+    flagging, one final map-side-combined aggregation."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("cents")
+    wcnt = Window.partitionBy("event_type")
+    ranked = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select(
+        "event_type", F.col("cents").alias("median_cents"), "n"
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+    )
+    wdrank = Window.partitionBy("event_type").orderBy("d")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wdrank).alias("rn"),
+        F.count("*").over(wcnt).alias("dn"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == F.expr("(dn + 1) DIV 2")
+    ).select("event_type", F.col("d").alias("mad_cents"))
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "is_outlier",
+            (
+                F.abs(F.col("cents") - F.col("median_cents"))
+                > _DQ3_MULT * F.col("mad_cents")
+            ).cast("long"),
+        )
+        .groupBy("event_type", "n", "median_cents", "mad_cents")
+        .agg(F.sum("is_outlier").cast("long").alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 1000000 DIV n")
+            .cast("long")
+            .alias("outlier_ppm"),
+        )
+    )
