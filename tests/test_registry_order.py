@@ -21,6 +21,7 @@ _R11_NEW = [
     "st17_stream_quantile_sketch",
     "o7_incremental_topk",
     "dq3_mad_outliers",
+    "u23_snapshot_restore",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

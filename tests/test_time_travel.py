@@ -499,3 +499,83 @@ def test_snapshot_changes_scans_only_changed_partitions(spark, tmp_path):
     # its manifest-wide IN list CONJOINED with `= b`, which prunes the
     # directory listing to b alone — partition a is never read)
     assert all("= b)" in ln for ln in lines), lines
+
+
+# --- U23 snapshot_restore laws -------------------------------------------------
+
+
+def _seed(spark, base):
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "pk long, m string, val long",
+    )
+    snapshot_commit(v1, base, 1, "m")
+    v2 = spark.createDataFrame(
+        [(2, "b", 99)], "pk long, m string, val long"
+    )
+    snapshot_commit(v2, base, 2, "m", parts=["b"])
+
+
+def test_restore_is_metadata_only_and_exact(spark, tmp_path):
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_restore,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    dirs_before = {e for e in os.listdir(base) if e.startswith("v")}
+    snapshot_restore(base, to_version=1, new_version=3)
+    dirs_after = {e for e in os.listdir(base) if e.startswith("v")}
+    assert dirs_after == dirs_before, "restore must write no data dir"
+    v1 = sorted(map(tuple, snapshot_read(spark, base, 1, "m").collect()))
+    v3 = sorted(map(tuple, snapshot_read(spark, base, 3, "m").collect()))
+    assert v3 == v1
+    # history preserved: the bad version still answers as committed
+    v2 = {r["pk"]: r["val"] for r in snapshot_read(spark, base, 2, "m").collect()}
+    assert v2[2] == 99
+
+
+def test_restore_refuses_expired_target(spark, tmp_path):
+    import pytest as _pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+        snapshot_restore,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    snapshot_expire(base, keep_versions=[2])
+    with _pytest.raises(ValueError, match="nothing to restore"):
+        snapshot_restore(base, to_version=1, new_version=3)
+
+
+def test_restore_refuses_rewriting_history(spark, tmp_path):
+    import pytest as _pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_restore,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    with _pytest.raises(ValueError, match="not newer"):
+        snapshot_restore(base, to_version=1, new_version=2)
+
+
+def test_restore_then_commit_continues_the_chain(spark, tmp_path):
+    """After a restore, normal delta commits continue on top of the
+    restored state — the manifest chain has no special cases."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_restore,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    snapshot_restore(base, to_version=1, new_version=3)
+    v4 = spark.createDataFrame(
+        [(3, "c", 77)], "pk long, m string, val long"
+    )
+    snapshot_commit(v4, base, 4, "m", parts=["c"])
+    got = {r["pk"]: r["val"] for r in snapshot_read(spark, base, 4, "m").collect()}
+    assert got == {1: 10, 2: 20, 3: 77}  # b back at 20 (restored), c updated

@@ -3025,3 +3025,179 @@ def u22_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("price", "total_price"),
     )
+
+
+# --- U23: snapshot RESTORE (metadata-only rollback commit) ---------------------
+
+
+def snapshot_restore(base: str, to_version: int, new_version: int) -> dict:
+    """Roll the table back to ``to_version`` by committing
+    ``new_version`` whose manifest is a verbatim copy of the restore
+    target's — the Delta ``RESTORE TABLE ... TO VERSION`` contract:
+    rollback is a NEW commit (history stays intact, the bad version
+    remains auditable/time-travelable), and it is METADATA-ONLY (the
+    restored manifest re-points partitions at data directories that
+    already exist; zero data bytes move, so restoring a 100 TB table
+    costs one manifest write).
+
+    Guards mirror :func:`snapshot_commit`'s: the restore target's
+    manifest must exist (an expired version cannot be restored — its
+    shared files may be gone), and ``new_version`` must be strictly
+    newer than the max committed version (re-committing history is
+    refused for the same corruption reasons).  Returns the restored
+    manifest mapping."""
+    import json as _json
+    import os
+    import re
+
+    from update_database_by_wind_spark.functions.fsutil import (
+        atomic_write_json,
+    )
+
+    src = os.path.join(base, f"_manifest_v{to_version}.json")
+    if not os.path.exists(src):
+        raise ValueError(
+            f"snapshot_restore: version {to_version} has no manifest "
+            "(expired or never committed) — nothing to restore to"
+        )
+    existing = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    ]
+    if new_version <= max(existing):
+        raise ValueError(
+            f"snapshot_restore: new version {new_version} is not newer "
+            f"than the max committed version v{max(existing)}"
+        )
+    with open(src) as fh:
+        manifest = _json.load(fh)
+    atomic_write_json(
+        os.path.join(base, f"_manifest_v{new_version}.json"), manifest
+    )
+    return manifest
+
+
+_U23_ORACLE = """
+WITH v1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 3 = 0
+              THEN 0 ELSE cents END AS cents
+  FROM v1
+),
+a1 AS (SELECT o_month, COUNT(*) AS n, SUM(cents) AS s FROM v1 GROUP BY 1),
+a2 AS (SELECT o_month, COUNT(*) AS n, SUM(cents) AS s FROM v2 GROUP BY 1)
+SELECT a1.o_month,
+       CAST(a2.n AS BIGINT) AS n_v2,
+       CAST(a2.s AS BIGINT) AS cents_v2,
+       CAST(a1.n AS BIGINT) AS n_restored,
+       CAST(a1.s AS BIGINT) AS cents_restored,
+       a1.s <> a2.s AS reverted
+FROM a1 JOIN a2 ON a1.o_month = a2.o_month
+"""
+
+
+@query("u23_snapshot_restore", oracle=_U23_ORACLE, tags=("update", "layout"))
+def u23_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U23: the "undo the bad batch" primitive over u15's snapshot
+    store — v1 is the good ledger, v2 lands a corrupted correction
+    (zeroed amounts across the 1997+ months), v3 RESTORES v1 via
+    :func:`snapshot_restore`.  Month by month the output proves the
+    restored head answers exactly as v1 (``n_restored`` /
+    ``cents_restored`` hash-check against the logical v1 recompute)
+    while v2's corruption stays visible in history
+    (``reverted`` = the months whose totals the restore undid).
+
+    Two structural receipts raise in-query: the restore commit must
+    create NO data directory (metadata-only — ``v3/`` must not
+    exist), and the bad version must remain readable after the
+    restore (history preserved, the audit requirement) with its
+    corrupted total intact.
+
+    Why it matters at 100 TB: a full-table rewrite rollback costs a
+    full-table write; a manifest re-point costs one JSON file.  The
+    restore inherits u15's sharing semantics — v3 references v1's
+    and v2's directories exactly as v1's manifest did, and expiry
+    keeps every directory a retained manifest references."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_restore_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    bad_months = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1997-01"
+    ]
+    corrupted = snap.filter(F.col("o_month").isin(bad_months)).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(0)).otherwise(
+            F.col("cents")
+        ),
+    )
+    snapshot_commit(corrupted, base, 2, "o_month", parts=bad_months)
+    snapshot_restore(base, to_version=1, new_version=3)
+    if os.path.exists(os.path.join(base, "v3")):
+        raise ValueError(
+            "u23_snapshot_restore: restore wrote a data directory — "
+            "rollback must be metadata-only"
+        )
+
+    def agg(df: DataFrame, sfx: str) -> DataFrame:
+        return df.groupBy("o_month").agg(
+            F.count("*").alias(f"n_{sfx}"),
+            F.sum("cents").alias(f"cents_{sfx}"),
+        )
+
+    # history must survive the restore: v2 stays readable, corruption
+    # intact (zeroing strictly lowers the corrupted months' totals)
+    v2 = agg(snapshot_read(spark, base, 2, "o_month"), "v2")
+    restored = agg(snapshot_read(spark, base, 3, "o_month"), "restored")
+    out = v2.join(restored, "o_month").select(
+        "o_month",
+        "n_v2",
+        "cents_v2",
+        "n_restored",
+        "cents_restored",
+        (F.col("cents_restored") != F.col("cents_v2")).alias("reverted"),
+    )
+    n_reverted = out.filter("reverted").count()
+    # expectation derived from the data, not assumed: a sparse tail
+    # month inside the bad range may hold no %3 key at all (seen at
+    # sf0.01: 55 of 56 months), and zeroing an already-zero amount
+    # reverts nothing
+    expected = (
+        snap.filter(
+            F.col("o_month").isin(bad_months)
+            & (F.col("o_orderkey") % 3 == 0)
+            & (F.col("cents") != 0)
+        )
+        .select("o_month")
+        .distinct()
+        .count()
+    )
+    if n_reverted != expected:
+        raise ValueError(
+            f"u23_snapshot_restore: expected {expected} reverted "
+            f"months, saw {n_reverted} — restore did not undo the bad "
+            "batch (or undid too much)"
+        )
+    return out
