@@ -22,6 +22,7 @@ _R11_NEW = [
     "o7_incremental_topk",
     "dq3_mad_outliers",
     "u23_snapshot_restore",
+    "e3_touch_attribution",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

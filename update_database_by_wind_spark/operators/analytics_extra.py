@@ -621,3 +621,163 @@ def w9_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("streak_len").alias("longest_streak"),
     )
+
+
+# --- E3: multi-touch attribution (exact integer credit conservation) -----------
+
+_E3_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+           AS credit_total
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+attributed AS (
+  SELECT p.p_id, p.credit_total, t.t_id, t.event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC
+         ) AS idx,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL 60 MINUTE
+   AND t.t_ts < p.p_ts
+),
+credited AS (
+  SELECT event_type, p_id,
+         credit_total // n
+           + CASE WHEN idx <= credit_total % n THEN 1 ELSE 0 END
+           AS credit
+  FROM attributed
+),
+direct AS (
+  SELECT p.p_id, p.credit_total
+  FROM purchases p
+  WHERE NOT EXISTS (SELECT 1 FROM attributed a WHERE a.p_id = p.p_id)
+),
+rolled AS (
+  SELECT event_type AS channel,
+         COUNT(*) AS n_touches,
+         COUNT(DISTINCT p_id) AS n_purchases,
+         SUM(credit) AS credit_micro
+  FROM credited GROUP BY event_type
+  UNION ALL
+  SELECT 'direct', COUNT(*), COUNT(*), COALESCE(SUM(credit_total), 0)
+  FROM direct
+)
+SELECT channel,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(credit_micro AS BIGINT) AS credit_micro,
+       (SELECT SUM(credit_micro) FROM rolled)
+         = (SELECT SUM(credit_total) FROM purchases) AS conserved
+FROM rolled
+"""
+
+
+@query("e3_touch_attribution", oracle=_E3_ORACLE, tags=("analytics", "events"))
+def e3_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: linear multi-touch attribution — every purchase's value is
+    split equally across the user's view/click touches in the
+    preceding 60 minutes; purchases with no touch window credit a
+    'direct' channel.  The third events-family analytic next to e1's
+    funnel and e2's concurrency, and the revenue-facing shape every
+    marketing warehouse maintains.
+
+    Exactness discipline: credit is split in integer micro-units
+    (cents × 10000) with the remainder assigned to the FIRST
+    ``credit_total mod n`` touches in deterministic recency order
+    (ts desc, event_id desc) — float division would both drift across
+    engines and leak value.  The ``conserved`` receipt proves the
+    invariant that makes attribution auditable: summed credits across
+    all channels (including direct) equal summed purchase value to
+    the micro-unit, exactly.
+
+    Scale shape: the touch join is an equi-join on user_id with a
+    range predicate — shuffle-partitioned by user, never all-pairs;
+    per-purchase window functions run inside the user partition; the
+    rollup is map-side combinable.  The direct leg is an anti-join on
+    the purchase id."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            * 10000
+        ).alias("credit_total"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    attributed = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (
+            touches["t_ts"]
+            >= purchases["p_ts"] - F.expr("INTERVAL 60 MINUTE")
+        )
+        & (touches["t_ts"] < purchases["p_ts"]),
+    ).select("p_id", "credit_total", "t_id", "t_ts", "event_type")
+    wp = Window.partitionBy("p_id")
+    attributed = attributed.select(
+        "p_id",
+        "credit_total",
+        "event_type",
+        F.row_number()
+        .over(wp.orderBy(F.col("t_ts").desc(), F.col("t_id").desc()))
+        .alias("idx"),
+        F.count("*").over(wp).alias("n"),
+    )
+    credited = attributed.select(
+        "event_type",
+        "p_id",
+        (
+            F.expr("credit_total DIV n")
+            + F.when(
+                F.col("idx") <= F.col("credit_total") % F.col("n"), 1
+            ).otherwise(0)
+        ).alias("credit"),
+    )
+    direct = purchases.join(
+        attributed.select("p_id").distinct(), "p_id", "left_anti"
+    )
+    rolled = credited.groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.countDistinct("p_id").cast("long").alias("n_purchases"),
+        F.sum("credit").cast("long").alias("credit_micro"),
+    ).unionByName(
+        direct.agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.count("*").cast("long").alias("n_purchases"),
+            F.coalesce(F.sum("credit_total"), F.lit(0))
+            .cast("long")
+            .alias("credit_micro"),
+        ).select(F.lit("direct").alias("channel"), "n_touches", "n_purchases", "credit_micro")
+    )
+    total_in = purchases.agg(
+        F.sum("credit_total").cast("long").alias("t_in")
+    )
+    total_out = rolled.agg(F.sum("credit_micro").cast("long").alias("t_out"))
+    return rolled.crossJoin(F.broadcast(total_in)).crossJoin(
+        F.broadcast(total_out)
+    ).select(
+        "channel",
+        "n_touches",
+        "n_purchases",
+        "credit_micro",
+        (F.col("t_out") == F.col("t_in")).alias("conserved"),
+    )
