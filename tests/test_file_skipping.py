@@ -148,6 +148,20 @@ def test_band_edges_pruned_equals_full_scan(spark, clustered, make_band):
         assert n_kept == n_total
 
 
+def test_inverted_band_reads_nothing_even_unclustered(spark, shuffled):
+    """Review finding (r11): an inverted band (lo > hi) must keep ZERO
+    files on ANY layout.  Without the explicit lo <= hi short-circuit,
+    the interval test `vmin <= hi AND vmax >= lo` selects any file
+    spanning [hi, lo] — on this hash-shuffled layout every file spans
+    the domain, so the old code would read the whole table to return
+    zero rows."""
+    base, index = shuffled
+    lo, hi = _domain(index)
+    df, n_kept, n_total = skipping_read(spark, index, hi, lo)
+    assert n_kept == 0
+    assert df.count() == 0
+
+
 def test_empty_index_raises(spark, tmp_path):
     """Advisor edge case: an index over a dir with no parquet files
     must fail loudly at plan time, not IndexError in the empty-band

@@ -1172,8 +1172,10 @@ def a16b_grouped_quantile_sketch(
 # uniformizer ((k % P) * A_j) % P, reduced mod P BETWEEN the multiply
 # and the small width modulus (the round-6 lesson: without the middle
 # reduction, (k * A) % W is a bijection of k's low bits and the three
-# "independent" rows collapse into one).  All operands stay < 2^51 so
-# the arithmetic replays exactly in any engine with 64-bit integers.
+# "independent" rows collapse into one).  The max intermediate,
+# (P-1)·max(A) ≈ 3.27e15 < 2^52, stays under both the int64 range and
+# the 2^53 double mantissa, so the arithmetic replays exactly in any
+# engine with 64-bit (or exact-double) integers.
 _CMS_P = 1_000_003
 _CMS_W = 64
 _CMS_A = (2654435761, 2246822519, 3266489917)
@@ -1268,13 +1270,17 @@ def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
 
-    def buckets(df: DataFrame) -> DataFrame:
-        arr = F.array(
+    def bucket_arr(key: str):
+        """ONE statement of the d-row hash on the DataFrame side (its
+        SQL twin is _cms_bucket_sql) — the probe leg reuses it so the
+        estimate can never probe a different hash than the counters
+        were built with."""
+        return F.array(
             *[
                 F.struct(
                     F.lit(j).alias("j"),
                     (
-                        ((F.col("user_id") % _CMS_P) * _CMS_A[j])
+                        ((F.col(key) % _CMS_P) * _CMS_A[j])
                         % _CMS_P
                         % _CMS_W
                     ).alias("b"),
@@ -1282,10 +1288,10 @@ def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(3)
             ]
         )
-        return df.select("event_id", F.explode(arr).alias("jb")).select(
-            "event_id", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
-        )
-    bk = buckets(ev)
+
+    bk = ev.select("event_id", F.explode(bucket_arr("user_id")).alias("jb")).select(
+        "event_id", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+    )
     counters = bk.groupBy("j", "b").agg(F.count("*").alias("c"))
     resum = (
         bk.withColumn("sh", F.col("event_id") % 2)
@@ -1317,21 +1323,7 @@ def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "exact_cnt",
         "rn",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            ((F.col("k") % _CMS_P) * _CMS_A[j])
-                            % _CMS_P
-                            % _CMS_W
-                        ).alias("b"),
-                    )
-                    for j in range(3)
-                ]
-            )
-        ).alias("jb"),
+        F.explode(bucket_arr("k")).alias("jb"),
     ).select("k", "exact_cnt", "rn", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
     est = (
         pb.join(F.broadcast(counters), ["j", "b"])

@@ -750,8 +750,11 @@ def e3_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("credit"),
     )
+    # no distinct on the anti-join's right side: duplicate keys are
+    # irrelevant to left_anti semantics and the dedup would cost an
+    # extra aggregation exchange (review finding, r11)
     direct = purchases.join(
-        attributed.select("p_id").distinct(), "p_id", "left_anti"
+        attributed.select("p_id"), "p_id", "left_anti"
     )
     rolled = credited.groupBy(
         F.col("event_type").alias("channel")

@@ -357,7 +357,12 @@ def skipping_read(
     can assert the skipping actually skipped.  The index collect is
     metadata-sized (file count)."""
     files = [
-        (r["file"], r["vmin"] <= hi and r["vmax"] >= lo)
+        # lo > hi is a contradictory band: keep nothing.  Without the
+        # explicit check, the interval test selects any file spanning
+        # [hi, lo] — on a non-clustered layout (every file spans the
+        # domain) an inverted band would read the whole table to
+        # return zero rows
+        (r["file"], lo <= hi and r["vmin"] <= hi and r["vmax"] >= lo)
         for r in index.collect()
     ]
     if not files:
