@@ -496,3 +496,20 @@ def test_mor_read_anti_join_is_broadcast(spark, tmp_path):
     assert len(bhj) == 1, plan
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_o7_both_topk_legs_are_take_ordered(spark, sf_oracle):
+    """O7's claim is that neither the summary leg nor the maintained
+    leg materializes a global sort — both must plan as
+    TakeOrderedAndProject, and no Sort+Exchange pair may appear."""
+    plan = formatted_plan(REGISTRY["o7_incremental_topk"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_a17_counter_join_broadcasts(spark, sf_oracle):
+    """A17's probe-side estimate joins the ≤192-row counter table —
+    that join must broadcast (a shuffle there would defeat the point
+    of a sketch)."""
+    plan = formatted_plan(REGISTRY["a17_countmin_sketch"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
