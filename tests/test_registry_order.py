@@ -23,6 +23,7 @@ _R11_NEW = [
     "dq3_mad_outliers",
     "u23_snapshot_restore",
     "e3_touch_attribution",
+    "s14_stats_only_count",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

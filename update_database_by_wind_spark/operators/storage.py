@@ -444,3 +444,100 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+# --- S14: metadata-only band counts from the stats index -----------------------
+
+_S14_ORACLE = """
+WITH dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT 1 AS band_id, mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+  FROM dom
+  UNION ALL SELECT 2, mn, mx FROM dom
+  UNION ALL SELECT 3, mx + 1, mx + 10 FROM dom
+)
+SELECT CAST(b.band_id AS INTEGER) AS band_id,
+       CAST(b.lo AS BIGINT) AS lo,
+       CAST(b.hi AS BIGINT) AS hi,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey BETWEEN b.lo AND b.hi) AS BIGINT) AS n_rows
+FROM b
+"""
+
+
+@query("s14_stats_only_count", oracle=_S14_ORACLE, tags=("source", "layout"))
+def s14_stats_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: answer band COUNT(*) queries from the footer-stats index,
+    scanning only boundary files — s13's companion and the trick
+    behind "SELECT COUNT(*) ... WHERE key BETWEEN" returning in
+    milliseconds on lakehouse tables: a file whose [vmin, vmax] lies
+    ENTIRELY inside the band contributes its exact ``n_rows`` from
+    metadata (zero bytes read); only files straddling a band edge are
+    scanned and filtered; disjoint files are skipped outright.
+
+    Three bands over a custkey-range-clustered write exercise every
+    class: a quarter-width interior band (mixed full/partial/skipped),
+    the full domain (every file answered from metadata — the in-query
+    receipt raises if ANY file gets scanned), and an empty band above
+    the domain (zero everything).  Band bounds are integer arithmetic
+    on the domain min/max, replayed identically by the oracle, and
+    the hash-checked ``n_rows`` prove metadata counts + boundary
+    scans lose and invent nothing.
+
+    At 100 TB the classification loop is the same metadata-sized
+    index probe s13 documents; the scanned set is bounded by the
+    band's boundary files — O(1) files for a clustered layout,
+    independent of table size."""
+    import hashlib
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_statcnt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders.repartitionByRange(16, "o_custkey").write.parquet(base)
+    index = build_file_stats_index(spark, base, "o_custkey")
+    stats = [
+        (r["file"], r["vmin"], r["vmax"], r["n_rows"])
+        for r in index.collect()
+    ]
+    mn = min(s[1] for s in stats)
+    mx = max(s[2] for s in stats)
+    span = mx - mn
+    bands = [
+        (1, mn + span // 4, mn + span // 2),
+        (2, mn, mx),
+        (3, mx + 1, mx + 10),
+    ]
+    rows = []
+    for band_id, lo, hi, in bands:
+        full = [s for s in stats if lo <= s[1] and s[2] <= hi]
+        partial = [
+            s
+            for s in stats
+            if s[1] <= hi and s[2] >= lo and not (lo <= s[1] and s[2] <= hi)
+        ]
+        n = sum(s[3] for s in full)
+        if partial:
+            n += (
+                spark.read.parquet(*[s[0] for s in partial])
+                .filter(F.col("o_custkey").between(lo, hi))
+                .count()
+            )
+        if band_id == 2:
+            if partial or len(full) != len(stats):
+                raise ValueError(
+                    "s14_stats_only_count: the full-domain band must be "
+                    "answered entirely from metadata "
+                    f"(full={len(full)}, partial={len(partial)}, "
+                    f"files={len(stats)})"
+                )
+        if band_id == 3 and (full or partial or n != 0):
+            raise ValueError(
+                "s14_stats_only_count: the above-domain band must touch "
+                "no file and count zero rows"
+            )
+        rows.append((band_id, lo, hi, n))
+    return spark.createDataFrame(
+        rows, "band_id int, lo long, hi long, n_rows long"
+    )
