@@ -550,3 +550,122 @@ def test_seq_unaware_family_refuses_seq_tables(spark, tmp_path):
             ),
             "m", "pk", ["val"], seq=1,
         )
+
+
+def test_mor_delete_seq_interleaves_with_cdc(spark, tmp_path):
+    """U24 law: a predicate delete stamped with its own sequence
+    composes with CDC batches under the one strictly-greater kill
+    rule — a later I resurrects an erased key, and compaction folds
+    erasure vectors and CDC tombstones alike."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_delete_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10, 0), (2, "a", 20, 0), (3, "b", 30, 0)],
+        "pk long, m string, val long, __seq long",
+    ).repartition(F.col("m")).write.partitionBy("m").parquet(path)
+
+    def live():
+        return sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read_seq(spark, path, "m", "pk").collect()
+        )
+
+    # seq 1: CDC upsert of pk 2
+    mor_cdc_apply(
+        spark, path,
+        spark.createDataFrame(
+            [("U", "a", 2, 21)], "op string, m string, pk long, val long"
+        ),
+        "m", "pk", ["val"], seq=1,
+    )
+    # seq 2: predicate-erase the odd keys (cross-partition)
+    assert mor_delete_seq(
+        spark, path, F.col("pk") % 2 == 1, "m", "pk", seq=2
+    ) == 2
+    assert live() == [(2, "a", 21)]
+    # repeat call: live view re-evaluation -> nothing matches, no growth
+    assert mor_delete_seq(
+        spark, path, F.col("pk") % 2 == 1, "m", "pk", seq=2
+    ) == 0
+    # seq 3: CDC re-insert of erased pk 1 -> outlives the seq-2 vector
+    mor_cdc_apply(
+        spark, path,
+        spark.createDataFrame(
+            [("I", "a", 1, 11)], "op string, m string, pk long, val long"
+        ),
+        "m", "pk", ["val"], seq=3,
+    )
+    assert live() == [(1, "a", 11), (2, "a", 21)]
+    # compaction folds erasure + CDC vectors together
+    mor_compact_seq(spark, path, "m", "pk")
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
+    assert sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    ) == [(1, "a", 11), (2, "a", 21)]
+
+
+def test_mor_delete_seq_refuses_stale_sequence_and_plain_tables(
+    spark, tmp_path
+):
+    """A delete stamp that is not strictly larger than every matched
+    live image's __seq would write vectors that kill nothing (the >
+    rule) — refusal, not a silent no-op; and the plain/seq family
+    boundary holds both ways."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_delete_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10, 0)], "pk long, m string, val long, __seq long"
+    ).write.partitionBy("m").parquet(path)
+    mor_cdc_apply(
+        spark, path,
+        spark.createDataFrame(
+            [("U", "a", 1, 11)], "op string, m string, pk long, val long"
+        ),
+        "m", "pk", ["val"], seq=5,
+    )
+    with pytest.raises(ValueError, match="strictly larger"):
+        mor_delete_seq(spark, path, F.col("pk") == 1, "m", "pk", seq=5)
+    # nothing was written by the refused call
+    assert sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in mor_read_seq(spark, path, "m", "pk").collect()
+    ) == [(1, "a", 11)]
+    # an adequate stamp succeeds
+    assert mor_delete_seq(
+        spark, path, F.col("pk") == 1, "m", "pk", seq=6
+    ) == 1
+    assert mor_read_seq(spark, path, "m", "pk").count() == 0
+    # zero-match predicates return 0 regardless of stamp
+    assert mor_delete_seq(
+        spark, path, F.col("pk") == 99, "m", "pk", seq=0
+    ) == 0
+    # NULL-evaluating predicates retain the row (SQL DELETE semantics)
+    path2 = str(tmp_path / "n")
+    spark.createDataFrame(
+        [(1, "a", None, 0), (2, "a", 20, 0)],
+        "pk long, m string, val long, __seq long",
+    ).write.partitionBy("m").parquet(path2)
+    assert mor_delete_seq(
+        spark, path2, F.col("val") > 5, "m", "pk", seq=1
+    ) == 1
+    assert sorted(
+        r["pk"] for r in mor_read_seq(spark, path2, "m", "pk").collect()
+    ) == [1]
+    # plain table -> refusal pointing at mor_delete
+    plain = str(tmp_path / "p")
+    spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")\
+        .write.partitionBy("m").parquet(plain)
+    with pytest.raises(ValueError, match="use mor_delete"):
+        mor_delete_seq(spark, plain, F.col("pk") == 1, "m", "pk", seq=1)

@@ -24,6 +24,7 @@ _R11_NEW = [
     "u23_snapshot_restore",
     "e3_touch_attribution",
     "s14_stats_only_count",
+    "u24_mor_seq_erasure",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash
