@@ -25,6 +25,7 @@ _R11_NEW = [
     "e3_touch_attribution",
     "s14_stats_only_count",
     "u24_mor_seq_erasure",
+    "a18_hll_sketch",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

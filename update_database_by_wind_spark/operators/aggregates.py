@@ -1342,3 +1342,202 @@ def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# --- A18: HyperLogLog sketch (portable integer registers) ----------------------
+
+# A single multiplicative hash mod P maps consecutive keys to an
+# arithmetic progression mod P — equidistributed (fine for BUCKETING,
+# which the CMS/KMV family uses) but far too regular for a
+# max-leading-zeros statistic: measured on consecutive custkeys it
+# biased the estimate +93%.  Composing two multiplies is still one
+# multiply (A1*A2 mod P), so the nonlinearity comes from XOR-mixing
+# two independent multiplicative hashes, then one xorshift fold —
+# both exactly expressible in Spark (bitwiseXOR/DIV) and DuckDB
+# (xor()/'//').  The big prime sits BETWEEN the multiply and every
+# small modulus (low-bits degeneracy pitfall), and the field split is
+# low 6 bits -> register index, remaining 25-bit word -> rank.
+# Measured bias on consecutive keys at n = 150..1.5M: within ±21%
+# (sigma for m=64 registers is 1.04/8 ~ 13%).
+_HLL_P = 2147483647
+_HLL_A1 = 2654435761
+_HLL_A2 = 2246822519
+_HLL_M = 64
+_HLL_B = 25
+
+
+def _hll_mix_sql(key: str) -> str:
+    h1 = f"((({key} % {_HLL_P}) * {_HLL_A1}) % {_HLL_P})"
+    h2 = f"((({key} % {_HLL_P}) * {_HLL_A2}) % {_HLL_P})"
+    return f"xor({h1}, {h2})"
+
+
+_A18_ORACLE = f"""
+WITH k AS (SELECT o_orderkey, o_custkey AS k FROM orders),
+hx AS (SELECT o_orderkey, {_hll_mix_sql('k')} AS hx FROM k),
+h AS (SELECT o_orderkey, xor(hx, hx // 8192) AS h FROM hx),
+rb AS (SELECT o_orderkey, h % {_HLL_M} AS b, h // {_HLL_M} AS w FROM h),
+rr AS (
+  SELECT o_orderkey, b,
+         CASE WHEN w = 0 THEN {_HLL_B + 1}
+              ELSE {_HLL_B} + 1 - LENGTH(BIN(w)) END AS rho
+  FROM rb
+),
+regs AS (SELECT b, MAX(rho) AS register FROM rr GROUP BY b),
+spine AS (SELECT CAST(range AS BIGINT) AS b FROM range({_HLL_M})),
+full_regs AS (
+  SELECT s.b, COALESCE(r.register, 0) AS register
+  FROM spine s LEFT JOIN regs r ON s.b = r.b
+),
+sharded AS (
+  SELECT o_orderkey % 2 AS sh, b, MAX(rho) AS register
+  FROM rr GROUP BY sh, b
+),
+merged AS (SELECT b, MAX(register) AS register FROM sharded GROUP BY b),
+mrg AS (
+  SELECT (COUNT(*) = SUM(CASE WHEN m.register = r.register
+                              THEN 1 ELSE 0 END)) AS merge_ok
+  FROM regs r JOIN merged m USING (b)
+),
+s AS (
+  SELECT CAST(SUM(1 << ({_HLL_B + 1} - register)) AS BIGINT) AS s_scaled
+  FROM full_regs
+),
+ex AS (SELECT COUNT(DISTINCT k) AS exact_distinct FROM k),
+est AS (
+  -- DECIMAL-literal trap: DuckDB types 0.709 / 134217728.0 as DECIMAL,
+  -- so every float operand is CAST AS DOUBLE to replay Spark's two
+  -- IEEE ops (int-exact division, then one multiply) bit-for-bit
+  SELECT s_scaled,
+         CAST(0.709 AS DOUBLE)
+           * (CAST({_HLL_M * _HLL_M * 2 ** (_HLL_B + 1)} AS DOUBLE)
+                / s_scaled) AS hll_est
+  FROM s
+)
+SELECT f.b, CAST(f.register AS BIGINT) AS register,
+       ex.exact_distinct, est.s_scaled, est.hll_est,
+       (ABS(est.hll_est - ex.exact_distinct) * CAST(100 AS DOUBLE)
+          <= CAST(30 AS DOUBLE) * ex.exact_distinct) AS within_30pct,
+       mrg.merge_ok
+FROM full_regs f, ex, est, mrg
+ORDER BY f.b
+"""
+
+
+@query("a18_hll_sketch", oracle=_A18_ORACLE, tags=("agg", "sketch", "approx"))
+def a18_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: HyperLogLog — the canonical distributed-cardinality sketch,
+    completing the mergeable-sketch family (a14 KMV cardinality, a15
+    Misra-Gries heavy hitters, a16 quantiles, a17 count-min
+    frequencies).  a3 already exposes Spark's built-in
+    approx_count_distinct (itself HLL++); this is the PORTABLE
+    re-derivation whose 64 registers replay cell-exactly in the
+    oracle, so the driver hash-checks the sketch state itself, not
+    just a tolerance band.
+
+    Portability (every known parity trap dodged by construction):
+
+    * the rank input is the XOR-mix of two independent multiplicative
+      hashes plus one xorshift fold (a single multiplicative hash maps
+      consecutive keys to an arithmetic progression — measured +93%
+      bias on the max-leading-zeros statistic; see the constants'
+      comment), each reduced mod the big prime BETWEEN the multiply
+      and the small modulus (low-bits pitfall), then split — low
+      6 bits select the register, the remaining 25-bit word feeds the
+      rank;
+    * rank rho = leading zeros + 1, computed as
+      ``B + 1 - LENGTH(BIN(w))`` — ``bin()`` is the shortest binary
+      string in BOTH engines, so no log2/libm call anywhere;
+    * the harmonic denominator is the EXACT integer
+      ``S = SUM(2^(26 - register))`` (max 64 * 2^26, no rounding, no
+      float-sum order dependence across partitions);
+    * the estimate alpha_64 * m^2 * 2^26 / S is two IEEE ops on
+      identical operands (one division of exact integers, one multiply
+      by the same 0.709 literal) — correctly rounded in both engines.
+
+    In-row receipts: ``merge_ok`` rebuilds the registers from two
+    row-level shards and proves bucketwise-MAX merge equals the
+    from-scratch sketch (HLL merge IS register max — every executor
+    sketches its partition, the driver folds 64 longs); and
+    ``within_30pct`` records whether the estimate landed inside 2.3
+    standard errors (1.04/sqrt(64) ≈ 13%) of the exact count.  The
+    ``exact_distinct`` column is the fixture-scale audit leg — at
+    100 TB only the 64-long register state and the estimate survive;
+    duplicates never shuffle at all (the register build map-side
+    combines into at most 64 groups per row of the d=1 sketch).
+    """
+    k = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    h = k.withColumn(
+        "hx",
+        (((F.col("k") % _HLL_P) * _HLL_A1) % _HLL_P).bitwiseXOR(
+            ((F.col("k") % _HLL_P) * _HLL_A2) % _HLL_P
+        ),
+    ).withColumn(
+        "h", F.col("hx").bitwiseXOR(F.expr("hx DIV 8192"))
+    )
+    rr = h.select(
+        "o_orderkey",
+        (F.col("h") % _HLL_M).alias("b"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_HLL_B + 1)).otherwise(
+            F.lit(_HLL_B + 1) - F.length(F.bin("w"))
+        ),
+    )
+    regs = rr.groupBy("b").agg(F.max("rho").alias("register"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("b"))
+    full_regs = spine.join(regs, "b", "left").select(
+        "b", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    merged = (
+        rr.withColumn("sh", F.col("o_orderkey") % 2)
+        .groupBy("sh", "b")
+        .agg(F.max("rho").alias("register"))
+        .groupBy("b")
+        .agg(F.max("register").alias("register2"))
+    )
+    mrg = regs.join(merged, "b").agg(
+        (
+            F.count("*")
+            == F.sum(
+                F.when(F.col("register") == F.col("register2"), 1).otherwise(0)
+            )
+        ).alias("merge_ok")
+    )
+    s = full_regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_B + 1} - register)"))
+        .cast("long")
+        .alias("s_scaled")
+    )
+    ex = k.agg(F.countDistinct("k").alias("exact_distinct"))
+    est = s.select(
+        "s_scaled",
+        (
+            F.lit(0.709)
+            * (
+                F.lit(float(_HLL_M * _HLL_M * 2 ** (_HLL_B + 1)))
+                / F.col("s_scaled")
+            )
+        ).alias("hll_est"),
+    )
+    return (
+        full_regs.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(mrg))
+        .select(
+            "b",
+            F.col("register").cast("long").alias("register"),
+            "exact_distinct",
+            "s_scaled",
+            "hll_est",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_distinct")) * 100.0
+                <= 30.0 * F.col("exact_distinct")
+            ).alias("within_30pct"),
+            "merge_ok",
+        )
+        .orderBy("b")
+    )
