@@ -26,6 +26,7 @@ _R11_NEW = [
     "s14_stats_only_count",
     "u24_mor_seq_erasure",
     "a18_hll_sketch",
+    "ts_gapfill_interpolate",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

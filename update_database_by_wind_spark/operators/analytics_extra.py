@@ -784,3 +784,152 @@ def e3_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credit_micro",
         (F.col("t_out") == F.col("t_in")).alias("conserved"),
     )
+
+
+# --- TSg: bounded gap-fill with linear interpolation ---------------------------
+
+_GAPFILL_ORACLE = """
+WITH sel AS (
+  SELECT o_custkey,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 211 = 3
+),
+wkagg AS (
+  SELECT o_custkey, wk, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM sel GROUP BY o_custkey, wk
+),
+seq AS (
+  SELECT o_custkey, wk, cents,
+         LEAD(wk) OVER (PARTITION BY o_custkey ORDER BY wk) AS next_wk,
+         LEAD(cents) OVER (PARTITION BY o_custkey ORDER BY wk)
+           AS next_cents
+  FROM wkagg
+),
+gaps AS (
+  SELECT o_custkey, wk, cents, next_cents,
+         CAST((next_wk - wk) // 7 AS BIGINT) AS g
+  FROM seq WHERE next_wk IS NOT NULL
+),
+ks AS (
+  SELECT o_custkey, wk, cents, next_cents, g,
+         UNNEST(generate_series(1, g - 1)) AS k
+  FROM gaps WHERE g BETWEEN 2 AND 26
+),
+interp AS (
+  SELECT o_custkey,
+         wk + CAST(7 * k AS INTEGER) AS wk,
+         CAST(cents
+              + ((next_cents - cents) * k
+                 - ((((next_cents - cents) * k) % g) + g) % g) // g
+              AS BIGINT) AS cents,
+         'interp' AS src
+  FROM ks
+)
+SELECT o_custkey, strftime(wk, '%Y-%m-%d') AS wk, cents,
+       'actual' AS src
+FROM wkagg
+UNION ALL
+SELECT o_custkey, strftime(wk, '%Y-%m-%d') AS wk, cents, src FROM interp
+ORDER BY o_custkey, wk
+"""
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=_GAPFILL_ORACLE,
+    tags=("timeseries", "window"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded gap-fill with LINEAR interpolation — the hypertable
+    rollup primitive (TimescaleDB ``time_bucket_gapfill`` +
+    ``interpolate``) the ts suite was missing: w5 carries the last
+    value forward (locf) and u5 back-fills calendar ROWS with
+    defaults, but nothing synthesized in-between VALUES from both
+    neighbors.  Sparse per-customer weekly revenue series here; any
+    (entity, bucket, value) series works.
+
+    Mechanics: one window pass pairs each weekly point with its
+    successor (lead over the SAME single hash exchange on custkey the
+    whole Wts suite uses), then ``sequence()``+``explode`` emits the
+    k = 1..gap-1 missing buckets — no driver loop, no UDF.  The
+    interpolated value is exact integer arithmetic end to end:
+    ``v0 + floor((v1-v0)*k / g)`` with the floor division built as
+    ``(n - pmod(n, g)) DIV g`` — subtracting the POSITIVE mod makes
+    the numerator exactly divisible, which sidesteps the engines'
+    integer-division split (Spark DIV truncates toward zero, negative
+    deltas would round differently under DuckDB's ``//``).
+
+    The fill horizon is BOUNDED (gaps of 2..26 weeks; longer gaps stay
+    empty): unbounded gap-fill at 100 TB manufactures rows
+    proportional to the calendar, not the data — a dormant-entity
+    table would explode by orders of magnitude.  Bounding k caps the
+    explode factor per input row at the horizon, keeping output
+    O(data), and the window-then-explode plan needs nothing beyond
+    the one exchange."""
+    sel = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 211 == 3)
+        .select(
+            "o_custkey",
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wkagg = sel.groupBy("o_custkey", "wk").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("wk")
+    seq = wkagg.select(
+        "o_custkey",
+        "wk",
+        "cents",
+        F.lead("wk").over(w).alias("next_wk"),
+        F.lead("cents").over(w).alias("next_cents"),
+    )
+    gaps = seq.filter(F.col("next_wk").isNotNull()).select(
+        "o_custkey",
+        "wk",
+        "cents",
+        "next_cents",
+        F.expr("datediff(next_wk, wk) DIV 7").cast("long").alias("g"),
+    )
+    interp = (
+        gaps.filter(F.col("g").between(2, 26))
+        .select(
+            "o_custkey",
+            "wk",
+            "cents",
+            "next_cents",
+            "g",
+            F.explode(F.sequence(F.lit(1), F.col("g") - 1)).alias("k"),
+        )
+        .select(
+            "o_custkey",
+            F.date_add("wk", (7 * F.col("k")).cast("int")).alias("wk"),
+            (
+                F.col("cents")
+                + F.expr(
+                    "(({n}) - pmod(({n}), g)) DIV g".format(
+                        n="(next_cents - cents) * k"
+                    )
+                )
+            ).cast("long").alias("cents"),
+            F.lit("interp").alias("src"),
+        )
+    )
+    actual = wkagg.select(
+        "o_custkey", "wk", "cents", F.lit("actual").alias("src")
+    )
+    return (
+        actual.unionByName(interp)
+        .select(
+            "o_custkey",
+            F.date_format("wk", "yyyy-MM-dd").alias("wk"),
+            "cents",
+            "src",
+        )
+        .orderBy("o_custkey", "wk")
+    )
