@@ -27,6 +27,7 @@ _R11_NEW = [
     "u24_mor_seq_erasure",
     "a18_hll_sketch",
     "ts_gapfill_interpolate",
+    "s15_bucketed_join",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

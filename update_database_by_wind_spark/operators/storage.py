@@ -541,3 +541,105 @@ def s14_stats_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "band_id int, lo long, hi long, n_rows long"
     )
+
+
+# --- S15: bucketed co-located join (shuffle-free, driver-checked) --------------
+
+_S15_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("s15_bucketed_join", oracle=_S15_ORACLE, tags=("source", "layout"))
+def s15_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: the bucketing story as driver-checked evidence, not just a
+    plan test — both join sides written ``bucketBy(8, key) +
+    sortBy(key)`` via ``saveAsTable``, read back, and joined with NO
+    Exchange on either side (asserted in-query on the formatted plan,
+    raise-style, with broadcast disabled so the receipt proves
+    bucketing rather than dim broadcasting).  The at-scale contract:
+    for a join repeated every batch on the same key, pay the shuffle
+    ONCE at write time — each bucket file pair is joinable by a
+    map-side SortMergeJoin forever after, which is what turns a
+    nightly 100 TB fact⋈fact join from a full network transpose into
+    a file-local merge.
+
+    The broadcast-threshold conf is restored before returning; the
+    returned aggregation may therefore re-plan with broadcast when the
+    driver collects it — the VALUES are plan-independent (that is the
+    point of the oracle), the no-shuffle receipt was already enforced
+    on the forced plan above.  Bucket tables are tagged by sf_dir and
+    overwritten per run; the physical dirs are pre-cleaned so a fresh
+    session's catalog never collides with a previous session's
+    warehouse residue."""
+    import hashlib
+    import shutil
+
+    from update_database_by_wind_spark.plans.explain import formatted_plan
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_ord, t_cust = f"s15_orders_{tag}", f"s15_customer_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe_thr = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+    except Exception:
+        old_aqe_thr = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for tbl in (t_ord, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(t_ord)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable(t_cust)
+        )
+        joined = spark.table(t_ord).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = formatted_plan(joined)
+        if "SortMergeJoin" not in plan:
+            raise ValueError(
+                "s15_bucketed_join: expected a SortMergeJoin over the "
+                "bucketed tables"
+            )
+        if "Exchange" in plan:
+            raise ValueError(
+                "s15_bucketed_join: the bucketed join still shuffles — "
+                "co-location broken"
+            )
+        return joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_aqe_thr is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thr
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
