@@ -28,6 +28,7 @@ _R11_NEW = [
     "a18_hll_sketch",
     "ts_gapfill_interpolate",
     "s15_bucketed_join",
+    "w10_event_runs",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

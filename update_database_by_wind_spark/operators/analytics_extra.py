@@ -933,3 +933,101 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "wk")
     )
+
+
+# --- W10: consecutive-value runs (MATCH_RECOGNIZE PATTERN (E{3,}) subset) ------
+
+_W10_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS t_us,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+grp AS (
+  SELECT user_id, event_type, value, t_us,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t_us
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM seq
+),
+runs AS (
+  SELECT user_id, event_type, g,
+         COUNT(*) AS run_len,
+         MIN(t_us) AS start_us,
+         MAX(t_us) AS end_us,
+         {sql_dec_sum('value', 'run_value')}
+  FROM grp GROUP BY user_id, event_type, g
+)
+SELECT user_id, run_len, start_us, end_us, run_value
+FROM runs
+WHERE event_type = 'error' AND run_len >= 3
+ORDER BY user_id, start_us
+"""
+
+
+@query("w10_event_runs", oracle=_W10_ORACLE, tags=("window", "analytics"))
+def w10_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: maximal runs of consecutive equal values in an ordered
+    event stream — the MATCH_RECOGNIZE ``PATTERN (E{3,})`` subset
+    (3-or-more back-to-back errors per user, with span and summed
+    severity), the alerting primitive neither w9 (CALENDAR adjacency
+    of distinct days) nor e1 (ordered but non-adjacent funnel steps)
+    expresses: here intervening events of another type BREAK the run.
+
+    Mechanics — the change-point formulation, chosen over the textbook
+    two-row_number difference because it keeps ONE exchange: lag()
+    flags rows whose type differs from their predecessor, a running
+    SUM over the same (user, ts) order turns the flags into a group
+    id that is constant exactly across each maximal run, and one
+    aggregate per (user, type, group) collapses the runs.  Both
+    windows and the aggregate share the user_id hash partitioning, so
+    Catalyst plans a single data-sized shuffle for any run length or
+    pattern arity — the two-row_number variant would partition the
+    second window by (user, type) and pay a second exchange.
+
+    Ordering ties break on the unique event_id; timestamps travel as
+    integer microseconds (epoch parity) and the severity sum takes
+    the decimal detour.  Runs shorter than the threshold vanish in
+    the final filter — pushed below the aggregate by construction,
+    never materialized."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lag("event_type").over(w_ord).alias("prev_type"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = seq.withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    runs = grp.groupBy("user_id", "event_type", "g").agg(
+        F.count("*").alias("run_len"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        dec_sum("value", "run_value"),
+    )
+    return (
+        runs.filter(
+            (F.col("event_type") == "error") & (F.col("run_len") >= 3)
+        )
+        .select("user_id", "run_len", "start_us", "end_us", "run_value")
+        .orderBy("user_id", "start_us")
+    )
