@@ -29,6 +29,7 @@ _R11_NEW = [
     "ts_gapfill_interpolate",
     "s15_bucketed_join",
     "w10_event_runs",
+    "a19_grouped_hll",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

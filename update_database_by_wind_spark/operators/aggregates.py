@@ -1541,3 +1541,176 @@ def a18_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+# --- A19: grouped HyperLogLog (the partial-aggregate form) ---------------------
+
+_A19_ORACLE = f"""
+WITH k AS (
+  SELECT o_orderkey, o_orderpriority AS grp, o_custkey AS k FROM orders
+),
+hx AS (SELECT o_orderkey, grp, {_hll_mix_sql('k')} AS hx, k FROM k),
+h AS (SELECT o_orderkey, grp, xor(hx, hx // 8192) AS h, k FROM hx),
+rr AS (
+  SELECT o_orderkey, grp, k, h % {_HLL_M} AS b,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_B + 1}
+              ELSE {_HLL_B} + 1 - LENGTH(BIN(h // {_HLL_M})) END AS rho
+  FROM h
+),
+regs AS (SELECT grp, b, MAX(rho) AS register FROM rr GROUP BY grp, b),
+spine AS (
+  SELECT g.grp, CAST(r.range AS BIGINT) AS b
+  FROM (SELECT DISTINCT grp FROM k) g, range({_HLL_M}) r
+),
+full_regs AS (
+  SELECT s.grp, s.b, COALESCE(r.register, 0) AS register
+  FROM spine s LEFT JOIN regs r ON s.grp = r.grp AND s.b = r.b
+),
+sharded AS (
+  SELECT o_orderkey % 2 AS sh, grp, b, MAX(rho) AS register
+  FROM rr GROUP BY sh, grp, b
+),
+merged AS (
+  SELECT grp, b, MAX(register) AS register FROM sharded GROUP BY grp, b
+),
+mrg AS (
+  SELECT (COUNT(*) = SUM(CASE WHEN m.register = r.register
+                              THEN 1 ELSE 0 END)) AS merge_ok
+  FROM regs r JOIN merged m ON r.grp = m.grp AND r.b = m.b
+),
+s AS (
+  SELECT grp,
+         CAST(SUM(1 << ({_HLL_B + 1} - register)) AS BIGINT) AS s_scaled
+  FROM full_regs GROUP BY grp
+),
+ex AS (SELECT grp, COUNT(DISTINCT k) AS exact_distinct FROM k GROUP BY grp),
+est AS (
+  SELECT grp, s_scaled,
+         CAST(0.709 AS DOUBLE)
+           * (CAST({_HLL_M * _HLL_M * 2 ** (_HLL_B + 1)} AS DOUBLE)
+                / s_scaled) AS hll_est
+  FROM s
+)
+SELECT f.grp, f.b, CAST(f.register AS BIGINT) AS register,
+       ex.exact_distinct, est.s_scaled, est.hll_est,
+       (ABS(est.hll_est - ex.exact_distinct) * CAST(100 AS DOUBLE)
+          <= CAST(30 AS DOUBLE) * ex.exact_distinct) AS within_30pct,
+       mrg.merge_ok
+FROM full_regs f
+JOIN ex ON f.grp = ex.grp
+JOIN est ON f.grp = est.grp
+CROSS JOIN mrg
+ORDER BY f.grp, f.b
+"""
+
+
+@query("a19_grouped_hll", oracle=_A19_ORACLE, tags=("agg", "sketch", "approx"))
+def a19_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: per-group HyperLogLog — distinct customers per order
+    priority, the grouped twin of a18 exactly as a16b is to a16.  This
+    is the form that matters operationally: ``COUNT(DISTINCT key)
+    GROUP BY dim`` is the single most shuffle-hostile everyday query
+    at 100 TB (every (dim, key) pair must co-locate), while the sketch
+    form reduces each group to 64 longs.
+
+    Scale shape — the partial-aggregate contract: the register build
+    is ``groupBy(grp, bucket).agg(MAX(rho))``, which map-side combines
+    to at most |groups| * 64 rows per task BEFORE the exchange; the
+    shuffle moves sketch state, never keys.  That is the shape an
+    ``approx_count_distinct`` partial aggregate has inside Spark —
+    re-derived here portably so the oracle hash-checks all
+    |groups| * 64 register cells, the per-group estimates, and the
+    shard-merge receipt (bucketwise MAX within each group).  Hash,
+    rank, scaled harmonic sum, and the two-IEEE-op estimate are
+    exactly a18's (see its docstring for the parity ledger); the
+    ``exact_distinct`` comparison column is the fixture-scale audit
+    leg."""
+    k = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("k"),
+    )
+    rr = (
+        k.withColumn(
+            "hx",
+            (((F.col("k") % _HLL_P) * _HLL_A1) % _HLL_P).bitwiseXOR(
+                ((F.col("k") % _HLL_P) * _HLL_A2) % _HLL_P
+            ),
+        )
+        .withColumn("h", F.col("hx").bitwiseXOR(F.expr("hx DIV 8192")))
+        .select(
+            "o_orderkey",
+            "grp",
+            "k",
+            (F.col("h") % _HLL_M).alias("b"),
+            F.expr(f"h DIV {_HLL_M}").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(_HLL_B + 1)).otherwise(
+                F.lit(_HLL_B + 1) - F.length(F.bin("w"))
+            ),
+        )
+    )
+    regs = rr.groupBy("grp", "b").agg(F.max("rho").alias("register"))
+    spine = (
+        k.select("grp")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").alias("b")))
+    )
+    full_regs = spine.join(regs, ["grp", "b"], "left").select(
+        "grp", "b", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    merged = (
+        rr.withColumn("sh", F.col("o_orderkey") % 2)
+        .groupBy("sh", "grp", "b")
+        .agg(F.max("rho").alias("register"))
+        .groupBy("grp", "b")
+        .agg(F.max("register").alias("register2"))
+    )
+    mrg = regs.join(merged, ["grp", "b"]).agg(
+        (
+            F.count("*")
+            == F.sum(
+                F.when(
+                    F.col("register") == F.col("register2"), 1
+                ).otherwise(0)
+            )
+        ).alias("merge_ok")
+    )
+    s = full_regs.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_B + 1} - register)"))
+        .cast("long")
+        .alias("s_scaled")
+    )
+    ex = k.groupBy("grp").agg(F.countDistinct("k").alias("exact_distinct"))
+    est = s.select(
+        "grp",
+        "s_scaled",
+        (
+            F.lit(0.709)
+            * (
+                F.lit(float(_HLL_M * _HLL_M * 2 ** (_HLL_B + 1)))
+                / F.col("s_scaled")
+            )
+        ).alias("hll_est"),
+    )
+    return (
+        full_regs.join(F.broadcast(ex), "grp")
+        .join(F.broadcast(est), "grp")
+        .crossJoin(F.broadcast(mrg))
+        .select(
+            "grp",
+            "b",
+            F.col("register").cast("long").alias("register"),
+            "exact_distinct",
+            "s_scaled",
+            "hll_est",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_distinct")) * 100.0
+                <= 30.0 * F.col("exact_distinct")
+            ).alias("within_30pct"),
+            "merge_ok",
+        )
+        .orderBy("grp", "b")
+    )
