@@ -30,6 +30,7 @@ _R11_NEW = [
     "s15_bucketed_join",
     "w10_event_runs",
     "a19_grouped_hll",
+    "u25_partition_evolution",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

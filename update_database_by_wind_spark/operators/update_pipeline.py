@@ -3459,3 +3459,189 @@ def u24_mor_seq_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     p4 = roll(spark.read.parquet(target), "compacted")
     return p1.unionByName(p2).unionByName(p3).unionByName(p4)
+
+
+# --- U25: partition-spec evolution (no-rewrite layout change) ------------------
+
+
+def evolved_read(spark: SparkSession, base: str) -> DataFrame:
+    """Read a table whose manifest lists MULTIPLE partition specs: one
+    DataFrame per spec directory, unioned by name.  Each spec's scan
+    prunes on its OWN partition columns (Spark pushes the same logical
+    filter into both scans; a directory-level column in one spec is an
+    ordinary data column in the other), which is the Iceberg
+    partition-spec-evolution contract: changing the layout must not
+    rewrite history, and readers must keep pruning as well as each
+    layout allows."""
+    import json
+    import os
+
+    with open(os.path.join(base, "manifest.json")) as f:
+        manifest = json.load(f)
+    parts = [
+        spark.read.parquet(os.path.join(base, spec["dir"]))
+        for spec in manifest["specs"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_U25_ORACLE = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'old_month' AS phase, o_orderstatus AS grp,
+       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_month = '1995-06' GROUP BY o_orderstatus
+UNION ALL
+SELECT 'new_month_status' AS phase, o_orderstatus AS grp,
+       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o WHERE o_month = '1997-03' AND o_orderstatus = 'O'
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'full' AS phase, o_orderstatus AS grp,
+       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "u25_partition_evolution", oracle=_U25_ORACLE, tags=("update", "layout")
+)
+def u25_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U25: partition-spec evolution — the table starts partitioned by
+    month (spec A), later writes land partitioned by (month, status)
+    (spec B), and NOTHING is rewritten: the manifest records one
+    directory per spec and :func:`evolved_read` unions the per-spec
+    scans, each pruning on its own layout.  This is the Iceberg
+    partition-evolution contract re-expressed on plain parquet — the
+    alternative (rewrite history into the new layout) costs a full
+    table pass exactly when the table has grown big enough to make the
+    old layout hurt.
+
+    Three hash-checked phases prove the union reads every row exactly
+    once (old-month rollup, new-month + status rollup, full-table
+    rollup by status), and two structural receipts raise in-query on
+    the ACTUAL file lists touched (``input_file_name()`` on the pruned
+    scans, metadata-sized collects):
+
+    * probing an old month touches zero spec-B files and only the
+      matching month directory under spec A;
+    * probing a new month + status touches zero spec-A files and only
+      spec-B files under the matching (month, status) directory — the
+      layout change delivers finer pruning for new data while old
+      data keeps month-level pruning, with no rewrite in between.
+
+    At 100 TB: layout evolution happens (cardinalities drift, new
+    query patterns arrive); the manifest-per-spec design makes it an
+    O(1) metadata operation and confines the cost to slightly coarser
+    pruning on the frozen history."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from update_database_by_wind_spark.functions.fsutil import (
+        atomic_write_json,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_pevo_{tag}/orders"
+    shutil.rmtree(base, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderstatus",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate"),
+    )
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    (
+        snap.filter(F.col("o_orderdate") < cutoff)
+        .drop("o_orderdate")
+        .repartition(F.col("o_month"))
+        .write.partitionBy("o_month")
+        .parquet(os.path.join(base, "specA"))
+    )
+    (
+        snap.filter(F.col("o_orderdate") >= cutoff)
+        .drop("o_orderdate")
+        .repartition(F.col("o_month"), F.col("o_orderstatus"))
+        .write.partitionBy("o_month", "o_orderstatus")
+        .parquet(os.path.join(base, "specB"))
+    )
+    atomic_write_json(
+        os.path.join(base, "manifest.json"),
+        {
+            "specs": [
+                {"id": "A", "dir": "specA", "partition": ["o_month"]},
+                {
+                    "id": "B",
+                    "dir": "specB",
+                    "partition": ["o_month", "o_orderstatus"],
+                },
+            ]
+        },
+    )
+
+    def touched(df: DataFrame) -> list:
+        return [
+            r[0]
+            for r in df.select(F.input_file_name()).distinct().collect()
+        ]
+
+    a = spark.read.parquet(os.path.join(base, "specA"))
+    b = spark.read.parquet(os.path.join(base, "specB"))
+    old_a = touched(a.filter(F.col("o_month") == "1995-06"))
+    old_b = touched(b.filter(F.col("o_month") == "1995-06"))
+    if old_b or not old_a or any("o_month=1995-06" not in f for f in old_a):
+        raise ValueError(
+            "u25_partition_evolution: old-month probe must touch only "
+            f"spec A's month directory (A={len(old_a)}, B={len(old_b)})"
+        )
+    new_filter = (F.col("o_month") == "1997-03") & (
+        F.col("o_orderstatus") == "O"
+    )
+    new_a = touched(a.filter(new_filter))
+    new_b = touched(b.filter(new_filter))
+    if (
+        new_a
+        or not new_b
+        or any(
+            "o_month=1997-03" not in f or "o_orderstatus=O" not in f
+            for f in new_b
+        )
+    ):
+        raise ValueError(
+            "u25_partition_evolution: new-month probe must touch only "
+            "spec B's (month, status) directory "
+            f"(A={len(new_a)}, B={len(new_b)})"
+        )
+
+    tbl = evolved_read(spark, base).select(
+        "o_month", "o_orderstatus", "cents"
+    )
+
+    def roll(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.col("o_orderstatus").alias("grp"),
+            "n_rows",
+            "total_cents",
+        )
+
+    return (
+        roll(tbl.filter(F.col("o_month") == "1995-06"), "old_month")
+        .unionByName(roll(tbl.filter(new_filter), "new_month_status"))
+        .unionByName(roll(tbl, "full"))
+    )
