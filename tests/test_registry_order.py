@@ -31,6 +31,7 @@ _R11_NEW = [
     "w10_event_runs",
     "a19_grouped_hll",
     "u25_partition_evolution",
+    "a20_kmv_set_algebra",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

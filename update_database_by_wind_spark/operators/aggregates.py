@@ -1714,3 +1714,189 @@ def a19_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "b")
     )
+
+
+# --- A20: theta-sketch set algebra over KMV state ------------------------------
+
+_A20_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         ((o_custkey % {_KMV_P}) * {_KMV_A}) % {_KMV_P} AS h,
+         o_custkey
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+),
+skx AS (SELECT DISTINCT h FROM keyed WHERE yr = 1996
+        ORDER BY h LIMIT {_KMV_K}),
+sky AS (SELECT DISTINCT h FROM keyed WHERE yr = 1997
+        ORDER BY h LIMIT {_KMV_K}),
+thx AS (SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN {_KMV_P}
+                    ELSE MAX(h) END AS th FROM skx),
+thy AS (SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN {_KMV_P}
+                    ELSE MAX(h) END AS th FROM sky),
+theta AS (
+  SELECT CAST(CASE WHEN thx.th < thy.th THEN thx.th ELSE thy.th END
+              AS BIGINT) AS th
+  FROM thx, thy
+),
+ic AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS inter_cnt
+  FROM skx JOIN sky USING (h), theta WHERE h < th
+),
+uc AS (
+  SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS union_cnt
+  FROM (SELECT h FROM skx UNION ALL SELECT h FROM sky), theta
+  WHERE h < th
+),
+xc AS (SELECT CAST(COUNT(*) AS BIGINT) AS x_cnt FROM skx, theta
+       WHERE h < th),
+yc AS (SELECT CAST(COUNT(*) AS BIGINT) AS y_cnt FROM sky, theta
+       WHERE h < th),
+exact AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN in_x AND in_y THEN o_custkey END)
+         AS BIGINT) AS exact_inter,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union
+  FROM (
+    SELECT o_custkey,
+           BOOL_OR(yr = 1996) AS in_x, BOOL_OR(yr = 1997) AS in_y
+    FROM keyed GROUP BY o_custkey
+  )
+)
+SELECT theta.th AS theta,
+       xc.x_cnt, yc.y_cnt, ic.inter_cnt, uc.union_cnt,
+       (uc.union_cnt = xc.x_cnt + yc.y_cnt - ic.inter_cnt) AS ie_ok,
+       ROUND(CAST(ic.inter_cnt * {_KMV_P} AS DOUBLE) / theta.th, 6)
+         AS est_inter,
+       ROUND(CAST(uc.union_cnt * {_KMV_P} AS DOUBLE) / theta.th, 6)
+         AS est_union,
+       exact.exact_inter, exact.exact_union
+FROM theta, ic, uc, xc, yc, exact
+"""
+
+
+@query("a20_kmv_set_algebra", oracle=_A20_ORACLE, tags=("agg", "sketch", "approx"))
+def a20_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: set-operation cardinalities from SKETCH STATE — the theta
+    algebra over a14's KMV sketches: customers active in 1996 (X) vs
+    1997 (Y), with |X ∩ Y| and |X ∪ Y| estimated purely from the two
+    64-value bottom-k sketches.  a14 proves one sketch merges; this is
+    the reason sketch FAMILIES matter operationally: retention /
+    overlap / churn questions between any pair of cohorts become
+    arithmetic over per-cohort sketch state — no revisit of the data,
+    no co-location of the key sets.
+
+    The theta trick (the Datasketches theta-sketch contract): clamp
+    both sketches to theta = min(theta_X, theta_Y) (a sketch smaller
+    than k is exact, its theta is the full hash range P); below theta
+    each sketch IS a uniform P/theta-rate sample of its distinct set,
+    so ``count * P / theta`` estimates any set expression evaluated on
+    the clamped sketches.  In-row receipts:
+
+    * ``ie_ok`` — inclusion-exclusion holds EXACTLY on the clamped
+      integer counts (union_cnt = x_cnt + y_cnt − inter_cnt): the
+      estimates are consistent by construction, not just
+      approximately, because all four share one theta;
+    * ``exact_inter`` / ``exact_union`` — the fixture-scale audit legs
+      (distinct custkeys per cohort membership), against which the
+      estimates land within the KMV error envelope.
+
+    Every number before the two final ROUND(x/theta, 6) estimates is
+    exact integer arithmetic; the division mirrors a14's estimator
+    form.  Scale shape: each sketch is distinct(hash) + TakeOrdered(k)
+    (8-byte shuffle, k-row heaps); the set algebra itself touches
+    2k = 128 rows."""
+    keyed = (
+        load(spark, sf_dir, "orders")
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .select(
+            "yr",
+            "o_custkey",
+            (((F.col("o_custkey") % _KMV_P) * _KMV_A) % _KMV_P).alias("h"),
+        )
+    )
+
+    def sk(yr: int) -> DataFrame:
+        return (
+            keyed.filter(F.col("yr") == yr)
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    skx, sky = sk(1996), sk(1997)
+
+    def th(s: DataFrame, name: str) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") < _KMV_K, F.lit(_KMV_P))
+            .otherwise(F.max("h"))
+            .cast("long")
+            .alias(name)
+        )
+
+    theta = (
+        th(skx, "thx")
+        .crossJoin(th(sky, "thy"))
+        .select(F.least("thx", "thy").alias("th"))
+    )
+    ic = (
+        skx.join(sky, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count("*").cast("long").alias("inter_cnt"))
+    )
+    uc = (
+        skx.unionAll(sky)
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count("*").cast("long").alias("union_cnt"))
+    )
+
+    def clamped(s: DataFrame, name: str) -> DataFrame:
+        return (
+            s.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") < F.col("th"))
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    exact = (
+        keyed.groupBy("o_custkey")
+        .agg(
+            F.max((F.col("yr") == 1996).cast("int")).alias("in_x"),
+            F.max((F.col("yr") == 1997).cast("int")).alias("in_y"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("in_x") == 1) & (F.col("in_y") == 1)).cast("long")
+            ).alias("exact_inter"),
+            F.count("*").cast("long").alias("exact_union"),
+        )
+    )
+    return (
+        theta.crossJoin(F.broadcast(clamped(skx, "x_cnt")))
+        .crossJoin(F.broadcast(clamped(sky, "y_cnt")))
+        .crossJoin(F.broadcast(ic))
+        .crossJoin(F.broadcast(uc))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("th").alias("theta"),
+            "x_cnt",
+            "y_cnt",
+            "inter_cnt",
+            "union_cnt",
+            (
+                F.col("union_cnt")
+                == F.col("x_cnt") + F.col("y_cnt") - F.col("inter_cnt")
+            ).alias("ie_ok"),
+            F.round(
+                (F.col("inter_cnt") * _KMV_P).cast("double") / F.col("th"), 6
+            ).alias("est_inter"),
+            F.round(
+                (F.col("union_cnt") * _KMV_P).cast("double") / F.col("th"), 6
+            ).alias("est_union"),
+            "exact_inter",
+            "exact_union",
+        )
+    )
