@@ -513,3 +513,31 @@ def test_a17_counter_join_broadcasts(spark, sf_oracle):
     of a sketch)."""
     plan = formatted_plan(REGISTRY["a17_countmin_sketch"].fn(spark, sf_oracle))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_w10_runs_single_hash_exchange(spark, sf_oracle):
+    """W10: the change-point formulation exists to keep ONE data-sized
+    hash exchange — both windows and the run aggregate share the
+    user_id partitioning.  The two-row_number alternative would add a
+    (user_id, event_type) exchange; catch any regression toward it."""
+    plan = formatted_plan(REGISTRY["w10_event_runs"].fn(spark, sf_oracle))
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(user_id, event_type" not in plan, (
+        "run aggregate re-partitioned by (user, type) — second shuffle"
+    )
+    # rangepartitioning is only the final presentation sort
+    n_hash = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash <= 2, plan  # tree node + its detail block
+
+
+def test_a19_register_build_map_side_combines(spark, sf_oracle):
+    """A19: the grouped-HLL register build must plan a PARTIAL
+    aggregate (max(rho) combined map-side to |groups|*64 rows per
+    task) before the exchange — the property that makes the sketch
+    shuffle state instead of keys."""
+    plan = formatted_plan(REGISTRY["a19_grouped_hll"].fn(spark, sf_oracle))
+    assert "partial_max(rho" in plan, plan
