@@ -40,6 +40,16 @@ _R11_NEW = [
 # driver-green row — it leads the changed-code slots.
 _R11_CHANGED = [
     "s13_file_skipping_index",
+    # the vector family's micro-grid refactor (ROUND(double,6)
+    # representation-midpoint fix, found by a hypothesis counterexample
+    # in the generative embeddings sweep): IVF assignment, k-means
+    # quantizer, both recall gates, and the label-centroid means now
+    # run on exact integer micro-grid arithmetic
+    "l5_ivf_topk",
+    "l5_ivf_kmeans_topk",
+    "l5b_ivf_recall",
+    "l5b2_ivf_kmeans_recall",
+    "tr_label_centroids",
 ]
 
 
@@ -109,10 +119,12 @@ def test_changed_code_queries_lead_the_window():
         "u12_cdc_classify",
         "u13_cdc_merge_sink",
     ]
-    # the r6 block fills the rest of the window, alphabetically
+    # the r6 block fills the rest of the window, alphabetically (48
+    # entries entering the round, minus the two kmeans queries promoted
+    # into the changed-code slot by the micro-grid refactor)
     tail = names[n_new + n_chg + 8 : len(ops._ROUND11_FRONT)]
-    assert len(tail) == 48 and tail == sorted(tail)
-    assert len(ops._ROUND11_FRONT) == n_new + n_chg + 56
+    assert len(tail) == 46 and tail == sorted(tail)
+    assert len(ops._ROUND11_FRONT) == n_new + n_chg + 54
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

@@ -65,6 +65,73 @@ _SQL_DOT = (
 )
 
 
+def dot_micro(a: Column, b: Column) -> Column:
+    """EXACT integer dot product on the micro-grid — the
+    round-trip-safe alternative to ``ROUND(dot(a, b), 6)`` wherever a
+    similarity value feeds an ORDER BY or the output row.
+
+    Each float element is quantized ONCE as ``floor(x * 1e6)``:
+    ``x * 1e6`` is one IEEE multiply of the same stored float32 in
+    both engines and FLOOR of the same double is the same integer —
+    unlike ROUND-to-6-decimals, whose result depends on whether the
+    engine rounds the double's shortest decimal representation (Spark
+    BigDecimal HALF_UP) or its exact binary value (DuckDB), a one-ulp
+    split that a generative sweep hit at a representation midpoint
+    (affinity exactly 0.2499995 → Spark 0.25, DuckDB 0.249999 →
+    different IVF cell).  Products and the fold then stay in BIGINT —
+    exact, association-free, safe under any engine's summation
+    order."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(x.cast("double") * 1000000).cast("long")
+            * F.floor(y.cast("double") * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_micro_int(a: Column, b: Column) -> Column:
+    """:func:`dot_micro` with ``b`` ALREADY on the integer micro-grid
+    (e.g. a centroid of micro-means)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, c: F.floor(x.cast("double") * 1000000).cast("long")
+            * c,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+# DuckDB twins (list_sum over BIGINT yields HUGEINT — callers cast).
+_SQL_DOT_MICRO = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000) AS BIGINT)"
+    " * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 1000000) AS BIGINT)))"
+)
+_SQL_DOT_MICRO_INT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 1000000) AS BIGINT) * p[2]))"
+)
+_SQL_DOT_INT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+)
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Integer dot product of two arrays ALREADY on the micro-grid."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 # --- L4: exact cosine top-k ---------------------------------------------------
 
 _L4_ORACLE = f"""
@@ -323,17 +390,21 @@ def l6_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE = f"""
 WITH expl AS (
   SELECT label, CAST(u.pos AS INTEGER) AS pos,
-         CAST(embedding[u.pos] AS DOUBLE) AS val
+         CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v6
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(pos)
 ),
 cent AS (
   SELECT label, pos,
-         ROUND(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
-               / COUNT(val), 6) AS cv
+         CASE WHEN SUM(v6) < 0
+              THEN -((-2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6)))
+              ELSE (2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6))
+         END AS cv6
   FROM expl GROUP BY label, pos
 ),
 cent_arr AS (
-  SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+  SELECT label, list(CAST(cv6 AS BIGINT) ORDER BY pos) AS centroid6
+  FROM cent GROUP BY label
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
@@ -343,20 +414,23 @@ assign AS (
   SELECT query_id, qe, c.label,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
-           ORDER BY ROUND({_SQL_DOT.format(a='qe', b='centroid')}, 6) DESC,
+           ORDER BY CAST({_SQL_DOT_MICRO_INT.format(a='qe', b='centroid6')}
+                         AS BIGINT) DESC,
                     c.label) AS arn
   FROM q CROSS JOIN cent_arr c
 ),
 best AS (SELECT query_id, qe, label FROM assign WHERE arn = 1),
 scored AS (
   SELECT b.query_id, e.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='b.qe', b='e.embedding')}, 6) AS cosine
+         CAST({_SQL_DOT_MICRO.format(a='b.qe', b='e.embedding')}
+              AS BIGINT) AS cosine_e12
   FROM best b JOIN embeddings e ON b.label = e.label
   WHERE e.vec_id <> b.query_id
 )
-SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+SELECT query_id, neighbor_id, cosine_e12, CAST(rn AS BIGINT) AS rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rn
+                                   ORDER BY cosine_e12 DESC, neighbor_id)
+                  AS rn
       FROM scored)
 WHERE rn <= {_TOP_K}
 """
@@ -381,18 +455,26 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.col("valf").cast("double").alias("val"),
+        F.floor(F.col("valf").cast("double") * 1000000)
+        .cast("long")
+        .alias("v6"),
     )
-    total = F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
-    n = F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+    # half-away-from-zero integer micro-mean (the pitfalls-memo integer
+    # form): centroid components stay EXACT integers, so the affinity
+    # compare below never touches a ROUND(double, 6)
     cent = expl.groupBy("label", "pos").agg(
-        F.round(total / n, 6).alias("cv")
+        F.expr(
+            "CAST(CASE WHEN sum(v6) < 0"
+            " THEN -((-2 * sum(v6) + count(v6)) DIV (2 * count(v6)))"
+            " ELSE (2 * sum(v6) + count(v6)) DIV (2 * count(v6))"
+            " END AS LONG)"
+        ).alias("cv6")
     )
     cent_arr = cent.groupBy("label").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-            lambda s: s.cv,
-        ).alias("centroid")
+            F.array_sort(F.collect_list(F.struct("pos", "cv6"))),
+            lambda s: s.cv6,
+        ).alias("centroid6")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -401,7 +483,7 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "qe",
         "label",
-        F.round(dot(F.col("qe"), F.col("centroid")), 6).alias("aff"),
+        dot_micro_int(F.col("qe"), F.col("centroid6")).alias("aff"),
     )
     arn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.col("aff").desc(), "label")
@@ -415,12 +497,12 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            dot_micro(F.col("qe"), F.col("embedding")).alias("cosine_e12"),
         )
     )
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), "neighbor_id"
+            F.col("cosine_e12").desc(), "neighbor_id"
         )
     )
     return scored.withColumn("rn", rn.cast("long")).filter(
@@ -448,9 +530,13 @@ _KM_MOD = 100_000_007
 
 
 def _km_dist_sql(emb: str, cent: str) -> str:
-    dcc = _SQL_DOT.format(a=cent, b=cent)
-    dec = _SQL_DOT.format(a=emb, b=cent)
-    return f"ROUND({dcc} - 2 * {dec}, 6)"
+    """|c|² − 2·e·c in EXACT e12 units: the centroid is integer micros,
+    the embedding quantizes onto the grid inside the dot — no
+    ROUND(double, 6) anywhere in the argmin (the engine-split midpoint
+    a generative sweep hit in the sibling label-IVF assignment)."""
+    dcc = _SQL_DOT_INT.format(a=cent, b=cent)
+    dec = _SQL_DOT_MICRO_INT.format(a=emb, b=cent)
+    return f"CAST({dcc} - 2 * {dec} AS BIGINT)"
 
 
 def _kmeans_oracle_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
@@ -460,7 +546,9 @@ def _kmeans_oracle_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     parts = [
         f"""cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS centroid
   FROM (SELECT vec_id, embedding, {h} AS h
         FROM embeddings ORDER BY h, vec_id LIMIT {k})
 )"""
@@ -477,15 +565,18 @@ def _kmeans_oracle_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
 ),
 expl{i} AS (
   SELECT cell, CAST(u.pos AS INTEGER) AS pos,
-         CAST(embedding[u.pos] AS DOUBLE) AS val
+         CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v6
   FROM (SELECT * FROM assign{i} WHERE rn = 1),
        UNNEST(range(1, len(embedding) + 1)) AS u(pos)
 ),
 cent{i} AS (
-  SELECT cell, list(cv ORDER BY pos) AS centroid
+  SELECT cell, list(CAST(cv6 AS BIGINT) ORDER BY pos) AS centroid
   FROM (SELECT cell, pos,
-               ROUND(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
-                     / COUNT(val), 6) AS cv
+               CASE WHEN SUM(v6) < 0
+                    THEN -((-2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6)))
+                    ELSE (2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6))
+               END AS cv6
         FROM expl{i} GROUP BY cell, pos)
   GROUP BY cell
 )"""
@@ -516,13 +607,15 @@ qbest AS (
 ),
 scored AS (
   SELECT b.query_id, i.vec_id AS neighbor_id,
-         ROUND({_SQL_DOT.format(a='b.qe', b='i.embedding')}, 6) AS cosine
+         CAST({_SQL_DOT_MICRO.format(a='b.qe', b='i.embedding')}
+              AS BIGINT) AS cosine_e12
   FROM qbest b JOIN idx i USING (cell)
   WHERE i.vec_id <> b.query_id
 )
-SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+SELECT query_id, neighbor_id, cosine_e12, CAST(rn AS BIGINT) AS rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rn
+                                   ORDER BY cosine_e12 DESC, neighbor_id)
+                  AS rn
       FROM scored)
 WHERE rn <= {_TOP_K}
 """
@@ -540,10 +633,8 @@ def _km_assign(
     → lowest cell; index build uses 1, query probing widens).  At
     billions of vectors this stays one narrow pass: k dot products per
     row against a broadcast, no shuffle."""
-    d = F.round(
-        dot(F.col("centroid"), F.col("centroid"))
-        - 2 * dot(F.col(emb_col), F.col("centroid")),
-        6,
+    d = dot_int(F.col("centroid"), F.col("centroid")) - 2 * dot_micro_int(
+        F.col(emb_col), F.col("centroid")
     )
     scored = df.crossJoin(F.broadcast(cent)).select(
         id_col, emb_col, "cell", d.alias("d")
@@ -587,7 +678,10 @@ def kmeans_centroids(
         F.row_number()
         .over(Window.orderBy("h", "vec_id"))
         .alias("cell"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("centroid"),
     )
     for _ in range(iters):
         best = _km_assign(
@@ -598,18 +692,27 @@ def kmeans_centroids(
         ).select(
             "cell",
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.col("valf").cast("double").alias("val"),
+            F.floor(F.col("valf").cast("double") * 1000000)
+            .cast("long")
+            .alias("v6"),
         )
-        total = F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
-        n = F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
         cent = (
             expl.groupBy("cell", "pos")
-            .agg(F.round(total / n, 6).alias("cv"))
+            .agg(
+                F.expr(
+                    "CAST(CASE WHEN sum(v6) < 0"
+                    " THEN -((-2 * sum(v6) + count(v6))"
+                    " DIV (2 * count(v6)))"
+                    " ELSE (2 * sum(v6) + count(v6))"
+                    " DIV (2 * count(v6))"
+                    " END AS LONG)"
+                ).alias("cv6")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
+                    F.array_sort(F.collect_list(F.struct("pos", "cv6"))),
+                    lambda s: s.cv6,
                 ).alias("centroid")
             )
         )
@@ -644,12 +747,12 @@ def l5_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            dot_micro(F.col("qe"), F.col("embedding")).alias("cosine_e12"),
         )
     )
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), "neighbor_id"
+            F.col("cosine_e12").desc(), "neighbor_id"
         )
     )
     return scored.withColumn("rn", rn.cast("long")).filter(

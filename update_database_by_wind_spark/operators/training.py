@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from update_database_by_wind_spark.functions.numeric import sql_dec_avg_expr
+
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
 
@@ -86,15 +86,18 @@ def tr_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-label embedding centroids (IVF/k-means training step) -----------------
 
-_TR_CENTROID_ORACLE = f"""
+_TR_CENTROID_ORACLE = """
 WITH expl AS (
   SELECT label, CAST(u.pos AS INTEGER) AS pos,
-         CAST(embedding[u.pos] AS DOUBLE) AS val
+         CAST(FLOOR(CAST(embedding[u.pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v6
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(pos)
 )
 SELECT label, pos,
-       ROUND({sql_dec_avg_expr('val')}, 6)
-         AS centroid,
+       CAST(CASE WHEN SUM(v6) < 0
+                 THEN -((-2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6)))
+                 ELSE (2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6))
+            END AS BIGINT) AS centroid_e6,
        COUNT(*) AS n_vectors
 FROM expl
 GROUP BY label, pos
@@ -107,20 +110,33 @@ GROUP BY label, pos
 def tr_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, one row per (label, dimension) — the
     coarse-quantizer training step behind l4b's IVF-style blocking.
-    posexplode keeps only (label, pos, val) triples on the shuffle;
-    decimal-exact sums make the mean identical at any partitioning."""
+    posexplode keeps only (label, pos, val) triples on the shuffle.
+
+    The mean is the INTEGER micro-mean (floor-quantize each component
+    onto the 1e-6 grid once, then the half-away-from-zero integer
+    division): the former ``ROUND(decimal-avg, 6)`` output sat on the
+    engines' ROUND(double, 6) representation-midpoint split for
+    division-derived values — the exact failure a generative sweep
+    caught in the sibling IVF assignment (similarity.dot_micro's
+    ledger).  Integer output, identical at any partitioning and in
+    both engines by construction."""
     emb = load(spark, sf_dir, "embeddings")
     expl = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "valf")
     ).select(
         "label",
         (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.col("valf").cast("double").alias("val"),
+        F.floor(F.col("valf").cast("double") * 1000000)
+        .cast("long")
+        .alias("v6"),
     )
-    total = F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
-    n = F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
     return expl.groupBy("label", "pos").agg(
-        F.round(total / n, 6).alias("centroid"),
+        F.expr(
+            "CAST(CASE WHEN sum(v6) < 0"
+            " THEN -((-2 * sum(v6) + count(v6)) DIV (2 * count(v6)))"
+            " ELSE (2 * sum(v6) + count(v6)) DIV (2 * count(v6))"
+            " END AS LONG)"
+        ).alias("centroid_e6"),
         F.count("*").alias("n_vectors"),
     )
 
