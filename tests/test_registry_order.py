@@ -32,6 +32,7 @@ _R11_NEW = [
     "a19_grouped_hll",
     "u25_partition_evolution",
     "a20_kmv_set_algebra",
+    "u26_snapshot_vacuum",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

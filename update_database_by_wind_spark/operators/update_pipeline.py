@@ -3645,3 +3645,160 @@ def u25_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(roll(tbl.filter(new_filter), "new_month_status"))
         .unionByName(roll(tbl, "full"))
     )
+
+
+# --- U26: snapshot expiration (VACUUM) as a driver-checked lifecycle -----------
+
+_U26_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM base
+),
+v3 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 13 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM v2
+),
+r AS (
+  SELECT o_month, COUNT(*) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM v3 GROUP BY o_month
+)
+SELECT 'pre_vacuum' AS phase, o_month, n_rows, total_cents FROM r
+UNION ALL
+SELECT 'post_vacuum' AS phase, o_month, n_rows, total_cents FROM r
+"""
+
+
+@query("u26_snapshot_vacuum", oracle=_U26_ORACLE, tags=("update", "layout"))
+def u26_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U26: snapshot expiration (the Iceberg ``expireSnapshots`` /
+    Delta ``VACUUM`` lifecycle) driven end-to-end through
+    :func:`snapshot_expire` — the library function rounds 7–8 hardened
+    with unit tests but never exposed as a driver-checked query.
+
+    Three commits build shared history: v1 is the full ledger
+    partitioned by month, v2 rewrites only the hot months
+    (>= 1997-01, a 5% uplift on the %7 keys), v3 rewrites the SAME
+    hot months again (a 4% uplift on the %13 keys).  Expiring with
+    ``keep_versions=[3]`` must then make exactly these moves, each
+    checked in-query against the expire receipt and the filesystem:
+
+    * ``v2/`` is DELETED — v3 re-wrote every hot month, so no
+      retained manifest references v2's directory;
+    * ``v1/`` SURVIVES — v3's manifest still reads every cold month
+      from it (shared-directory retention: reference-counting by
+      manifest, never by age);
+    * both expired manifests are gone, and time-traveling to the
+      expired v1 now REFUSES loudly (the audit trail is truncated by
+      explicit policy, never silently);
+    * the head read answers identically before and after the vacuum —
+      the two output phases hash-check against one logical recompute.
+
+    Why it matters at 100 TB: expiry is pure metadata work (the
+    receipt proves no data was read — only manifest JSONs are opened
+    and unreferenced directories dropped), so reclaiming storage from
+    a long commit history costs seconds, while the sharing rule
+    guarantees it can never delete a byte the current head still
+    reads."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_vacuum_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    hot_months = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1997-01"
+    ]
+    v2 = snap.filter(F.col("o_month").isin(hot_months)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(v2, base, 2, "o_month", parts=hot_months)
+    v3 = v2.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(v3, base, 3, "o_month", parts=hot_months)
+
+    def agg(sfx: str) -> DataFrame:
+        return (
+            snapshot_read(spark, base, 3, "o_month")
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(sfx).alias("phase"),
+                "o_month",
+                "n_rows",
+                "total_cents",
+            )
+        )
+
+    # the pre-vacuum head must be MATERIALIZED before expiry runs, or
+    # lazy evaluation would read both phases from the post-vacuum
+    # filesystem and the receipt would prove nothing
+    pre = agg("pre_vacuum").localCheckpoint()
+
+    receipt = snapshot_expire(base, keep_versions=[3])
+    if receipt["removed_dirs"] != ["v2"]:
+        raise ValueError(
+            "u26_snapshot_vacuum: expected exactly v2/ to be "
+            f"reclaimed, got {receipt['removed_dirs']} — either the "
+            "shared v1 directory was dropped (data loss) or the "
+            "unreferenced v2 directory survived (no reclamation)"
+        )
+    if receipt["removed_manifests"] != [
+        "_manifest_v1.json",
+        "_manifest_v2.json",
+    ]:
+        raise ValueError(
+            "u26_snapshot_vacuum: expected manifests v1+v2 expired, "
+            f"got {receipt['removed_manifests']}"
+        )
+    if not os.path.isdir(os.path.join(base, "v1")):
+        raise ValueError(
+            "u26_snapshot_vacuum: v1/ was deleted even though the "
+            "retained head still reads the cold months from it"
+        )
+    try:
+        snapshot_read(spark, base, 1, "o_month")
+    except FileNotFoundError:
+        pass  # the contract: expired versions refuse loudly
+    else:
+        raise ValueError(
+            "u26_snapshot_vacuum: time travel to the expired v1 "
+            "succeeded — expiry must truncate the audit trail loudly, "
+            "not serve a half-shared snapshot"
+        )
+    return pre.unionByName(agg("post_vacuum"))
