@@ -33,6 +33,7 @@ _R11_NEW = [
     "u25_partition_evolution",
     "a20_kmv_set_algebra",
     "u26_snapshot_vacuum",
+    "g4_bfs_hops",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

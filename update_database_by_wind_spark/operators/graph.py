@@ -670,3 +670,153 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --- G4: multi-hop BFS distances from a landmark ------------------------------
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Single-source BFS hop distances over an undirected edge list —
+    the landmark-distance primitive behind reachability features,
+    "degrees of separation" analytics, and landmark-based shortest-path
+    approximation (Potamias et al., CIKM 2009).
+
+    Returns ``(id, dist)`` for every vertex REACHABLE from ``source``
+    (unreachable vertices are simply absent — the caller decides how to
+    treat infinity).
+
+    Algorithm: frontier-expansion BFS.  Round d joins only the CURRENT
+    frontier against the edge list and anti-joins the seen set, so each
+    round's shuffle is proportional to the frontier's out-edges, not
+    the whole graph — the standard distributed BFS bound of O(diameter)
+    rounds over O(m) total joined rows.  ``localCheckpoint`` after
+    every round cuts lineage (iterative-DataFrame hygiene, same as
+    :func:`connected_components`); the convergence probe is a scalar
+    ``count`` of the new frontier.  Raises if the frontier is still
+    non-empty after ``max_rounds`` — a silently truncated BFS would
+    return wrong (missing) distances.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id long, dist long"
+    ).localCheckpoint()
+    frontier = dist.select("id")
+    for d in range(1, max_rounds + 1):
+        new = (
+            frontier.join(sym, frontier["id"] == sym["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint()
+        )
+        if new.count() == 0:
+            _free_ckpt(sym)
+            return dist
+        old = dist
+        dist = dist.unionByName(new).localCheckpoint()
+        _free_ckpt(old)
+        frontier = new.select("id")
+    raise RuntimeError(
+        f"bfs_hops: frontier still growing after {max_rounds} rounds"
+    )
+
+
+_G4_ORACLE = """
+WITH RECURSIVE el AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 45
+),
+pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM el a JOIN el b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+verts AS (SELECT DISTINCT u FROM edges),
+lm AS (SELECT MIN(u) AS s FROM verts),
+reach(id, d) AS (
+  SELECT s, 0 FROM lm
+  UNION
+  SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.id
+  WHERE r.d < 20
+),
+dist AS (SELECT id, MIN(d) AS dist FROM reach GROUP BY id),
+unre AS (
+  SELECT COUNT(*) AS n_unreached FROM verts
+  WHERE u NOT IN (SELECT id FROM dist)
+)
+SELECT CAST(id AS BIGINT) AS suppkey,
+       CAST(dist AS BIGINT) AS dist,
+       CAST(n_unreached AS BIGINT) AS n_unreached
+FROM dist, unre
+"""
+
+
+@query("g4_bfs_hops", oracle=_G4_ORACLE, tags=("graph",))
+def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: BFS hop distances from a landmark supplier over the
+    SPARSIFIED co-fulfillment graph — suppliers are adjacent when they
+    both ship a returned ('R') high-quantity (≥ 45) lineitem of the
+    same order.  Completes the graph family's reachability axis:
+    components (l3f/g1) say WHETHER two vertices connect, PageRank
+    (g2) says how central they are, triangles (g3) say how clustered —
+    this says HOW FAR, the primitive behind degrees-of-separation
+    features and landmark-based distance sketches.
+
+    The thresholded edge set keeps the graph genuinely multi-hop at
+    fixture scale (max distance 6 at sf0.01, 9 at sf0.1 — measured,
+    not assumed) instead of the diameter-2 blob the full
+    co-fulfillment graph collapses to.  The landmark is the minimum
+    vertex id — deterministic under any partitioning.
+
+    The oracle recomputes the same distances via DuckDB's recursive
+    CTE bounded at depth 20; the Spark loop RAISES past 20 rounds
+    rather than silently truncating, so both sides agree by
+    construction on any graph they both accept.  ``n_unreached`` rides
+    along as a broadcast scalar receipt that isolated components are
+    counted, not silently dropped (2 unreached vertices exist at
+    sf0.1)."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+    )
+    pairs = (
+        lineitem.join(l2, lineitem["l_orderkey"] == l2["r_orderkey"])
+        .filter(F.col("l_suppkey") < F.col("r_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("u"), F.col("r_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    verts = (
+        pairs.select(F.col("u").alias("id"))
+        .union(pairs.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    source = verts.agg(F.min("id")).collect()[0][0]  # scalar, metadata-sized
+    if source is None:
+        raise ValueError("g4_bfs_hops: empty edge set — no landmark")
+    dist = bfs_hops(pairs, source)
+    n_unreached = verts.join(dist, "id", "left_anti").count()
+    return dist.select(
+        F.col("id").alias("suppkey"),
+        "dist",
+        F.lit(n_unreached).cast("long").alias("n_unreached"),
+    )
