@@ -34,6 +34,7 @@ _R11_NEW = [
     "a20_kmv_set_algebra",
     "u26_snapshot_vacuum",
     "g4_bfs_hops",
+    "l3m_containment_dedup",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -232,6 +232,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     materialize: str | None = None,
     two_pass: bool = False,
+    raw: bool = False,
 ) -> DataFrame:
     """Capped inverted-index n-gram Jaccard pair mining (L3e core).
 
@@ -383,14 +384,15 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    if raw:
+        # unfiltered scored pairs with both set sizes — the shared
+        # substrate for other overlap metrics (l3m containment) that
+        # must apply their OWN threshold in exact integer arithmetic
+        return joined
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select(
-            "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
-        )
+    return joined.filter(jac >= threshold).select(
+        "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -1041,4 +1043,68 @@ def l2b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_norm_only"),
+    )
+
+
+# --- L3m: n-gram CONTAINMENT near-dup (the asymmetric overlap metric) ----------
+
+_L3M_ORACLE = _L3E_PAIR_CTES + """
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       sa.n AS na, sb.n AS nb,
+       CAST(p.n_shared * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+         AS containment_micro,
+       CAST(p.n_shared * 1000000 // (sa.n + sb.n - p.n_shared) AS BIGINT)
+         AS jaccard_micro
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.n_shared * 10 >= 6 * LEAST(sa.n, sb.n)
+"""
+
+
+@query("l3m_containment_dedup", oracle=_L3M_ORACLE, tags=("dedup", "neardup"))
+def l3m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3m: n-gram CONTAINMENT near-duplicates — the asymmetric
+    overlap metric C(A,B) = |A∩B| / min(|A|,|B|) (Broder's
+    resemblance/containment pair, SRC-TN 1997).  Jaccard divides by
+    the UNION, so a short document fully embedded in a long one (a
+    quoted article, boilerplate-wrapped reposts, a chunk extracted
+    from its source) scores near zero even at 100% inclusion;
+    containment divides by the SMALLER set and flags exactly those
+    subset duplicates — the standard second pass in production corpus
+    dedup next to l3e's symmetric Jaccard.
+
+    Reuses :func:`ngram_jaccard_pairs`'s capped inverted-index pair
+    mining unchanged (``raw=True`` — one int64-shingle shuffle,
+    posting-list pair expansion bounded by the df cap; the exact
+    machinery that survives 100 TB), so the marginal cost of the
+    second metric is zero extra shuffles: both are projections over
+    the same scored pair table.
+
+    Parity design: both the threshold and the reported scores are
+    EXACT INTEGER arithmetic — the filter is the cross-multiplied
+    ``n_shared * 10 >= 6 * min(na, nb)`` and the scores are
+    micro-unit floor divisions (``x * 1e6 DIV y``), so no
+    ROUND(double) sits anywhere near a representation midpoint (the
+    parity-ledger trap that bit the IVF family this round).  Both
+    sizes ride along so the asymmetry is visible: containment 1.0
+    rows with na ≠ nb are invisible to a high Jaccard bar by
+    construction."""
+    docs = load(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(docs, raw=True)
+    lo = F.least(F.col("na"), F.col("nb"))
+    return scored.filter(
+        F.col("n_shared") * 10 >= 6 * lo
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "na",
+        "nb",
+        F.expr("n_shared * 1000000 DIV least(na, nb)").alias(
+            "containment_micro"
+        ),
+        F.expr("n_shared * 1000000 DIV (na + nb - n_shared)").alias(
+            "jaccard_micro"
+        ),
     )
