@@ -35,6 +35,7 @@ _R11_NEW = [
     "u26_snapshot_vacuum",
     "g4_bfs_hops",
     "l3m_containment_dedup",
+    "mm_feature_extract",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash
