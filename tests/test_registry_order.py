@@ -36,6 +36,7 @@ _R11_NEW = [
     "g4_bfs_hops",
     "l3m_containment_dedup",
     "mm_feature_extract",
+    "e4_transition_matrix",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

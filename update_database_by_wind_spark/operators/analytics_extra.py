@@ -1031,3 +1031,76 @@ def w10_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "run_len", "start_us", "end_us", "run_value")
         .orderBy("user_id", "start_us")
     )
+
+
+# --- E4: Markov transition matrix over user event streams ---------------------
+
+_E4_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         COUNT(*) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n_trans) AS from_total FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type,
+       CAST(c.n_trans AS BIGINT) AS n_trans,
+       CAST(t.from_total AS BIGINT) AS from_total,
+       CAST(c.n_trans * 1000000 // t.from_total AS BIGINT) AS p_micro
+FROM cnt c JOIN tot t USING (from_type)
+"""
+
+
+@query("e4_transition_matrix", oracle=_E4_ORACLE, tags=("analytics", "events"))
+def e4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: first-order Markov transition matrix over per-user event
+    streams — for every ordered adjacent pair in a user's history,
+    count (from_type → to_type) and normalize per source state.  The
+    user-journey primitive behind funnel discovery, anomaly detection
+    (improbable transitions), and sequence-model priors, completing
+    the event family: e1 asks "did the chosen funnel complete", e2
+    "how many overlap", e3 "who gets conversion credit" — e4 learns
+    the transition structure itself from the stream.
+
+    Mechanics: one LEAD window over (user, ts, event_id) pairs each
+    event with its successor (ties broken on the unique event_id,
+    the w10 convention), then a groupBy(from, to) count.  The window
+    is the only data-sized exchange; the count's partial aggregation
+    collapses each partition to at most |types|² rows before its
+    shuffle, and the per-source normalization runs on that tiny
+    aggregated table (a states × states matrix — driver-sized for any
+    realistic vocabulary, distributed all the same).
+
+    Probabilities are micro-unit floor divisions
+    (``n * 1e6 DIV total`` — exact integers, the parity-ledger rule),
+    with the raw counts and row totals alongside so the stochastic-
+    matrix property (rows sum to from_total) stays auditable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w_ord).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_trans").alias("from_total")
+    )
+    return cnt.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "from_total",
+        F.expr("n_trans * 1000000 DIV from_total").alias("p_micro"),
+    )
