@@ -37,6 +37,7 @@ _R11_NEW = [
     "l3m_containment_dedup",
     "mm_feature_extract",
     "e4_transition_matrix",
+    "st18_stream_cms",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1272,3 +1272,179 @@ def st17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_ok",
         )
     )
+
+
+# --- ST18: streaming count-min sketch maintenance -------------------------------
+
+# a17's d=3 × w=64 portable count-min sketch, maintained by the
+# streaming state store.  Counter addition is the sketch merge and is
+# COMMUTATIVE, so unlike order-dependent summaries (Misra-Gries /
+# SpaceSaving) the streamed sketch is deterministic under any
+# micro-batch partitioning — the property that makes it oracle-exact.
+_STC_P = 1_000_003
+_STC_W = 64
+_STC_A = (2654435761, 2246822519, 3266489917)
+
+
+def _stc_bucket_sql(j: int, key: str) -> str:
+    return f"((({key} % {_STC_P}) * {_STC_A[j]}) % {_STC_P}) % {_STC_W}"
+
+
+_ST18_ORACLE = f"""
+WITH ev AS (SELECT user_id AS k FROM events),
+b AS (
+  SELECT 0 AS j, {_stc_bucket_sql(0, 'k')} AS b FROM ev
+  UNION ALL
+  SELECT 1 AS j, {_stc_bucket_sql(1, 'k')} AS b FROM ev
+  UNION ALL
+  SELECT 2 AS j, {_stc_bucket_sql(2, 'k')} AS b FROM ev
+),
+counters AS (SELECT j, b, COUNT(*) AS c FROM b GROUP BY j, b),
+exact AS (SELECT k, COUNT(*) AS exact_cnt FROM ev GROUP BY k),
+probes AS (
+  SELECT * FROM (
+    SELECT k, exact_cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, k) AS BIGINT)
+             AS rn
+    FROM exact
+  ) WHERE rn <= 12
+),
+pb AS (
+  SELECT k, exact_cnt, rn, 0 AS j, {_stc_bucket_sql(0, 'k')} AS b FROM probes
+  UNION ALL
+  SELECT k, exact_cnt, rn, 1 AS j, {_stc_bucket_sql(1, 'k')} AS b FROM probes
+  UNION ALL
+  SELECT k, exact_cnt, rn, 2 AS j, {_stc_bucket_sql(2, 'k')} AS b FROM probes
+),
+est AS (
+  SELECT k, exact_cnt, rn, MIN(c) AS cms_est
+  FROM pb JOIN counters USING (j, b)
+  GROUP BY k, exact_cnt, rn
+)
+SELECT est.k AS user_id,
+       est.exact_cnt,
+       est.cms_est,
+       est.cms_est - est.exact_cnt AS overcount,
+       est.rn,
+       TRUE AS stream_ok
+FROM est
+ORDER BY est.rn
+"""
+
+
+def st18_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder: the streaming CMS — each event lands in d=3 hashed
+    counter cells; the complete-mode groupBy(j, b) folds every
+    micro-batch into the state store by counter ADDITION, which is
+    exactly the count-min merge.  State is a fixed d×w = 192-counter
+    grid regardless of stream length or key cardinality."""
+    ev = events_stream(spark, sf_dir).select(F.col("user_id").alias("k"))
+    rows = [
+        ev.select(
+            F.lit(j).alias("j"), F.expr(_stc_bucket_sql(j, "k")).alias("b")
+        )
+        for j in range(3)
+    ]
+    cells = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return cells.groupBy("j", "b").agg(F.count("*").alias("c"))
+
+
+@query("st18_stream_cms", oracle=_ST18_ORACLE, tags=("streaming", "sketch"))
+def st18_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: a17's count-min sketch maintained BY Structured Streaming
+    — the state store performs the shard merges a17 proves in-row
+    (each micro-batch is a shard; counter addition is the merge).
+    With st17 (quantiles) this completes the live-sketch pair: a
+    running pipeline answers point-frequency queries over its full
+    history from 192 integers of state, no re-scan, and the sketch it
+    serves is BIT-IDENTICAL to a batch rebuild because the fold is
+    commutative integer addition — the property order-dependent
+    summaries (Misra-Gries) cannot offer, and the reason this is the
+    streaming heavy-hitter shape.
+
+    Receipts: the streamed counter grid is compared cell-for-cell
+    (full-outer) against a from-scratch batch recompute
+    (``stream_ok``, pinned TRUE by the oracle so divergence
+    hash-mismatches); the top-12 exact-frequency users are then
+    estimated FROM the streamed sketch, and the oracle replays
+    estimate and overcount exactly — the CMS one-sided error
+    guarantee (overcount ≥ 0) checked on real values, not just
+    claimed.
+
+    Scale: state is O(d·w) per state-store partition — constant.
+    Micro-batch work is a map-side-combined count over 192 cells.
+    The exact-frequency probe leg is the fixture-scale receipt, not
+    the production path (a live system probes the sketch, which is
+    what this query demonstrates)."""
+    from pyspark.sql import Window
+
+    from update_database_by_wind_spark.sources import load
+
+    streamed = run_to_memory(st18_cms_stream(spark, sf_dir), "complete")
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    rows = [
+        ev.select(
+            F.lit(j).alias("j"), F.expr(_stc_bucket_sql(j, "k")).alias("b")
+        )
+        for j in range(3)
+    ]
+    batch_cells = (
+        rows[0].unionByName(rows[1]).unionByName(rows[2])
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("b_c"))
+    )
+    stream_ok = (
+        streamed.join(
+            batch_cells,
+            (streamed["j"] == batch_cells["j"])
+            & (streamed["b"] == batch_cells["b"]),
+            "full_outer",
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("c").isNotNull()
+                    & F.col("b_c").isNotNull()
+                    & (F.col("c") == F.col("b_c"))
+                ),
+                F.lit(False),
+            ).alias("stream_ok")
+        )
+    )
+    exact = ev.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    probes = (
+        exact.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.col("exact_cnt").desc(), "k"))
+            .cast("long"),
+        )
+        .filter(F.col("rn") <= 12)
+    )
+    pb = None
+    for j in range(3):
+        leg = probes.select(
+            "k",
+            "exact_cnt",
+            "rn",
+            F.lit(j).alias("j"),
+            F.expr(_stc_bucket_sql(j, "k")).alias("b"),
+        )
+        pb = leg if pb is None else pb.unionByName(leg)
+    est = (
+        pb.join(F.broadcast(streamed), ["j", "b"])
+        .groupBy("k", "exact_cnt", "rn")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(stream_ok))
+        .select(
+            F.col("k").alias("user_id"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+            "rn",
+            "stream_ok",
+        )
+        .orderBy("rn")
+    )
