@@ -38,6 +38,7 @@ _R11_NEW = [
     "mm_feature_extract",
     "e4_transition_matrix",
     "st18_stream_cms",
+    "j13_interval_bin_join",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash
