@@ -39,6 +39,7 @@ _R11_NEW = [
     "e4_transition_matrix",
     "st18_stream_cms",
     "j13_interval_bin_join",
+    "dq4_freshness_audit",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -271,3 +271,78 @@ def dq3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("outlier_ppm"),
         )
     )
+
+
+# --- DQ4: freshness / completeness audit -----------------------------------------
+
+_DQ4_STALE_US = 6 * 3600 * 1_000_000  # staleness alarm threshold: 6 h
+
+_DQ4_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+g AS (
+  SELECT CAST(MAX(t_us) AS BIGINT) AS g_max,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS g_days
+  FROM ev
+),
+per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(t_us) AS BIGINT) AS last_us,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+  FROM ev GROUP BY event_type
+)
+SELECT per.event_type, per.n_rows, per.last_us,
+       g.g_max - per.last_us AS lag_us,
+       g.g_max - per.last_us > {_DQ4_STALE_US} AS stale,
+       per.n_days,
+       g.g_days - per.n_days AS missing_days,
+       per.n_days * 1000000 // g.g_days AS coverage_ppm
+FROM per, g
+"""
+
+
+@query("dq4_freshness_audit", oracle=_DQ4_ORACLE, tags=("quality", "audit"))
+def dq4_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: per-stream freshness + completeness audit — the
+    operational monitor an update pipeline runs BETWEEN syncs, next to
+    the correctness audits (DQ1 integrity, DQ2 profile, DQ3 outliers):
+    for every event type, how far its newest record trails the
+    table's global high-water mark (``lag_us``, alarmed at 6 h —
+    a silently-stalled upstream feed is the classic late-data
+    incident), and what fraction of the table's active days the
+    stream covers at all (``coverage_ppm`` / ``missing_days`` — the
+    completeness axis: a feed can be fresh yet have holes).
+
+    All integer microseconds and counts — one column-pruned scan,
+    one map-side-combinable aggregate per grouping plus a broadcast
+    1-row global — nothing here changes shape at 100 TB.  The
+    distinct-day counts shuffle (type, day) pairs, bounded by
+    types × calendar."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    g = ev.agg(
+        F.max("t_us").alias("g_max"),
+        F.countDistinct("d").alias("g_days"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.max("t_us").alias("last_us"),
+        F.countDistinct("d").alias("n_days"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_rows",
+        "last_us",
+        (F.col("g_max") - F.col("last_us")).alias("lag_us"),
+        (F.col("g_max") - F.col("last_us") > _DQ4_STALE_US).alias("stale"),
+        "n_days",
+        (F.col("g_days") - F.col("n_days")).alias("missing_days"),
+        F.expr("n_days * 1000000 DIV g_days").alias("coverage_ppm"),
+    )
