@@ -40,6 +40,7 @@ _R11_NEW = [
     "st18_stream_cms",
     "j13_interval_bin_join",
     "dq4_freshness_audit",
+    "u27_orphan_gc",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

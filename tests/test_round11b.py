@@ -283,3 +283,26 @@ def test_st18_bucket_rows_are_independent(spark):
     # and each row covers the full bucket range
     for j in range(3):
         assert df.select(f"b{j}").distinct().count() == _STC_W
+
+
+# --- u27: the age guard the in-query receipt never exercises ----------------
+
+
+def test_orphan_gc_age_guard_skips_young_dirs(spark, tmp_path):
+    import os
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        orphan_gc,
+        snapshot_commit,
+    )
+
+    base = str(tmp_path / "ledger")
+    df = spark.createDataFrame([("m1", 1, 10)], "p string, k long, c long")
+    snapshot_commit(df, base, 1, "p")
+    os.makedirs(os.path.join(base, "_tmp_v2"))  # "in-flight" staging dir
+    # with a generous age threshold the young orphan is skipped...
+    assert orphan_gc(base, min_age_s=3600)["removed"] == []
+    assert os.path.isdir(os.path.join(base, "_tmp_v2"))
+    # ...and with none it is reclaimed; the live commit is untouched
+    assert orphan_gc(base)["removed"] == ["_tmp_v2"]
+    assert os.path.isdir(os.path.join(base, "v1"))

@@ -3802,3 +3802,174 @@ def u26_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "not serve a half-shared snapshot"
         )
     return pre.unionByName(agg("post_vacuum"))
+
+
+# --- U27: orphan-directory GC (crash-artifact reclamation) ---------------------
+
+
+def orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
+    """Remove data directories that NO manifest references — the
+    Iceberg ``removeOrphanFiles`` contract on the snapshot store:
+    a crashed commit can leave a fully-written ``v{k}`` directory
+    whose manifest was never published (the manifest pointer IS the
+    publish), and a guard-refused retry can leave a ``_tmp_v{k}``
+    staging directory.  Neither is reachable from any manifest, so
+    both are dead bytes — but unlike :func:`snapshot_expire` this
+    NEVER touches a manifest: expiry rewrites history by policy,
+    orphan GC only reclaims what history already cannot see, so it is
+    safe to run at any point in the table's life.
+
+    ``min_age_s`` is the concurrent-writer guard (same caveat as
+    Iceberg's): an in-flight commit's staging dir looks orphaned
+    until its manifest publishes, so production runs pass an age
+    threshold comfortably above the longest commit; directories
+    younger than it are skipped, not removed.
+
+    Returns the removed entry names (sorted), for receipt checks."""
+    import os
+    import re
+    import shutil
+    import time
+
+    referenced: set[int] = set()
+    for entry in os.listdir(base):
+        if re.fullmatch(r"_manifest_v(\d+)\.json", entry):
+            with open(os.path.join(base, entry)) as fh:
+                import json as _json
+
+                referenced |= set(_json.load(fh).values())
+    removed = []
+    now = time.time()
+    for entry in sorted(os.listdir(base)):
+        full = os.path.join(base, entry)
+        if not os.path.isdir(full):
+            continue
+        m = re.fullmatch(r"v(\d+)", entry)
+        is_orphan_vdir = m is not None and int(m.group(1)) not in referenced
+        is_stage = re.fullmatch(r"_tmp_v\d+", entry) is not None
+        if not (is_orphan_vdir or is_stage):
+            continue
+        if now - os.path.getmtime(full) < min_age_s:
+            continue  # concurrent-writer guard: too young to judge
+        shutil.rmtree(full)
+        removed.append(entry)
+    return {"removed": removed}
+
+
+_U27_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+head AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM base
+),
+r AS (
+  SELECT o_month, COUNT(*) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM head GROUP BY o_month
+)
+SELECT 'pre_gc' AS phase, o_month, n_rows, total_cents FROM r
+UNION ALL
+SELECT 'post_gc' AS phase, o_month, n_rows, total_cents FROM r
+"""
+
+
+@query("u27_orphan_gc", oracle=_U27_ORACLE, tags=("update", "layout"))
+def u27_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U27: orphan-directory GC driven end-to-end — the reclamation
+    path for commits that CRASHED rather than expired, completing the
+    storage-lifecycle family (u15 time travel, u23 restore, u26
+    vacuum): a fully-written ``v99`` directory whose manifest never
+    published and a ``_tmp_v3`` staging leftover are planted next to
+    two healthy commits, and :func:`orphan_gc` must remove exactly
+    those two entries and nothing else.
+
+    In-query receipts: the removal list is exact (both orphans, no
+    live directory), both live directories and both manifests
+    survive, a second GC pass removes nothing (idempotence — the
+    reachability set is unchanged by reclamation), and the head read
+    answers identically before and after (the two output phases
+    hash-check against one logical recompute).
+
+    Why it matters at 100 TB: crash artifacts are invisible to every
+    reader (the manifest pointer is the publish), so they only cost
+    storage — but at petabyte scale 'only storage' is real money,
+    and the GC that reclaims it must be provably unable to touch a
+    byte any manifest can still reach.  Reachability is computed
+    from manifest JSONs only — no data read."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_orphan_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    hot_months = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1997-01"
+    ]
+    v2 = snap.filter(F.col("o_month").isin(hot_months)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(v2, base, 2, "o_month", parts=hot_months)
+    # plant the crash artifacts: a data dir whose manifest never
+    # published, and a staging leftover from a refused retry
+    snap.limit(20).write.parquet(os.path.join(base, "v99", "part=crash"))
+    os.makedirs(os.path.join(base, "_tmp_v3", "part=stage"))
+
+    def agg(sfx: str) -> DataFrame:
+        return (
+            snapshot_read(spark, base, 2, "o_month")
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(sfx).alias("phase"),
+                "o_month",
+                "n_rows",
+                "total_cents",
+            )
+        )
+
+    pre = agg("pre_gc").localCheckpoint()
+    receipt = orphan_gc(base)
+    if receipt["removed"] != ["_tmp_v3", "v99"]:
+        raise ValueError(
+            "u27_orphan_gc: expected exactly the two planted orphans "
+            f"reclaimed, got {receipt['removed']}"
+        )
+    for must_live in ("v1", "v2", "_manifest_v1.json", "_manifest_v2.json"):
+        if not os.path.exists(os.path.join(base, must_live)):
+            raise ValueError(
+                f"u27_orphan_gc: GC removed live entry {must_live}"
+            )
+    again = orphan_gc(base)
+    if again["removed"]:
+        raise ValueError(
+            "u27_orphan_gc: second GC pass removed "
+            f"{again['removed']} — reclamation must be idempotent"
+        )
+    return pre.unionByName(agg("post_gc"))
