@@ -41,6 +41,7 @@ _R11_NEW = [
     "j13_interval_bin_join",
     "dq4_freshness_audit",
     "u27_orphan_gc",
+    "st19_stream_hll",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1448,3 +1448,195 @@ def st18_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# --- ST19: streaming HyperLogLog maintenance ------------------------------------
+
+# a18's portable 64-register HLL, maintained by the streaming state
+# store.  Register MAX is the HLL merge and is commutative/idempotent,
+# so the streamed register state is deterministic under any
+# micro-batch partitioning — the same property that makes st18's
+# counter addition oracle-exact, here for the cardinality axis.
+_STH_P = 2147483647
+_STH_A1 = 2654435761
+_STH_A2 = 2246822519
+_STH_M = 64
+_STH_B = 25
+
+
+def _sth_mix_sql(key: str) -> str:
+    h1 = f"((({key} % {_STH_P}) * {_STH_A1}) % {_STH_P})"
+    h2 = f"((({key} % {_STH_P}) * {_STH_A2}) % {_STH_P})"
+    return f"xor({h1}, {h2})"
+
+
+_ST19_ORACLE = f"""
+WITH k AS (SELECT user_id AS k FROM events),
+hx AS (SELECT {_sth_mix_sql('k')} AS hx FROM k),
+h AS (SELECT xor(hx, hx // 8192) AS h FROM hx),
+rr AS (
+  SELECT h % {_STH_M} AS b,
+         CASE WHEN h // {_STH_M} = 0 THEN {_STH_B + 1}
+              ELSE {_STH_B} + 1 - LENGTH(BIN(h // {_STH_M})) END AS rho
+  FROM h
+),
+regs AS (SELECT b, MAX(rho) AS register FROM rr GROUP BY b),
+spine AS (SELECT CAST(range AS BIGINT) AS b FROM range({_STH_M})),
+full_regs AS (
+  SELECT s.b, COALESCE(r.register, 0) AS register
+  FROM spine s LEFT JOIN regs r ON s.b = r.b
+),
+s AS (
+  SELECT CAST(SUM(1 << ({_STH_B + 1} - register)) AS BIGINT) AS s_scaled
+  FROM full_regs
+),
+ex AS (SELECT COUNT(DISTINCT k) AS exact_distinct FROM k),
+est AS (
+  SELECT s_scaled,
+         CAST(0.709 AS DOUBLE)
+           * (CAST({_STH_M * _STH_M * 2 ** (_STH_B + 1)} AS DOUBLE)
+                / s_scaled) AS hll_est
+  FROM s
+)
+SELECT f.b, CAST(f.register AS BIGINT) AS register,
+       ex.exact_distinct, est.s_scaled, est.hll_est,
+       (ABS(est.hll_est - ex.exact_distinct) * CAST(100 AS DOUBLE)
+          <= CAST(30 AS DOUBLE) * ex.exact_distinct) AS within_30pct,
+       TRUE AS stream_ok
+FROM full_regs f, ex, est
+ORDER BY f.b
+"""
+
+
+def st19_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder: the streaming HLL — each event's key hashes to a
+    (register, rank) pair; the complete-mode groupBy(b).MAX(rho)
+    folds every micro-batch into the state store by register max,
+    which is exactly the HLL merge.  State is 64 longs, period."""
+    ev = events_stream(spark, sf_dir).select(F.col("user_id").alias("k"))
+    rr = (
+        ev.withColumn(
+            "hx",
+            (((F.col("k") % _STH_P) * _STH_A1) % _STH_P).bitwiseXOR(
+                ((F.col("k") % _STH_P) * _STH_A2) % _STH_P
+            ),
+        )
+        .withColumn("h", F.col("hx").bitwiseXOR(F.expr("hx DIV 8192")))
+        .select(
+            F.expr(f"h % {_STH_M}").alias("b"),
+            F.when(
+                F.expr(f"h DIV {_STH_M}") == 0, F.lit(_STH_B + 1)
+            )
+            .otherwise(
+                F.lit(_STH_B + 1)
+                - F.length(F.bin(F.expr(f"h DIV {_STH_M}")))
+            )
+            .alias("rho"),
+        )
+    )
+    return rr.groupBy("b").agg(F.max("rho").alias("register"))
+
+
+@query("st19_stream_hll", oracle=_ST19_ORACLE, tags=("streaming", "sketch"))
+def st19_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19: a18's portable HyperLogLog maintained BY Structured
+    Streaming — completing the live-sketch trio (st17 quantiles, st18
+    frequencies, st19 CARDINALITY): a running pipeline answers "how
+    many distinct users so far" from 64 longs of state, no re-scan
+    and no growing dedup state (contrast st5/st14, whose exact dedup
+    state grows with the key space or needs watermark eviction).
+    Register MAX is the HLL merge — commutative AND idempotent, so
+    the streamed state is deterministic under any micro-batch
+    partitioning and replay (at-least-once delivery folds to the
+    same registers — idempotence is the property exactly-once dedup
+    state exists to fake).
+
+    Receipts: the streamed registers are compared register-for-
+    register (full-outer over the 64-bucket spine) against a
+    from-scratch batch recompute (``stream_ok``, oracle-pinned TRUE);
+    the estimate is then computed FROM the streamed state with a18's
+    exact-integer harmonic sum (two IEEE ops, every parity trap
+    dodged by construction) and audited against the exact distinct
+    count (``within_30pct`` — 2.3σ for m=64).
+
+    Scale: O(m) state per state-store partition; micro-batch work
+    map-side combines to ≤ 64 groups.  The exact-distinct leg is the
+    fixture-scale audit, not the production path."""
+    from update_database_by_wind_spark.sources import load
+
+    streamed = run_to_memory(st19_hll_stream(spark, sf_dir), "complete")
+    spine = spark.range(_STH_M).select(F.col("id").alias("b"))
+    full_regs = spine.join(streamed, "b", "left").select(
+        "b", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    batch_rr = (
+        ev.withColumn(
+            "hx",
+            (((F.col("k") % _STH_P) * _STH_A1) % _STH_P).bitwiseXOR(
+                ((F.col("k") % _STH_P) * _STH_A2) % _STH_P
+            ),
+        )
+        .withColumn("h", F.col("hx").bitwiseXOR(F.expr("hx DIV 8192")))
+        .select(
+            F.expr(f"h % {_STH_M}").alias("b"),
+            F.when(
+                F.expr(f"h DIV {_STH_M}") == 0, F.lit(_STH_B + 1)
+            )
+            .otherwise(
+                F.lit(_STH_B + 1)
+                - F.length(F.bin(F.expr(f"h DIV {_STH_M}")))
+            )
+            .alias("rho"),
+        )
+    )
+    batch_regs = batch_rr.groupBy("b").agg(F.max("rho").alias("b_register"))
+    stream_ok = (
+        streamed.join(
+            batch_regs, streamed["b"] == batch_regs["b"], "full_outer"
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.col("register").isNotNull()
+                    & F.col("b_register").isNotNull()
+                    & (F.col("register") == F.col("b_register"))
+                ),
+                F.lit(False),
+            ).alias("stream_ok")
+        )
+    )
+    s = full_regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {_STH_B + 1} - register)"))
+        .cast("long")
+        .alias("s_scaled")
+    )
+    ex = ev.agg(F.countDistinct("k").alias("exact_distinct"))
+    est = s.select(
+        "s_scaled",
+        (
+            F.lit(0.709)
+            * (
+                F.lit(float(_STH_M * _STH_M * 2 ** (_STH_B + 1)))
+                / F.col("s_scaled")
+            )
+        ).alias("hll_est"),
+    )
+    return (
+        full_regs.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(stream_ok))
+        .select(
+            "b",
+            F.col("register").cast("long").alias("register"),
+            "exact_distinct",
+            "s_scaled",
+            "hll_est",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_distinct")) * 100.0
+                <= 30.0 * F.col("exact_distinct")
+            ).alias("within_30pct"),
+            "stream_ok",
+        )
+        .orderBy("b")
+    )
