@@ -616,17 +616,21 @@ _J13_BIN_S = 3600  # equi-join bin width (seconds)
 
 _J13_ORACLE = f"""
 WITH err AS (
-  SELECT ts, LAG(ts) OVER (ORDER BY ts, event_id) AS prev
+  SELECT ts, event_id, LAG(ts) OVER (ORDER BY ts, event_id) AS prev
   FROM events WHERE event_type = 'error'
 ),
 flagged AS (
-  SELECT ts,
+  SELECT ts, event_id,
          CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > {_J13_GAP_S}
               THEN 1 ELSE 0 END AS brk
   FROM err
 ),
 grp AS (
-  SELECT ts, SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS g
+  -- event_id in the cumsum order too: a ts TIE at a burst boundary
+  -- must group identically to the Spark side's (t_us, event_id) order
+  SELECT ts,
+         SUM(brk) OVER (ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS g
   FROM flagged
 ),
 inc AS (
