@@ -42,6 +42,8 @@ _R11_NEW = [
     "dq4_freshness_audit",
     "u27_orphan_gc",
     "st19_stream_hll",
+    "l5d_pq_topk",
+    "l5d_pq_recall",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1049,3 +1049,274 @@ def l5c_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- L5d: product quantization (PQ) ANN + recall gate ---------------------------
+
+# 64 dims -> M=4 subspaces x 16 dims, K=8 codes each, trained with the
+# SAME deterministic micro-grid Lloyd machinery as the IVF quantizer
+# (hash seeding, fixed iterations, half-away integer micro-means, the
+# |c|^2 - 2ec assignment with no ROUND anywhere).  A vector is stored
+# as 4 code ids (3 bits each) instead of 64 floats -- the 64x
+# compression that makes billion-vector search RAM-resident; the ADC
+# score is the sum of 4 per-subspace table lookups.
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 8
+_PQ_ITERS = 2
+
+
+def _pq_slice_sql(m: int) -> str:
+    return f"embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}]"
+
+
+def _pq_oracle_ctes(m: int) -> str:
+    """The kmeans CTE chain of _kmeans_oracle_ctes, specialized to
+    subspace ``m``'s slice and name-prefixed pq{m}_ so four chains
+    coexist in one oracle."""
+    h = f"((vec_id % {_KM_PRIME}) * {_KM_KNUTH}) % {_KM_MOD}"
+    sl = _pq_slice_sql(m)
+    p = f"pq{m}_"
+    parts = [
+        f"""{p}cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell,
+         list_transform({sl},
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS centroid
+  FROM (SELECT vec_id, embedding, {h} AS h
+        FROM embeddings ORDER BY h, vec_id LIMIT {_PQ_K})
+)"""
+    ]
+    for i in range(1, _PQ_ITERS + 1):
+        prev = f"{p}cent{i - 1}"
+        parts.append(
+            f"""{p}assign{i} AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM (SELECT e.vec_id, e.embedding, c.cell,
+               {_km_dist_sql(f'e.{sl}', 'c.centroid')} AS d
+        FROM embeddings e CROSS JOIN {prev} c)
+),
+{p}expl{i} AS (
+  SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+         CAST(FLOOR(CAST(({sl})[u.pos] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v6
+  FROM (SELECT * FROM {p}assign{i} WHERE rn = 1),
+       UNNEST(range(1, {_PQ_SUB} + 1)) AS u(pos)
+),
+{p}cent{i} AS (
+  SELECT cell, list(CAST(cv6 AS BIGINT) ORDER BY pos) AS centroid
+  FROM (SELECT cell, pos,
+               CASE WHEN SUM(v6) < 0
+                    THEN -((-2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6)))
+                    ELSE (2 * SUM(v6) + COUNT(v6)) // (2 * COUNT(v6))
+               END AS cv6
+        FROM {p}expl{i} GROUP BY cell, pos)
+  GROUP BY cell
+)"""
+        )
+    parts.append(
+        f"""{p}codes AS (
+  SELECT vec_id, {m} AS m, cell AS code
+  FROM (SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_km_dist_sql(f'e.{sl}', 'c.centroid')},
+                                           c.cell) AS rn
+        FROM embeddings e CROSS JOIN {p}cent{_PQ_ITERS} c)
+  WHERE rn = 1
+),
+{p}tab AS (
+  SELECT e.vec_id AS query_id, {m} AS m, c.cell AS code,
+         CAST({_SQL_DOT_MICRO_INT.format(a=f'e.{sl}', b='c.centroid')}
+              AS BIGINT) AS part_dot
+  FROM embeddings e CROSS JOIN {p}cent{_PQ_ITERS} c
+  WHERE e.vec_id < {_N_QUERIES}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_PQ_CTES = ",\n".join(_pq_oracle_ctes(m) for m in range(_PQ_M))
+_PQ_CODE_UNION = " UNION ALL ".join(
+    f"SELECT * FROM pq{m}_codes" for m in range(_PQ_M)
+)
+_PQ_TAB_UNION = " UNION ALL ".join(
+    f"SELECT * FROM pq{m}_tab" for m in range(_PQ_M)
+)
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES},
+codes AS ({_PQ_CODE_UNION}),
+tab AS ({_PQ_TAB_UNION}),
+adc AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(t.part_dot) AS BIGINT) AS adc_e12
+  FROM codes c JOIN tab t ON c.m = t.m AND c.code = t.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_e12, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e12 DESC, neighbor_id)
+                  AS rn
+      FROM adc)
+WHERE rn <= {_TOP_K}
+"""
+
+
+def pq_codebooks_and_codes(
+    emb: DataFrame,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Train the M per-subspace codebooks and encode every vector.
+
+    Returns (codebooks, codes): codebooks[m] is the (cell, centroid)
+    table of subspace m (K rows of integer micro-grid centroids —
+    broadcast-sized by construction), codes is the encoded corpus
+    (vec_id, m, code) — the 64×-compressed representation that is ALL
+    a PQ index stores per vector."""
+    books, code_parts = [], []
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias(
+                "embedding"
+            ),
+        )
+        cent = kmeans_centroids(sub, k=_PQ_K, iters=_PQ_ITERS)
+        # four tiny (8-row) codebooks feed every later stage — pin them
+        # so each is trained once, not once per consumer
+        cent = cent.localCheckpoint()
+        books.append(cent)
+        code_parts.append(
+            _km_assign(sub, cent, "vec_id", "embedding").select(
+                "vec_id", F.lit(m).alias("m"), F.col("cell").alias("code")
+            )
+        )
+    codes = code_parts[0]
+    for c in code_parts[1:]:
+        codes = codes.unionByName(c)
+    return books, codes
+
+
+@query(
+    "l5d_pq_topk",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq", "kmeans"),
+)
+def l5d_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d: product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    classic memory-side compression the vector family still lacked:
+    IVF (l5) prunes WHICH vectors get scored; PQ compresses WHAT is
+    stored per vector — 64 floats become M=4 3-bit code ids (64×),
+    which is how billion-vector indexes stay RAM-resident.  Each
+    16-dim subspace gets its own K=8 codebook from the deterministic
+    micro-grid Lloyd trainer (hash seeding, fixed iterations,
+    half-away integer micro-means — the IVF quantizer machinery
+    applied per slice), and a vector's code is its nearest
+    sub-centroid per subspace.
+
+    Query scoring is asymmetric distance computation (ADC), the heart
+    of PQ: the query stays FULL precision, a (query × subspace ×
+    code) table of partial dots is computed once against the
+    codebooks (Q·M·K entries — broadcast-sized), and every database
+    vector's score is the SUM of M table lookups selected by its
+    stored codes — no vector arithmetic per candidate, just integer
+    adds.  Everything is exact micro-grid integer arithmetic end to
+    end, so the driver hash-checks codebooks, codes, and ADC scores
+    cell-exactly against the four unrolled Lloyd chains in the
+    oracle.
+
+    Scale: codebooks are K×M tiny and broadcast; encoding is one
+    narrow pass per subspace; the ADC join shuffles (vec_id, m, code)
+    triples — 4 small ints per vector, never the vectors themselves.
+    The recall gate (l5d_pq_recall) is the honest quality check."""
+    emb = load(spark, sf_dir, "embeddings")
+    books, codes = pq_codebooks_and_codes(emb)
+    tabs = []
+    for m, cent in enumerate(books):
+        qsub = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("qe"),
+        )
+        tabs.append(
+            qsub.crossJoin(F.broadcast(cent)).select(
+                "query_id",
+                F.lit(m).alias("m"),
+                F.col("cell").alias("code"),
+                dot_micro_int(F.col("qe"), F.col("centroid")).alias(
+                    "part_dot"
+                ),
+            )
+        )
+    tab = tabs[0]
+    for t in tabs[1:]:
+        tab = tab.unionByName(t)
+    adc = (
+        codes.join(F.broadcast(tab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part_dot").cast("long").alias("adc_e12"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("adc_e12").desc(), "vec_id"
+        )
+    )
+    return (
+        adc.withColumn("rn", rn.cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_e12",
+            "rn",
+        )
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+SELECT e.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM ({_L4_ORACLE}) e
+LEFT JOIN ({_PQ_ORACLE}) i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "l5d_pq_recall",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=("similarity", "ann", "eval", "pq"),
+)
+def l5d_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d-recall: recall@k of the PQ/ADC top-k against the exact
+    brute-force ground truth — the same deploy gate as l5b/l5b2/l5c,
+    because a 64× compression is worthless if it forgets the
+    neighbors.  (Honest fixture expectation: isotropic synthetic
+    vectors are the hardest possible case for coarse codebooks —
+    recall is graded, not assumed.)"""
+    exact = l4_cosine_topk_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = l5d_pq_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.pq_neighbor_id),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "pq_neighbor_id")
+    hit = F.when(F.col("pq_neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+            "recall_at_k"
+        ),
+    )
