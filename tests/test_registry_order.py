@@ -44,6 +44,7 @@ _R11_NEW = [
     "st19_stream_hll",
     "l5d_pq_topk",
     "l5d_pq_recall",
+    "w11_cumulative_distinct",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -328,3 +328,78 @@ def w3b_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+# --- W11: cumulative DISTINCT count (running set cardinality) -------------------
+
+_W11_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us
+  FROM events WHERE user_id % 97 = 0
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, t_us,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY t_us, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM ev
+)
+SELECT user_id, t_us, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY t_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct_so_far
+FROM flagged
+"""
+
+
+@query("w11_cumulative_distinct", oracle=_W11_ORACLE, tags=("window",))
+def w11_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: running COUNT(DISTINCT) — per user, how many distinct
+    event types have been seen up to and including each event.  SQL
+    forbids ``COUNT(DISTINCT x) OVER (ORDER BY ...)`` outright (no
+    engine implements it — running-distinct state is a set, not a
+    scalar), so the production rewrite is the FIRST-OCCURRENCE FLAG:
+    a row_number over (user, type) marks each type's first arrival,
+    and a plain running SUM of the flag over the user's timeline is
+    exactly the growing set's cardinality.  The onboarding/breadth
+    metric ("how quickly does a user's behavioral repertoire grow")
+    and the standard interview-question window trick, as a
+    driver-checked operator.
+
+    Shuffle shape: both windows hash-partition on user_id (the
+    (user, type) partition is a subpartition, so Catalyst plans ONE
+    exchange and sorts twice within it); ties break on the unique
+    event_id; timestamps travel as integer microseconds.  The %97
+    user sample bounds the output, not the computation."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "t_us", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "t_us",
+            "event_type",
+            F.sum("first_seen").over(w_cum).cast("long").alias(
+                "n_distinct_so_far"
+            ),
+        )
+    )
