@@ -45,6 +45,7 @@ _R11_NEW = [
     "l5d_pq_topk",
     "l5d_pq_recall",
     "w11_cumulative_distinct",
+    "t_oov_rate",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -685,3 +685,81 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000.0"
         ).alias("avg_logprob"),
     )
+
+
+# --- Toov: vocabulary coverage / OOV rate ----------------------------------------
+
+_OOV_V = 500  # tokenizer vocabulary size (top corpus words)
+
+_TOOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(c='text')}) AS word
+  FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn FROM wc
+  ) WHERE rn <= {_OOV_V}
+),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tok,
+         SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (word)
+  WHERE t.doc_id % 7 = 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(n_oov * 1000000 // n_tok AS BIGINT) AS oov_ppm
+FROM per
+"""
+
+
+@query("t_oov_rate", oracle=_TOOV_ORACLE, tags=("text", "quality"))
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toov: per-document out-of-vocabulary rate against a top-500
+    corpus vocabulary — the tokenizer-coverage metric a training-data
+    pipeline checks before committing to a vocab: documents with high
+    OOV under the deployment tokenizer fragment into byte-fallback
+    soup and waste sequence length, so the OOV ppm feeds the same
+    keep/drop gates as t_quality_score and the unigram LM filter
+    (this is the VOCABULARY axis those two don't measure: a fluent
+    document in an unsupported script scores fine on length/punct and
+    terribly here).
+
+    Shape: the vocabulary is one map-side-combined word count +
+    top-k (Heaps-bounded, broadcast back); per-doc scoring is a
+    broadcast left join flag and one grouped aggregation — the exact
+    L25 pipeline shape with a membership test instead of a
+    probability.  Rates are integer ppm floor divisions (parity
+    rule); the %7 doc sample bounds the output, the vocabulary is
+    trained on the FULL corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    w = Window.orderBy(F.col("c").desc(), "word")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OOV_V)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.filter(F.col("doc_id") % 7 == 0)
+        .join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tok").alias("oov_ppm"),
+        )
+    )
