@@ -46,6 +46,7 @@ _R11_NEW = [
     "l5d_pq_recall",
     "w11_cumulative_distinct",
     "t_oov_rate",
+    "u28_snapshot_tags",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -306,3 +306,38 @@ def test_orphan_gc_age_guard_skips_young_dirs(spark, tmp_path):
     # ...and with none it is reclaimed; the live commit is untouched
     assert orphan_gc(base)["removed"] == ["_tmp_v2"]
     assert os.path.isdir(os.path.join(base, "v1"))
+
+
+# --- u28: ref-layer refusals the in-query receipts don't cover ---------------
+
+
+def test_snapshot_tag_refusals_and_roots(spark, tmp_path):
+    import pytest as _pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        expire_untagged,
+        snapshot_commit,
+        snapshot_read_tag,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
+    base = str(tmp_path / "ledger")
+    df = spark.createDataFrame(
+        [("m1", 1, 10), ("m2", 2, 20)], "p string, k long, c long"
+    )
+    snapshot_commit(df, base, 1, "p")
+    snapshot_commit(df.filter("p = 'm2'"), base, 2, "p", parts=["m2"])
+    with _pytest.raises(ValueError, match="unsafe ref name"):
+        snapshot_tag(base, "../escape", 1)
+    with _pytest.raises(ValueError, match="no manifest"):
+        snapshot_tag(base, "ghost", 9)
+    with _pytest.raises(ValueError, match="no ref named"):
+        snapshot_read_tag(spark, base, "nope", "p")
+    snapshot_tag(base, "keep-me", 1)
+    assert snapshot_tags(base) == {"keep-me": 1}
+    # head is v2, tag roots v1 -> nothing expirable
+    receipt = expire_untagged(base)
+    assert receipt["kept_versions"] == [1, 2]
+    assert receipt["removed_manifests"] == []
+    assert snapshot_read_tag(spark, base, "keep-me", "p").count() == 2

@@ -3973,3 +3973,226 @@ def u27_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{again['removed']} — reclamation must be idempotent"
         )
     return pre.unionByName(agg("post_gc"))
+
+
+# --- U28: named refs (tags) as GC roots over the snapshot store -----------------
+
+
+def snapshot_tag(base: str, name: str, version: int) -> None:
+    """Create an immutable named ref ``name`` → ``version`` — the
+    Iceberg tag contract: a human-meaningful, stable handle
+    ("audit-2024", "pre-migration") onto a snapshot that survives any
+    amount of later history.  Refuses a version with no manifest
+    (tagging the expired or never-committed is meaningless) and an
+    existing name (tags are immutable; retargeting a published name
+    would silently change what auditors re-read — delete + re-tag is
+    the explicit two-step).  Names are restricted to a filesystem-safe
+    alphabet because the ref IS a file."""
+    import os
+    import re
+
+    from update_database_by_wind_spark.functions.fsutil import (
+        atomic_write_json,
+    )
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]*", name):
+        raise ValueError(f"snapshot_tag: unsafe ref name {name!r}")
+    if not os.path.exists(os.path.join(base, f"_manifest_v{version}.json")):
+        raise ValueError(
+            f"snapshot_tag: version {version} has no manifest — cannot "
+            "tag an expired or uncommitted snapshot"
+        )
+    ref = os.path.join(base, f"_ref_{name}.json")
+    if os.path.exists(ref):
+        raise ValueError(
+            f"snapshot_tag: ref {name!r} already exists — tags are "
+            "immutable (delete then re-tag to retarget, explicitly)"
+        )
+    atomic_write_json(ref, {"version": version})
+
+
+def snapshot_tags(base: str) -> dict[str, int]:
+    """All named refs as {name: version}."""
+    import json as _json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    for entry in os.listdir(base):
+        if m := re.fullmatch(r"_ref_(.+)\.json", entry):
+            with open(os.path.join(base, entry)) as fh:
+                out[m.group(1)] = _json.load(fh)["version"]
+    return out
+
+
+def snapshot_read_tag(
+    spark: SparkSession, base: str, name: str, partition_col: str
+) -> DataFrame:
+    """Read the table AS OF the tagged snapshot."""
+    tags = snapshot_tags(base)
+    if name not in tags:
+        raise ValueError(f"snapshot_read_tag: no ref named {name!r}")
+    return snapshot_read(spark, base, tags[name], partition_col)
+
+
+def expire_untagged(base: str) -> dict:
+    """Expire every snapshot that is neither the head nor tagged —
+    the retention policy tags exist for: refs are GC ROOTS, so
+    ``snapshot_expire``'s keep set is computed (head ∪ tagged) rather
+    than hand-listed, and a tagged snapshot can never be vacuumed out
+    from under the name auditors use to reach it."""
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    ]
+    keep = sorted({max(versions)} | set(snapshot_tags(base).values()))
+    receipt = snapshot_expire(base, keep_versions=keep)
+    receipt["kept_versions"] = keep
+    return receipt
+
+
+_U28_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM base
+),
+v3 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-01' AND o_orderkey % 13 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM v2
+),
+r1 AS (
+  SELECT o_month, COUNT(*) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base GROUP BY o_month
+),
+r3 AS (
+  SELECT o_month, COUNT(*) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM v3 GROUP BY o_month
+)
+SELECT 'tagged_v1' AS phase, o_month, n_rows, total_cents FROM r1
+UNION ALL
+SELECT 'head' AS phase, o_month, n_rows, total_cents FROM r3
+"""
+
+
+@query("u28_snapshot_tags", oracle=_U28_ORACLE, tags=("update", "layout"))
+def u28_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U28: named refs (tags) as GC roots — the missing piece between
+    time travel (u15: reach any version by NUMBER) and expiry (u26:
+    numbers get reclaimed): a tag is a stable human handle onto a
+    snapshot that retention can never vacuum away.  Three commits,
+    tag 'audit-baseline' → v1, then :func:`expire_untagged` — the
+    policy form of vacuum whose keep set is COMPUTED (head ∪ tags)
+    rather than hand-listed.
+
+    In-query receipts: the expiry keeps exactly {v1, v3} (v2's
+    manifest and fully-superseded directory go — same reclaim shape
+    as u26, but v1 now survives BY NAME, not by luck of sharing);
+    tagging an expired version refuses; re-tagging a published name
+    refuses (immutability — retargeting would silently change what
+    auditors re-read); and the output hash-checks BOTH reads — the
+    tag resolves to exactly v1's logical content after the vacuum
+    that would otherwise have unrooted it, alongside the live head.
+
+    Why it matters at 100 TB: retention says "keep 7 days", audit
+    says "keep THIS one forever" — refs make the second a metadata
+    entry instead of an argument with the GC, and the keep-set
+    computation makes vacuum safe to automate."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_tags_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    hot_months = [
+        r.o_month
+        for r in snap.select("o_month").distinct().collect()
+        if r.o_month >= "1997-01"
+    ]
+    v2 = snap.filter(F.col("o_month").isin(hot_months)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(v2, base, 2, "o_month", parts=hot_months)
+    v3 = v2.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(v3, base, 3, "o_month", parts=hot_months)
+    snapshot_tag(base, "audit-baseline", 1)
+    try:
+        snapshot_tag(base, "audit-baseline", 2)
+    except ValueError:
+        pass  # immutability: re-tagging a published name refuses
+    else:
+        raise ValueError("u28_snapshot_tags: re-tag did not refuse")
+    receipt = expire_untagged(base)
+    if receipt["kept_versions"] != [1, 3]:
+        raise ValueError(
+            f"u28_snapshot_tags: keep set {receipt['kept_versions']}, "
+            "expected the tagged v1 and the head v3"
+        )
+    if receipt["removed_manifests"] != ["_manifest_v2.json"]:
+        raise ValueError(
+            "u28_snapshot_tags: expected exactly v2's manifest expired, "
+            f"got {receipt['removed_manifests']}"
+        )
+    try:
+        snapshot_tag(base, "too-late", 2)
+    except ValueError:
+        pass  # the expired version is no longer taggable
+    else:
+        raise ValueError("u28_snapshot_tags: tagging expired did not refuse")
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                "o_month",
+                "n_rows",
+                "total_cents",
+            )
+        )
+
+    tagged = agg(
+        snapshot_read_tag(spark, base, "audit-baseline", "o_month"),
+        "tagged_v1",
+    )
+    head = agg(snapshot_read(spark, base, 3, "o_month"), "head")
+    return tagged.unionByName(head)
