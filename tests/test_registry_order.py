@@ -47,6 +47,7 @@ _R11_NEW = [
     "w11_cumulative_distinct",
     "t_oov_rate",
     "u28_snapshot_tags",
+    "u29_occ_commit",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -341,3 +341,47 @@ def test_snapshot_tag_refusals_and_roots(spark, tmp_path):
     assert receipt["kept_versions"] == [1, 2]
     assert receipt["removed_manifests"] == []
     assert snapshot_read_tag(spark, base, "keep-me", "p").count() == 2
+
+
+# --- u29: the OCC paths the in-query receipts don't cover --------------------
+
+
+def test_occ_commit_fast_path_and_empty_store(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        occ_commit,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = str(tmp_path / "ledger")
+    with _pytest.raises(ValueError, match="no committed snapshot"):
+        os.makedirs(base)
+        occ_commit(
+            spark.createDataFrame([("m1", 1, 10)], "p string, k long, c long"),
+            base, 0, "p", parts=["m1"],
+        )
+    df = spark.createDataFrame(
+        [("m1", 1, 10), ("m2", 2, 20)], "p string, k long, c long"
+    )
+    snapshot_commit(df, base, 1, "p")
+    # head == expected base: fast path, no rebase
+    r = occ_commit(
+        df.filter("p = 'm2'").withColumn("c", F.col("c") + 1),
+        base, 1, "p", parts=["m2"],
+    )
+    assert r == {"version": 2, "rebased": False}
+    got = {
+        (x.p, x.k): x.c for x in snapshot_read(spark, base, 2, "p").collect()
+    }
+    assert got == {("m1", 1): 10, ("m2", 2): 21}
+    # a NEW partition never conflicts, even across a concurrent commit
+    r2 = occ_commit(
+        spark.createDataFrame([("m3", 3, 30)], "p string, k long, c long"),
+        base, 1, "p", parts=["m3"],
+    )
+    assert r2 == {"version": 3, "rebased": True}
+    assert snapshot_read(spark, base, 3, "p").count() == 3

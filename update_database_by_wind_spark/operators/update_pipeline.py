@@ -4196,3 +4196,169 @@ def u28_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = agg(snapshot_read(spark, base, 3, "o_month"), "head")
     return tagged.unionByName(head)
+
+
+# --- U29: optimistic-concurrency commit with conflict validation ----------------
+
+
+def occ_commit(
+    df: DataFrame,
+    base: str,
+    expected_base: int,
+    partition_col: str,
+    parts: list,
+) -> dict:
+    """Commit under OPTIMISTIC CONCURRENCY — the Iceberg writer
+    contract: a writer prepares its change against the snapshot it
+    read (``expected_base``), and at publish time either the head is
+    still that snapshot (fast path) or someone committed meanwhile
+    and the writer must VALIDATE before rebasing: if any partition it
+    wants to write was rewritten by a commit newer than its base
+    snapshot, its staged change was computed from stale data — refuse
+    (the caller re-reads and re-derives); if the concurrent commits
+    touched only OTHER partitions, the write is rebased onto the
+    current head (committed at head+1, whose predecessor manifest
+    carries the concurrent changes forward) and both writers' work
+    lands.
+
+    This is what makes a multi-writer table safe without locks: the
+    manifest's partition→version map IS the conflict ledger, so
+    validation is a metadata scan — no data read, no lock held while
+    the (possibly hour-long) staging write runs."""
+    import json as _json
+    import os
+    import re
+
+    versions = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    ]
+    if not versions:
+        raise ValueError("occ_commit: no committed snapshot to build on")
+    head = max(versions)
+    rebased = head > expected_base
+    if rebased:
+        with open(os.path.join(base, f"_manifest_v{head}.json")) as fh:
+            owners: dict[str, int] = _json.load(fh)
+        conflicts = sorted(
+            p for p in parts if owners.get(str(p), 0) > expected_base
+        )
+        if conflicts:
+            raise ValueError(
+                f"occ_commit: conflict on partitions {conflicts} — they "
+                f"were rewritten after base snapshot v{expected_base}; "
+                "re-read the table and re-derive the change"
+            )
+    snapshot_commit(df, base, head + 1, partition_col, parts=parts)
+    return {"version": head + 1, "rebased": rebased}
+
+
+_U29_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-06' AND o_orderkey % 7 = 0
+              THEN cents + cents // 20
+              WHEN o_month < '1995-01' AND o_orderkey % 11 = 0
+              THEN cents + cents // 10
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY o_month
+"""
+
+
+@query("u29_occ_commit", oracle=_U29_ORACLE, tags=("update", "layout"))
+def u29_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U29: multi-writer commits under optimistic concurrency — the
+    contract that lets two pipelines write one table without locks.
+    Writer A lands a hot-month uplift normally (v2).  Writer B,
+    prepared against the SAME v1 snapshot A started from, targets
+    disjoint cold months: :func:`occ_commit` detects the concurrent
+    v2, validates B's partitions against the manifest's
+    partition→version conflict ledger, and REBASES — B lands as v3
+    whose predecessor manifest carries A's work forward, so the head
+    holds BOTH writers' changes (hash-checked against the logical
+    both-uplifts recompute).  Writer C, also based on v1 but
+    targeting months A rewrote, must REFUSE — its staged change was
+    derived from data that no longer exists at head, and publishing
+    it would silently revert A.
+
+    In-query receipts: B's receipt says rebased=True/version 3; C's
+    refusal names the conflicting partitions; a post-C head read
+    proves the refused writer left no trace (the staged-then-publish
+    discipline of snapshot_commit means a refused commit is
+    invisible).
+
+    Why it matters at 100 TB: validation is a metadata scan of the
+    head manifest — no lock is held while a possibly hour-long
+    staging write runs, and the partition→version map makes 'did
+    anyone touch MY partitions' an O(|parts|) dictionary probe."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_occ_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    months = [r.o_month for r in snap.select("o_month").distinct().collect()]
+    hot = [m for m in months if m >= "1997-06"]
+    cold = [m for m in months if m < "1995-01"]
+    # writer A: lands first, normally
+    a_df = snap.filter(F.col("o_month").isin(hot)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    snapshot_commit(a_df, base, 2, "o_month", parts=hot)
+    # writer B: prepared against v1, disjoint partitions -> rebase
+    b_df = snap.filter(F.col("o_month").isin(cold)).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.col("cents") + F.expr("cents DIV 10"),
+        ).otherwise(F.col("cents")),
+    )
+    receipt = occ_commit(b_df, base, 1, "o_month", parts=cold)
+    if receipt != {"version": 3, "rebased": True}:
+        raise ValueError(f"u29_occ_commit: unexpected rebase {receipt}")
+    # writer C: prepared against v1, overlaps A's partitions -> refuse
+    c_parts = [m for m in hot if m >= "1998-01"] or hot[-1:]
+    c_df = snap.filter(F.col("o_month").isin(c_parts))
+    try:
+        occ_commit(c_df, base, 1, "o_month", parts=c_parts)
+    except ValueError as ex:
+        if "conflict on partitions" not in str(ex):
+            raise
+    else:
+        raise ValueError(
+            "u29_occ_commit: conflicting writer was not refused — it "
+            "would have silently reverted writer A"
+        )
+    return (
+        snapshot_read(spark, base, 3, "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
