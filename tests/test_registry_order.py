@@ -48,6 +48,7 @@ _R11_NEW = [
     "t_oov_rate",
     "u28_snapshot_tags",
     "u29_occ_commit",
+    "j14_asof_tolerance",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

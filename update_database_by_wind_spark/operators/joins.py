@@ -743,3 +743,106 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the bin rewrite exists precisely to avoid it"
             )
     return out
+
+
+# --- J14: as-of join with a staleness tolerance ---------------------------------
+
+_J14_TOL_US = 3600 * 1_000_000  # 1 h: older quotes are too stale to use
+
+_J14_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS p_us, p.value,
+       CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= {_J14_TOL_US}
+            THEN c.click_value END AS last_click_value,
+       CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= {_J14_TOL_US}
+            THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+            END AS staleness_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("j14_asof_tolerance", oracle=_J14_ORACLE, tags=("join", "asof"))
+def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: as-of join with a STALENESS TOLERANCE — j8's last-known-
+    value alignment plus the bound every real quote-alignment needs
+    (pandas ``merge_asof(tolerance=...)``): a click more than an hour
+    old is not the "current" click, it is history, and pretending
+    otherwise poisons downstream attribution.  Matches beyond the
+    tolerance become NULL exactly as a missing match does, and the
+    kept match's ``staleness_us`` rides along so the tolerance choice
+    itself is auditable.
+
+    Same single-shuffle union+window rewrite as j8 (no per-key
+    anything, one exchange on user_id) — the tolerance adds one
+    forward-filled column (the matched click's OWN timestamp) and one
+    integer-microsecond comparison, which is the whole point: in the
+    union+window formulation a tolerance is a post-fill filter, while
+    a join-based formulation would need a second range predicate in
+    the join condition.  Oracle: DuckDB's native ASOF LEFT JOIN with
+    the same staleness CASE — the rewrite must reproduce engine-native
+    as-of semantics including the NULL rows."""
+    events = load(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "click_value",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "last_click_value",
+            F.last(F.col("click_value"), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "click_us",
+            F.last(
+                F.when(F.col("side") == 0, F.col("t_us")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("side") == 1)
+    )
+    fresh = F.col("click_us").isNotNull() & (
+        F.col("t_us") - F.col("click_us") <= _J14_TOL_US
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.col("t_us").alias("p_us"),
+        "value",
+        F.when(fresh, F.col("last_click_value")).alias("last_click_value"),
+        F.when(fresh, F.col("t_us") - F.col("click_us"))
+        .cast("long")
+        .alias("staleness_us"),
+    )
