@@ -49,6 +49,7 @@ _R11_NEW = [
     "u28_snapshot_tags",
     "u29_occ_commit",
     "j14_asof_tolerance",
+    "l3n_edit_distance_blocked",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1108,3 +1108,106 @@ def l3m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_micro"
         ),
     )
+
+
+# --- L3n: blocked edit-distance near-dup (character-level) ----------------------
+
+_L3N_BLK = 16  # block key length (prefix / suffix chars)
+_L3N_CAP = 20  # hot-block cap (the l3e df-cap idea for blocks)
+_L3N_MAX = 10  # edit-distance threshold
+
+_L3N_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+blk AS (
+  SELECT doc_id, 'p' || substring(text, 1, {_L3N_BLK}) AS blk FROM d
+  UNION ALL
+  SELECT doc_id,
+         's' || substring(text, greatest(length(text) - {_L3N_BLK - 1}, 1),
+                          {_L3N_BLK}) AS blk
+  FROM d
+),
+kept AS (
+  SELECT blk FROM blk GROUP BY blk
+  HAVING COUNT(*) BETWEEN 2 AND {_L3N_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a
+  JOIN kept k ON k.blk = a.blk
+  JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN d da ON da.doc_id = c.doc_a
+JOIN d db ON db.doc_id = c.doc_b
+WHERE levenshtein(da.text, db.text) <= {_L3N_MAX}
+"""
+
+
+@query("l3n_edit_distance_blocked", oracle=_L3N_ORACLE, tags=("dedup", "neardup"))
+def l3n_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3n: CHARACTER-level near-duplicates — blocked Levenshtein,
+    the axis the token family can't see: a dozen scattered single-
+    character edits (OCR noise, emitter typos, encoding mojibake)
+    destroys every word trigram they touch (l3e scores low) yet is
+    edit-distance ≤ 10; conversely a paragraph reorder is Jaccard-
+    identical but edit-distance huge.  Both metrics are standard in
+    production dedup; they catch different duplicates.
+
+    All-pairs Levenshtein is O(n²·L²) — never.  The blocking is the
+    declared semantics (the l3e df-cap discipline): candidates must
+    share a {_L3N_BLK}-char PREFIX or SUFFIX block (the two-ended
+    multi-index, so an edit cluster confined to one end of the
+    document is still caught by the other end's block), hot blocks
+    above {_L3N_CAP} docs are dropped as boilerplate, and only then
+    does the quadratic-in-L distance run — per block ≤ cap²/2 pairs,
+    each scoring two already-co-located strings.  Shuffle shape: the
+    block join moves (16-char key, doc_id); document TEXT moves only
+    for surviving candidate pairs.
+
+    Levenshtein is exact integer Wagner–Fischer in both engines, so
+    the pair set and every distance hash-check with no float
+    anywhere."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("p"), F.substring("text", 1, _L3N_BLK)
+        ).alias("blk"),
+    )
+    suf = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("s"),
+            F.expr(
+                f"substring(text, greatest(length(text) - {_L3N_BLK - 1},"
+                f" 1), {_L3N_BLK})"
+            ),
+        ).alias("blk"),
+    )
+    blk = pre.unionByName(suf)
+    kept = (
+        blk.groupBy("blk")
+        .agg(F.count("*").alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= _L3N_CAP))
+        .select("blk")
+    )
+    b2 = blk.select(F.col("blk").alias("blk2"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        blk.join(F.broadcast(kept), "blk")
+        .join(b2, (F.col("blk") == F.col("blk2")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "edit_dist", F.levenshtein("ta", "tb").cast("long")
+        )
+        .filter(F.col("edit_dist") <= _L3N_MAX)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
