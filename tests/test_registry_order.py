@@ -50,6 +50,7 @@ _R11_NEW = [
     "u29_occ_commit",
     "j14_asof_tolerance",
     "l3n_edit_distance_blocked",
+    "e5_rfm_segmentation",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1104,3 +1104,106 @@ def e4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_total",
         F.expr("n_trans * 1000000 DIV from_total").alias("p_micro"),
     )
+
+
+# --- E5: RFM customer segmentation ----------------------------------------------
+
+_E5_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS monet_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_us, freq, monet_cents,
+         NTILE(5) OVER (ORDER BY last_us, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monet_cents, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+            THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            ELSE 'regular' END AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monet_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("e5_rfm_segmentation", oracle=_E5_ORACLE, tags=("analytics",))
+def e5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: RFM segmentation — the classic customer-value grid
+    (recency / frequency / monetary quintiles) every CRM warehouse
+    maintains, completing the behavioral-analytics family (e1 funnel,
+    e2 concurrency, e3 attribution, e4 transitions): one pass builds
+    per-customer (last order, order count, lifetime cents), three
+    NTILE(5) windows score them, and the (r, f, m) cell plus a policy
+    label roll up to segment sizes and value.
+
+    Determinism: every NTILE orders by (measure, o_custkey) — the w6
+    unique-tiebreak rule — so bucket boundaries are exact under any
+    partitioning; money is decimal-exact cents, recency integer
+    microseconds.  Shuffle shape: one groupBy(custkey), then three
+    window passes over the SAME unpartitioned-but-sorted quintile
+    spine at per-customer (not per-order) cardinality, then a tiny
+    (≤ 5³ cells) aggregate.  The global NTILE sort is the honest cost
+    of exact quantile labels at per-customer scale; a 100 TB run
+    replaces it with a16's mergeable quantile-sketch boundaries (the
+    documented approximate path) if the customer table itself outgrows
+    a sort."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        # o_orderdate is TIMESTAMP_NTZ; the cast interprets it in the
+        # session zone, which sources.load() pins to UTC — matching
+        # DuckDB's epoch_us on the same naive value
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("monet_cents"),
+    )
+    scored = per_cust.select(
+        "monet_cents",
+        F.ntile(5)
+        .over(Window.orderBy("last_us", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("freq", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monet_cents", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("r_score", "f_score", "m_score", "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monet_cents").cast("long").alias("segment_cents"),
+        )
+    )
