@@ -51,6 +51,7 @@ _R11_NEW = [
     "j14_asof_tolerance",
     "l3n_edit_distance_blocked",
     "e5_rfm_segmentation",
+    "dq5_reconciliation",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -346,3 +346,93 @@ def dq4_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g_days") - F.col("n_days")).alias("missing_days"),
         F.expr("n_days * 1000000 DIV g_days").alias("coverage_ppm"),
     )
+
+
+# --- DQ5: cross-table reconciliation audit ---------------------------------------
+
+_DQ5_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS o_cents
+  FROM orders
+),
+j AS (
+  SELECT o.o_month, o.o_cents, li.li_cents
+  FROM o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_month,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(*) FILTER (li_cents IS NULL) AS BIGINT) AS n_childless,
+       CAST(COUNT(*) FILTER (li_cents IS NOT NULL
+              AND abs(li_cents - o_cents) <= o_cents // 100) AS BIGINT)
+         AS n_within_1pct,
+       CAST(COUNT(*) FILTER (li_cents IS NOT NULL
+              AND abs(li_cents - o_cents) > o_cents // 100) AS BIGINT)
+         AS n_drifted,
+       CAST(COALESCE(SUM(abs(li_cents - o_cents))
+              FILTER (li_cents IS NOT NULL), 0) AS BIGINT)
+         AS abs_drift_cents
+FROM j GROUP BY o_month
+"""
+
+
+@query("dq5_reconciliation", oracle=_DQ5_ORACLE, tags=("quality", "audit"))
+def dq5_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5: cross-table reconciliation — does the header total equal
+    the sum of its line items?  The financial-close audit every
+    order/invoice warehouse runs, and the governance axis DQ1–DQ4
+    don't cover: DQ1 checks the KEYS agree (no orphans), this checks
+    the MONEY agrees (no drift).  Per month: childless headers (no
+    lines at all — a different defect than drift), headers within a
+    1% tolerance, drifted headers, and the total absolute drift in
+    cents.
+
+    On this synthetic corpus the invariant genuinely fails (zero
+    exact matches, 257 childless orders at sf0.01) — which is the
+    point: the audit REPORTS the books, it does not assume them.
+    All arithmetic is decimal-exact cents with an integer cross-
+    multiplied tolerance (``|Δ| ≤ total DIV 100`` — no float
+    percentage anywhere).  Shape: one map-side-combined per-order
+    line sum, one shuffled equi-join on orderkey, one month rollup —
+    the same plan at any scale."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("li_cents")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("o_cents"),
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    has = F.col("li_cents").isNotNull()
+    drift = F.abs(F.col("li_cents") - F.col("o_cents"))
+    tol = F.expr("o_cents DIV 100")
+    return j.groupBy("o_month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_childless"),
+        F.sum(F.when(has & (drift <= tol), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.when(has & (drift > tol), 1).otherwise(0))
+        .cast("long")
+        .alias("n_drifted"),
+        F.coalesce(F.sum(F.when(has, drift)), F.lit(0))
+        .cast("long")
+        .alias("abs_drift_cents"),
+    )
