@@ -52,6 +52,7 @@ _R11_NEW = [
     "l3n_edit_distance_blocked",
     "e5_rfm_segmentation",
     "dq5_reconciliation",
+    "ts_backtest_snaive",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -1207,3 +1207,103 @@ def e5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monet_cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+# --- TSb: seasonal-naive forecast backtest ---------------------------------------
+
+_TSB_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.event_type,
+         abs(a.cents - s.cents) AS e_snaive,
+         abs(a.cents - n.cents) AS e_naive1
+  FROM daily a
+  JOIN daily s ON s.event_type = a.event_type AND s.d = a.d - 7
+  JOIN daily n ON n.event_type = a.event_type AND n.d = a.d - 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST((2 * SUM(e_snaive) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS mae_snaive_cents,
+       CAST((2 * SUM(e_naive1) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS mae_naive1_cents,
+       SUM(e_snaive) < SUM(e_naive1) AS snaive_wins
+FROM scored GROUP BY event_type
+"""
+
+
+@query("ts_backtest_snaive", oracle=_TSB_ORACLE, tags=("timeseries", "eval"))
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSb: seasonal-naive forecast BACKTEST — the evaluation primitive
+    the indicator family (Wts) still lacked: every production
+    forecaster is graded against the naive baselines first
+    (forecast(d) = actual(d−7), the weekly seasonal naive, and
+    actual(d−1), the random-walk naive), and a model that cannot beat
+    them does not ship.  Per event type, the backtest scores every
+    day where BOTH baselines have their reference day (a CALENDAR
+    join on d−7 / d−1, not a row lag — missing days must not slide
+    the reference forward), and reports each baseline's MAE plus the
+    deploy-gate verdict (``snaive_wins``: is there weekly seasonality
+    worth modeling at all?).
+
+    Everything is exact integers: daily totals in decimal cents, MAE
+    as the half-away-from-zero integer mean (2·S + n) DIV (2n) — the
+    u-family micro-mean trick, no ROUND(double) anywhere — and the
+    verdict compares raw SUMS, immune to the division entirely.
+    Shape: one map-side-combined daily rollup, two self-equi-joins on
+    (type, day) — all three legs share the hash partitioning — and a
+    types-sized final aggregate."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    s = daily.select(
+        F.col("event_type").alias("s_type"),
+        F.col("d").alias("s_d"),
+        F.col("cents").alias("s_cents"),
+    )
+    n = daily.select(
+        F.col("event_type").alias("n_type"),
+        F.col("d").alias("n_d"),
+        F.col("cents").alias("n_cents"),
+    )
+    scored = (
+        daily.join(
+            s,
+            (F.col("s_type") == F.col("event_type"))
+            & (F.col("s_d") == F.date_sub(F.col("d"), 7)),
+        )
+        .join(
+            n,
+            (F.col("n_type") == F.col("event_type"))
+            & (F.col("n_d") == F.date_sub(F.col("d"), 1)),
+        )
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("s_cents")).alias("e_snaive"),
+            F.abs(F.col("cents") - F.col("n_cents")).alias("e_naive1"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.expr("(2 * sum(e_snaive) + count(*)) DIV (2 * count(*))")
+        .cast("long")
+        .alias("mae_snaive_cents"),
+        F.expr("(2 * sum(e_naive1) + count(*)) DIV (2 * count(*))")
+        .cast("long")
+        .alias("mae_naive1_cents"),
+        (F.sum("e_snaive") < F.sum("e_naive1")).alias("snaive_wins"),
+    )
