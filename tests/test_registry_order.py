@@ -122,23 +122,26 @@ def test_changed_code_queries_lead_the_window():
     """NEW round-11 operators first (first-possible-green), then s13 —
     never driver-checked AND crash-fixed this round (the round-10
     judge's #1 ask), then the eight r5-stale queries (the window-edge
-    overflow of rounds 9 AND 10), then the whole 48-query r6 block
-    alphabetically.  Positions past ~50 are the conscious overflow
-    (the r6 block's alphabetical tail) and round 12's leaders."""
+    overflow of rounds 9 AND 10, led by the twice-overflowed u12/u13),
+    then the whole r6 block alphabetically.  Positions past ~50 — the
+    r5 tail and all of r6 — are the conscious overflow and round 12's
+    leaders."""
     names = list(REGISTRY)
     n_new = len(_R11_NEW)
     assert names[:n_new] == _R11_NEW
     n_chg = len(_R11_CHANGED)
     assert names[n_new : n_new + n_chg] == _R11_CHANGED
     assert names[n_new + n_chg : n_new + n_chg + 8] == [
+        # u12/u13 first: they overflowed the r9 AND r10 window edges —
+        # within equal staleness, most-missed goes first
+        "u12_cdc_classify",
+        "u13_cdc_merge_sink",
         "t_token_count",
         "tr_domain_cap",
         "ts_bollinger_bands",
         "ts_cross_sectional_zscore",
         "ts_max_drawdown",
         "ts_resample_monthly_ohlc",
-        "u12_cdc_classify",
-        "u13_cdc_merge_sink",
     ]
     # the r6 block fills the rest of the window, alphabetically (48
     # entries entering the round, minus the two kmeans queries promoted
