@@ -53,6 +53,7 @@ _R11_NEW = [
     "e5_rfm_segmentation",
     "dq5_reconciliation",
     "ts_backtest_snaive",
+    "o8_pareto_concentration",
 ]
 
 # Queries whose CODE changed this round without being new: s13's crash

@@ -11,7 +11,7 @@ dedup operators) so only the key columns shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from update_database_by_wind_spark.registry import query
@@ -228,4 +228,90 @@ def o7_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+# --- O8: revenue-concentration (Pareto) analysis ---------------------------------
+
+_O8_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pc
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM pc
+),
+th AS (SELECT * FROM (VALUES (50), (80), (90)) t(pct))
+SELECT CAST(th.pct AS BIGINT) AS pct,
+       CAST(MIN(ranked.rn) AS BIGINT) AS k_customers,
+       tot.n AS n_customers,
+       CAST(MIN(ranked.rn) * 1000000 // tot.n AS BIGINT)
+         AS cust_share_ppm,
+       tot.t AS total_cents
+FROM th, tot, ranked
+WHERE ranked.cum * 100 >= th.pct * tot.t
+GROUP BY th.pct, tot.n, tot.t
+"""
+
+
+@query("o8_pareto_concentration", oracle=_O8_ORACLE, tags=("analytics",))
+def o8_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: revenue concentration — the Pareto question every revenue
+    review opens with: how FEW customers cover 50 / 80 / 90% of total
+    revenue?  (The "is it an 80/20 business" diagnostic, and the
+    whale-risk metric: a tiny ``cust_share_ppm`` at pct=50 means half
+    the revenue walks out the door with a handful of accounts.)
+
+    Mechanics: per-customer lifetime cents (decimal-exact), one
+    descending running sum with the unique-custkey tiebreak, and for
+    each threshold the MINIMUM rank whose cumulative share crosses it
+    — the crossing test is the cross-multiplied integer
+    ``cum · 100 ≥ pct · total`` (no percentage division anywhere), and
+    the reported share is an integer ppm floor division.  The global
+    ordered window runs at per-customer cardinality (the e5 caveat and
+    the same a16-sketch swap once the customer table itself outgrows a
+    sort); everything upstream is one map-side-combined rollup."""
+    orders = load(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    tot = pc.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = pc.select(
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    th = spark.createDataFrame([(50,), (80,), (90,)], "pct long")
+    return (
+        th.crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("cum") * 100 >= F.col("pct") * F.col("t"))
+        .groupBy("pct", "n", "t")
+        .agg(F.min("rn").alias("k_customers"))
+        .select(
+            "pct",
+            "k_customers",
+            F.col("n").alias("n_customers"),
+            F.expr("k_customers * 1000000 DIV n").alias("cust_share_ppm"),
+            F.col("t").alias("total_cents"),
+        )
     )
