@@ -541,3 +541,42 @@ def test_a19_register_build_map_side_combines(spark, sf_oracle):
     shuffle state instead of keys."""
     plan = formatted_plan(REGISTRY["a19_grouped_hll"].fn(spark, sf_oracle))
     assert "partial_max(rho" in plan, plan
+
+
+def test_e4_single_data_sized_exchange(spark, sf_oracle):
+    """E4: the LEAD window's user_id hash partitioning must be the
+    only data-sized exchange; the pair count must partial-aggregate
+    (map-side combine to ≤ |types|² rows per task) before its own
+    exchange — the property that keeps the transition matrix cheap
+    at any event volume."""
+    plan = formatted_plan(
+        REGISTRY["e4_transition_matrix"].fn(spark, sf_oracle)
+    )
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_count" in plan, plan
+
+
+def test_j13_bin_join_plans_no_nested_loop(spark, sf_oracle):
+    """J13: the bin rewrite exists to turn the interval inequality
+    join into a shuffled/broadcast EQUI join — a nested-loop or
+    cartesian anywhere means the rewrite regressed to the plan it
+    was built to avoid.  (The query also raises in-query; this pins
+    it at test time without executing the pipeline.)"""
+    plan = formatted_plan(
+        REGISTRY["j13_interval_bin_join"].fn(spark, sf_oracle)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_l3n_blocking_join_is_equi_on_block_keys(spark, sf_oracle):
+    """L3n: candidate generation must be an equi self-join on the
+    block key (16-char prefix/suffix), never an all-pairs text
+    comparison — the declared-blocking contract that bounds the
+    quadratic Levenshtein to cap²/2 pairs per block."""
+    plan = formatted_plan(
+        REGISTRY["l3n_edit_distance_blocked"].fn(spark, sf_oracle)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan
