@@ -580,3 +580,18 @@ def test_l3n_blocking_join_is_equi_on_block_keys(spark, sf_oracle):
     )
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan
+
+
+def test_e5_o8_rank_rewrite_has_no_single_partition_exchange(
+    spark, sf_oracle
+):
+    """E5/O8 (round-12 fix): the quintile scores and the descending
+    running revenue sum must come from BUCKET-partitioned windows
+    (functions/ranks.py) — an Exchange SinglePartition anywhere means
+    the plan regressed to the global-sort window the rewrite replaced,
+    the round-11 verdict's scale-`weak` shape."""
+    for name in ("e5_rfm_segmentation", "o8_pareto_concentration"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_oracle))
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # the ranks really do come from windows (bucket-partitioned)
+        assert "row_number()" in plan, (name, plan)

@@ -819,3 +819,56 @@ def test_cms_never_undercounts_and_merges(spark, sf_smoke):
         assert r["overcount"] >= 0, r
         assert r["cms_est"] == r["exact_cnt"] + r["overcount"]
         assert r["merge_ok"] is True
+
+
+# Distributed exact rank (functions/ranks.py): values with heavy ties,
+# negatives, and a unique key — the rewrite must be BIT-identical to
+# the unpartitioned window it replaced in e5/o8, including NTILE edge
+# cases (n < tiles, n % tiles != 0), for any bucket count (including
+# more buckets than rows and the degenerate single-bucket case).
+_RANK_ROWS = st.lists(
+    st.integers(-50, 50), min_size=1, max_size=40, unique=False
+)
+
+
+@given(vals=_RANK_ROWS, n_buckets=st.sampled_from([1, 2, 5, 64]),
+       descending=st.booleans())
+@settings(**_SETTINGS)
+@example(vals=[7] * 12, n_buckets=5, descending=True)  # one hot value
+@example(vals=[1, 2, 3], n_buckets=64, descending=False)  # n < tiles
+def test_global_ranks_match_unpartitioned_window(
+    spark, vals, n_buckets, descending
+):
+    from update_database_by_wind_spark.functions.ranks import (
+        ntile_from_rank,
+        with_global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vals)], "k long, v long"
+    )
+    spec = {
+        "value": "v",
+        "key": "k",
+        "rank": "rn",
+        "descending": descending,
+        "cum": ("v", "cum"),
+    }
+    got_df, n = with_global_ranks(df, [spec], n_buckets=n_buckets)
+    got_df = got_df.withColumn("tile", ntile_from_rank("rn", n, 5))
+    order = [F.col("v").desc(), "k"] if descending else ["v", "k"]
+    w = Window.orderBy(*order)
+    exp_df = df.select(
+        "k",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.ntile(5).over(w).cast("long").alias("tile"),
+    )
+    got = {r["k"]: (r["rn"], r["cum"], r["tile"]) for r in got_df.collect()}
+    exp = {r["k"]: (r["rn"], r["cum"], r["tile"]) for r in exp_df.collect()}
+    assert got == exp
+    assert n == len(vals)
+    assert spec["total"] == sum(vals)
