@@ -570,6 +570,27 @@ def test_j13_bin_join_plans_no_nested_loop(spark, sf_oracle):
     assert "Join" in plan
 
 
+def test_j13_sessionization_windows_are_chunk_partitioned(spark, sf_oracle):
+    """J13 (round-12 fix): the incident-detection prefix must
+    sessionize the raw error stream under CHUNK-partitioned windows;
+    the only unpartitioned window allowed is the pass-2 edge-run merge,
+    which orders run-level start_us at calendar cardinality.  A
+    windowspec ordering t_us with no partition column means the prefix
+    regressed to the global single-partition sort."""
+    import re
+
+    from update_database_by_wind_spark.plans.explain import optimized_plan
+
+    op = optimized_plan(REGISTRY["j13_interval_bin_join"].fn(spark, sf_oracle))
+    specs = set(re.findall(r"windowspecdefinition\([^)]*", op))
+    assert any("windowspecdefinition(chunk" in s for s in specs), specs
+    for s in specs:
+        head = s.removeprefix("windowspecdefinition(")
+        if head.startswith("chunk"):
+            continue  # raw-stream pass: partitioned — good
+        assert head.startswith("start_us"), s  # merge pass only
+
+
 def test_l3n_blocking_join_is_equi_on_block_keys(spark, sf_oracle):
     """L3n: candidate generation must be an equi self-join on the
     block key (16-char prefix/suffix), never an all-pairs text

@@ -872,3 +872,40 @@ def test_global_ranks_match_unpartitioned_window(
     assert got == exp
     assert n == len(vals)
     assert spec["total"] == sum(vals)
+
+
+# Two-pass sessionization (j13's round-12 prefix): runs straddling
+# chunk edges, chains across EMPTY chunks, ties, and gap == chunk edge
+# cases must all reproduce the single-pass reference exactly.
+@given(
+    ts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    gap=st.sampled_from([1, 5, 30, 99, 100, 250]),
+)
+@settings(**_SETTINGS)
+@example(ts=[95, 96, 104, 105], gap=30)  # burst straddles a chunk edge
+@example(ts=[95, 305], gap=250)  # chain across an entirely empty chunk
+@example(ts=[99, 100, 199, 200], gap=99)  # merges exactly at the gap
+@example(ts=[7, 7, 7, 207, 207], gap=5)  # tie-heavy, two runs
+def test_two_pass_sessionize_matches_single_pass(spark, ts, gap):
+    from update_database_by_wind_spark.operators.joins import (
+        sessionize_two_pass,
+    )
+
+    df = spark.createDataFrame(
+        [(int(t), i) for i, t in enumerate(ts)], "t_us long, event_id long"
+    )
+    got = sorted(
+        (r["start_us"], r["end_us"], r["n_err"])
+        for r in sessionize_two_pass(df, gap_us=gap, chunk_us=100).collect()
+    )
+    runs, cur = [], None
+    for t in sorted(ts):
+        if cur is None or t - cur[1] > gap:
+            if cur:
+                runs.append(tuple(cur))
+            cur = [t, t, 1]
+        else:
+            cur[1], cur[2] = t, cur[2] + 1
+    if cur:
+        runs.append(tuple(cur))
+    assert got == sorted(runs)

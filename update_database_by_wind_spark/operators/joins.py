@@ -613,6 +613,90 @@ def j12_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _J13_GAP_S = 600  # incident sessionization gap (seconds)
 _J13_BIN_S = 3600  # equi-join bin width (seconds)
+_J13_CHUNK_S = 86400  # pass-1 sessionization chunk (1 day)
+
+
+def sessionize_two_pass(
+    err: DataFrame,
+    *,
+    gap_us: int,
+    chunk_us: int = _J13_CHUNK_S * 1_000_000,
+) -> DataFrame:
+    """Gap-sessionize an event stream ``(t_us, event_id)`` into runs
+    ``(start_us, end_us, n_err)`` WITHOUT a global sort — the round-12
+    two-pass rewrite of j13's incident-detection prefix.
+
+    Pass 1 sessionizes within coarse time chunks (``t_us DIV
+    chunk_us``) under a chunk-PARTITIONED window — parallel at any
+    volume.  Pass 2 re-sessionizes only each chunk's first and last
+    runs (``g == 1`` / ``g == max(g)``): the only runs that can
+    continue across a chunk edge, ≤ 2 per non-empty chunk, so the one
+    unpartitioned window runs at calendar cardinality.  Equivalence to
+    the single global window: interior runs have same-chunk neighbours
+    > gap away on both sides (by pass-1 construction) so they can
+    never merge, and an edge-run pair from the SAME chunk is likewise
+    > gap apart, so pass 2 glues exactly the true cross-chunk
+    continuations — including chains across empty chunks, since the
+    merge is itself a gap sessionization over the candidate runs.
+    Run start times are unique (runs are disjoint with > 0 gaps), so
+    pass 2's order needs no tiebreak."""
+    w_c = Window.partitionBy("chunk").orderBy("t_us", "event_id")
+    w_ccum = w_c.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = err.withColumn("chunk", F.expr(f"t_us DIV {chunk_us}")).select(
+        "chunk",
+        "t_us",
+        F.sum(
+            F.when(
+                F.lag("t_us").over(w_c).isNull()
+                | (F.col("t_us") - F.lag("t_us").over(w_c) > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_ccum)
+        .alias("g"),
+    )
+    runs = grp.groupBy("chunk", "g").agg(
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.count("*").alias("n_err"),
+    )
+    g_max = F.max("g").over(Window.partitionBy("chunk"))
+    runs = runs.withColumn(
+        "is_edge", (F.col("g") == 1) | (F.col("g") == g_max)
+    )
+    interior = runs.filter(~F.col("is_edge")).select(
+        "start_us", "end_us", "n_err"
+    )
+    w_m = Window.orderBy("start_us")
+    w_mcum = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        runs.filter(F.col("is_edge"))
+        .select(
+            "start_us",
+            "end_us",
+            "n_err",
+            F.sum(
+                F.when(
+                    F.lag("end_us").over(w_m).isNull()
+                    | (
+                        F.col("start_us") - F.lag("end_us").over(w_m)
+                        > gap_us
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .over(w_mcum)
+            .alias("m"),
+        )
+        .groupBy("m")
+        .agg(
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.sum("n_err").cast("long").alias("n_err"),
+        )
+        .drop("m")
+    )
+    return merged.unionByName(interior)
 
 _J13_ORACLE = f"""
 WITH err AS (
@@ -670,13 +754,24 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin or CartesianProduct anywhere is a raise,
     not a slow pass.
 
-    The incident-detection prefix runs on the FILTERED error stream
-    (~1% of events at fixture ratios) under a single time-ordered
-    window — the standard small-control-stream justification; a
-    truly massive control stream would sessionize per coarse time
-    bucket and merge boundary runs (two-pass, same semantics).  The
-    join itself — the operator's point — is a plain shuffled
-    equi-join on 8-byte bins, partitionable without limit.
+    The incident-detection prefix is the round-12 TWO-PASS
+    sessionization (replacing a single global time-ordered window —
+    a single-partition sort over the whole error stream): pass 1
+    sessionizes WITHIN coarse daily chunks under a chunk-partitioned
+    window (parallel, any volume); pass 2 re-sessionizes only each
+    chunk's FIRST and LAST runs — the only runs that can glue across
+    a chunk edge, ≤ 2 per non-empty chunk, so the one remaining
+    unpartitioned window runs at calendar cardinality (days), not
+    event cardinality.  Interior runs cannot merge by construction
+    (same-chunk neighbours are already > gap away on both sides) and
+    bypass pass 2 untouched; a candidate pair from the same chunk is
+    likewise > gap apart, so the merge pass glues exactly the true
+    cross-chunk continuations — identical sessions to the global
+    window, with the ≥ 3-error keep applied after merging.  The plan
+    shape (no unpartitioned window over the raw stream) is pinned in
+    tests/test_plans.py.  The join itself — the operator's point —
+    is a plain shuffled equi-join on 8-byte bins, partitionable
+    without limit.
 
     Timestamps travel as integer microseconds end-to-end (epoch
     parity), the purchase sum takes the decimal detour, and the
@@ -685,33 +780,12 @@ def j13_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from update_database_by_wind_spark.plans.explain import formatted_plan
 
     ev = load(spark, sf_dir, "events")
+    gap_us = _J13_GAP_S * 1_000_000
     err = ev.filter(F.col("event_type") == "error").select(
         F.unix_micros("ts").alias("t_us"), "event_id"
     )
-    w_ord = Window.orderBy("t_us", "event_id")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = _J13_GAP_S * 1_000_000
-    grp = err.select(
-        "t_us",
-        F.sum(
-            F.when(
-                F.lag("t_us").over(w_ord).isNull()
-                | (F.col("t_us") - F.lag("t_us").over(w_ord) > gap_us),
-                1,
-            ).otherwise(0)
-        )
-        .over(w_cum)
-        .alias("g"),
-    )
-    inc = (
-        grp.groupBy("g")
-        .agg(
-            F.min("t_us").alias("start_us"),
-            F.max("t_us").alias("end_us"),
-            F.count("*").alias("n_err"),
-        )
-        .filter(F.col("n_err") >= 3)
-        .drop("g")
+    inc = sessionize_two_pass(err, gap_us=gap_us).filter(
+        F.col("n_err") >= 3
     )
     bin_us = _J13_BIN_S * 1_000_000
     binned_inc = inc.select(

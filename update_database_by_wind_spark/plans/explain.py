@@ -23,6 +23,14 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def optimized_plan(df: DataFrame) -> str:
+    """The optimized LOGICAL plan as a string — used where a test needs
+    window partition specs (``windowspecdefinition(partCols...,
+    ordCols..., frame)``), which the formatted physical output does not
+    spell out."""
+    return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+
+
 def plan_contains(df: DataFrame, *needles: str) -> dict[str, bool]:
     plan = formatted_plan(df)
     return {n: (n in plan) for n in needles}
