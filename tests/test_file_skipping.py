@@ -223,3 +223,150 @@ def test_zero_row_files_are_dropped(spark, tmp_path):
     df, n_kept, n_total = skipping_read(spark, index, 10, 30)
     assert n_total == len(files)
     assert df.filter(F.col("k").between(10, 30)).count() == 21
+
+
+# --- round-12 widening: multi-column, timestamp, decimal ----------------
+
+from update_database_by_wind_spark.operators.storage import (  # noqa: E402
+    skipping_read_multi,
+)
+
+
+@pytest.fixture(scope="module")
+def bi_clustered(spark, tmp_path_factory):
+    """Synthetic (k, ts, amt) where ts and amt are monotone in k, so a
+    range-cluster on k gives EVERY indexed column tight per-file spans
+    — the correlated-dimension layout where conjunctive skipping
+    prunes on both bands at once."""
+    base = str(tmp_path_factory.mktemp("skip_multi"))
+    (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("k"),
+            # TIMESTAMP_NTZ: lands in parquet as stats-bearing INT64
+            # micros (matching the driver testdata).  A tz-aware
+            # TimestampType would be written INT96 under Spark's
+            # default outputTimestampType, which carries NO min/max —
+            # the builder's loud no-stats raise covers that case.
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 60_000_000
+            )
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            (F.col("id").cast("decimal(18,2)") / 4).alias("amt"),
+        )
+        .repartitionByRange(8, "k")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    index = build_file_stats_index(spark, base, ["k", "ts", "amt"])
+    return base, index
+
+
+def test_multi_column_index_types_derive_from_arrow(bi_clustered):
+    _, index = bi_clustered
+    schema = dict(index.dtypes)
+    assert schema["k_min"] == "bigint" and schema["k_max"] == "bigint"
+    assert schema["ts_min"].startswith("timestamp")
+    assert schema["amt_min"] == "decimal(28,8)" or schema[
+        "amt_min"
+    ].startswith("decimal")
+    for r in index.collect():
+        assert r["k_min"] <= r["k_max"]
+        assert r["ts_min"] <= r["ts_max"]
+        assert r["amt_min"] <= r["amt_max"]
+
+
+def test_conjunctive_bands_prune_and_lose_nothing(spark, bi_clustered):
+    base, index = bi_clustered
+    import datetime
+
+    # derive the time origin from the index itself (session-TZ robust)
+    t0 = min(r["ts_min"] for r in index.collect())
+    bands = {
+        "k": (500, 740),
+        "ts": (
+            t0 + datetime.timedelta(minutes=500),
+            t0 + datetime.timedelta(minutes=700),
+        ),
+    }
+    df, n_kept, n_total = skipping_read_multi(spark, index, bands)
+    assert n_total == 8
+    assert n_kept < n_total, "correlated layout must prune"
+    pred = F.col("k").between(*bands["k"]) & F.col("ts").between(*bands["ts"])
+    assert df.filter(pred).count() == (
+        spark.read.parquet(base).filter(pred).count()
+    )
+    # conjunction keeps no more files than either band alone
+    _, k_only, _ = skipping_read_multi(spark, index, {"k": bands["k"]})
+    _, ts_only, _ = skipping_read_multi(spark, index, {"ts": bands["ts"]})
+    assert n_kept <= min(k_only, ts_only)
+
+
+def test_decimal_band_skips_exactly(spark, bi_clustered):
+    from decimal import Decimal
+
+    base, index = bi_clustered
+    band = (Decimal("100.00"), Decimal("150.25"))
+    df, n_kept, n_total = skipping_read_multi(spark, index, {"amt": band})
+    assert 0 < n_kept < n_total
+    pred = F.col("amt").between(*band)
+    assert df.filter(pred).count() == (
+        spark.read.parquet(base).filter(pred).count()
+    )
+
+
+def test_single_timestamp_column_back_compat_schema(spark, bi_clustered):
+    """A single timestamp column keeps the original (file, vmin, vmax,
+    n_rows) schema — typed by the column's arrow type — and
+    skipping_read plans over it with datetime bounds."""
+    base, _ = bi_clustered
+    import datetime
+
+    index = build_file_stats_index(spark, base, "ts")
+    schema = dict(index.dtypes)
+    assert schema["vmin"].startswith("timestamp")
+    t0 = min(r["vmin"] for r in index.collect())
+    lo, hi = t0 + datetime.timedelta(minutes=100), t0 + datetime.timedelta(
+        minutes=260
+    )
+    df, n_kept, n_total = skipping_read(spark, index, lo, hi)
+    assert 0 < n_kept < n_total
+    pred = F.col("ts").between(lo, hi)
+    assert df.filter(pred).count() == (
+        spark.read.parquet(base).filter(pred).count()
+    )
+
+
+@pytest.mark.parametrize(
+    "mk",
+    [
+        lambda lo, hi: (lo, hi),  # full domain on both
+        lambda lo, hi: (hi, lo),  # inverted -> zero files
+        lambda lo, hi: (lo, lo),  # point at min
+        lambda lo, hi: (hi + 1, hi + 10),  # above domain
+    ],
+    ids=["full", "inverted", "point-min", "above"],
+)
+def test_multi_band_edges_pruned_equals_full_scan(spark, bi_clustered, mk):
+    base, index = bi_clustered
+    b = mk(0, 1999)
+    df, n_kept, n_total = skipping_read_multi(spark, index, {"k": b})
+    pred = F.col("k").between(*b)
+    got = df.filter(pred).count()
+    full = spark.read.parquet(base).filter(pred).count()
+    assert got == full
+    if b[0] > b[1] or b[0] > 1999:
+        assert n_kept == 0 and got == 0
+
+
+def test_multi_index_unknown_band_column_raises(spark, bi_clustered):
+    _, index = bi_clustered
+    with pytest.raises(ValueError, match="no stats for"):
+        skipping_read_multi(spark, index, {"nope": (0, 1)})
+
+
+def test_empty_column_list_raises(spark, bi_clustered):
+    base, _ = bi_clustered
+    with pytest.raises(ValueError, match="no columns requested"):
+        build_file_stats_index(spark, base, [])

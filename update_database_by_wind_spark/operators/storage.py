@@ -260,13 +260,48 @@ def zorder_value(x, y):
 # --- S13: file-level min/max skipping index (data skipping beyond dirs) --------
 
 
+def _skip_stat_type(column: str, at) -> str:
+    """Spark type of a min/max stats column, derived from the parquet
+    column's arrow type — the types parquet writes COMPARABLE min/max
+    statistics for.  Timestamps map to timestamp_ntz/timestamp by
+    their arrow tz (Spark writes TIMESTAMP_NTZ as tz-less parquet
+    timestamps); decimals carry their exact precision/scale so band
+    comparisons stay decimal-exact."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "long"
+    if pa.types.is_floating(at):
+        return "double"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_timestamp(at):
+        return "timestamp" if at.tz else "timestamp_ntz"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    raise ValueError(
+        f"build_file_stats_index: column {column} has "
+        f"arrow type {at}; min/max skipping supports "
+        "integer, float, string, date, timestamp and decimal columns"
+    )
+
+
 def build_file_stats_index(
-    spark: SparkSession, table_path: str, column: str
+    spark: SparkSession, table_path: str, column
 ) -> DataFrame:
-    """Build a file-level min/max statistics index for ``column`` over
-    every committed parquet file under ``table_path`` — the Delta /
-    Iceberg data-skipping contract (per-file column stats in the
-    transaction log) re-expressed on plain parquet.
+    """Build a file-level min/max statistics index over every committed
+    parquet file under ``table_path`` — the Delta / Iceberg
+    data-skipping contract (per-file column stats in the transaction
+    log) re-expressed on plain parquet.
+
+    ``column`` is a single name or a LIST of names (round-12 widening:
+    a real lakehouse skips on several columns at once — typically the
+    cluster key plus the event time).  A single name returns the
+    original ``(file, vmin, vmax, n_rows)`` schema; a list returns
+    ``(file, {c}_min, {c}_max, ..., n_rows)`` with one typed stats
+    pair per column.
 
     The stats come from the parquet FOOTERS via pyarrow
     (``read_metadata`` per file: row-group statistics written by every
@@ -274,22 +309,25 @@ def build_file_stats_index(
     LISTING, never a data scan; at cluster scale the same loop is a
     ``spark.read.format("binaryFile")``-style parallel footer sweep,
     but the listing here is bounded by file count by construction.
-    The vmin/vmax Spark type is derived from the column's arrow type
-    (integer/float/string/date supported — the types parquet writes
-    comparable min/max stats for), so the index works on any skippable
-    column, not just longs.  Files with zero row groups hold no rows
-    and are dropped from the index: they can never contribute to a
-    band read, and carrying them with null stats would poison every
-    range comparison downstream.
-    Returns a DataFrame ``(file, vmin, vmax, n_rows)`` — itself tiny
-    and broadcastable, the index a planner probes before listing."""
+    Each stats pair's Spark type derives from the column's arrow type
+    (integer/float/string/date/timestamp/decimal — the types parquet
+    writes comparable min/max stats for, see :func:`_skip_stat_type`),
+    so the index works on any skippable column, not just longs.  Files
+    with zero row groups hold no rows and are dropped from the index:
+    they can never contribute to a band read, and carrying them with
+    null stats would poison every range comparison downstream.
+    The result is tiny and broadcastable — the index a planner probes
+    before listing."""
     import os
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    single = isinstance(column, str)
+    columns = [column] if single else list(column)
+    if not columns:
+        raise ValueError("build_file_stats_index: no columns requested")
     rows = []
-    stat_type = None
+    stat_types: list[str] | None = None
     for root, dirs, files in os.walk(table_path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(files):
@@ -297,51 +335,49 @@ def build_file_stats_index(
                 continue
             p = os.path.join(root, f)
             meta = pq.read_metadata(p)
-            if stat_type is None:
-                # type-gate on the TOP-LEVEL arrow field first: a nested
-                # column (array/map/struct) flattens to leaf paths like
-                # `xs.list.element` in the parquet schema, so the leaf
-                # lookup below would KeyError before a clear message
-                at = meta.schema.to_arrow_schema().field(column).type
-                if pa.types.is_integer(at):
-                    stat_type = "long"
-                elif pa.types.is_floating(at):
-                    stat_type = "double"
-                elif pa.types.is_string(at) or pa.types.is_large_string(at):
-                    stat_type = "string"
-                elif pa.types.is_date(at):
-                    stat_type = "date"
-                else:
-                    raise ValueError(
-                        f"build_file_stats_index: column {column} has "
-                        f"arrow type {at}; min/max skipping supports "
-                        "integer, float, string and date columns"
-                    )
+            if stat_types is None:
+                # type-gate on the TOP-LEVEL arrow fields first: a
+                # nested column (array/map/struct) flattens to leaf
+                # paths like `xs.list.element` in the parquet schema,
+                # so the leaf lookup below would KeyError before a
+                # clear message
+                arrow = meta.schema.to_arrow_schema()
+                stat_types = [
+                    _skip_stat_type(c, arrow.field(c).type) for c in columns
+                ]
             # FileMetaData carries num_columns; ParquetSchema does not
-            idx = {
+            name_to_idx = {
                 meta.schema.column(i).name: i
                 for i in range(meta.num_columns)
-            }[column]
+            }
             if meta.num_rows == 0:
                 continue  # zero rows: nothing a band read could keep
-            vmin = vmax = None
+            bounds = {c: [None, None] for c in columns}
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
                 if group.num_rows == 0:
                     continue  # empty row group carries no stats
-                st = group.column(idx).statistics
-                if st is None or not st.has_min_max:
-                    raise ValueError(
-                        f"build_file_stats_index: {p} row group {rg} "
-                        f"carries no min/max for {column}"
-                    )
-                vmin = st.min if vmin is None else min(vmin, st.min)
-                vmax = st.max if vmax is None else max(vmax, st.max)
-            rows.append((p, vmin, vmax, meta.num_rows))
+                for c in columns:
+                    st = group.column(name_to_idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"build_file_stats_index: {p} row group {rg} "
+                            f"carries no min/max for {c}"
+                        )
+                    b = bounds[c]
+                    b[0] = st.min if b[0] is None else min(b[0], st.min)
+                    b[1] = st.max if b[1] is None else max(b[1], st.max)
+            flat = [v for c in columns for v in bounds[c]]
+            rows.append((p, *flat, meta.num_rows))
+    types = stat_types or ["long"] * len(columns)
+    if single:
+        stat_fields = f"vmin {types[0]}, vmax {types[0]}"
+    else:
+        stat_fields = ", ".join(
+            f"{c}_min {t}, {c}_max {t}" for c, t in zip(columns, types)
+        )
     return spark.createDataFrame(
-        rows,
-        f"file string, vmin {stat_type or 'long'}, "
-        f"vmax {stat_type or 'long'}, n_rows long",
+        rows, f"file string, {stat_fields}, n_rows long"
     )
 
 
@@ -378,6 +414,53 @@ def skipping_read(
         df = spark.read.parquet(first).limit(0)
         return df, 0, len(files)
     return spark.read.parquet(*kept), len(kept), len(files)
+
+
+def skipping_read_multi(
+    spark: SparkSession,
+    index: DataFrame,
+    bands: dict,
+) -> tuple:
+    """Plan a CONJUNCTIVE multi-band read through a multi-column stats
+    index (round-12 widening): keep only files whose ``[{c}_min,
+    {c}_max]`` intersects the band for EVERY column in ``bands``
+    (``{column: (lo, hi)}``) — the planning step behind
+    ``WHERE key BETWEEN .. AND event_ts BETWEEN ..`` on a lakehouse
+    table, where each predicate prunes along its own clustering
+    dimension and the file set read is the intersection.  Band bounds
+    must match the indexed column types (datetimes for timestamp
+    stats, Decimals for decimal stats — pyarrow already converts the
+    footer stats to those).  An inverted band (lo > hi) keeps nothing,
+    same contract as :func:`skipping_read`.  Returns
+    ``(df, n_kept, n_total)``; the index collect is metadata-sized."""
+    rows = index.collect()
+    if not rows:
+        raise ValueError(
+            "skipping_read_multi: empty stats index — no committed "
+            "parquet files to plan over (build_file_stats_index saw none)"
+        )
+    missing = [
+        c
+        for c in bands
+        if f"{c}_min" not in index.columns or f"{c}_max" not in index.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"skipping_read_multi: index carries no stats for {missing} "
+            f"(index columns: {index.columns})"
+        )
+
+    def keeps(r) -> bool:
+        for c, (lo, hi) in bands.items():
+            if lo > hi or r[f"{c}_min"] > hi or r[f"{c}_max"] < lo:
+                return False
+        return True
+
+    kept = [r["file"] for r in rows if keeps(r)]
+    if not kept:
+        df = spark.read.parquet(rows[0]["file"]).limit(0)
+        return df, 0, len(rows)
+    return spark.read.parquet(*kept), len(kept), len(rows)
 
 
 _S13_ORACLE = f"""
