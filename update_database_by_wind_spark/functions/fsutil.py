@@ -60,3 +60,22 @@ def atomic_write_json(path: str, payload) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def pin_snapshot(df, path: str):
+    """Freeze a lazy DataFrame's CURRENT rows by writing them to
+    scratch parquet and re-reading — a distributed checkpoint for the
+    multi-phase lifecycle queries whose later phases mutate the files
+    underneath an earlier phase's plan (MOR compaction, vector GC,
+    checkpoint cleanup).
+
+    Replaces the old ``spark.createDataFrame(df.collect(), df.schema)``
+    driver round-trip (round-11 verdict sweep): same freezing effect
+    and identical schema (parquet preserves Spark types exactly), but
+    the rows never visit the driver, so the pattern is safe at ANY
+    snapshot size, not just the month-cardinality rollups it happened
+    to carry.  The caller owns ``path``'s lifecycle — the lifecycle
+    queries put pins inside their tag-scoped scratch dir, recreated
+    per run and left for the driver to finish collecting from."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -50,6 +50,11 @@ def _free_ckpt(df: DataFrame) -> None:
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
+        # py4j reach-through into private internals: any Py4J/attribute
+        # error here means the internals moved, and the only fallout of
+        # swallowing it is unreclaimed cache blocks for the rest of the
+        # loop — never a wrong result.  Deliberately broad for that
+        # reason (round-12 audit).
         pass
 
 

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from update_database_by_wind_spark.functions.fsutil import atomic_write_json
+from update_database_by_wind_spark.functions.fsutil import (
+    atomic_write_json,
+    pin_snapshot,
+)
 from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
@@ -1533,10 +1536,10 @@ def u18_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pre = roll(mor_read(spark, target_path, "o_month", "o_orderkey"), "mor")
-    # materialize the MOR-phase rollup BEFORE compaction rewrites the
-    # files underneath its lazy plan (month-cardinality rows — a
-    # metadata-sized collect, bounded by partition count)
-    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    # pin the MOR-phase rollup BEFORE compaction rewrites the files
+    # underneath its lazy plan — scratch-parquet checkpoint, rows
+    # never visit the driver (round-12 sweep)
+    pre = pin_snapshot(pre, f"{base}/_pin_mor")
     mor_compact(spark, target_path, "o_month", "o_orderkey")
     post = roll(spark.read.parquet(target_path), "compacted")
     return pre.unionByName(post)
@@ -2977,16 +2980,17 @@ def u21_mor_seq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = roll(
         mor_read_seq(spark, target, "o_month", "o_orderkey"), "pre_compact"
     )
-    # materialize before compaction rewrites the files under the lazy
-    # plan (month-cardinality rows — metadata-sized)
-    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    # pin before compaction rewrites the files under the lazy plan —
+    # scratch-parquet checkpoint, not a driver round-trip (round-12
+    # sweep)
+    pre = pin_snapshot(pre, f"{base}/_pin_pre")
     mor_compact_seq(spark, target, "o_month", "o_orderkey")
     if os.path.isdir(os.path.join(target, "_deletes")):
         raise ValueError(
             "u21_mor_seq_compact: compaction left the vector dir behind"
         )
     compacted = roll(spark.read.parquet(target), "compacted")
-    compacted = spark.createDataFrame(compacted.collect(), compacted.schema)
+    compacted = pin_snapshot(compacted, f"{base}/_pin_compacted")
     b3 = (
         mor_read_seq(spark, target, "o_month", "o_orderkey")
         .filter((key % 97 == 0) & (key % 113 != 0))
@@ -3410,9 +3414,10 @@ def u24_mor_seq_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(phase).alias("phase"), "o_month", "n_rows", "total_cents"
         )
-        # materialize before later writes mutate the files under the
-        # lazy plan (month-cardinality rows — metadata-sized)
-        return spark.createDataFrame(out.collect(), out.schema)
+        # pin before later writes mutate the files under the lazy plan
+        # — scratch-parquet checkpoint, not a driver round-trip
+        # (round-12 sweep); phase names are distinct per call
+        return pin_snapshot(out, f"{base}/_pin_{phase}")
 
     p1 = roll(mor_read_seq(spark, target, "o_month", "o_orderkey"),
               "post_cdc")

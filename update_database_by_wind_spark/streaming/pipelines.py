@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from update_database_by_wind_spark.functions.fsutil import pin_snapshot
 from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.session import prepare
@@ -204,6 +205,10 @@ def run_to_memory(
         try:
             spark.catalog.dropTempView(name)
         except Exception:
+            # cleanup only: the view may never have been created if the
+            # stream failed before start; a cleanup failure must not
+            # mask the real error already propagating (the result/raise
+            # is decided above this finally)
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
@@ -934,9 +939,10 @@ def st15_stream_ingest_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_cents",
             )
         )
-        # materialize before the checkpoint/scratch cleanup below —
-        # month-cardinality rows, a metadata-sized collect
-        return spark.createDataFrame(out.collect(), out.schema)
+        # pin before the checkpoint cleanup below — scratch-parquet
+        # checkpoint under base (outside ckpt), not a driver
+        # round-trip (round-12 sweep)
+        return pin_snapshot(out, f"{base}/_pin")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -1096,8 +1102,10 @@ def st16_stream_mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").alias("total_cents"),
             )
         )
-        # materialize before the scratch cleanup — month-cardinality rows
-        return spark.createDataFrame(out.collect(), out.schema)
+        # pin before the checkpoint cleanup — scratch-parquet
+        # checkpoint under base (outside ckpt), not a driver
+        # round-trip (round-12 sweep)
+        return pin_snapshot(out, f"{base}/_pin")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
