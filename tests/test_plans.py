@@ -613,6 +613,8 @@ def test_e5_o8_rank_rewrite_has_no_single_partition_exchange(
     the round-11 verdict's scale-`weak` shape."""
     for name in ("e5_rfm_segmentation", "o8_pareto_concentration"):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_oracle))
-        assert "Exchange SinglePartition" not in plan, (name, plan)
+        # formatted mode prints the exchange argument on its own
+        # Arguments: line, so grep the bare token, not the tree label
+        assert "SinglePartition" not in plan, (name, plan)
         # the ranks really do come from windows (bucket-partitioned)
         assert "row_number()" in plan, (name, plan)

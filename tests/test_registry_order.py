@@ -47,6 +47,11 @@ _R12_CHANGED = [
     "u24_mor_seq_erasure",
     "st15_stream_ingest_bridge",
     "st16_stream_mor_cdc",
+    # a16/st17: their exact-order-statistic receipt legs (the repo's
+    # last data-sized unpartitioned row_numbers, found by the round-12
+    # window audit) moved onto the same distributed ranks
+    "a16_quantile_sketch",
+    "st17_stream_quantile_sketch",
 ]
 
 _R5_STALE = [
@@ -104,7 +109,7 @@ def test_changed_code_queries_lead_the_window():
     """Changed-code queries first (a rewrite must earn fresh evidence
     before stale-green refresh), then the three r5-stale queries —
     seven rounds without driver evidence — then the whole r6 block
-    alphabetically.  Positions past ~50 (the nine-entry r6 tail, ud1
+    alphabetically.  Positions past ~50 (the eleven-entry r6 tail, u9
     onward) are the conscious overflow and round 13's leaders."""
     names = list(REGISTRY)
     n_new = len(_R12_NEW)

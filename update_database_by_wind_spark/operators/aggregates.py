@@ -25,6 +25,7 @@ from update_database_by_wind_spark.functions.numeric import (
     sql_dec_sum,
     sql_dec_var_samp,
 )
+from update_database_by_wind_spark.functions.ranks import with_global_ranks
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
 
@@ -938,8 +939,14 @@ def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pct", "r")
         .agg(F.min("bin").alias("bin"))
     )
-    ordered = c.withColumn(
-        "rn", F.row_number().over(Window.orderBy("cents"))
+    # exact order statistics via the DISTRIBUTED rank (round-12: the
+    # old row_number here was the repo's last data-sized unpartitioned
+    # window — rank+filter<=k sites compile to TakeOrderedAndProject,
+    # but this joins on data-dependent ranks, so no limit pushdown
+    # could save it).  Ties order by the unique orderkey; the value at
+    # a given rank is tie-insensitive either way.
+    ordered, _n_rows = with_global_ranks(
+        c, [{"value": "cents", "key": "o_orderkey", "rank": "rn"}]
     )
     # broadcast the 5-row rank selection into the ordered scan — the
     # default plan sort-merge-joined the DATA-sized side on rn

@@ -1200,9 +1200,10 @@ def st17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       it TRUE, so a silent divergence hash-mismatches.
 
     Scale: state is O(bins) per state-store partition, micro-batch
-    work is one map-side-combined count per bin; the exact-leg
-    row_number is the fixture-scale receipt, not the production
-    path."""
+    work is one map-side-combined count per bin; the exact-order-
+    statistic receipt runs on the distributed rank of
+    functions/ranks.py (round 12 — no data-sized unpartitioned
+    window even in the receipt leg)."""
     from update_database_by_wind_spark.sources import load
 
     hist = run_to_memory(
@@ -1213,7 +1214,9 @@ def st17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("long")
-            .alias("cents")
+            .alias("cents"),
+            # unique tiebreak for the distributed exact-rank leg below
+            "event_id",
         )
     )
     batch_h = (
@@ -1256,8 +1259,16 @@ def st17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pct", "r")
         .agg(F.min("bin").alias("bin"))
     )
-    ordered = batch.withColumn(
-        "rn", F.row_number().over(Window.orderBy("cents"))
+    # round-12: distributed exact rank (functions/ranks.py) instead of
+    # a data-sized unpartitioned row_number — same receipt, scalable
+    # leg (value at a given rank is tie-insensitive; event_id breaks
+    # ties deterministically)
+    from update_database_by_wind_spark.functions.ranks import (
+        with_global_ranks,
+    )
+
+    ordered, _n_rows = with_global_ranks(
+        batch, [{"value": "cents", "key": "event_id", "rank": "rn"}]
     )
     ex = (
         ordered.join(F.broadcast(sel), ordered["rn"] == sel["r"])
