@@ -618,3 +618,18 @@ def test_e5_o8_rank_rewrite_has_no_single_partition_exchange(
         assert "SinglePartition" not in plan, (name, plan)
         # the ranks really do come from windows (bucket-partitioned)
         assert "row_number()" in plan, (name, plan)
+
+
+def test_rank_filter_topk_compiles_to_take_ordered(spark, sf_oracle):
+    """Round-12 window audit: the rank+filter<=k sites (g2/g3 top-20,
+    a17/st18 probe-12, t_oov vocabulary) rely on Spark rewriting
+    row_number-over-unpartitioned-window + filter into
+    Limit+Sort (physical TakeOrderedAndProject), so the global window
+    only ever sees <= k rows.  Pin the rewrite on one representative
+    per family — if a Spark upgrade or a refactor (e.g. an expression
+    between the window and the filter that defeats the pattern match)
+    regresses it, this fails rather than shipping a data-sized
+    single-partition sort."""
+    for name in ("g2_pagerank", "a17_countmin_sketch"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_oracle))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
