@@ -107,7 +107,9 @@ def with_global_ranks(
 
     All value/measure columns must be integer-typed (the repo's parity
     rule: order statistics run on exact int64 cents/micros, never
-    doubles)."""
+    doubles) and NON-NULL: a null value would land in the last bucket
+    (the CASE chain's otherwise) while the in-bucket sort puts nulls
+    first — callers rank aggregate outputs, which are never null."""
     value_cols = [s["value"] for s in specs]
     splits = _approx_splits(df, value_cols, n_buckets)
     bcols = {s["rank"]: f"_bkt_{s['rank']}" for s in specs}
