@@ -370,3 +370,81 @@ def test_empty_column_list_raises(spark, bi_clustered):
     base, _ = bi_clustered
     with pytest.raises(ValueError, match="no columns requested"):
         build_file_stats_index(spark, base, [])
+
+
+# --- persisted index: the s13 -> S1 integration ---------------------------------
+
+from update_database_by_wind_spark.operators.storage import (  # noqa: E402
+    indexed_band_read,
+    write_stats_index,
+)
+
+
+def test_persisted_index_roundtrip_and_reuse(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(8, "k")
+        .write.parquet(base)
+    )
+    dest = write_stats_index(spark, base, ["k"])
+    assert dest.endswith("_stats_index")
+    # the index dir must be invisible to data scans and to the builder
+    assert spark.read.parquet(base).count() == 1000
+    df, n_kept, n_total = indexed_band_read(spark, base, {"k": (100, 199)})
+    assert n_total == 8 and 0 < n_kept < n_total
+    pred = F.col("k").between(100, 199)
+    assert df.filter(pred).count() == 100
+
+
+def test_indexed_read_rebuilds_on_append(spark, tmp_path):
+    """Staleness guard: an append AFTER the index was written must
+    trigger a rebuild — a stale index planning past new files would
+    silently lose their rows."""
+    base = str(tmp_path / "tbl")
+    (
+        spark.range(1000)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(4, "k")
+        .write.parquet(base)
+    )
+    write_stats_index(spark, base, ["k"])
+    spark.range(1000, 1100).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(base)
+    df, n_kept, n_total = indexed_band_read(spark, base, {"k": (1000, 1099)})
+    assert n_total == 5, "rebuilt index must see the appended file"
+    assert df.filter(F.col("k").between(1000, 1099)).count() == 100
+
+
+def test_indexed_read_builds_when_no_index(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    (
+        spark.range(400)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(4, "k")
+        .write.parquet(base)
+    )
+    df, n_kept, n_total = indexed_band_read(spark, base, {"k": (0, 99)})
+    assert n_total == 4 and n_kept < n_total
+    assert df.filter(F.col("k").between(0, 99)).count() == 100
+    import os
+
+    assert os.path.isdir(os.path.join(base, "_stats_index"))
+
+
+def test_indexed_read_rebuilds_for_uncovered_column(spark, tmp_path):
+    """An index persisted for one column must rebuild (not KeyError)
+    when a band arrives on a column it does not cover."""
+    base = str(tmp_path / "tbl")
+    (
+        spark.range(500)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .write.parquet(base)
+    )
+    write_stats_index(spark, base, ["k"])
+    df, n_kept, n_total = indexed_band_read(spark, base, {"v": (0, 198)})
+    assert n_total == 4 and 0 < n_kept < n_total
+    assert df.filter(F.col("v").between(0, 198)).count() == 100

@@ -463,6 +463,82 @@ def skipping_read_multi(
     return spark.read.parquet(*kept), len(kept), len(rows)
 
 
+# --- persisted stats index: the s13 -> S1 integration ---------------------------
+
+_STATS_INDEX_DIR = "_stats_index"
+
+
+def _committed_files(table_path: str) -> list[str]:
+    """The committed parquet listing build_file_stats_index walks —
+    factored out so the staleness guard compares EXACTLY the same
+    set."""
+    import os
+
+    out = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def write_stats_index(spark: SparkSession, table_path: str, columns) -> str:
+    """Build the footer-stats index for ``columns`` and PERSIST it
+    under ``{table_path}/_stats_index/`` — the Delta/Iceberg move of
+    keeping per-file column stats WITH the table instead of rebuilding
+    them per query (the round-11 verdict's s13→S1 integration ask).
+    The underscore prefix keeps the index invisible both to
+    ``spark.read.parquet`` data scans and to the index builder's own
+    walk, so a table never indexes its index.  Returns the index
+    path."""
+    import os
+
+    idx = build_file_stats_index(spark, table_path, columns)
+    dest = os.path.join(table_path, _STATS_INDEX_DIR)
+    idx.write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def indexed_band_read(
+    spark: SparkSession,
+    table_path: str,
+    bands: dict,
+) -> tuple:
+    """Band-read ``table_path`` through its PERSISTED stats index —
+    what an S1-family consumer calls to get file skipping without
+    rebuilding footstats per query.  Safety first: the persisted
+    index's file set is compared against the live committed listing,
+    and on ANY drift (files added by a later append, removed by
+    compaction/GC, or no index at all) the index is rebuilt in place
+    before planning — a stale index must never silently plan over
+    missing files (rows lost) or past new ones (rows invented).  The
+    staleness probe is a listing + a metadata-sized index read, the
+    same cost class as the planning collect itself.  Returns
+    ``(df, n_kept, n_total)`` exactly like :func:`skipping_read_multi`."""
+    import os
+
+    dest = os.path.join(table_path, _STATS_INDEX_DIR)
+    live = _committed_files(table_path)
+    index = None
+    if os.path.isdir(dest):
+        cached = spark.read.parquet(dest)
+        if sorted(r["file"] for r in cached.select("file").collect()) == live:
+            missing = [
+                c
+                for c in bands
+                if f"{c}_min" not in cached.columns
+            ]
+            if not missing:
+                index = cached
+    if index is None:
+        write_stats_index(spark, table_path, list(bands))
+        index = spark.read.parquet(dest)
+    return skipping_read_multi(spark, index, bands)
+
+
 _S13_ORACLE = f"""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
