@@ -93,7 +93,7 @@ def with_global_ranks(
     df: DataFrame,
     specs: list[dict],
     *,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach exact global-order columns to ``df`` for every spec in
     one boundary job + one count job + per-spec bucket windows.
@@ -109,7 +109,17 @@ def with_global_ranks(
     rule: order statistics run on exact int64 cents/micros, never
     doubles) and NON-NULL: a null value would land in the last bucket
     (the CASE chain's otherwise) while the in-bucket sort puts nulls
-    first — callers rank aggregate outputs, which are never null."""
+    first — callers rank aggregate outputs, which are never null.
+
+    ``n_buckets`` defaults to 4× the cluster's default parallelism
+    (clamped to [32, 1024]) — a FIXED bucket count would itself be a
+    scale ceiling (each bucket is one task's sort).  Any bucket count
+    yields identical results (the hypothesis property sweeps 1..64
+    including more buckets than rows), so the default only tunes
+    balance."""
+    if n_buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_buckets = max(32, min(1024, par * 4))
     value_cols = [s["value"] for s in specs]
     splits = _approx_splits(df, value_cols, n_buckets)
     bcols = {s["rank"]: f"_bkt_{s['rank']}" for s in specs}
