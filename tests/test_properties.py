@@ -880,13 +880,17 @@ def test_global_ranks_match_unpartitioned_window(
 @given(
     ts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
     gap=st.sampled_from([1, 5, 30, 99, 100, 250]),
+    chunk=st.sampled_from([1, 7, 100, 5000]),
 )
 @settings(**_SETTINGS)
-@example(ts=[95, 96, 104, 105], gap=30)  # burst straddles a chunk edge
-@example(ts=[95, 305], gap=250)  # chain across an entirely empty chunk
-@example(ts=[99, 100, 199, 200], gap=99)  # merges exactly at the gap
-@example(ts=[7, 7, 7, 207, 207], gap=5)  # tie-heavy, two runs
-def test_two_pass_sessionize_matches_single_pass(spark, ts, gap):
+# chunk=1: every distinct t is its own chunk -> maximal merge-pass load
+# chunk=5000: one chunk -> pure pass-1; 100: the mixed default shape
+@example(ts=[95, 96, 104, 105], gap=30, chunk=100)  # straddles an edge
+@example(ts=[95, 305], gap=250, chunk=100)  # chain across empty chunk
+@example(ts=[99, 100, 199, 200], gap=99, chunk=100)  # merge at the gap
+@example(ts=[7, 7, 7, 207, 207], gap=5, chunk=100)  # tie-heavy, 2 runs
+@example(ts=[0, 1, 2, 3], gap=1, chunk=1)  # chain across MANY chunks
+def test_two_pass_sessionize_matches_single_pass(spark, ts, gap, chunk):
     from update_database_by_wind_spark.operators.joins import (
         sessionize_two_pass,
     )
@@ -896,7 +900,7 @@ def test_two_pass_sessionize_matches_single_pass(spark, ts, gap):
     )
     got = sorted(
         (r["start_us"], r["end_us"], r["n_err"])
-        for r in sessionize_two_pass(df, gap_us=gap, chunk_us=100).collect()
+        for r in sessionize_two_pass(df, gap_us=gap, chunk_us=chunk).collect()
     )
     runs, cur = [], None
     for t in sorted(ts):

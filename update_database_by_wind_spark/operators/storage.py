@@ -561,7 +561,12 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-query receipts (raise-style): the pruned read must touch
     < half the files, and a full-scan filter must return the same
     count — so the hash-checked result proves the pruned plan loses no
-    rows, and the receipt proves it actually pruned.
+    rows, and the receipt proves it actually pruned.  Round 12 routes
+    the read through the PERSISTED index (:func:`indexed_band_read`:
+    first call builds ``_stats_index/`` with the table, the second
+    probe must reuse it without a rebuild — asserted via the index
+    dir's mtime), so the driver-checked path is the lakehouse shape:
+    stats live with the table, queries only probe them.
 
     Why it matters at 100 TB: partitioning spends the directory
     dimension (usually time); every OTHER selective dimension must
@@ -580,8 +585,27 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     # range-cluster on the skip column: 16 files, each a tight span
     orders.repartitionByRange(16, "o_custkey").write.parquet(base)
-    index = build_file_stats_index(spark, base, "o_custkey")
-    pruned, n_kept, n_total = skipping_read(spark, index, 100, 299)
+    bands = {"o_custkey": (100, 299)}
+    pruned, n_kept, n_total = indexed_band_read(spark, base, bands)
+    # reuse receipt: the first call persisted _stats_index/ with the
+    # table; a second probe must plan from it WITHOUT a rebuild
+    import os
+
+    idx_dir = os.path.join(base, _STATS_INDEX_DIR)
+    stamp = os.stat(idx_dir).st_mtime_ns
+    pruned2, n_kept2, n_total2 = indexed_band_read(spark, base, bands)
+    if os.stat(idx_dir).st_mtime_ns != stamp:
+        raise ValueError(
+            "s13_file_skipping_index: the second probe rebuilt the "
+            "persisted index — staleness detection misfired on an "
+            "unchanged table"
+        )
+    if (n_kept2, n_total2) != (n_kept, n_total):
+        raise ValueError(
+            "s13_file_skipping_index: persisted-index probe planned a "
+            f"different file set ({n_kept2}/{n_total2} vs "
+            f"{n_kept}/{n_total})"
+        )
     pruned = pruned.filter(F.col("o_custkey").between(100, 299))
     if n_kept * 2 >= n_total:
         raise ValueError(
