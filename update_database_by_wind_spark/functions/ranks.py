@@ -42,6 +42,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def _bucket_expr(value_col: str, splits: list, *, descending: bool) -> Column:
@@ -52,20 +55,35 @@ def _bucket_expr(value_col: str, splits: list, *, descending: bool) -> Column:
     Splits are integer literals cast long so the comparison replays the
     column's exact int64 semantics.
 
-    Deliberately a plain CASE chain, not a higher-order
-    ``size(filter(array(...)))``: this column becomes a window
-    PARTITION BY spec downstream, and a lambda expression there trips a
-    Catalyst binding bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the
-    lambda's captured column — found by the ranks hypothesis
-    property); a CASE chain is also whole-stage-codegen friendly."""
+    Shape: a BALANCED nested CASE (binary search over the sorted
+    splits) — the classification is O(log n_buckets) comparisons per
+    row instead of the flat chain's O(n_buckets) linear scan, which at
+    the 1024-bucket clamp meant up to 1023 WHEN branches evaluated in
+    the hottest stage.  The classified index is identical to the flat
+    chain's (``|{i: splits[i] <= v}|``, the upper-bound search; the
+    equivalence is swept by the ranks hypothesis property against the
+    unpartitioned reference window).
+
+    Deliberately CASE, not a higher-order ``size(filter(array(...)))``:
+    this column becomes a window PARTITION BY spec downstream, and a
+    lambda expression there trips a Catalyst binding bug
+    ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the lambda's captured
+    column — found by the ranks hypothesis property); CASE is also
+    whole-stage-codegen friendly."""
     if not splits:
         return F.lit(0)
     c = F.col(value_col)
-    chain = None
-    for i, b in enumerate(splits):
-        cond = c < F.lit(int(b)).cast("long")
-        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
-    asc = chain.otherwise(len(splits))
+
+    def tree(lo: int, hi: int) -> Column:
+        # invariant: the bucket index lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # compare against splits[mid]
+        return F.when(
+            c < F.lit(int(splits[mid])).cast("long"), tree(lo, mid)
+        ).otherwise(tree(mid + 1, hi))
+
+    asc = tree(0, len(splits))
     return (F.lit(len(splits)) - asc) if descending else asc
 
 
@@ -107,9 +125,14 @@ def with_global_ranks(
 
     All value/measure columns must be integer-typed (the repo's parity
     rule: order statistics run on exact int64 cents/micros, never
-    doubles) and NON-NULL: a null value would land in the last bucket
-    (the CASE chain's otherwise) while the in-bucket sort puts nulls
-    first — callers rank aggregate outputs, which are never null.
+    doubles) and the VALUE columns non-null: a null value would land in
+    the last bucket (the CASE tree's otherwise) while the in-bucket
+    sort puts nulls first — callers rank aggregate outputs, which are
+    never null.  Both contracts are ENFORCED loudly: a non-integral
+    value/measure dtype raises ``TypeError`` up front (a double would
+    mis-bucket silently on the long-cast split literals), and the
+    count pass — which sees every row anyway — counts value nulls per
+    spec and raises ``ValueError`` on the first one.
 
     ``n_buckets`` defaults to 4× the cluster's default parallelism
     (clamped to [32, 1024]) — a FIXED bucket count would itself be a
@@ -120,6 +143,25 @@ def with_global_ranks(
     if n_buckets is None:
         par = df.sparkSession.sparkContext.defaultParallelism
         n_buckets = max(32, min(1024, par * 4))
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for s in specs:
+        for role, col in [("value", s["value"])] + (
+            [("measure", s["cum"][0])] if s.get("cum") else []
+        ):
+            dt = fields.get(col)
+            if dt is None:
+                raise TypeError(
+                    f"with_global_ranks: {role} column {col!r} not in "
+                    f"input schema ({sorted(fields)})"
+                )
+            if not isinstance(dt, _INTEGRAL_TYPES):
+                raise TypeError(
+                    f"with_global_ranks: {role} column {col!r} is "
+                    f"{dt.simpleString()}, not integral — order "
+                    "statistics run on exact int64 cents/micros; a "
+                    "double would mis-bucket silently against the "
+                    "long-cast split literals"
+                )
     value_cols = [s["value"] for s in specs]
     splits = _approx_splits(df, value_cols, n_buckets)
     bcols = {s["rank"]: f"_bkt_{s['rank']}" for s in specs}
@@ -145,18 +187,35 @@ def with_global_ranks(
                 if s.get("cum")
                 else F.lit(0).cast("long")
             ).alias("v"),
+            F.col(s["value"]).isNull().cast("long").alias("nn"),
         )
         for i, s in enumerate(specs)
     ]
     stats = (
         staged.select(F.explode(F.array(*structs)).alias("x"))
         .groupBy("x.m", "x.b")
-        .agg(F.count("*").alias("cnt"), F.sum("x.v").alias("s"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("x.v").alias("s"),
+            F.sum("x.nn").alias("nulls"),
+        )
         .collect()
     )
+    null_counts = {i: 0 for i in range(len(specs))}
     per_spec: dict[int, list] = {i: [] for i in range(len(specs))}
     for r in stats:
         per_spec[r["m"]].append((r["b"], r["cnt"], r["s"]))
+        null_counts[r["m"]] += int(r["nulls"] or 0)
+    bad_nulls = {
+        specs[i]["value"]: n for i, n in null_counts.items() if n
+    }
+    if bad_nulls:
+        raise ValueError(
+            f"with_global_ranks: null values in rank columns "
+            f"{bad_nulls} — a null would land in the last bucket while "
+            "the in-bucket sort puts nulls first; rank non-null "
+            "aggregates only"
+        )
     totals = {
         i: sum(c for _, c, _ in rows) for i, rows in per_spec.items()
     }
@@ -186,8 +245,33 @@ def with_global_ranks(
             else [F.col(s["value"]), F.col(s["key"])]
         )
         w = Window.partitionBy(bcol).orderBy(*order)
-        out = out.join(F.broadcast(off), bcol).withColumn(
-            s["rank"], (F.row_number().over(w) + F.col("_cnt_off")).cast("long")
+        # Drift invariant: the count pass and the rank pass are
+        # separate jobs over the same LAZY input.  If the source is
+        # re-evaluated differently between them (files mutated under
+        # the plan, a non-deterministic input), rank-pass rows can land
+        # in a bucket the count pass never saw — an inner join against
+        # the offsets would silently DROP those rows.  A left join plus
+        # an executor-side raise on the missing offset makes that drift
+        # fail loudly at zero extra jobs.  (Drift that only moves rows
+        # BETWEEN already-seen buckets is the caller's determinism
+        # contract — no join-shaped check can see it.)
+        def _guarded(offset_col: str) -> Column:
+            return F.when(
+                F.col(offset_col).isNotNull(), F.col(offset_col)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "with_global_ranks: a rank-pass row landed in a "
+                        "bucket the count pass never saw — the input "
+                        "changed between jobs (non-deterministic source "
+                        "or files mutated under the plan)"
+                    )
+                ).cast("long")
+            )
+
+        out = out.join(F.broadcast(off), bcol, "left").withColumn(
+            s["rank"],
+            (F.row_number().over(w) + _guarded("_cnt_off")).cast("long"),
         )
         if s.get("cum"):
             measure, cum_out = s["cum"]
@@ -199,7 +283,7 @@ def with_global_ranks(
                             Window.unboundedPreceding, Window.currentRow
                         )
                     )
-                    + F.col("_sum_off")
+                    + _guarded("_sum_off")
                 ).cast("long"),
             )
         out = out.drop(bcol, "_cnt_off", "_sum_off")
