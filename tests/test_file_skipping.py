@@ -488,3 +488,107 @@ def test_multi_band_generative_parity(spark, tmp_path_factory):
             assert got == exp, (bands, n_kept, n_total, got, exp)
             if bk[0] > bk[1] or bv[0] > bv[1]:
                 assert n_kept == 0
+
+
+# --- round 13: union rebuilds + the default auto-skipping reader ---------------
+
+from update_database_by_wind_spark.operators.storage import (  # noqa: E402
+    read_parquet_pruned,
+)
+
+
+def _write_kv(spark, base: str, n: int = 1000, files: int = 8) -> None:
+    (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(files, "k")
+        .write.parquet(base)
+    )
+
+
+def test_rebuild_unions_cached_stat_columns(spark, tmp_path):
+    """The advisor's thrash finding: an index persisted for column k
+    must, when a band arrives on column v, rebuild carrying BOTH — so
+    the next probe on EITHER column reuses the index instead of the
+    two query families rebuilding it back and forth forever."""
+    import os
+
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    write_stats_index(spark, base, ["k"])
+    idx_dir = os.path.join(base, "_stats_index")
+    # band on v: rebuild required (v uncovered) — must union in k
+    indexed_band_read(spark, base, {"v": (0, 500)})
+    cols = spark.read.parquet(idx_dir).columns
+    assert {"k_min", "k_max", "v_min", "v_max"} <= set(cols)
+    # now BOTH families probe without a rebuild
+    stamp = os.stat(idx_dir).st_mtime_ns
+    _, k_kept, k_total = indexed_band_read(spark, base, {"k": (100, 199)})
+    _, v_kept, v_total = indexed_band_read(spark, base, {"v": (300, 597)})
+    assert os.stat(idx_dir).st_mtime_ns == stamp, "probe rebuilt the index"
+    assert 0 < k_kept < k_total and 0 < v_kept < v_total
+
+
+def test_default_reader_without_index_is_a_full_read(spark, tmp_path):
+    """The negative case: a plain parquet directory keeps working —
+    full listing, no error, and the read path writes NOTHING."""
+    import os
+
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    df, n_kept, n_total = read_parquet_pruned(spark, base, {"k": (0, 99)})
+    assert n_kept == n_total == 8
+    assert not os.path.isdir(os.path.join(base, "_stats_index"))
+    assert df.filter(F.col("k").between(0, 99)).count() == 100
+
+
+def test_default_reader_prunes_through_fresh_index(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    write_stats_index(spark, base, ["k"])
+    df, n_kept, n_total = read_parquet_pruned(spark, base, {"k": (100, 199)})
+    assert n_total == 8 and 0 < n_kept < n_total
+    assert df.filter(F.col("k").between(100, 199)).count() == 100
+
+
+def test_default_reader_falls_back_on_stale_index(spark, tmp_path):
+    """A reader must never rebuild (it may have no write lease) and
+    must never plan over a stale index (rows lost/invented) — on
+    drift it reads the full live listing, correctness over skipping."""
+    import os
+
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    write_stats_index(spark, base, ["k"])
+    idx_dir = os.path.join(base, "_stats_index")
+    stamp = os.stat(idx_dir).st_mtime_ns
+    spark.range(1000, 1100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.mode("append").parquet(base)
+    df, n_kept, n_total = read_parquet_pruned(spark, base, {"k": (1000, 1099)})
+    assert n_kept == n_total == 9, "stale index must mean full fallback"
+    assert os.stat(idx_dir).st_mtime_ns == stamp, "reader rebuilt the index"
+    assert df.filter(F.col("k").between(1000, 1099)).count() == 100
+
+
+def test_default_reader_prunes_on_covered_subset(spark, tmp_path):
+    """Bands on a covered and an uncovered column: conjunctive pruning
+    on the covered subset alone is sound (it only keeps extra files) —
+    the reader must prune on k and leave v to the caller's filter."""
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    write_stats_index(spark, base, ["k"])
+    bands = {"k": (100, 199), "v": (300, 597)}
+    df, n_kept, n_total = read_parquet_pruned(spark, base, bands)
+    assert 0 < n_kept < n_total
+    pred = F.col("k").between(100, 199) & F.col("v").between(300, 597)
+    assert df.filter(pred).count() == 100
+
+
+def test_default_reader_no_bands_is_plain_read(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    write_stats_index(spark, base, ["k"])
+    df, n_kept, n_total = read_parquet_pruned(spark, base)
+    assert n_kept == n_total == 8
+    assert df.count() == 1000

@@ -516,13 +516,22 @@ def indexed_band_read(
     before planning — a stale index must never silently plan over
     missing files (rows lost) or past new ones (rows invented).  The
     staleness probe is a listing + a metadata-sized index read, the
-    same cost class as the planning collect itself.  Returns
+    same cost class as the planning collect itself.
+
+    Rebuilds UNION the requested band columns with every stat column
+    the cached index already carries (round-13, advisor finding):
+    rebuilding with only the current query's columns would make two
+    query families probing different columns thrash-rebuild the index
+    after every append — one rebuild must keep serving all consumers.
+    (A legacy single-column index — ``vmin``/``vmax`` schema — does
+    not record its column's name, so there is nothing to union; it is
+    rebuilt with the requested columns.)  Returns
     ``(df, n_kept, n_total)`` exactly like :func:`skipping_read_multi`."""
     import os
 
     dest = os.path.join(table_path, _STATS_INDEX_DIR)
     live = _committed_files(table_path)
-    index = None
+    index, cached = None, None
     if os.path.isdir(dest):
         cached = spark.read.parquet(dest)
         if sorted(r["file"] for r in cached.select("file").collect()) == live:
@@ -534,9 +543,70 @@ def indexed_band_read(
             if not missing:
                 index = cached
     if index is None:
-        write_stats_index(spark, table_path, list(bands))
+        want = set(bands)
+        if cached is not None:
+            want |= {
+                c[: -len("_min")]
+                for c in cached.columns
+                if c.endswith("_min")
+            }
+        write_stats_index(spark, table_path, sorted(want))
         index = spark.read.parquet(dest)
     return skipping_read_multi(spark, index, bands)
+
+
+def read_parquet_pruned(
+    spark: SparkSession,
+    table_path: str,
+    bands: dict | None = None,
+) -> tuple:
+    """The DEFAULT reader with transparent file skipping — the s13→S1
+    integration (round-12 verdict ask #3): probe the table's persisted
+    ``_stats_index/`` when one exists and plan the file set through it,
+    WITHOUT opting in and WITHOUT ever writing.  A reader must stay
+    read-only (lakehouse contract: readers don't mutate the log — they
+    may be pointed at a snapshot, a read replica, or a path they have
+    no write lease on), so every degraded case falls back to the full
+    committed listing instead of rebuilding:
+
+    - no ``bands`` requested → full read (nothing to prune on);
+    - no persisted index → full read, NO error (a plain parquet
+      directory keeps working unchanged — the negative case);
+    - index stale (its file set differs from the live listing) → full
+      read; :func:`indexed_band_read` / :func:`write_stats_index` own
+      rebuilds;
+    - index fresh but covering only SOME requested columns → prune on
+      the covered subset (conjunctive pruning on any subset of the
+      predicates is sound — it only keeps extra files).
+
+    The pruned frame is the planned FILE SET, same contract as
+    :func:`skipping_read_multi`: callers still apply their predicate;
+    pruning never substitutes for filtering.  Returns
+    ``(df, n_kept, n_total)``; ``n_kept == n_total`` on every fallback
+    path, so the receipt shows whether skipping engaged."""
+    import os
+
+    live = _committed_files(table_path)
+    n_total = len(live)
+    usable: dict = {}
+    cached = None
+    if bands and live:
+        dest = os.path.join(table_path, _STATS_INDEX_DIR)
+        if os.path.isdir(dest):
+            cached = spark.read.parquet(dest)
+            fresh = (
+                sorted(r["file"] for r in cached.select("file").collect())
+                == live
+            )
+            if fresh:
+                usable = {
+                    c: b
+                    for c, b in bands.items()
+                    if f"{c}_min" in cached.columns
+                }
+    if usable:
+        return skipping_read_multi(spark, cached, usable)
+    return spark.read.parquet(table_path), n_total, n_total
 
 
 _S13_ORACLE = f"""
@@ -568,6 +638,14 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir's mtime), so the driver-checked path is the lakehouse shape:
     stats live with the table, queries only probe them.
 
+    Round 13 adds the s13→S1 integration receipts on the DEFAULT
+    reader (:func:`read_parquet_pruned`): before any index exists it
+    must return the full committed listing with NO error and create
+    nothing (a plain parquet directory keeps working unchanged), and
+    once ``_stats_index/`` is persisted the same call must plan the
+    identical pruned file set the opt-in path planned — without
+    rebuilding (index-dir mtime pinned across the probe).
+
     Why it matters at 100 TB: partitioning spends the directory
     dimension (usually time); every OTHER selective dimension must
     prune at the file level or pay a full scan.  Clustering + footer
@@ -575,6 +653,7 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a time-partitioned fact table — same receipts as here, just
     with the index kept in the table log instead of rebuilt."""
     import hashlib
+    import os
     import shutil
 
     orders = load(spark, sf_dir, "orders").select(
@@ -586,12 +665,19 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-cluster on the skip column: 16 files, each a tight span
     orders.repartitionByRange(16, "o_custkey").write.parquet(base)
     bands = {"o_custkey": (100, 299)}
+    idx_dir = os.path.join(base, _STATS_INDEX_DIR)
+    # negative case: the default reader on an index-less table returns
+    # the full listing, raises nothing, and writes nothing
+    _, k0, t0 = read_parquet_pruned(spark, base, bands)
+    if k0 != t0 or os.path.isdir(idx_dir):
+        raise ValueError(
+            "s13_file_skipping_index: the default reader must fall back "
+            f"to the full listing on an index-less table (kept {k0}/{t0}, "
+            f"index created: {os.path.isdir(idx_dir)})"
+        )
     pruned, n_kept, n_total = indexed_band_read(spark, base, bands)
     # reuse receipt: the first call persisted _stats_index/ with the
     # table; a second probe must plan from it WITHOUT a rebuild
-    import os
-
-    idx_dir = os.path.join(base, _STATS_INDEX_DIR)
     stamp = os.stat(idx_dir).st_mtime_ns
     pruned2, n_kept2, n_total2 = indexed_band_read(spark, base, bands)
     if os.stat(idx_dir).st_mtime_ns != stamp:
@@ -604,6 +690,20 @@ def s13_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             "s13_file_skipping_index: persisted-index probe planned a "
             f"different file set ({n_kept2}/{n_total2} vs "
+            f"{n_kept}/{n_total})"
+        )
+    # integration receipt: the DEFAULT reader now plans the same pruned
+    # file set through the persisted index — still without rebuilding
+    _, k3, t3 = read_parquet_pruned(spark, base, bands)
+    if os.stat(idx_dir).st_mtime_ns != stamp:
+        raise ValueError(
+            "s13_file_skipping_index: the default reader rebuilt the "
+            "index — the read path must stay read-only"
+        )
+    if (k3, t3) != (n_kept, n_total):
+        raise ValueError(
+            "s13_file_skipping_index: the default reader planned a "
+            f"different file set than the opt-in path ({k3}/{t3} vs "
             f"{n_kept}/{n_total})"
         )
     pruned = pruned.filter(F.col("o_custkey").between(100, 299))
