@@ -76,6 +76,20 @@ def pin_snapshot(df, path: str):
     snapshot size, not just the month-cardinality rollups it happened
     to carry.  The caller owns ``path``'s lifecycle — the lifecycle
     queries put pins inside their tag-scoped scratch dir, recreated
-    per run and left for the driver to finish collecting from."""
+    per run and left for the driver to finish collecting from.
+
+    LIFETIME CONTRACT (round-13, advisor finding): unlike the
+    ``collect()`` round-trip it replaced, the returned frame is still
+    LAZY over the scratch files — it is a snapshot of the data, not of
+    the result's liveness.  A result must be fully consumed before the
+    same query runs again against the same ``sf_dir``: the re-run's
+    first act is an ``rmtree`` of the tag-scoped scratch dir, which
+    pulls the files out from under any frame still held from the
+    previous run (and two CONCURRENT runs of one query on one sf_dir
+    race the same way — the driver runs serially, and local runs must
+    too, per the repo's verify protocol).  Callers needing a pin that
+    survives re-runs should pass a path containing their own
+    per-invocation nonce; the lifecycle queries deliberately do not,
+    so their scratch space is bounded by tag count, not run count."""
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
