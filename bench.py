@@ -39,9 +39,16 @@ HEADLINE = [
 # extension surface, timed alongside but kept OUT of the headline
 # metric so the total stays comparable across rounds (l3j added r4;
 # s10/j12 added r5 — the layout and runtime-filter receipts; a16
-# added r8 — the mergeable-sketch aggregation shape)
+# added r8 — the mergeable-sketch aggregation shape; e5/o8/j13 added
+# r13 so the round-12 distributed-rank and two-pass-sessionize
+# rewrites carry measured numbers across rounds — expect the local
+# scheduling-floor tax a16 documents in BASELINE.md, constant at
+# scale while the removed single-partition sorts were the ceiling)
 EXTENDED = [
     "a16_quantile_sketch",
+    "e5_rfm_segmentation",
+    "o8_pareto_concentration",
+    "j13_interval_bin_join",
     "s10_zorder_clustering",
     "j12_bloom_prefilter",
     "l3e_ngram_jaccard",
