@@ -592,3 +592,20 @@ def test_default_reader_no_bands_is_plain_read(spark, tmp_path):
     df, n_kept, n_total = read_parquet_pruned(spark, base)
     assert n_kept == n_total == 8
     assert df.count() == 1000
+
+
+def test_default_reader_survives_corrupt_index(spark, tmp_path):
+    """A plain spark.read.parquet ignores underscore dirs entirely, so
+    the transparent reader must never fail a read the plain reader
+    would serve: garbage in _stats_index degrades to a full read."""
+    import os
+
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    idx_dir = os.path.join(base, "_stats_index")
+    os.makedirs(idx_dir)
+    with open(os.path.join(idx_dir, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet")
+    df, n_kept, n_total = read_parquet_pruned(spark, base, {"k": (0, 99)})
+    assert n_kept == n_total == 8
+    assert df.filter(F.col("k").between(0, 99)).count() == 100

@@ -575,6 +575,12 @@ def read_parquet_pruned(
     - index stale (its file set differs from the live listing) → full
       read; :func:`indexed_band_read` / :func:`write_stats_index` own
       rebuilds;
+    - index UNREADABLE (corrupt/partial ``_stats_index`` contents) →
+      full read: a plain ``spark.read.parquet`` ignores underscore
+      dirs entirely, so the transparent reader must never fail a read
+      the plain reader would serve — the optional index can only ever
+      remove work, not availability (the maintenance path stays strict
+      and surfaces the corruption on its next rebuild probe);
     - index fresh but covering only SOME requested columns → prune on
       the covered subset (conjunctive pruning on any subset of the
       predicates is sound — it only keeps extra files).
@@ -593,11 +599,20 @@ def read_parquet_pruned(
     if bands and live:
         dest = os.path.join(table_path, _STATS_INDEX_DIR)
         if os.path.isdir(dest):
-            cached = spark.read.parquet(dest)
-            fresh = (
-                sorted(r["file"] for r in cached.select("file").collect())
-                == live
-            )
+            try:
+                cached = spark.read.parquet(dest)
+                fresh = (
+                    sorted(
+                        r["file"] for r in cached.select("file").collect()
+                    )
+                    == live
+                )
+            except Exception:
+                # unreadable index (torn write, wrong schema, empty
+                # dir): degrade to the full read the plain reader
+                # would serve — see the docstring's availability
+                # contract
+                fresh = False
             if fresh:
                 usable = {
                     c: b
