@@ -609,3 +609,60 @@ def test_default_reader_survives_corrupt_index(spark, tmp_path):
     df, n_kept, n_total = read_parquet_pruned(spark, base, {"k": (0, 99)})
     assert n_kept == n_total == 8
     assert df.filter(F.col("k").between(0, 99)).count() == 100
+
+
+def test_maintenance_path_repairs_corrupt_index(spark, tmp_path):
+    """The write-lease counterpart of the reader's degradation: an
+    index is derived data, so indexed_band_read REBUILDS an unreadable
+    one (torn write, wrong schema) and then prunes normally."""
+    import os
+
+    base = str(tmp_path / "tbl")
+    _write_kv(spark, base)
+    idx_dir = os.path.join(base, "_stats_index")
+    os.makedirs(idx_dir)
+    with open(os.path.join(idx_dir, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet")
+    df, n_kept, n_total = indexed_band_read(spark, base, {"k": (100, 199)})
+    assert n_total == 8 and 0 < n_kept < n_total
+    assert df.filter(F.col("k").between(100, 199)).count() == 100
+    # the repair left a valid index behind: the next probe reuses it
+    stamp = os.stat(idx_dir).st_mtime_ns
+    indexed_band_read(spark, base, {"k": (0, 99)})
+    assert os.stat(idx_dir).st_mtime_ns == stamp
+
+
+def test_default_reader_generative_parity(spark, tmp_path_factory):
+    """read_parquet_pruned mirror of the multi-band generative sweep:
+    over correlated/anti-correlated layouts and every band-shape class
+    (full-domain, interior, point, empty-above, inverted), the pruned
+    read filtered by the predicate must equal the full scan — with the
+    index covering k only, so the v band always exercises the
+    covered-subset path."""
+    base = str(tmp_path_factory.mktemp("reader_gen") / "tbl")
+    (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 1500, F.col("id") * 2)
+            .otherwise((3000 - F.col("id")) * 7)
+            .alias("v"),
+        )
+        .repartitionByRange(10, "k")
+        .write.parquet(base)
+    )
+    write_stats_index(spark, base, ["k"])
+    full = spark.read.parquet(base)
+    bands_k = [(0, 2999), (100, 220), (2999, 2999), (3000, 4000), (50, 10)]
+    bands_v = [(0, 30000), (500, 900), (-5, -1)]
+    for bk in bands_k:
+        for bv in bands_v:
+            df, n_kept, n_total = read_parquet_pruned(
+                spark, base, {"k": bk, "v": bv}
+            )
+            pred = F.col("k").between(*bk) & F.col("v").between(*bv)
+            got = df.filter(pred).count()
+            exp = full.filter(pred).count()
+            assert got == exp, ((bk, bv), n_kept, n_total, got, exp)
+            if bk[0] > bk[1]:
+                assert n_kept == 0, "inverted covered band keeps nothing"

@@ -525,23 +525,39 @@ def indexed_band_read(
     after every append — one rebuild must keep serving all consumers.
     (A legacy single-column index — ``vmin``/``vmax`` schema — does
     not record its column's name, so there is nothing to union; it is
-    rebuilt with the requested columns.)  Returns
-    ``(df, n_kept, n_total)`` exactly like :func:`skipping_read_multi`."""
+    rebuilt with the requested columns.)  An UNREADABLE index
+    (torn write, wrong schema) is likewise repaired by rebuild — the
+    index is derived data, and this is the path with the write lease.
+    Returns ``(df, n_kept, n_total)`` exactly like
+    :func:`skipping_read_multi`."""
     import os
 
     dest = os.path.join(table_path, _STATS_INDEX_DIR)
     live = _committed_files(table_path)
-    index, cached = None, None
+    index, cached, fresh = None, None, False
     if os.path.isdir(dest):
-        cached = spark.read.parquet(dest)
-        if sorted(r["file"] for r in cached.select("file").collect()) == live:
-            missing = [
-                c
-                for c in bands
-                if f"{c}_min" not in cached.columns
-            ]
-            if not missing:
-                index = cached
+        try:
+            cached = spark.read.parquet(dest)
+            fresh = (
+                sorted(r["file"] for r in cached.select("file").collect())
+                == live
+            )
+        except Exception:
+            # unreadable index (torn write, wrong schema, empty dir):
+            # an index is DERIVED data, so the maintenance path
+            # repairs it — rebuild below exactly as if none existed
+            # (nothing to union from an unreadable one); the read-only
+            # path (read_parquet_pruned) degrades to a full read
+            # instead
+            cached = None
+    if fresh:
+        missing = [
+            c
+            for c in bands
+            if f"{c}_min" not in cached.columns
+        ]
+        if not missing:
+            index = cached
     if index is None:
         want = set(bands)
         if cached is not None:
@@ -579,8 +595,9 @@ def read_parquet_pruned(
       full read: a plain ``spark.read.parquet`` ignores underscore
       dirs entirely, so the transparent reader must never fail a read
       the plain reader would serve — the optional index can only ever
-      remove work, not availability (the maintenance path stays strict
-      and surfaces the corruption on its next rebuild probe);
+      remove work, not availability (the maintenance path,
+      :func:`indexed_band_read`, REPAIRS an unreadable index instead —
+      an index is derived data, so its corruption handler is rebuild);
     - index fresh but covering only SOME requested columns → prune on
       the covered subset (conjunctive pruning on any subset of the
       predicates is sound — it only keeps extra files).
