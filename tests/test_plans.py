@@ -633,3 +633,23 @@ def test_rank_filter_topk_compiles_to_take_ordered(spark, sf_oracle):
     for name in ("g2_pagerank", "a17_countmin_sketch"):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_oracle))
         assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_forward_fill_smells_are_the_declared_scalar_shapes(spark, sf_oracle):
+    """W5 (round-13 window-leader audit): the plan's only
+    BroadcastNestedLoopJoin is the declared 1-row bounds crossJoin
+    (global min/max day broadcast against the bounded user set), and
+    its only SinglePartition exchange is that scalar aggregate's
+    final merge of map-side partials — both metadata-sized by
+    construction.  The data-sized spine ⋈ daily join must be a hash
+    join (asserted by the BNLJ count: a second nested loop would be
+    the forbidden shape), and the fill window partitions by user."""
+    import re
+
+    plan = formatted_plan(REGISTRY["w5_forward_fill"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj) == 1, plan  # the 1-row bounds crossJoin only
+    sp = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
+    assert len(sp) == 1, plan  # the scalar agg's final merge only
+    assert "hashpartitioning(user_id" in plan  # the fill window's spec
