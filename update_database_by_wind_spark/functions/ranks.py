@@ -139,7 +139,18 @@ def with_global_ranks(
     scale ceiling (each bucket is one task's sort).  Any bucket count
     yields identical results (the hypothesis property sweeps 1..64
     including more buckets than rows), so the default only tunes
-    balance."""
+    balance.
+
+    Multi-pass input cost: ``df``'s plan executes once per internal
+    job (splits, counts) and once more when the returned frame
+    evaluates.  A caller whose input derives from an expensive
+    scan+shuffle (e5/o8 rank a full fact-table aggregate) should
+    ``persist()`` it first so the upstream work is paid once — this
+    function deliberately does NOT persist internally, because the
+    returned frame is lazy and there is no sound point to unpersist
+    from inside (dropping the cache before the caller's action would
+    just force the recompute being avoided; leaking it unconditionally
+    would pin every transient input for the session)."""
     if n_buckets is None:
         par = df.sparkSession.sparkContext.defaultParallelism
         n_buckets = max(32, min(1024, par * 4))

@@ -1180,6 +1180,14 @@ def e5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         ).alias("monet_cents"),
     )
+    # the rank machinery evaluates its input once per pass (splits,
+    # counts, final windows — see with_global_ranks's docstring);
+    # per_cust is a full fact-table scan + shuffle, so persist the
+    # per-customer result (key-cardinality rows, orders of magnitude
+    # below the fact input) and pay that upstream work once.  No
+    # unpersist: the returned frame's final pass still reads it, and
+    # the cache is bounded by customer count for the session.
+    per_cust = per_cust.persist()
     ranked, n_cust = with_global_ranks(
         per_cust,
         [

@@ -306,6 +306,10 @@ def o8_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "descending": True,
         "cum": ("cents", "cum"),
     }
+    # persist the per-customer aggregate: the rank machinery evaluates
+    # its input once per pass, and pc's upstream is the full orders
+    # scan + shuffle (same rationale and bound as e5's persist)
+    pc = pc.persist()
     ranked, n = with_global_ranks(pc, [spec])
     t = spec["total"]
     th = spark.createDataFrame([(50,), (80,), (90,)], "pct long")
