@@ -4,8 +4,10 @@ these tests pin the contract that the window is spent first on
 never-yet-verified queries, then on queries whose code changed this
 round, then on the stalest regression evidence.  Round 12 added the
 evidence-age GUARD: staleness past six rounds is a red test, not a
-ledger comment — round 13 opens by paying exactly the debt the guard
-named.
+ledger comment — round 14 opens by paying exactly the debt the guard
+named against CORRECTNESS_r13 (the final thirteen r7-stale queries),
+which puts every registered query within six rounds of driver
+evidence for the first time since the window rotation began.
 """
 
 import glob
@@ -16,62 +18,53 @@ import re
 import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
-# Round 13 registers NOTHING NEW (the debt-paydown contract holds
-# until every query is within six rounds of evidence).  Every
-# newly-registered query in a future round is appended to a _R{N}_NEW
-# list here and to the top of _ROUND{N}_FRONT in the same commit — and
-# its oracle-match test plus this file must be run BEFORE that commit
-# (the round-10 judge's "no untested registration" rule; g2/r9 and
-# s13/r10 both entered the registry broken in end-of-round commits
+# Newly-registered queries this round.  Every newly-registered query
+# is appended here and to the top of _ROUND14_FRONT in the same commit
+# — and its oracle-match test plus this file must be run BEFORE that
+# commit (the round-10 judge's "no untested registration" rule; g2/r9
+# and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R13_NEW: list[str] = []
+_R14_NEW: list[str] = []
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-_R13_CHANGED = [
-    # e5/o8/a16/st17 ride functions/ranks.py, which gained the loud
-    # integer/non-null input guard (round-12 verdict ask #5), the
-    # left-join drift invariant and the O(log n_buckets) bisection
-    # classifier (ADVICE items)
-    "e5_rfm_segmentation",
-    "o8_pareto_concentration",
-    "a16_quantile_sketch",
-    "st17_stream_quantile_sketch",
-    # s13 routes through the default-reader integration
-    # (read_parquet_pruned) and indexed_band_read's union rebuilds
-    "s13_file_skipping_index",
-]
+# Populated as the round-14 widening plan lands (streaming pin swap,
+# default-reader consumer); each addition moves the query to the front
+# of _ROUND14_FRONT in the same commit as the code change.
+_R14_CHANGED: list[str] = []
 
-# Round 12's named overflow: last driver-green row is round 6 — seven
+# Round 13's named overflow: last driver-green row is round 7 — seven
 # rounds stale, the queries the evidence-age guard forced into this
-# window.
-_R6_STALE_LEADERS = [
-    "u9_incremental_rollup",
-    "u9d_incremental_rollup_decimal",
-    "ud1_scalar_python_udf",
-    "ud5_udtf_bigrams",
-    "w1_rank_top_orders_per_segment",
-    "w2_lag_daily_returns",
-    "w3_moving_average",
-    "w3b_time_range_rolling",
-    "w5_forward_fill",
-    "w7_percent_rank_cume_dist",
-    "w8_value_window_family",
+# window (round-13 verdict ask #1).
+_R7_STALE_LEADERS = [
+    "e2_interval_concurrency",
+    "l11_quality_filter",
+    "l3d_simhash",
+    "l9_lexicon_sentiment",
+    "mm_binary_decode",
+    "mm_chunk_expansion",
+    "st14_dedup_within_watermark",
+    "tr_weighted_sample",
+    "u14_retention_delete",
+    "u16_join_view_maintenance",
+    "u17_write_expectations",
+    "w6_ntile_acctbal_quartiles",
+    "w9_gaps_islands",
 ]
 
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND13_FRONT)] == ops._ROUND13_FRONT
+    assert names[: len(ops._ROUND14_FRONT)] == ops._ROUND14_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND13_FRONT)
+    front = set(ops._ROUND14_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R7_R12 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R9_R13 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -80,7 +73,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND13_FRONT, *ops._DRIVER_VERIFIED_R7_R12]:
+    for n in [*ops._ROUND14_FRONT, *ops._DRIVER_VERIFIED_R9_R13]:
         assert n in REGISTRY, n
 
 
@@ -89,47 +82,60 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND13_FRONT) & set(ops._DRIVER_VERIFIED_R7_R12)
+    dup = set(ops._ROUND14_FRONT) & set(ops._DRIVER_VERIFIED_R9_R13)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-13 front (new + changed-code + stalest regression
-    slots) or in the r7–r12 driver-green defer list.  A query in
+    in the round-14 front (new + changed-code + stalest regression
+    slots) or in the r9–r13 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that — exactly how s13 missed round
     10 (it was registered but in neither list)."""
-    covered = set(ops._ROUND13_FRONT) | set(ops._DRIVER_VERIFIED_R7_R12)
+    covered = set(ops._ROUND14_FRONT) | set(ops._DRIVER_VERIFIED_R9_R13)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
-def test_changed_code_queries_lead_the_window():
-    """Changed-code queries first (a rewrite must earn fresh evidence
-    before stale-green refresh), then the eleven r6-stale leaders the
-    evidence-age guard named, then 34 of the 47 r7-stale queries
-    (TPC-H depth shapes, source round trips, text gates, alphabetical
-    remainder head).  The thirteen r7-stale queries past the window
-    edge are round 14's leaders — the guard will go red against
-    CORRECTNESS_r13 and force them, same rhythm as this round."""
+def test_window_structure():
+    """New queries first, then changed-code, then the thirteen
+    r7-stale leaders the evidence-age guard named, then the r9-stale
+    fill (streaming block first — most of it becomes changed-code when
+    the pin swap lands — then joins, dedup/similarity, lifecycle, set
+    ops, filters, ingest, training, time series).  The nine r9-stale
+    queries past the window edge (a1 — re-executed by bench.py every
+    round, a16b — its ranks machinery earned r13 evidence via
+    a16/st17, and the seven f_* scalar families) are round 15's
+    leaders — the guard will force them at r15 exactly as it forced
+    this round's thirteen."""
     names = list(REGISTRY)
-    n_new = len(_R13_NEW)
-    assert names[:n_new] == _R13_NEW
-    n_chg = len(_R13_CHANGED)
-    assert names[n_new : n_new + n_chg] == _R13_CHANGED
-    lead_end = n_new + n_chg + len(_R6_STALE_LEADERS)
-    assert names[n_new + n_chg : lead_end] == _R6_STALE_LEADERS
-    # the r7 fill: 20 TPC-H shapes, 7 source round trips, 5 text
-    # gates, 2 alphabetical-head extras — each block sorted
-    fill = names[lead_end : len(ops._ROUND13_FRONT)]
-    assert len(fill) == 34
-    qfam, sfam, tfam, rest = fill[:20], fill[20:27], fill[27:32], fill[32:]
-    assert all(n.startswith("q") for n in qfam) and qfam == sorted(qfam)
-    assert all(n.startswith("s") for n in sfam) and sfam == sorted(sfam)
-    assert all(n.startswith("t_") for n in tfam) and tfam == sorted(tfam)
-    assert rest == ["a15_heavy_hitters", "a3_approx_distinct"]
-    assert len(ops._ROUND13_FRONT) == lead_end + 34
+    n_new = len(_R14_NEW)
+    assert names[:n_new] == _R14_NEW
+    n_chg = len(_R14_CHANGED)
+    assert names[n_new : n_new + n_chg] == _R14_CHANGED
+    lead_end = n_new + n_chg + len(_R7_STALE_LEADERS)
+    leaders = [
+        n for n in _R7_STALE_LEADERS if n not in set(_R14_CHANGED)
+    ]
+    assert (
+        names[n_new + n_chg : n_new + n_chg + len(leaders)] == leaders
+    )
+    lead_end = n_new + n_chg + len(leaders)
+    # the r9 fill: every remaining window slot is an r9-stale query,
+    # grouped by family with each block sorted
+    fill = names[lead_end : len(ops._ROUND14_FRONT)]
+    blocks: list[list[str]] = []
+    for n in fill:
+        fam = re.match(r"[a-z]+", n).group(0)
+        if blocks and re.match(r"[a-z]+", blocks[-1][-1]).group(0) == fam:
+            blocks[-1].append(n)
+        else:
+            blocks.append([n])
+    for b in blocks:
+        assert b == sorted(b), b
+    assert len(ops._ROUND14_FRONT) == lead_end + len(fill)
+    assert len(ops._ROUND14_FRONT) == 50
 
 
 def _latest_green_rounds() -> tuple[dict[str, int], int, int]:
@@ -166,7 +172,7 @@ def test_evidence_age_guard():
     When this fails, rotate _ROUND{N}_FRONT; do not widen the
     threshold."""
     latest, newest, window = _latest_green_rounds()
-    assert newest >= 12, "CORRECTNESS artifacts missing from the repo"
+    assert newest >= 13, "CORRECTNESS artifacts missing from the repo"
     in_window = set(list(REGISTRY)[:window])
     overdue = [
         q
