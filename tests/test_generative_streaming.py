@@ -2,7 +2,7 @@
 verdict ask #5): hypothesis builds events corpora — out-of-order
 timestamps, session-gap boundary hits, both parquet timestamp
 encodings — writes them fixture-shaped, and drives the REAL registry
-streaming queries (availableNow replay through run_to_memory) against
+streaming queries (availableNow replay through run_stream_pinned) against
 their REAL DuckDB oracles on that input.
 
 Two deliberate axes the driver fixtures never cover:
@@ -168,7 +168,7 @@ def test_watermark_drops_generated_stragglers(spark, on_time, stragglers):
 
     from update_database_by_wind_spark.session import prepare
     from update_database_by_wind_spark.streaming.pipelines import (
-        run_to_memory,
+        run_stream_pinned,
         scratch_dir,
     )
 
@@ -220,7 +220,7 @@ def test_watermark_drops_generated_stragglers(spark, on_time, stragglers):
             .agg(F.count("*").alias("n_on_time"))
             .select(F.col("window.start").alias("window_start"), "n_on_time")
         )
-        rows = run_to_memory(agg, "append").collect()
+        rows = run_stream_pinned(agg, "test_gen_late", "append").collect()
         assert len(rows) == 1, rows
         assert str(rows[0].window_start) == "2024-01-01 00:00:00", rows
         assert rows[0].n_on_time == len(on_time), rows

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from update_database_by_wind_spark.sources import load
 from update_database_by_wind_spark.streaming.pipelines import (
     events_stream,
-    run_to_memory,
+    run_stream_pinned,
     st3_sliding_stream,
     st4_session_stream,
 )
@@ -31,7 +31,9 @@ def _as_sorted_rows(df, cols):
 
 
 def test_st3_sliding_batch_equivalence(spark, sf_oracle):
-    stream_out = run_to_memory(st3_sliding_stream(spark, sf_oracle))
+    stream_out = run_stream_pinned(
+        st3_sliding_stream(spark, sf_oracle), "test_st3"
+    )
     batch = (
         load(spark, sf_oracle, "events")
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
@@ -43,7 +45,9 @@ def test_st3_sliding_batch_equivalence(spark, sf_oracle):
 
 
 def test_st4_session_batch_equivalence(spark, sf_oracle):
-    stream_out = run_to_memory(st4_session_stream(spark, sf_oracle))
+    stream_out = run_stream_pinned(
+        st4_session_stream(spark, sf_oracle), "test_st4"
+    )
     batch = (
         load(spark, sf_oracle, "events")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -59,7 +63,9 @@ def test_st4_session_batch_equivalence(spark, sf_oracle):
 
 
 def test_st6_stateful_final_counts_match_batch(spark, sf_oracle):
-    out = run_to_memory(st6_stateful_counters(spark, sf_oracle), "update")
+    out = run_stream_pinned(
+        st6_stateful_counters(spark, sf_oracle), "test_st6", "update"
+    )
     # single-batch availableNow replay → one emission per user = final
     batch = (
         load(spark, sf_oracle, "events")
@@ -189,14 +195,15 @@ def test_events_stream_matches_batch_timestamps(spark):
     every timestamp 1000×, so comparing the min/max over the corpus
     against the batch loader catches it immediately."""
     sf_dir = "/root/testdata/sf0.001"
-    stream_minmax = run_to_memory(
+    stream_minmax = run_stream_pinned(
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 minute")
         .agg(
             F.min("ts").alias("ts_min"),
             F.max("ts").alias("ts_max"),
             F.count("*").alias("n"),
-        )
+        ),
+        "test_ts_clock",
     ).collect()[0]
     batch = (
         load(spark, sf_dir, "events")

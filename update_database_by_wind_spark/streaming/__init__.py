@@ -2,7 +2,7 @@
 
 from update_database_by_wind_spark.streaming.pipelines import (
     events_stream,
-    run_to_memory,
+    run_stream_pinned,
 )
 
-__all__ = ["events_stream", "run_to_memory"]
+__all__ = ["events_stream", "run_stream_pinned"]

@@ -37,7 +37,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.streaming.pipelines import (
     events_stream,
-    run_to_memory,
+    _pin_tag,
+    run_stream_pinned,
 )
 
 _STATE_SCHEMA = "count LONG, total_cents LONG"
@@ -105,7 +106,8 @@ GROUP BY user_id
 )
 def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6 driver entry: availableNow replay of the stateful per-user
-    counters; update-mode memory sink captures the per-batch emissions.
+    counters; the update-mode pinned sink captures the per-batch
+    emissions.
     The replay source is one parquet file → one micro-batch → exactly
     one terminal emission per user, and the state fold is exact integer
     cents (see ``_running_totals``), so the final counters are the
@@ -114,7 +116,11 @@ def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, and a terminal-only replay has none).  Multi-batch
     splits and state equivalence across them stay asserted in
     tests/test_streaming.py."""
-    return run_to_memory(st6_stateful_counters(spark, sf_dir), "update")
+    return run_stream_pinned(
+        st6_stateful_counters(spark, sf_dir),
+        _pin_tag("st6_stateful_running_totals", sf_dir),
+        "update",
+    )
 
 
 def st9_foreach_batch_upsert(
