@@ -24,7 +24,14 @@ from update_database_by_wind_spark.registry import REGISTRY
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R14_NEW: list[str] = []
+_R14_NEW = [
+    # widening plan (a): the second driver-checked read_parquet_pruned
+    # consumer — an ordinary band aggregation with actual-files receipts
+    "s16_pruned_reader_consumer",
+    # widening plan (b): OCC under interleaved multi-writer stress —
+    # depth-2 rebase chain + refuse-then-retry
+    "u30_occ_multi_writer_stress",
+]
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
@@ -32,7 +39,29 @@ _R14_NEW: list[str] = []
 # Populated as the round-14 widening plan lands (streaming pin swap,
 # default-reader consumer); each addition moves the query to the front
 # of _ROUND14_FRONT in the same commit as the code change.
-_R14_CHANGED: list[str] = []
+_R14_CHANGED = [
+    # widening plan (c): every harness-routed streaming query now
+    # executes through run_stream_pinned — the foreachBatch parquet
+    # sink replacing the memory-sink driver collect.  st14 is ALSO an
+    # r7-stale leader; it sits here because changed-code outranks
+    # stale-refresh.  st9/st12/st15/st16 are NOT here: their sinks
+    # (foreachBatch JDBC / their own pinned writeStream paths) never
+    # routed through the swapped harness.
+    "st10_stream_stream_join",
+    "st11_streaming_ohlc",
+    "st13_stream_outer_join",
+    "st14_dedup_within_watermark",
+    "st17_stream_quantile_sketch",
+    "st18_stream_cms",
+    "st19_stream_hll",
+    "st2_tumbling_window",
+    "st3_sliding_window",
+    "st4_session_window",
+    "st5_streaming_dedup",
+    "st6_stateful_running_totals",
+    "st7_late_data_watermark",
+    "st8_stream_static_join",
+]
 
 # Round 13's named overflow: last driver-green row is round 7 — seven
 # rounds stale, the queries the evidence-age guard forced into this

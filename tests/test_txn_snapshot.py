@@ -245,3 +245,102 @@ def test_registry_ledger_torn_pointer_orphans_ten_items(spark):
         r["o_month"]
         for r in orphans.select("o_month").distinct().collect()
     ] == ["2024-01"]
+
+
+# --- U30: occ_commit interleaving fuzz (round-14 widening plan (b)) ----------
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as _hst
+
+from update_database_by_wind_spark.operators.update_pipeline import (
+    occ_commit,
+    snapshot_read,
+)
+
+_OCC_MONTHS = ["2024-01", "2024-02", "2024-03", "2024-04"]
+
+# a schedule of writers: each picks a partition subset and a staleness
+# offset (how many commits ago it prepared its change).  Offsets make
+# overlap-after-rewrite — the refusal case — common, not an edge case.
+_OCC_SCHEDULES = _hst.lists(
+    _hst.tuples(
+        _hst.lists(
+            _hst.sampled_from(_OCC_MONTHS),
+            min_size=1,
+            max_size=len(_OCC_MONTHS),
+            unique=True,
+        ),
+        _hst.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(schedule=_OCC_SCHEDULES)
+def test_occ_interleaving_fuzz(spark, tmp_path, schedule):
+    """Randomized multi-writer schedules against a MODEL of the OCC
+    ledger: writer i prepares against the head as of ``offset``
+    commits ago, so schedules generate fast-path commits, rebase
+    chains of arbitrary depth, and stale-overlap refusals in every
+    interleaving.  The model predicts, for every writer, (a) refuse
+    vs land, (b) the landed version number and rebased flag, and (c)
+    the final partition→version ownership; the test then proves the
+    real ledger agrees AND that refused writers left no manifest
+    behind, and replays the expected surviving rows through
+    snapshot_read.  This is the law u30's lifecycle query instantiates
+    once; here it must hold for every interleaving hypothesis finds."""
+    base = str(tmp_path / f"occ_{uuid.uuid4().hex[:8]}")
+    seed = _df(
+        spark,
+        [(pk, m, 1000 + pk) for m in _OCC_MONTHS for pk in (1, 2)],
+    )
+    snapshot_commit(seed, base, 1, "m")
+    owners = {m: 1 for m in _OCC_MONTHS}
+    head = 1
+    expect_rows = {
+        (pk, m): 1000 + pk for m in _OCC_MONTHS for pk in (1, 2)
+    }
+    n_manifests = 1
+    for i, (parts, offset) in enumerate(schedule):
+        basev = max(1, head - offset)
+        rows = [(pk, m, (i + 1) * 100 + pk) for m in parts for pk in (1, 2)]
+        df = _df(spark, rows)
+        conflicts = [m for m in parts if owners[m] > basev]
+        if conflicts:
+            with pytest.raises(ValueError, match="conflict on partitions"):
+                occ_commit(df, base, basev, "m", parts=parts)
+            # refusal is invisible: no manifest, no ownership change
+        else:
+            receipt = occ_commit(df, base, basev, "m", parts=parts)
+            assert receipt == {
+                "version": head + 1,
+                "rebased": head > basev,
+            }, (i, parts, offset, receipt)
+            head += 1
+            n_manifests += 1
+            for m in parts:
+                owners[m] = head
+            for pk, m, v in rows:
+                expect_rows[(pk, m)] = v
+        manifests = [
+            e
+            for e in os.listdir(base)
+            if e.startswith("_manifest_v") and e.endswith(".json")
+        ]
+        assert len(manifests) == n_manifests, (i, manifests)
+    got = {
+        (r.pk, r.m): r.val
+        for r in snapshot_read(spark, base, head, "m").collect()
+    }
+    assert got == expect_rows
+    # the head manifest's ownership map IS the model's
+    with open(os.path.join(base, f"_manifest_v{head}.json")) as fh:
+        assert json.load(fh) == owners

@@ -78,26 +78,22 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # materialization -> fsutil.pin_snapshot), which pulls every
 # harness-routed st* query into the changed-code window slots.
 _ROUND14_FRONT = [
-    # (a) last driver-green row is round 7 — seven rounds stale, the
-    # evidence-age guard's named leaders (round-13 verdict ask #1)
-    "e2_interval_concurrency",
-    "l11_quality_filter",
-    "l3d_simhash",
-    "l9_lexicon_sentiment",
-    "mm_binary_decode",
-    "mm_chunk_expansion",
-    "st14_dedup_within_watermark",
-    "tr_weighted_sample",
-    "u14_retention_delete",
-    "u16_join_view_maintenance",
-    "u17_write_expectations",
-    "w6_ntile_acctbal_quartiles",
-    "w9_gaps_islands",
-    # (b) r9-stale fill: streaming block first (pin-swap candidates),
-    # then joins / dedup / lifecycle / set ops / filters / ingest /
-    # training / time series
+    # round-14 NEW registrations (widening plan items (a) and (b)):
+    # an untested registration never waits behind stale refresh
+    "s16_pruned_reader_consumer",
+    "u30_occ_multi_writer_stress",
+    # CHANGED-code queries: every harness-routed streaming query now
+    # executes through run_stream_pinned (widening plan item (c) — the
+    # foreachBatch parquet sink replacing the driver-side memory-sink
+    # collect); identical oracles, but rewritten execution paths must
+    # earn fresh driver evidence before stale-green refresh
     "st10_stream_stream_join",
     "st11_streaming_ohlc",
+    "st13_stream_outer_join",
+    "st14_dedup_within_watermark",
+    "st17_stream_quantile_sketch",
+    "st18_stream_cms",
+    "st19_stream_hll",
     "st2_tumbling_window",
     "st3_sliding_window",
     "st4_session_window",
@@ -105,6 +101,25 @@ _ROUND14_FRONT = [
     "st6_stateful_running_totals",
     "st7_late_data_watermark",
     "st8_stream_static_join",
+    # the remaining r7-stale leaders the evidence-age guard named
+    # (st14 sits above with the changed-code block — it is both)
+    "e2_interval_concurrency",
+    "l11_quality_filter",
+    "l3d_simhash",
+    "l9_lexicon_sentiment",
+    "mm_binary_decode",
+    "mm_chunk_expansion",
+    "tr_weighted_sample",
+    "u14_retention_delete",
+    "u16_join_view_maintenance",
+    "u17_write_expectations",
+    "w6_ntile_acctbal_quartiles",
+    "w9_gaps_islands",
+    # r9-stale fill: st9 (foreachBatch JDBC path, NOT harness-routed,
+    # so stale-refresh not changed-code), then joins / dedup /
+    # lifecycle / set ops / filters.  s12, the four tr_* and ts_ewma
+    # were displaced to the back by the changed-code block and join
+    # the nine earlier overflow queries as round 15's leaders.
     "st9_foreach_batch_sink",
     "j1_star_join_revenue",
     "j8_asof_join_last_click",
@@ -127,12 +142,6 @@ _ROUND14_FRONT = [
     "o6_distinct_flag_combos",
     "p2_filter_kitchen_sink",
     "p3_case_when_tiers",
-    "s12_incremental_ingest",
-    "tr_k_anonymity",
-    "tr_mix_weights",
-    "tr_sequence_pack",
-    "tr_token_budget",
-    "ts_ewma",
 ]
 
 # Every other query has a driver-green row in r9-r13 -> back of the
@@ -249,6 +258,7 @@ _DRIVER_VERIFIED_R9_R13 = [
     "q9_product_type_profit",
     "s10_zorder_clustering",
     "s11_dpp_join",
+    "s12_incremental_ingest",
     "s13_file_skipping_index",
     "s14_stats_only_count",
     "s15_bucketed_join",
@@ -261,12 +271,8 @@ _DRIVER_VERIFIED_R9_R13 = [
     "s9_external_feed",
     "sql_correlated_subquery",
     "st12_stream_cdc_apply",
-    "st13_stream_outer_join",
     "st15_stream_ingest_bridge",
     "st16_stream_mor_cdc",
-    "st17_stream_quantile_sketch",
-    "st18_stream_cms",
-    "st19_stream_hll",
     "t_bpe_pair_counts",
     "t_fingerprint",
     "t_language_id",
@@ -279,12 +285,17 @@ _DRIVER_VERIFIED_R9_R13 = [
     "tr_decontamination",
     "tr_domain_cap",
     "tr_hash_split",
+    "tr_k_anonymity",
     "tr_label_centroids",
+    "tr_mix_weights",
+    "tr_sequence_pack",
     "tr_shuffle_shard",
     "tr_stratified_sample",
+    "tr_token_budget",
     "ts_backtest_snaive",
     "ts_bollinger_bands",
     "ts_cross_sectional_zscore",
+    "ts_ewma",
     "ts_gapfill_interpolate",
     "ts_max_drawdown",
     "ts_resample_monthly_ohlc",

@@ -4367,3 +4367,188 @@ def u29_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# --- U30: multi-writer OCC stress — rebase chains + refuse-then-retry -----------
+
+_U30_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+s1 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1997-06' AND o_orderkey % 7 = 0
+              THEN cents + cents // 20
+              WHEN o_month < '1995-01' AND o_orderkey % 11 = 0
+              THEN cents + cents // 10
+              WHEN o_month >= '1995-01' AND o_month < '1996-01'
+                   AND o_orderkey % 13 = 0
+              THEN cents + cents // 8
+              ELSE cents END AS cents
+  FROM base
+),
+s2 AS (
+  SELECT o_month, o_orderkey,
+         CASE WHEN o_month >= '1998-01' AND o_orderkey % 5 = 0
+              THEN cents + cents // 4
+              ELSE cents END AS cents
+  FROM s1
+)
+SELECT o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM s2 GROUP BY o_month
+"""
+
+
+@query(
+    "u30_occ_multi_writer_stress",
+    oracle=_U30_ORACLE,
+    tags=("update", "layout"),
+)
+def u30_occ_multi_writer_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U30: the OCC contract under STRESS — the round-13 widening plan's
+    multi-writer lifecycle.  u29 proves one rebase and one refusal;
+    this query drives the shapes a busy multi-writer table actually
+    produces, all four writers prepared against the SAME v1 snapshot:
+
+    * writer A (hot months, >= 1997-06) lands first — fast path,
+      ``rebased=False``, v2;
+    * writer B (cold months, < 1995-01) finds head v2, validates
+      disjointness, REBASES → v3;
+    * writer C (mid months, 1995-01..1995-12) finds head v3 — a
+      rebase over B's rebase over A, chain depth 2 → v4.  The v4
+      manifest receipt proves the chain CARRIED both predecessors:
+      hot months still owned by v2, cold by v3, mid by v4 — a rebase
+      that dropped an intermediate manifest would orphan a writer's
+      work silently;
+    * writer D (late-hot months, >= 1998-01 — inside A's partitions)
+      is REFUSED: its change was derived from v1 data A has since
+      rewritten, and publishing would revert A.  The refusal receipt
+      proves no trace: the manifest set is still exactly v1..v4;
+    * writer D RETRIES the contract's way — re-reads the v4 head,
+      re-derives its uplift from CURRENT data (so it lands on top of
+      A's values, compounding), commits with ``expected_base=4`` →
+      fast path, v5.
+
+    The hash-checked result is the v5 head: A's uplift on hot, B's on
+    cold, C's on mid, and D's compounded on A's in the late-hot
+    months — the oracle replays the two-step compounding exactly
+    (integer cents, DIV both engines).
+
+    Why it matters at 100 TB: rebase chains are the steady state of a
+    table with N concurrent pipelines (every writer but the first
+    rebases), refusal+re-derive is the correctness backstop, and each
+    validation is still a metadata probe of the head manifest — the
+    ledger scales with partition count, not data.  The interleaving
+    fuzz in tests/test_txn_snapshot.py drives the same occ_commit
+    through randomized schedules against a model of the ledger."""
+    import hashlib
+    import json as _json
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_occ30_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    months = [r.o_month for r in snap.select("o_month").distinct().collect()]
+    hot = [m for m in months if m >= "1997-06"]
+    cold = [m for m in months if m < "1995-01"]
+    mid = [m for m in months if "1995-01" <= m < "1996-01"]
+    late = [m for m in hot if m >= "1998-01"]
+
+    def uplift(df, mod: int, div: int) -> DataFrame:
+        return df.withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % mod == 0,
+                F.col("cents") + F.expr(f"cents DIV {div}"),
+            ).otherwise(F.col("cents")),
+        )
+
+    # all four writers prepare against v1; A/B/C derive from the same
+    # snapshot frame, D's first (doomed) attempt too
+    a_df = uplift(snap.filter(F.col("o_month").isin(hot)), 7, 20)
+    b_df = uplift(snap.filter(F.col("o_month").isin(cold)), 11, 10)
+    c_df = uplift(snap.filter(F.col("o_month").isin(mid)), 13, 8)
+    d_stale = uplift(snap.filter(F.col("o_month").isin(late)), 5, 4)
+
+    for df, parts, want in (
+        (a_df, hot, {"version": 2, "rebased": False}),
+        (b_df, cold, {"version": 3, "rebased": True}),
+        (c_df, mid, {"version": 4, "rebased": True}),
+    ):
+        receipt = occ_commit(df, base, 1, "o_month", parts=parts)
+        if receipt != want:
+            raise ValueError(
+                f"u30_occ_multi_writer_stress: expected {want}, "
+                f"got {receipt}"
+            )
+    # chain-carry receipt: v4's manifest must still route hot months
+    # to v2's files and cold months to v3's — the depth-2 rebase
+    # carried every predecessor forward
+    with open(os.path.join(base, "_manifest_v4.json")) as fh:
+        owners = _json.load(fh)
+    want_owner = (
+        [(m, 2) for m in hot] + [(m, 3) for m in cold] + [(m, 4) for m in mid]
+    )
+    bad = [(m, v) for m, v in want_owner if owners.get(m) != v]
+    if bad:
+        raise ValueError(
+            "u30_occ_multi_writer_stress: the rebase chain dropped "
+            f"predecessor ownership for {bad[:4]}"
+        )
+    # writer D, stale: refused — and invisibly so
+    try:
+        occ_commit(d_stale, base, 1, "o_month", parts=late)
+    except ValueError as ex:
+        if "conflict on partitions" not in str(ex):
+            raise
+    else:
+        raise ValueError(
+            "u30_occ_multi_writer_stress: stale overlapping writer was "
+            "not refused — it would have reverted writer A"
+        )
+    versions = sorted(
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+    )
+    if versions != [1, 2, 3, 4]:
+        raise ValueError(
+            "u30_occ_multi_writer_stress: refused commit left a trace "
+            f"(manifests {versions})"
+        )
+    # writer D, the retry contract: re-read the head, re-derive from
+    # CURRENT data, commit against the head version — fast path
+    head_late = snapshot_read(spark, base, 4, "o_month").filter(
+        F.col("o_month").isin(late)
+    )
+    receipt = occ_commit(
+        uplift(head_late, 5, 4), base, 4, "o_month", parts=late
+    )
+    if receipt != {"version": 5, "rebased": False}:
+        raise ValueError(
+            f"u30_occ_multi_writer_stress: retry receipt {receipt}"
+        )
+    return (
+        snapshot_read(spark, base, 5, "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
