@@ -1186,7 +1186,9 @@ def e5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-customer result (key-cardinality rows, orders of magnitude
     # below the fact input) and pay that upstream work once.  No
     # unpersist: the returned frame's final pass still reads it, and
-    # the cache is bounded by customer count for the session.
+    # the cache is bounded by customer count for the session (the full
+    # ownership rule — who persists, who unpersists, what a resident
+    # service should do — lives in with_global_ranks's docstring).
     per_cust = per_cust.persist()
     ranked, n_cust = with_global_ranks(
         per_cust,

@@ -308,7 +308,8 @@ def o8_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # persist the per-customer aggregate: the rank machinery evaluates
     # its input once per pass, and pc's upstream is the full orders
-    # scan + shuffle (same rationale and bound as e5's persist)
+    # scan + shuffle (same rationale and bound as e5's persist; the
+    # ownership rule lives in with_global_ranks's docstring)
     pc = pc.persist()
     ranked, n = with_global_ranks(pc, [spec])
     t = spec["total"]
