@@ -28,9 +28,15 @@ _R14_NEW = [
     # widening plan (a): the second driver-checked read_parquet_pruned
     # consumer — an ordinary band aggregation with actual-files receipts
     "s16_pruned_reader_consumer",
+    # trajectory surface: CDC stream with mid-stream seq-aware
+    # compaction — one lifecycle, same checkpoint across the rewrite
+    "st20_cdc_compact_live",
     # widening plan (b): OCC under interleaved multi-writer stress —
     # depth-2 rebase chain + refuse-then-retry
     "u30_occ_multi_writer_stress",
+    # trajectory surface: small-file census -> targeted compaction of
+    # only the fragmented partitions
+    "u31_compaction_scheduler",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -78,10 +78,13 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # materialization -> fsutil.pin_snapshot), which pulls every
 # harness-routed st* query into the changed-code window slots.
 _ROUND14_FRONT = [
-    # round-14 NEW registrations (widening plan items (a) and (b)):
-    # an untested registration never waits behind stale refresh
+    # round-14 NEW registrations (widening plan items (a) and (b),
+    # then the verdict-ask-#7 trajectory surfaces): an untested
+    # registration never waits behind stale refresh
     "s16_pruned_reader_consumer",
+    "st20_cdc_compact_live",
     "u30_occ_multi_writer_stress",
+    "u31_compaction_scheduler",
     # CHANGED-code queries: every harness-routed streaming query now
     # executes through run_stream_pinned (widening plan item (c) — the
     # foreachBatch parquet sink replacing the driver-side memory-sink
@@ -140,8 +143,6 @@ _ROUND14_FRONT = [
     "o5_intersect_except_nations",
     "o5b_intersect_except_all",
     "o6_distinct_flag_combos",
-    "p2_filter_kitchen_sink",
-    "p3_case_when_tiers",
 ]
 
 # Every other query has a driver-green row in r9-r13 -> back of the
@@ -235,6 +236,8 @@ _DRIVER_VERIFIED_R9_R13 = [
     "o7_incremental_topk",
     "o8_pareto_concentration",
     "p1_project_rename_cast",
+    "p2_filter_kitchen_sink",
+    "p3_case_when_tiers",
     "q10_returned_item_revenue",
     "q11_important_stock",
     "q12_late_shipment_priority",
