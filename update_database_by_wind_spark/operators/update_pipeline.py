@@ -4623,8 +4623,16 @@ def compact_partitions(
     census = small_file_census(table_path, partition_col)
     frag = [c for c in census if c["n_files"] > max_files]
     for c in frag:
+        # staging-name law (caught by the crash-residue unit test):
+        # Spark's hidden-path filter skips "_"-prefixed names ONLY
+        # when they contain no "=" — a staging dir named like a
+        # partition dir ("_tmp_m=b") would be parsed as a partition
+        # COLUMN by any plain reader that lists the table while
+        # residue exists, failing reads with
+        # CONFLICTING_PARTITION_COLUMN_NAMES.  So the stage name
+        # carries the value but never "="
         stage = os.path.join(
-            table_path, f"_compact_tmp_{partition_col}={c['partition']}"
+            table_path, f"_compact_tmp_{c['partition']}"
         )
         shutil.rmtree(stage, ignore_errors=True)
         (
