@@ -69,14 +69,29 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # stale-green refresh — the "no untested registration" rule extended
 # to rewrites).
 #
-# Round-14 widening plan (from the round-13 ledger, now executing):
-# (a) promote the read_parquet_pruned auto-skipping reader to the
-# default scan path of an S1-family consumer with a DPP-style
-# pruned-file receipt; (b) a multi-writer OCC stress lifecycle — U29
-# under concurrent interleaved commits with rebase chains >= 2 deep;
-# (c) the streaming-harness pin swap (run_to_memory memory-sink
-# materialization -> fsutil.pin_snapshot), which pulls every
-# harness-routed st* query into the changed-code window slots.
+# Round-14 widening plan (from the round-13 ledger) — ALL EXECUTED
+# this round: (a) landed as s16_pruned_reader_consumer (an ordinary
+# band aggregation on read_parquet_pruned with actual-files receipts
+# in both phases); (b) landed as u30_occ_multi_writer_stress (depth-2
+# rebase chain + refuse-then-retry, plus the occ interleaving fuzz in
+# tests/test_txn_snapshot.py); (c) landed as run_stream_pinned (the
+# foreachBatch parquet sink replacing the memory-sink driver collect),
+# pulling the 14 harness-routed st* queries into changed-code slots.
+# The verdict-ask-#7 trajectory surfaces landed too:
+# u31_compaction_scheduler (small-file census -> targeted rewrite of
+# only fragmented partitions) and st20_cdc_compact_live (checkpointed
+# CDC apply with seq-aware compaction between micro-batch runs).
+#
+# Round-15 rotation leaders (already determined): the seventeen r9-stale
+# queries outside this window — a1_pricing_summary, a16b, the seven
+# f_* scalar families, p2, p3, s12_incremental_ingest, the four tr_*
+# (k_anonymity/mix_weights/sequence_pack/token_budget) and ts_ewma —
+# the guard will force them at r15 exactly as it forced this round's
+# thirteen.  Next widening candidates (write the plan before
+# registering): an end-to-end retention lifecycle chaining
+# u14->u26->u27 (delete -> vacuum -> GC with tag roots), and a
+# scheduler receipt for Z-order maintenance (S10) driven by the same
+# census shape u31 introduced.
 _ROUND14_FRONT = [
     # round-14 NEW registrations (widening plan items (a) and (b),
     # then the verdict-ask-#7 trajectory surfaces): an untested
