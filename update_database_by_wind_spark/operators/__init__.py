@@ -48,9 +48,9 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     them puts EVERY registered query within six rounds of driver
 #     evidence for the first time since the window rotation began;
 # (b) 37 of the 46 r9-stale queries: the streaming block first (most
-#     of it is about to become changed-code anyway — the round-13
-#     widening plan item (c) pin swap routes every run_to_memory
-#     query through fsutil.pin_snapshot this round), then joins,
+#     of it became changed-code when widening plan item (c) replaced
+#     the memory-sink harness with run_stream_pinned's foreachBatch
+#     parquet sink this round), then joins,
 #     the l-family dedup/similarity shapes, lifecycle (u15/u19), set
 #     ops, projection/filter, s12, training plumbing, ts_ewma.  The
 #     NINE r9-stale queries left past the edge (a1_pricing_summary —
