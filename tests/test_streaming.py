@@ -287,3 +287,48 @@ def test_dedup_within_watermark_evicts_state_after_expiry(spark):
         for p in q.recentProgress
         for op in p["stateOperators"]
     )
+
+
+def test_run_stream_pinned_mode_mapping_multi_batch(spark):
+    """The pinned sink's mode→write mapping must mirror the memory
+    sink it replaced ACROSS micro-batches, not just on single-batch
+    replays: ``complete`` re-emits the whole result every batch and
+    the pin must hold ONLY the final emission (overwrite — an append
+    here would duplicate every earlier batch's rows), while
+    ``update`` accumulates per-batch emissions (append — an overwrite
+    here would lose every non-final emission).  A 3-file replay with
+    ``maxFilesPerTrigger=1`` forces three micro-batches over the same
+    two keys."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wind_spark_pinmode_")
+    try:
+        for i in range(3):
+            (
+                spark.createDataFrame(
+                    [(i * 2, "a"), (i * 2 + 1, "b")], "event_id long, k string"
+                )
+                .coalesce(1)
+                .write.parquet(f"{d}/batch{i}")
+            )
+        def stream():
+            return (
+                spark.readStream.schema("event_id long, k string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/batch*")
+                .groupBy("k")
+                .agg(F.count("*").alias("n"))
+            )
+
+        done = run_stream_pinned(stream(), "test_pinmode_c", "complete")
+        # overwrite semantics: exactly the final totals, once each
+        assert sorted(map(tuple, done.collect())) == [("a", 3), ("b", 3)]
+        upd = run_stream_pinned(stream(), "test_pinmode_u", "update")
+        rows = sorted(map(tuple, upd.collect()))
+        # append semantics: one emission per key per batch (counts
+        # 1, 2, 3 each) — the memory sink's update-mode accumulation
+        assert rows == [("a", 1), ("a", 2), ("a", 3),
+                        ("b", 1), ("b", 2), ("b", 3)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
