@@ -37,6 +37,9 @@ _R14_NEW = [
     # trajectory surface: small-file census -> targeted compaction of
     # only the fragmented partitions
     "u31_compaction_scheduler",
+    # erasure-under-legal-hold lifecycle: delete -> tag root -> vacuum
+    # -> partition-granular orphan GC (the new reclamation primitive)
+    "u32_erasure_hold_lifecycle",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

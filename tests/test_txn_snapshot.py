@@ -344,3 +344,72 @@ def test_occ_interleaving_fuzz(spark, tmp_path, schedule):
     # the head manifest's ownership map IS the model's
     with open(os.path.join(base, f"_manifest_v{head}.json")) as fh:
         assert json.load(fh) == owners
+
+
+# --- U32: partition-granular orphan GC + hold release -------------------------
+
+from update_database_by_wind_spark.operators.update_pipeline import (
+    partition_orphan_gc,
+    snapshot_tag,
+    snapshot_tags,
+    snapshot_untag,
+)
+
+
+def _seed_two_versions(spark, base):
+    """v1 owns months a+b; v2 rewrites ONLY b — so v1/m=b is dead the
+    moment v1's manifest goes, while v1/m=a stays shared."""
+    snapshot_commit(
+        _df(spark, [(1, "a", 10), (1, "b", 20)]), base, 1, "m"
+    )
+    snapshot_commit(
+        _df(spark, [(1, "b", 21)]), base, 2, "m", parts=["b"]
+    )
+
+
+def test_partition_gc_removes_only_unreferenced_subdirs(spark, tmp_path):
+    base = str(tmp_path / "t")
+    _seed_two_versions(spark, base)
+    # both manifests retained: nothing is dead yet
+    assert partition_orphan_gc(base) == {"removed": []}
+    # expire v1 (keep head): v1's dir survives whole-dir expiry because
+    # v2 still routes m=a to it — but v1/m=b is now unreachable
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    snapshot_expire(base, keep_versions=[2])
+    assert os.path.isdir(os.path.join(base, "v1", "m=a"))
+    assert partition_orphan_gc(base) == {"removed": ["v1/m=b"]}
+    assert os.path.isdir(os.path.join(base, "v1", "m=a"))
+    assert not os.path.exists(os.path.join(base, "v1", "m=b"))
+    # the surviving head still reads both months correctly
+    got = _rows(snapshot_read(spark, base, 2, "m").select("pk", "m", "val"))
+    assert got == [(1, "a", 10), (1, "b", 21)]
+    # idempotent
+    assert partition_orphan_gc(base) == {"removed": []}
+
+
+def test_partition_gc_age_guard_spares_young_dirs(spark, tmp_path):
+    base = str(tmp_path / "t")
+    _seed_two_versions(spark, base)
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    snapshot_expire(base, keep_versions=[2])
+    # everything here was written moments ago: a generous age threshold
+    # must treat the dead subdir as a possible in-flight write
+    assert partition_orphan_gc(base, min_age_s=3600) == {"removed": []}
+    assert os.path.isdir(os.path.join(base, "v1", "m=b"))
+
+
+def test_untag_is_explicit_and_refuses_missing(spark, tmp_path):
+    base = str(tmp_path / "t")
+    snapshot_commit(_df(spark, [(1, "a", 10)]), base, 1, "m")
+    snapshot_tag(base, "hold", 1)
+    assert snapshot_tags(base) == {"hold": 1}
+    snapshot_untag(base, "hold")
+    assert snapshot_tags(base) == {}
+    with pytest.raises(ValueError, match="no ref named"):
+        snapshot_untag(base, "hold")

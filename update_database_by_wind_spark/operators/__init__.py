@@ -100,6 +100,7 @@ _ROUND14_FRONT = [
     "st20_cdc_compact_live",
     "u30_occ_multi_writer_stress",
     "u31_compaction_scheduler",
+    "u32_erasure_hold_lifecycle",
     # CHANGED-code queries: every harness-routed streaming query now
     # executes through run_stream_pinned (widening plan item (c) — the
     # foreachBatch parquet sink replacing the driver-side memory-sink
@@ -157,7 +158,6 @@ _ROUND14_FRONT = [
     "o4_union_high_balance",
     "o5_intersect_except_nations",
     "o5b_intersect_except_all",
-    "o6_distinct_flag_combos",
 ]
 
 # Every other query has a driver-green row in r9-r13 -> back of the
@@ -248,6 +248,7 @@ _DRIVER_VERIFIED_R9_R13 = [
     "mm_feature_extract",
     "mm_resize_downsample",
     "o1_global_sort",
+    "o6_distinct_flag_combos",
     "o7_incremental_topk",
     "o8_pareto_concentration",
     "p1_project_rename_cast",

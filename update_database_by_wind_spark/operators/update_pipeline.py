@@ -4754,3 +4754,258 @@ def u31_compaction_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "total_price"),
         )
     )
+
+
+# --- U32: GDPR erasure under a legal hold — delete → hold → GC lifecycle --------
+
+
+def snapshot_untag(base: str, name: str) -> None:
+    """Remove a named ref — the explicit hold-release half of the
+    tag contract (:func:`snapshot_tag` refuses retargeting precisely
+    so that removal is a separate, auditable act).  Refuses a missing
+    ref: releasing a hold that does not exist is a workflow bug, not
+    a no-op — the caller believed data was pinned."""
+    import os
+
+    ref = os.path.join(base, f"_ref_{name}.json")
+    if not os.path.exists(ref):
+        raise ValueError(f"snapshot_untag: no ref named {name!r}")
+    os.remove(ref)
+
+
+def partition_orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
+    """PARTITION-granular orphan GC — the reclamation step
+    :func:`snapshot_expire` cannot perform.  Expiry removes a version
+    DIRECTORY only when no retained manifest references it at all;
+    because commits share unchanged partitions by reference, a version
+    dir often stays alive for the partitions later snapshots still
+    read from it, while its REWRITTEN partitions' old files sit
+    unreachable inside it forever.  For retention that is cosmetic;
+    for ERASURE it is the difference between "unreachable" and
+    "gone": a GDPR delete is not complete while the pre-erasure
+    images exist on disk, even unreferenced.
+
+    The live set is every ``(owner_version, partition)`` pair any
+    retained manifest routes to; any ``v{k}/{col}={val}`` subdir not
+    in that set is removed.  Metadata-only decision (manifest reads +
+    listings), deletion cost proportional to the dead bytes.
+    ``min_age_s`` is the same concurrent-writer guard as
+    :func:`orphan_gc`: an in-flight commit's freshly-written partition
+    subdirs look orphaned until its manifest publishes.
+
+    This is the snapshot-store analogue of Iceberg's two-step
+    ``expireSnapshots`` + ``removeOrphanFiles`` — expiry drops the
+    catalog's roots, this reclaims what the surviving roots can no
+    longer see."""
+    import json as _json
+    import os
+    import re
+    import shutil
+    import time
+
+    live: set[tuple[int, str]] = set()
+    for entry in os.listdir(base):
+        if re.fullmatch(r"_manifest_v(\d+)\.json", entry):
+            with open(os.path.join(base, entry)) as fh:
+                for part, ver in _json.load(fh).items():
+                    live.add((ver, part))
+    removed = []
+    now = time.time()
+    for entry in sorted(os.listdir(base)):
+        m = re.fullmatch(r"v(\d+)", entry)
+        vdir = os.path.join(base, entry)
+        if not m or not os.path.isdir(vdir):
+            continue
+        ver = int(m.group(1))
+        for sub in sorted(os.listdir(vdir)):
+            if "=" not in sub:
+                continue
+            part = sub.split("=", 1)[1]
+            if (ver, part) in live:
+                continue
+            full = os.path.join(vdir, sub)
+            if now - os.path.getmtime(full) < min_age_s:
+                continue  # concurrent-writer guard
+            shutil.rmtree(full)
+            removed.append(f"{entry}/{sub}")
+    return {"removed": removed}
+
+
+_U32_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM base
+WHERE NOT (o_orderkey % 31 = 0 AND o_month >= '1997-01')
+GROUP BY o_month
+"""
+
+
+@query(
+    "u32_erasure_hold_lifecycle",
+    oracle=_U32_ORACLE,
+    tags=("update", "layout"),
+)
+def u32_erasure_hold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U32: the erasure-under-legal-hold lifecycle — u14's GDPR delete,
+    u28's tag roots, u26's vacuum and u27's orphan GC composed into the
+    sequence a real erasure request runs, with the reachability story
+    proven at every step:
+
+    1. v1 is committed and TAGGED ``legal-hold-2024`` — an audit root;
+    2. the erasure lands as v2: only the recent months containing the
+       subject's keys (%31, activity window >= 1997-01 — scoping the
+       request to the subject's active period keeps the untouched
+       history STRUCTURALLY shared at every scale factor) are
+       rewritten with survivors (partition-targeted, like u14's
+       COW sweep but snapshot-versioned so the hold can keep reading
+       v1).  Receipts: the head has zero %131 keys, the TAG still
+       reads all of them — erasure and hold coexist;
+    3. a crashed re-run's residue (an unpublished ``v3`` dir + a
+       ``_tmp_v3`` staging dir) is reclaimed by :func:`orphan_gc`
+       without touching either published snapshot;
+    4. the hold is RELEASED (:func:`snapshot_untag` — an explicit,
+       auditable act) and :func:`expire_untagged` vacuums v1's
+       manifest.  Receipt: the erased images are now UNREACHABLE (no
+       manifest, no ref) — but their files still EXIST, because v2
+       shares v1's directory for every untouched month, so whole-dir
+       expiry must keep it;
+    5. :func:`partition_orphan_gc` — the primitive this lifecycle
+       adds — removes exactly v1's rewritten-month subdirs (the
+       pre-erasure images), while v1's untouched-month subdirs
+       survive because the head manifest still routes those
+       partitions to v1.  Receipts: the removed list is exactly the
+       touched months under v1, the files are physically gone, and
+       the head read is byte-for-byte the same rollup as before GC.
+
+    The hash-checked result is the final head.  Why it matters at
+    100 TB: erasure compliance is a REACHABILITY-then-BYTES
+    obligation — unreachable is not gone when snapshots share files,
+    and the partition-granular GC is what makes "delete my data"
+    true at the storage layer without rewriting the untouched 97% of
+    the table."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u32_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(snap, base, 1, "o_month")
+    snapshot_tag(base, "legal-hold-2024", 1)
+    erased = snap.filter(
+        (F.col("o_orderkey") % 31 == 0) & (F.col("o_month") >= "1997-01")
+    )
+    n_erased = erased.count()
+    touched = sorted(
+        r.o_month for r in erased.select("o_month").distinct().collect()
+    )
+    if not touched or n_erased == 0:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: fixture has no erasure keys — "
+            "the request would be vacuous"
+        )
+    survivors = snap.filter(
+        F.col("o_month").isin(touched) & (F.col("o_orderkey") % 31 != 0)
+    )
+    snapshot_commit(survivors, base, 2, "o_month", parts=touched)
+    head = snapshot_read(spark, base, 2, "o_month")
+    erased_pred = (F.col("o_orderkey") % 31 == 0) & (
+        F.col("o_month") >= "1997-01"
+    )
+    if head.filter(erased_pred).count() != 0:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: erased keys visible at head"
+        )
+    held = snapshot_read_tag(spark, base, "legal-hold-2024", "o_month")
+    if held.filter(erased_pred).count() != n_erased:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: the legal hold lost erased "
+            "rows — the audit root must read the pre-erasure table"
+        )
+    # a crashed re-run's residue: unpublished v3 + staging leftovers
+    os.makedirs(f"{base}/v3/o_month=1990-01")
+    with open(f"{base}/v3/o_month=1990-01/part-junk.parquet", "w") as fh:
+        fh.write("unpublished")
+    os.makedirs(f"{base}/_tmp_v3")
+    receipt = orphan_gc(base)
+    if receipt["removed"] != ["_tmp_v3", "v3"]:
+        raise ValueError(
+            f"u32_erasure_hold_lifecycle: orphan GC removed "
+            f"{receipt['removed']}, expected the crash residue only"
+        )
+    # with the hold in place, vacuum must keep v1
+    keep = expire_untagged(base)
+    if keep["kept_versions"] != [1, 2]:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: vacuum under hold kept "
+            f"{keep['kept_versions']} — the tag root was not honored"
+        )
+    pre_gc = sorted(
+        map(tuple, head.groupBy("o_month").count().collect())
+    )
+    # hold released: v1's manifest goes, but its DIRECTORY stays (v2
+    # still shares every untouched month from it) — unreachable, not
+    # gone
+    snapshot_untag(base, "legal-hold-2024")
+    expire_untagged(base)
+    if os.path.exists(f"{base}/_manifest_v1.json"):
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: v1 survived expiry after the "
+            "hold was released"
+        )
+    if not os.path.isdir(f"{base}/v1"):
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: whole-dir expiry removed v1's "
+            "directory while v2 still shares its untouched months"
+        )
+    with open(f"{base}/_manifest_v2.json") as fh:
+        owners = _json.load(fh)
+    untouched = sorted(m for m, v in owners.items() if v == 1)
+    # the bytes step: partition-granular GC reclaims exactly the
+    # pre-erasure images
+    gc = partition_orphan_gc(base)
+    want_removed = [f"v1/o_month={m}" for m in touched]
+    if gc["removed"] != want_removed:
+        raise ValueError(
+            f"u32_erasure_hold_lifecycle: partition GC removed "
+            f"{gc['removed'][:4]}..., expected exactly v1's rewritten "
+            "months"
+        )
+    still = sorted(
+        s.split("=", 1)[1]
+        for s in os.listdir(f"{base}/v1")
+        if "=" in s
+    )
+    if still != untouched:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: partition GC disturbed the "
+            "shared untouched months"
+        )
+    head2 = snapshot_read(spark, base, 2, "o_month")
+    post_gc = sorted(
+        map(tuple, head2.groupBy("o_month").count().collect())
+    )
+    if post_gc != pre_gc:
+        raise ValueError(
+            "u32_erasure_hold_lifecycle: the head changed across GC"
+        )
+    return head2.groupBy("o_month").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
