@@ -28,6 +28,10 @@ _R14_NEW = [
     # widening plan (a): the second driver-checked read_parquet_pruned
     # consumer — an ordinary band aggregation with actual-files receipts
     "s16_pruned_reader_consumer",
+    # Z-order clustering maintenance: z-span census -> targeted
+    # re-sort of only the unclustered appends (u31's scheduler shape
+    # on clustering health)
+    "s17_zorder_maintenance",
     # trajectory surface: CDC stream with mid-stream seq-aware
     # compaction — one lifecycle, same checkpoint across the rewrite
     "st20_cdc_compact_live",

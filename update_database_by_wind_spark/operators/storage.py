@@ -935,6 +935,216 @@ def s16_pruned_reader_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg1
 
 
+# --- S17: Z-order clustering maintenance — census-targeted re-sort -------------
+
+_S17_ORACLE = f"""
+WITH dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM orders, b
+WHERE o_custkey BETWEEN b.lo AND b.hi
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "s17_zorder_maintenance",
+    oracle=_S17_ORACLE,
+    tags=("source", "layout"),
+)
+def s17_zorder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: Z-order maintenance as census → policy → targeted re-sort —
+    u31's scheduler shape applied to CLUSTERING health instead of file
+    counts, completing the S10 story: a z-layout degrades not by
+    fragmenting but by ingest appending files that sit ANYWHERE on the
+    curve, and the health metric that detects it is the file's span of
+    the MATERIALIZED clustering key (a z-clustered file is by
+    construction a tight contiguous chunk of the curve; an unsorted
+    append spans nearly all of it).  The key is carried as a table
+    column (``zval`` — the Databricks/Iceberg pattern of persisting
+    the clustering key so maintenance never re-derives it), so the
+    census is one footer-stats pass over the existing S13 machinery —
+    zero data read.
+
+    Fixture: 16 z-sorted files (orderkey %5 != 0) + 4 unsorted
+    appended files (%5 == 0) — together exactly ``orders``.  Receipts
+    (raise-style, in-query):
+
+    - the census classifies exactly the 4 appended files as degraded
+      (z-span > half the curve) and none of the z-sorted 16;
+    - BEFORE maintenance, every degraded file intersects the probe
+      band (full-span files defeat skipping — the cost being fixed);
+    - the maintenance job re-sorts ONLY the degraded files (staged
+      sibling write, then moved in and the old files unlinked; the
+      production commit step is the table format's metadata swap);
+      the 16 healthy files are untouched at (path, size, mtime_ns)
+      level;
+    - AFTER: a fresh census finds zero degraded, the same band plans
+      strictly fewer files than before, and the band's row count is
+      identical pruned vs full both before and after — layout surgery
+      changed work, never answers.
+
+    Why it matters at 100 TB: re-z-ordering the whole table per
+    ingest cycle is a full rewrite; the z-span census makes
+    incremental OPTIMIZE targetable (exactly Delta's clustering
+    maintenance), with decision cost = one metadata pass and rewrite
+    cost proportional to the unclustered bytes."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("d"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("mn"),
+        F.max("o_custkey").alias("xm"),
+        F.max("d").alias("ym"),
+    ).first()
+    mn, xm, ym = stats.mn, stats.xm, stats.ym
+    lo = mn + (xm - mn) // 8
+    hi = mn + (xm - mn) // 4
+
+    def with_z(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "xn", F.expr(f"(o_custkey * 65536) div ({xm} + 1)")
+            )
+            .withColumn("yn", F.expr(f"(d * 65536) div ({ym} + 1)"))
+            .withColumn("zval", zorder_value("xn", "yn"))
+            .drop("xn", "yn", "o_orderkey")
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_s17_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    base, stage = f"{root}/t", f"{root}/stage"
+    (
+        with_z(orders.filter(F.col("o_orderkey") % 5 != 0))
+        .repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(base)
+    )
+    (
+        with_z(orders.filter(F.col("o_orderkey") % 5 == 0))
+        .repartition(4)
+        .write.mode("append")
+        .parquet(base)
+    )
+
+    def census() -> tuple[list, list, list]:
+        rows = build_file_stats_index(
+            spark, base, ["zval", "o_custkey"]
+        ).collect()
+        zdom = max(r["zval_max"] for r in rows) - min(
+            r["zval_min"] for r in rows
+        )
+        bad = [
+            r
+            for r in rows
+            if (r["zval_max"] - r["zval_min"]) * 2 > zdom
+        ]
+        kept = [
+            r["file"]
+            for r in rows
+            if r["o_custkey_min"] <= hi and r["o_custkey_max"] >= lo
+        ]
+        return rows, bad, kept
+
+    def band_count(paths: list) -> int:
+        return (
+            spark.read.parquet(*paths)
+            .filter(F.col("o_custkey").between(lo, hi))
+            .count()
+        )
+
+    rows0, degraded, kept_before = census()
+    if len(degraded) != 4 or len(rows0) - len(degraded) != 16:
+        raise ValueError(
+            "s17_zorder_maintenance: census classified "
+            f"{len(degraded)}/{len(rows0)} files degraded; the fixture "
+            "has exactly 4 unsorted appends over 16 z-sorted files"
+        )
+    missing = [r["file"] for r in degraded if r["file"] not in kept_before]
+    if missing:
+        raise ValueError(
+            "s17_zorder_maintenance: a full-span file escaped the band "
+            f"plan ({missing[:2]}) — degraded files must defeat skipping"
+        )
+    full = band_count([base])
+    if band_count(kept_before) != full:
+        raise ValueError(
+            "s17_zorder_maintenance: pre-maintenance pruned read lost "
+            "rows"
+        )
+    healthy = sorted(
+        r["file"] for r in rows0 if r["file"] not in
+        {d["file"] for d in degraded}
+    )
+
+    def listing(paths: list) -> list[tuple]:
+        return [
+            (p, os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in paths
+        ]
+
+    before = listing(healthy)
+    # targeted re-sort: ONLY the degraded files are read and rewritten
+    (
+        spark.read.parquet(*[r["file"] for r in degraded])
+        .repartitionByRange(4, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(stage)
+    )
+    for f in _glob.glob(f"{stage}/*.parquet"):
+        os.replace(f, os.path.join(base, os.path.basename(f)))
+    for r in degraded:
+        os.remove(r["file"])
+    shutil.rmtree(stage, ignore_errors=True)
+    if listing(healthy) != before:
+        raise ValueError(
+            "s17_zorder_maintenance: a healthy z-file changed — the "
+            "re-sort was not targeted"
+        )
+    rows1, degraded1, kept_after = census()
+    if degraded1:
+        raise ValueError(
+            "s17_zorder_maintenance: "
+            f"{len(degraded1)} files still degraded after the re-sort"
+        )
+    if len(kept_after) >= len(kept_before):
+        raise ValueError(
+            "s17_zorder_maintenance: the band plans "
+            f"{len(kept_after)} files after maintenance vs "
+            f"{len(kept_before)} before — clustering bought no skipping"
+        )
+    if band_count(kept_after) != full:
+        raise ValueError(
+            "s17_zorder_maintenance: post-maintenance pruned read lost "
+            "rows"
+        )
+    return (
+        spark.read.parquet(*kept_after)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+    )
+
+
 # --- S14: metadata-only band counts from the stats index -----------------------
 
 _S14_ORACLE = """
