@@ -44,6 +44,9 @@ _R14_NEW = [
     # erasure-under-legal-hold lifecycle: delete -> tag root -> vacuum
     # -> partition-granular orphan GC (the new reclamation primitive)
     "u32_erasure_hold_lifecycle",
+    # transaction-level OCC: u19's atomic pointer + u29/u30's conflict
+    # ledger — concurrent writers to different tables of one group
+    "u33_txn_occ_multi_table",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

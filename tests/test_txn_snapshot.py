@@ -413,3 +413,62 @@ def test_untag_is_explicit_and_refuses_missing(spark, tmp_path):
     assert snapshot_tags(base) == {}
     with pytest.raises(ValueError, match="no ref named"):
         snapshot_untag(base, "hold")
+
+
+# --- U33: transaction-level OCC ------------------------------------------------
+
+from update_database_by_wind_spark.operators.update_pipeline import (
+    txn_occ_commit,
+)
+
+
+def test_txn_occ_fast_rebase_refuse_and_carry(spark, tmp_path):
+    """The three writer fates at the transaction level, plus the
+    cross-table carry: a rebase's pointer must publish the concurrent
+    transaction's versions for every table the rebasing writer never
+    touched — and a refusal (any updated table's partition advanced
+    past the writer's read) must leave pointers and manifests alone."""
+    base = str(tmp_path / "g")
+    txn_commit(
+        base, 1,
+        {
+            "t1": (_df(spark, [(1, "a", 10), (1, "b", 20)]), "m", None),
+            "t2": (_df(spark, [(1, "a", 1), (1, "b", 2)]), "m", None),
+        },
+    )
+    # A: fast path on both tables' partition a
+    r = txn_occ_commit(
+        base, 1,
+        {
+            "t1": (_df(spark, [(1, "a", 11)]), "m", ["a"]),
+            "t2": (_df(spark, [(1, "a", 5)]), "m", ["a"]),
+        },
+    )
+    assert r == {"txn": 2, "rebased": False}
+    # B: prepared against 1, touches only t1/m=b -> rebase; pointer
+    # must carry t2 at A's version
+    r = txn_occ_commit(
+        base, 1, {"t1": (_df(spark, [(1, "b", 21)]), "m", ["b"])}
+    )
+    assert r == {"txn": 3, "rebased": True}
+    with open(os.path.join(base, "_txn_v3.json")) as fh:
+        assert json.load(fh) == {"t1": 3, "t2": 2}
+    # C: prepared against 1, touches t2/m=a which A rewrote -> refused
+    # as a WHOLE even though its t1 part is clean
+    with pytest.raises(ValueError, match="conflict on partitions"):
+        txn_occ_commit(
+            base, 1,
+            {
+                "t1": (_df(spark, [(1, "b", 99)]), "m", ["b"]),
+                "t2": (_df(spark, [(1, "a", 9)]), "m", ["a"]),
+            },
+        )
+    ptrs = sorted(
+        e for e in os.listdir(base) if e.startswith("_txn_v")
+    )
+    assert ptrs == ["_txn_v1.json", "_txn_v2.json", "_txn_v3.json"]
+    # the group reads consistently at head: t1 has A+B, t2 has A only
+    got1 = _rows(txn_read(spark, base, 3, "t1", "m"))
+    got2 = _rows(txn_read(spark, base, 3, "t2", "m"))
+    assert got1 == [(1, "a", 11), (1, "b", 21)]
+    assert got2 == [(1, "a", 5), (1, "b", 2)]

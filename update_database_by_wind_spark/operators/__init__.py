@@ -82,23 +82,26 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # only fragmented partitions) and st20_cdc_compact_live (checkpointed
 # CDC apply with seq-aware compaction between micro-batch runs).
 #
-# Round-15 rotation leaders (already determined): the NINETEEN r9-stale
+# Round-15 rotation leaders (already determined): the TWENTY r9-stale
 # queries outside this window — a1_pricing_summary, a16b, the seven
-# f_* scalar families, o5b, o6, p2, p3, s12_incremental_ingest, the
-# four tr_* (k_anonymity/mix_weights/sequence_pack/token_budget) and
-# ts_ewma — the guard will force them at r15 exactly as it forced
-# this round's thirteen.  Both follow-on widening candidates ALSO
+# f_* scalar families, o5, o5b, o6, p2, p3, s12_incremental_ingest,
+# the four tr_* (k_anonymity/mix_weights/sequence_pack/token_budget)
+# and ts_ewma — the guard will force them at r15 exactly as it forced
+# this round's thirteen.  All the follow-on widening candidates ALSO
 # landed this round: the retention chain as u32_erasure_hold_lifecycle
 # (which exposed and added the partition-granular orphan GC
-# primitive), and the Z-order maintenance receipt as
+# primitive), the Z-order maintenance receipt as
 # s17_zorder_maintenance (z-span census over a materialized
 # clustering-key column -> targeted re-sort of only the unclustered
-# appends).  Next candidates for round 15 (write the plan before
-# registering): a streaming-side compaction-scheduler chain (st20's
-# live-compaction shape gated by u31's census policy instead of an
-# unconditional rewrite), and a multi-table OCC transaction (u19's
-# txn pointer + u29/u30's conflict ledger composed: concurrent
-# writers to DIFFERENT tables of one transactional group).
+# appends), and the multi-table OCC transaction as
+# u33_txn_occ_multi_table (u19's atomic pointer + u29/u30's conflict
+# ledger: per-(table, partition) validation, whole-transaction
+# refusal, cross-table carry on rebase).  Next candidates for round
+# 15 (write the plan before registering): a streaming-side
+# compaction-scheduler chain (st20's live-compaction shape gated by
+# u31's census policy instead of an unconditional rewrite), and
+# clustering-health maintenance for the partitioned layouts (s17's
+# z-span census per PARTITION dir, feeding u31's scheduler).
 _ROUND14_FRONT = [
     # round-14 NEW registrations (widening plan items (a) and (b),
     # then the verdict-ask-#7 trajectory surfaces): an untested
@@ -109,6 +112,7 @@ _ROUND14_FRONT = [
     "u30_occ_multi_writer_stress",
     "u31_compaction_scheduler",
     "u32_erasure_hold_lifecycle",
+    "u33_txn_occ_multi_table",
     # CHANGED-code queries: every harness-routed streaming query now
     # executes through run_stream_pinned (widening plan item (c) — the
     # foreachBatch parquet sink replacing the driver-side memory-sink
@@ -164,7 +168,6 @@ _ROUND14_FRONT = [
     "u19_txn_snapshot",
     "o2_global_topk_orders",
     "o4_union_high_balance",
-    "o5_intersect_except_nations",
 ]
 
 # Every other query has a driver-green row in r9-r13 -> back of the
@@ -255,6 +258,7 @@ _DRIVER_VERIFIED_R9_R13 = [
     "mm_feature_extract",
     "mm_resize_downsample",
     "o1_global_sort",
+    "o5_intersect_except_nations",
     "o5b_intersect_except_all",
     "o6_distinct_flag_combos",
     "o7_incremental_topk",

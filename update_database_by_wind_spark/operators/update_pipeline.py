@@ -5009,3 +5009,278 @@ def u32_erasure_hold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# --- U33: optimistic concurrency at the TRANSACTION level -----------------------
+
+
+def txn_occ_commit(base: str, expected_txn: int, updates: dict) -> dict:
+    """Commit a multi-table transaction under OPTIMISTIC CONCURRENCY —
+    :func:`occ_commit`'s writer contract lifted to :func:`txn_commit`'s
+    atomic pointer: a writer prepares changes to SEVERAL tables
+    against the transaction it read (``expected_txn``), and at publish
+    either the head is still that transaction (fast path) or it
+    validates per (table, partition) before rebasing: for each updated
+    table, the partitions it writes are checked against that table's
+    HEAD manifest — any partition owned by a table version newer than
+    the version the writer read means its staged change derives from
+    data a concurrent transaction rewrote, and the whole transaction
+    REFUSES (multi-table atomicity cuts both ways: one stale table
+    poisons the lot — a partial land would publish a mutually
+    inconsistent group).  Tables untouched since the writer's read,
+    and disjoint partitions of advanced tables, rebase cleanly: the
+    new transaction lands at head+1 with every concurrent change
+    carried forward by the pointer.
+
+    Validation cost: one pointer read + one manifest read per updated
+    table — metadata-sized, no lock held while the multi-table staging
+    writes run; the conflict ledger is the same partition→version map
+    u29/u30 probe, just consulted through the transaction pointer."""
+    import json as _json
+    import os
+    import re
+
+    txns = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    ]
+    if not txns:
+        raise ValueError("txn_occ_commit: no committed transaction")
+    head = max(txns)
+    with open(os.path.join(base, f"_txn_v{expected_txn}.json")) as fh:
+        base_ptr = _json.load(fh)
+    rebased = head > expected_txn
+    if rebased:
+        with open(os.path.join(base, f"_txn_v{head}.json")) as fh:
+            head_ptr = _json.load(fh)
+        conflicts = []
+        for table, (_df, _pcol, parts) in updates.items():
+            tv_base = base_ptr.get(table, 0)
+            tv_head = head_ptr.get(table, 0)
+            if tv_head == tv_base:
+                continue  # table untouched since the writer's read
+            manifest = os.path.join(
+                base, table, f"_manifest_v{tv_head}.json"
+            )
+            with open(manifest) as fh:
+                owners = _json.load(fh)
+            conflicts.extend(
+                (table, p)
+                for p in (parts or [])
+                if owners.get(str(p), 0) > tv_base
+            )
+        if conflicts:
+            raise ValueError(
+                f"txn_occ_commit: conflict on partitions "
+                f"{sorted(conflicts)} — they were rewritten after "
+                f"transaction {expected_txn}; re-read and re-derive"
+            )
+    txn_commit(base, head + 1, updates)
+    return {"txn": head + 1, "rebased": rebased}
+
+
+_U33_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+ledger AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-06' AND k % 7 = 0
+              THEN cents + cents // 20
+              WHEN o_month < '1995-01' AND k % 11 = 0
+              THEN cents + cents // 10
+              ELSE cents END AS cents
+  FROM base
+),
+audit AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-06'
+              THEN (CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END)
+              ELSE 0 END AS touch
+  FROM base
+)
+SELECT 'ledger' AS tbl, o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total
+FROM ledger GROUP BY o_month
+UNION ALL
+SELECT 'audit' AS tbl, o_month, COUNT(*) AS n_rows,
+       CAST(SUM(touch) AS BIGINT) AS total
+FROM audit GROUP BY o_month
+"""
+
+
+@query(
+    "u33_txn_occ_multi_table",
+    oracle=_U33_ORACLE,
+    tags=("update", "layout"),
+)
+def u33_txn_occ_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U33: concurrent writers to DIFFERENT tables of one transactional
+    group — u19's atomic pointer composed with u29/u30's conflict
+    ledger (the round-14 ledger's written plan).  A ``ledger`` and an
+    ``audit`` table commit together; three writers prepare against
+    transaction 1:
+
+    * writer A updates BOTH tables' hot months — fast path, txn 2;
+    * writer B updates only the ledger's cold months — the ledger
+      advanced (A) but on disjoint partitions and the audit table not
+      at all, so B REBASES to txn 3.  The txn-3 pointer receipt pins
+      the cross-table carry: ledger at table-v3, audit still at A's
+      table-v2 — B's transaction publishes a mutually consistent
+      group containing A's audit work it never touched;
+    * writer C updates the audit's hot months — the same partitions A
+      rewrote — and is REFUSED as a whole (multi-table atomicity:
+      one stale table poisons the transaction; a partial land would
+      publish an inconsistent group).  The refusal leaves no trace:
+      pointers still v1..v3, the audit manifest chain unchanged;
+    * writer C retries the contract's way: re-reads the head through
+      the pointer, re-derives its touch increments from CURRENT audit
+      data (compounding on A's), lands txn 4 fast-path.
+
+    The hash-checked result is both tables read AS OF the head
+    transaction, unioned — the oracle replays A+B on the ledger and
+    A-then-C on the audit.  Why it matters at 100 TB: a real catalog
+    group (fact + audit + aggregate) has N pipelines committing
+    transactions concurrently; per-(table, partition) validation
+    through the pointer is what lets them interleave without locks
+    while readers never observe a half-published group."""
+    import hashlib
+    import json as _json
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_u33_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    audit0 = snap.select("o_month", "k", F.lit(0).cast("long").alias("touch"))
+    txn_commit(
+        base,
+        1,
+        {
+            "ledger": (snap, "o_month", None),
+            "audit": (audit0, "o_month", None),
+        },
+    )
+    months = [r.o_month for r in snap.select("o_month").distinct().collect()]
+    hot = [m for m in months if m >= "1997-06"]
+    cold = [m for m in months if m < "1995-01"]
+    k = F.col("k")
+    a_ledger = snap.filter(F.col("o_month").isin(hot)).withColumn(
+        "cents",
+        F.when(k % 7 == 0, F.col("cents") + F.expr("cents DIV 20")).otherwise(
+            F.col("cents")
+        ),
+    )
+    a_audit = audit0.filter(F.col("o_month").isin(hot)).withColumn(
+        "touch", F.when(k % 7 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    b_ledger = snap.filter(F.col("o_month").isin(cold)).withColumn(
+        "cents",
+        F.when(k % 11 == 0, F.col("cents") + F.expr("cents DIV 10")).otherwise(
+            F.col("cents")
+        ),
+    )
+    c_audit_stale = audit0.filter(F.col("o_month").isin(hot)).withColumn(
+        "touch", F.when(k % 13 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    receipt = txn_occ_commit(
+        base,
+        1,
+        {
+            "ledger": (a_ledger, "o_month", hot),
+            "audit": (a_audit, "o_month", hot),
+        },
+    )
+    if receipt != {"txn": 2, "rebased": False}:
+        raise ValueError(f"u33_txn_occ_multi_table: A got {receipt}")
+    receipt = txn_occ_commit(
+        base, 1, {"ledger": (b_ledger, "o_month", cold)}
+    )
+    if receipt != {"txn": 3, "rebased": True}:
+        raise ValueError(f"u33_txn_occ_multi_table: B got {receipt}")
+    with open(f"{base}/_txn_v3.json") as fh:
+        ptr3 = _json.load(fh)
+    if ptr3 != {"ledger": 3, "audit": 2}:
+        raise ValueError(
+            "u33_txn_occ_multi_table: txn-3 pointer lost the "
+            f"cross-table carry ({ptr3}) — B's rebase must publish A's "
+            "audit version untouched"
+        )
+    n_audit_manifests = len(
+        [
+            e
+            for e in os.listdir(f"{base}/audit")
+            if re.fullmatch(r"_manifest_v\d+\.json", e)
+        ]
+    )
+    try:
+        txn_occ_commit(base, 1, {"audit": (c_audit_stale, "o_month", hot)})
+    except ValueError as ex:
+        if "conflict on partitions" not in str(ex):
+            raise
+    else:
+        raise ValueError(
+            "u33_txn_occ_multi_table: stale cross-writer was not "
+            "refused — it would have reverted A's audit work"
+        )
+    txns = sorted(
+        int(m.group(1))
+        for e in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", e))
+    )
+    if txns != [1, 2, 3] or len(
+        [
+            e
+            for e in os.listdir(f"{base}/audit")
+            if re.fullmatch(r"_manifest_v\d+\.json", e)
+        ]
+    ) != n_audit_manifests:
+        raise ValueError(
+            "u33_txn_occ_multi_table: the refused transaction left a "
+            "trace (pointers or audit manifests changed)"
+        )
+    c_audit = txn_read(spark, base, 3, "audit", "o_month").filter(
+        F.col("o_month").isin(hot)
+    ).withColumn(
+        "touch",
+        F.col("touch")
+        + F.when(k % 13 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    receipt = txn_occ_commit(
+        base, 3, {"audit": (c_audit, "o_month", hot)}
+    )
+    if receipt != {"txn": 4, "rebased": False}:
+        raise ValueError(f"u33_txn_occ_multi_table: C retry got {receipt}")
+    ledger_out = (
+        txn_read(spark, base, 4, "ledger", "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total"),
+        )
+        .select(F.lit("ledger").alias("tbl"), "o_month", "n_rows", "total")
+    )
+    audit_out = (
+        txn_read(spark, base, 4, "audit", "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("touch").cast("long").alias("total"),
+        )
+        .select(F.lit("audit").alias("tbl"), "o_month", "n_rows", "total")
+    )
+    return ledger_out.unionByName(audit_out)
