@@ -472,3 +472,20 @@ def test_txn_occ_fast_rebase_refuse_and_carry(spark, tmp_path):
     got2 = _rows(txn_read(spark, base, 3, "t2", "m"))
     assert got1 == [(1, "a", 11), (1, "b", 21)]
     assert got2 == [(1, "a", 5), (1, "b", 2)]
+
+
+def test_txn_occ_refuses_stale_full_table_update(spark, tmp_path):
+    """A parts=None (full-table) update prepared against a stale
+    transaction overlaps every partition concurrent work advanced —
+    the commit must refuse loudly rather than skip validation."""
+    base = str(tmp_path / "g")
+    txn_commit(
+        base, 1, {"t1": (_df(spark, [(1, "a", 10)]), "m", None)}
+    )
+    txn_occ_commit(
+        base, 1, {"t1": (_df(spark, [(1, "a", 11)]), "m", ["a"])}
+    )
+    with pytest.raises(ValueError, match="declares no parts"):
+        txn_occ_commit(
+            base, 1, {"t1": (_df(spark, [(1, "a", 12)]), "m", None)}
+        )

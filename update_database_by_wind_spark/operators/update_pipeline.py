@@ -5060,6 +5060,18 @@ def txn_occ_commit(base: str, expected_txn: int, updates: dict) -> dict:
             tv_head = head_ptr.get(table, 0)
             if tv_head == tv_base:
                 continue  # table untouched since the writer's read
+            if parts is None:
+                # a FULL-table update prepared against a stale read
+                # overlaps every partition a concurrent transaction
+                # advanced, by definition — validating nothing here
+                # would silently revert that work (the skip-validation
+                # footgun the u33 self-review caught)
+                raise ValueError(
+                    f"txn_occ_commit: table {table!r} advanced past "
+                    f"transaction {expected_txn} and the update "
+                    "declares no parts (full-table rewrite from stale "
+                    "data); re-read and re-derive"
+                )
             manifest = os.path.join(
                 base, table, f"_manifest_v{tv_head}.json"
             )
@@ -5067,7 +5079,7 @@ def txn_occ_commit(base: str, expected_txn: int, updates: dict) -> dict:
                 owners = _json.load(fh)
             conflicts.extend(
                 (table, p)
-                for p in (parts or [])
+                for p in parts
                 if owners.get(str(p), 0) > tv_base
             )
         if conflicts:
