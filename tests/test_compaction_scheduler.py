@@ -110,3 +110,40 @@ def test_crash_residue_is_cleared_not_appended(spark, tmp_path):
     # and the junk never leaked into the partition
     pdir = os.path.join(base, "m=b")
     assert all(not f.startswith("junk") for f, _, _ in _listing(pdir))
+
+
+def test_crash_recovery_restores_or_cleans(spark, tmp_path):
+    """The rename-swap's two crash windows, both recovered by
+    recover_interrupted_compaction: (a) crash between the renames —
+    the partition is missing and the old dir must be renamed back,
+    discarding any staged rewrite; (b) crash after publish — the old
+    dir is dead residue and must be removed without touching the
+    published partition."""
+    import shutil
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        recover_interrupted_compaction,
+    )
+
+    base = str(tmp_path / "t")
+    _build(spark, base)
+    before_rows = _rows(spark, base)
+    pdir = os.path.join(base, "m=b")
+    # (a) simulate a crash between the renames: partition moved aside,
+    # a staged rewrite left behind
+    os.replace(pdir, os.path.join(base, "_compact_old_b"))
+    os.makedirs(os.path.join(base, "_compact_tmp_b"))
+    r = recover_interrupted_compaction(base, "m")
+    assert r == {"restored": ["b"], "cleaned": ["_compact_tmp_b"]}
+    assert _rows(spark, base) == before_rows
+    # (b) simulate a crash after publish: old residue beside the live
+    # partition
+    shutil.copytree(pdir, os.path.join(base, "_compact_old_b"))
+    r = recover_interrupted_compaction(base, "m")
+    assert r == {"restored": [], "cleaned": ["_compact_old_b"]}
+    assert _rows(spark, base) == before_rows
+    # idempotent on a clean table
+    assert recover_interrupted_compaction(base, "m") == {
+        "restored": [],
+        "cleaned": [],
+    }

@@ -4634,21 +4634,75 @@ def compact_partitions(
         stage = os.path.join(
             table_path, f"_compact_tmp_{c['partition']}"
         )
+        old = os.path.join(
+            table_path, f"_compact_old_{c['partition']}"
+        )
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         (
             spark.read.parquet(c["dir"])
             .repartition(target_files)
             .write.parquet(stage)
         )
-        # swap: the staged rewrite becomes the partition dir atomically
-        # enough for a local/posix rename; an object-store deployment
-        # would commit via the table format's metadata swap instead
-        shutil.rmtree(c["dir"])
+        # swap by PURE RENAMES (round-14 self-review finding): the
+        # original rmtree(dir) → replace(stage, dir) sequence left the
+        # partition ABSENT for the whole rmtree — O(files) on a big
+        # partition — and a crash inside it lost the old files with
+        # only the staged copy surviving under a hidden name.  Two
+        # renames shrink the gap to a constant instant, and a crash
+        # between them is RECOVERABLE: the old dir survives intact as
+        # ``_compact_old_{p}`` (hidden from readers — no "=", see the
+        # stage-name law above) and recover_interrupted_compaction()
+        # puts it back.  An object-store deployment commits via the
+        # table format's metadata swap instead.
+        os.replace(c["dir"], old)
         os.replace(stage, c["dir"])
+        shutil.rmtree(old)
     return {
         "n_partitions": len(census),
         "fragmented": sorted(c["partition"] for c in frag),
     }
+
+
+def recover_interrupted_compaction(
+    table_path: str, partition_col: str
+) -> dict:
+    """Crash recovery for :func:`compact_partitions`' rename swap —
+    run it before a compaction pass (or any time) to return the table
+    to a consistent state:
+
+    * ``_compact_old_{p}`` present and ``{col}={p}`` MISSING → the
+      crash hit between the two renames: restore the original
+      partition by renaming it back (the staged rewrite, if complete,
+      is discarded — it was never published);
+    * ``_compact_old_{p}`` present and ``{col}={p}`` present → the
+      crash hit after the publish rename but before cleanup: the old
+      dir is dead residue, remove it;
+    * ``_compact_tmp_{p}`` present → an unpublished staged rewrite
+      from either case above (or a crash mid-stage): remove it; the
+      next pass re-stages from the live partition.
+
+    Every step is a rename or a delete of a hidden dir, so recovery
+    is idempotent and safe to run unconditionally."""
+    import os
+    import shutil
+
+    restored, cleaned = [], []
+    for entry in sorted(os.listdir(table_path)):
+        if entry.startswith("_compact_old_"):
+            part = entry[len("_compact_old_"):]
+            live = os.path.join(table_path, f"{partition_col}={part}")
+            full = os.path.join(table_path, entry)
+            if os.path.isdir(live):
+                shutil.rmtree(full)
+                cleaned.append(entry)
+            else:
+                os.replace(full, live)
+                restored.append(part)
+        elif entry.startswith("_compact_tmp_"):
+            shutil.rmtree(os.path.join(table_path, entry))
+            cleaned.append(entry)
+    return {"restored": restored, "cleaned": cleaned}
 
 
 @query(
