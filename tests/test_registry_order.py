@@ -4,10 +4,10 @@ these tests pin the contract that the window is spent first on
 never-yet-verified queries, then on queries whose code changed this
 round, then on the stalest regression evidence.  Round 12 added the
 evidence-age GUARD: staleness past six rounds is a red test, not a
-ledger comment — round 14 opens by paying exactly the debt the guard
-named against CORRECTNESS_r13 (the final thirteen r7-stale queries),
-which puts every registered query within six rounds of driver
-evidence for the first time since the window rotation began.
+ledger comment — round 15 opens by paying exactly the debt the guard
+names against CORRECTNESS_r14 at newest=15 (the twenty r9-stale
+queries), which keeps every registered query within five rounds of
+driver evidence.
 """
 
 import glob
@@ -19,97 +19,68 @@ import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
 # Newly-registered queries this round.  Every newly-registered query
-# is appended here and to the top of _ROUND14_FRONT in the same commit
+# is appended here and to the top of _ROUND15_FRONT in the same commit
 # — and its oracle-match test plus this file must be run BEFORE that
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R14_NEW = [
-    # widening plan (a): the second driver-checked read_parquet_pruned
-    # consumer — an ordinary band aggregation with actual-files receipts
-    "s16_pruned_reader_consumer",
-    # Z-order clustering maintenance: z-span census -> targeted
-    # re-sort of only the unclustered appends (u31's scheduler shape
-    # on clustering health)
-    "s17_zorder_maintenance",
-    # trajectory surface: CDC stream with mid-stream seq-aware
-    # compaction — one lifecycle, same checkpoint across the rewrite
-    "st20_cdc_compact_live",
-    # widening plan (b): OCC under interleaved multi-writer stress —
-    # depth-2 rebase chain + refuse-then-retry
-    "u30_occ_multi_writer_stress",
-    # trajectory surface: small-file census -> targeted compaction of
-    # only the fragmented partitions
-    "u31_compaction_scheduler",
-    # erasure-under-legal-hold lifecycle: delete -> tag root -> vacuum
-    # -> partition-granular orphan GC (the new reclamation primitive)
-    "u32_erasure_hold_lifecycle",
-    # transaction-level OCC: u19's atomic pointer + u29/u30's conflict
-    # ledger — concurrent writers to different tables of one group
-    "u33_txn_occ_multi_table",
-]
+_R15_NEW: list[str] = []
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-# Populated as the round-14 widening plan lands (streaming pin swap,
-# default-reader consumer); each addition moves the query to the front
-# of _ROUND14_FRONT in the same commit as the code change.
-_R14_CHANGED = [
-    # widening plan (c): every harness-routed streaming query now
-    # executes through run_stream_pinned — the foreachBatch parquet
-    # sink replacing the memory-sink driver collect.  st14 is ALSO an
-    # r7-stale leader; it sits here because changed-code outranks
-    # stale-refresh.  st9/st12/st15/st16 are NOT here: their sinks
-    # (foreachBatch JDBC / their own pinned writeStream paths) never
-    # routed through the swapped harness.
-    "st10_stream_stream_join",
-    "st11_streaming_ohlc",
-    "st13_stream_outer_join",
-    "st14_dedup_within_watermark",
-    "st17_stream_quantile_sketch",
-    "st18_stream_cms",
-    "st19_stream_hll",
-    "st2_tumbling_window",
-    "st3_sliding_window",
-    "st4_session_window",
-    "st5_streaming_dedup",
-    "st6_stateful_running_totals",
-    "st7_late_data_watermark",
-    "st8_stream_static_join",
+# Populated as the round-15 work lands (ADVICE fixes to the lifecycle
+# primitives, the widening plan); each addition moves the query to the
+# front of _ROUND15_FRONT in the same commit as the code change.
+_R15_CHANGED: list[str] = []
+
+# Round 14's named overflow: last driver-green row is round 9 — the
+# twenty queries the evidence-age guard forces into this window at
+# newest=15 (round-14 verdict ask #1; named verbatim in the r14
+# ledger).
+_R9_STALE_LEADERS = [
+    "a16b_grouped_quantile_sketch",
+    "a1_pricing_summary",
+    "f_datetime_functions",
+    "f_hash_functions",
+    "f_json_extraction",
+    "f_math_null_functions",
+    "f_string_functions",
+    "f_try_functions",
+    "f_variant_json",
+    "o5_intersect_except_nations",
+    "o5b_intersect_except_all",
+    "o6_distinct_flag_combos",
+    "p2_filter_kitchen_sink",
+    "p3_case_when_tiers",
+    "s12_incremental_ingest",
+    "tr_k_anonymity",
+    "tr_mix_weights",
+    "tr_sequence_pack",
+    "tr_token_budget",
+    "ts_ewma",
 ]
 
-# Round 13's named overflow: last driver-green row is round 7 — seven
-# rounds stale, the queries the evidence-age guard forced into this
-# window (round-13 verdict ask #1).
-_R7_STALE_LEADERS = [
-    "e2_interval_concurrency",
-    "l11_quality_filter",
-    "l3d_simhash",
-    "l9_lexicon_sentiment",
-    "mm_binary_decode",
-    "mm_chunk_expansion",
-    "st14_dedup_within_watermark",
-    "tr_weighted_sample",
-    "u14_retention_delete",
-    "u16_join_view_maintenance",
-    "u17_write_expectations",
-    "w6_ntile_acctbal_quartiles",
-    "w9_gaps_islands",
-]
+# The r10-stale fill's family-block sequence, riskiest first: when new
+# or changed-code registrations displace fill from the back, what
+# drops out is the pure-expression aggregate block, never the
+# streaming/lifecycle shapes.  (The round-14 advisor asked for this
+# explicit sequence assertion — the generic sorted-blocks check alone
+# cannot see ordering BETWEEN families.)
+_FILL_FAMILY_SEQUENCE = ["st", "u", "ud", "w", "j", "l", "g", "a"]
 
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND14_FRONT)] == ops._ROUND14_FRONT
+    assert names[: len(ops._ROUND15_FRONT)] == ops._ROUND15_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND14_FRONT)
+    front = set(ops._ROUND15_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R9_R13 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R10_R14 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -118,7 +89,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND14_FRONT, *ops._DRIVER_VERIFIED_R9_R13]:
+    for n in [*ops._ROUND15_FRONT, *ops._DRIVER_VERIFIED_R10_R14]:
         assert n in REGISTRY, n
 
 
@@ -127,49 +98,48 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND14_FRONT) & set(ops._DRIVER_VERIFIED_R9_R13)
+    dup = set(ops._ROUND15_FRONT) & set(ops._DRIVER_VERIFIED_R10_R14)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-14 front (new + changed-code + stalest regression
-    slots) or in the r9–r13 driver-green defer list.  A query in
+    in the round-15 front (new + changed-code + stalest regression
+    slots) or in the r10–r14 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that — exactly how s13 missed round
     10 (it was registered but in neither list)."""
-    covered = set(ops._ROUND14_FRONT) | set(ops._DRIVER_VERIFIED_R9_R13)
+    covered = set(ops._ROUND15_FRONT) | set(ops._DRIVER_VERIFIED_R10_R14)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_window_structure():
-    """New queries first, then changed-code, then the thirteen
-    r7-stale leaders the evidence-age guard named, then the r9-stale
-    fill (streaming block first — most of it becomes changed-code when
-    the pin swap lands — then joins, dedup/similarity, lifecycle, set
-    ops, filters, ingest, training, time series).  The nine r9-stale
-    queries past the window edge (a1 — re-executed by bench.py every
-    round, a16b — its ranks machinery earned r13 evidence via
-    a16/st17, and the seven f_* scalar families) are round 15's
-    leaders — the guard will force them at r15 exactly as it forced
-    this round's thirteen."""
+    """New queries first, then changed-code, then the twenty r9-stale
+    leaders the evidence-age guard named, then the r10-stale fill in
+    the pinned family sequence (riskiest first, each block sorted).
+    The fifteen r10-stale queries past the window edge (a9/a9b,
+    a10–a13, e1, f_array/f_map, o1, p1, q3, s10, sql_correlated,
+    t_bpe, ts_rolling_corr) are round 16's leaders — the guard will
+    force them at r16 exactly as it forced this round's twenty."""
     names = list(REGISTRY)
-    n_new = len(_R14_NEW)
-    assert names[:n_new] == _R14_NEW
-    n_chg = len(_R14_CHANGED)
-    assert names[n_new : n_new + n_chg] == _R14_CHANGED
-    lead_end = n_new + n_chg + len(_R7_STALE_LEADERS)
+    n_new = len(_R15_NEW)
+    assert names[:n_new] == _R15_NEW
+    n_chg = len(_R15_CHANGED)
+    assert names[n_new : n_new + n_chg] == _R15_CHANGED
+    # leaders follow, minus any promoted into the changed-code block
     leaders = [
-        n for n in _R7_STALE_LEADERS if n not in set(_R14_CHANGED)
+        n
+        for n in _R9_STALE_LEADERS
+        if n not in set(_R15_CHANGED) and n not in set(_R15_NEW)
     ]
-    assert (
-        names[n_new + n_chg : n_new + n_chg + len(leaders)] == leaders
-    )
-    lead_end = n_new + n_chg + len(leaders)
-    # the r9 fill: every remaining window slot is an r9-stale query,
-    # grouped by family with each block sorted
-    fill = names[lead_end : len(ops._ROUND14_FRONT)]
+    lead_start = n_new + n_chg
+    lead_end = lead_start + len(leaders)
+    assert names[lead_start:lead_end] == leaders
+    # the r10 fill: every remaining window slot is grouped by family,
+    # each block sorted, and the blocks follow the pinned risk order
+    # (a prefix of it once displacement starts dropping the back)
+    fill = names[lead_end : len(ops._ROUND15_FRONT)]
     blocks: list[list[str]] = []
     for n in fill:
         fam = re.match(r"[a-z]+", n).group(0)
@@ -179,8 +149,10 @@ def test_window_structure():
             blocks.append([n])
     for b in blocks:
         assert b == sorted(b), b
-    assert len(ops._ROUND14_FRONT) == lead_end + len(fill)
-    assert len(ops._ROUND14_FRONT) == 50
+    fams = [re.match(r"[a-z]+", b[0]).group(0) for b in blocks]
+    assert fams == _FILL_FAMILY_SEQUENCE[: len(fams)], fams
+    assert len(ops._ROUND15_FRONT) == lead_end + len(fill)
+    assert len(ops._ROUND15_FRONT) == 50
 
 
 def _latest_green_rounds() -> tuple[dict[str, int], int, int]:
@@ -217,7 +189,7 @@ def test_evidence_age_guard():
     When this fails, rotate _ROUND{N}_FRONT; do not widen the
     threshold."""
     latest, newest, window = _latest_green_rounds()
-    assert newest >= 13, "CORRECTNESS artifacts missing from the repo"
+    assert newest >= 14, "CORRECTNESS artifacts missing from the repo"
     in_window = set(list(REGISTRY)[:window])
     overdue = [
         q
@@ -228,6 +200,23 @@ def test_evidence_age_guard():
         f"queries with driver evidence older than six rounds sit "
         f"outside the {window}-query window: {overdue}"
     )
+
+
+def test_rotation_anticipates_next_round():
+    """The r15 rotation must ALSO hold when CORRECTNESS_r15 lands: at
+    newest=15 the guard threshold moves to <=9, so every query whose
+    latest green row is round 9 or earlier must already sit inside the
+    current window.  This is the assertion that failed silently in
+    rounds 12–14's planning (the ledger said it; no test checked it
+    before the artifact arrived)."""
+    latest, newest, window = _latest_green_rounds()
+    in_window = set(list(REGISTRY)[:window])
+    next_overdue = [
+        q
+        for q in REGISTRY
+        if latest.get(q, 0) <= (newest + 1) - 6 and q not in in_window
+    ]
+    assert not next_overdue, next_overdue
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():
