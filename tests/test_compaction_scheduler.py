@@ -147,3 +147,27 @@ def test_crash_recovery_restores_or_cleans(spark, tmp_path):
         "restored": [],
         "cleaned": [],
     }
+
+
+def test_compaction_pass_is_self_healing(spark, tmp_path):
+    """Round-14 advisor: a crash between the two swap renames leaves
+    the partition invisible, and the census cannot see a MISSING
+    partition — so the next compact_partitions pass must recover it
+    itself, not depend on the operator separately calling
+    recover_interrupted_compaction."""
+    base = str(tmp_path / "t")
+    _build(spark, base)
+    before_rows = _rows(spark, base)
+    pdir = os.path.join(base, "m=b")
+    # crash between the renames: partition moved aside, stage published
+    # nowhere
+    os.replace(pdir, os.path.join(base, "_compact_old_b"))
+    assert not os.path.exists(pdir)
+    receipt = compact_partitions(spark, base, "m", max_files=4)
+    # the pass healed FIRST (m=b visible again, so the census saw its
+    # 6 fragmented files), then compacted it as usual
+    assert receipt == {"n_partitions": 2, "fragmented": ["b"]}
+    assert not os.path.exists(os.path.join(base, "_compact_old_b"))
+    census = {c["partition"]: c for c in small_file_census(base, "m")}
+    assert census["b"]["n_files"] == 1
+    assert _rows(spark, base) == before_rows

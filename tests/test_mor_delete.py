@@ -669,3 +669,162 @@ def test_mor_delete_seq_refuses_stale_sequence_and_plain_tables(
         .write.partitionBy("m").parquet(plain)
     with pytest.raises(ValueError, match="use mor_delete"):
         mor_delete_seq(spark, plain, F.col("pk") == 1, "m", "pk", seq=1)
+
+
+# --- round-15: census-scoped sequence-aware compaction ------------------------
+
+
+def _seed_seq(spark, path, rows):
+    spark.createDataFrame(
+        rows, "pk long, m string, val long, __seq long"
+    ).repartition(F.col("m")).write.partitionBy("m").parquet(path)
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, m string, pk long, val long"
+    )
+
+
+def test_scoped_compact_folds_only_named_partitions(spark, tmp_path):
+    """mor_compact_seq(parts=[...]) is the census-gated scheduler's
+    targeting contract: the named partitions are folded (survivors
+    rewritten, their vector subdirs removed) while every OTHER
+    partition keeps both its data files (byte-identical) and its
+    tombstones — so the half-compacted table still reads exactly
+    through mor_read_seq, and a later full fold finishes the job."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    _seed_seq(
+        spark, path,
+        [(1, "a", 10, 0), (2, "a", 20, 0),
+         (3, "b", 30, 0), (4, "b", 40, 0),
+         (5, "c", 50, 0)],
+    )
+    mor_cdc_apply(
+        spark, path,
+        _cdc(spark, [("U", "a", 1, 11), ("D", "b", 3, None),
+                     ("U", "c", 5, 51)]),
+        "m", "pk", ["val"], seq=1,
+    )
+    want = [(1, "a", 11), (2, "a", 20), (4, "b", 40), (5, "c", 51)]
+
+    def live():
+        return sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read_seq(spark, path, "m", "pk").collect()
+        )
+
+    assert live() == want
+    before = {
+        p: s
+        for p, s in _file_stats(path).items()
+        if "/m=b/" in p or "/m=c/" in p
+    }
+    res = mor_compact_seq(spark, path, "m", "pk", parts=["a"])
+    assert res == {"dropped": [], "rewritten": ["a"]}
+    # scope receipts: a's vectors folded and removed, b/c untouched
+    dels = os.path.join(path, "_deletes")
+    assert not os.path.isdir(os.path.join(dels, "m=a"))
+    assert os.path.isdir(os.path.join(dels, "m=b"))
+    assert os.path.isdir(os.path.join(dels, "m=c"))
+    after = {
+        p: s
+        for p, s in _file_stats(path).items()
+        if "/m=b/" in p or "/m=c/" in p
+    }
+    assert after == before
+    # a's dir now holds ONLY live images (plain scan of the partition)
+    got_a = sorted(
+        (r["pk"], r["val"])
+        for r in spark.read.parquet(os.path.join(path, "m=a")).collect()
+    )
+    assert got_a == [(1, 11), (2, 20)]
+    # the half-compacted table still reads exactly
+    assert live() == want
+    # and stays a valid CDC target across the scope boundary
+    mor_cdc_apply(
+        spark, path, _cdc(spark, [("U", "a", 2, 21)]),
+        "m", "pk", ["val"], seq=2,
+    )
+    want2 = [(1, "a", 11), (2, "a", 21), (4, "b", 40), (5, "c", 51)]
+    assert live() == want2
+    # the later FULL fold removes the whole vector store
+    mor_compact_seq(spark, path, "m", "pk")
+    assert not os.path.isdir(dels)
+    plain = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert plain == want2
+
+
+def test_scoped_compact_empty_parts_is_noop(spark, tmp_path):
+    """parts=[] is the policy's 'nothing due' branch: an explicit
+    no-op — no file read, written, or removed."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+    )
+
+    path = str(tmp_path / "t")
+    _seed_seq(spark, path, [(1, "a", 10, 0), (2, "b", 20, 0)])
+    mor_cdc_apply(
+        spark, path, _cdc(spark, [("U", "a", 1, 11)]),
+        "m", "pk", ["val"], seq=1,
+    )
+    before = _file_stats(path)
+    dels = os.path.join(path, "_deletes")
+    vec_before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dels)
+        for f in fs
+    )
+    assert mor_compact_seq(spark, path, "m", "pk", parts=[]) == {
+        "dropped": [],
+        "rewritten": [],
+    }
+    assert _file_stats(path) == before
+    assert sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dels)
+        for f in fs
+    ) == vec_before
+
+
+def test_scoped_compact_decodes_escaped_partition_dirs(spark, tmp_path):
+    """The partition_orphan_gc lesson applied to the scope's vector
+    removal: dir names are Hive percent-escaped, scope values are
+    decoded — a scoped fold of partition 'a:x' must remove the
+    m=a%3Ax vector subdir, not skip it (leaving a folded partition's
+    tombstones behind would re-kill its rewritten survivors)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path / "t")
+    _seed_seq(
+        spark, path, [(1, "a:x", 10, 0), (2, "b", 20, 0)]
+    )
+    mor_cdc_apply(
+        spark, path,
+        _cdc(spark, [("U", "a:x", 1, 11), ("U", "b", 2, 21)]),
+        "m", "pk", ["val"], seq=1,
+    )
+    res = mor_compact_seq(spark, path, "m", "pk", parts=["a:x"])
+    assert res == {"dropped": [], "rewritten": ["a:x"]}
+    dels = os.path.join(path, "_deletes")
+    assert not os.path.isdir(os.path.join(dels, "m=a%3Ax"))
+    assert os.path.isdir(os.path.join(dels, "m=b"))
+    got = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in mor_read_seq(spark, path, "m", "pk").collect()
+    )
+    assert got == [(1, "a:x", 11), (2, "b", 21)]

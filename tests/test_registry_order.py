@@ -24,7 +24,12 @@ from update_database_by_wind_spark.registry import REGISTRY
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R15_NEW: list[str] = []
+_R15_NEW: list[str] = [
+    # widening plan (a): st20's live-compaction lifecycle gated by
+    # u31's small-file census policy through mor_compact_seq's scoped
+    # fold — receipts pin the fired AND the not-fired branch
+    "st21_gated_compact_live",
+]
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
@@ -32,7 +37,19 @@ _R15_NEW: list[str] = []
 # Populated as the round-15 work lands (ADVICE fixes to the lifecycle
 # primitives, the widening plan); each addition moves the query to the
 # front of _ROUND15_FRONT in the same commit as the code change.
-_R15_CHANGED: list[str] = []
+_R15_CHANGED: list[str] = [
+    # the compaction core grew the scoped-fold path
+    # (mor_compact_seq(parts=...) / _compact_core vector_scope):
+    # every query routing through it re-earns driver evidence
+    "st20_cdc_compact_live",
+    "u18_mor_delete",
+    "u21_mor_seq_compact",
+    "u24_mor_seq_erasure",
+    # the three round-14 ADVICE fixes
+    "u31_compaction_scheduler",
+    "u32_erasure_hold_lifecycle",
+    "u33_txn_occ_multi_table",
+]
 
 # Round 14's named overflow: last driver-green row is round 9 — the
 # twenty queries the evidence-age guard forces into this window at

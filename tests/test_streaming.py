@@ -78,15 +78,14 @@ def test_st6_stateful_final_counts_match_batch(spark, sf_oracle):
 
 
 def test_st9_foreach_batch_upsert_matches_batch(spark, sf_oracle):
-    target: dict = {}
-    st9_foreach_batch_upsert(spark, sf_oracle, target)
+    merged = st9_foreach_batch_upsert(spark, sf_oracle)
     batch = (
         load(spark, sf_oracle, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
     want = {r["user_id"]: r["n"] for r in batch.collect()}
-    assert {k: v[0] for k, v in target.items()} == want
+    assert {r["user_id"]: r["n"] for r in merged.collect()} == want
 
 
 def test_st7_late_data_dropped_by_watermark(spark):

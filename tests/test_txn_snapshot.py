@@ -404,6 +404,44 @@ def test_partition_gc_age_guard_spares_young_dirs(spark, tmp_path):
     assert os.path.isdir(os.path.join(base, "v1", "m=b"))
 
 
+def test_partition_gc_probes_with_decoded_hive_names(spark, tmp_path):
+    """Round-14 advisor repro: directory names are Hive
+    percent-ESCAPED ('a:x' -> m=a%3Ax) while manifest keys are the
+    DECODED values — probing the live set with the raw suffix made
+    every escapable partition value look orphaned, so the GC rmtree'd
+    a LIVE shared partition with both manifests retained and the head
+    read silently lost rows."""
+    base = str(tmp_path / "t")
+    snapshot_commit(
+        _df(spark, [(1, "a:x", 10), (1, "b=c", 20)]), base, 1, "m"
+    )
+    snapshot_commit(
+        _df(spark, [(1, "b=c", 21)]), base, 2, "m", parts=["b=c"]
+    )
+    import urllib.parse
+
+    enc = {
+        v: f"m={urllib.parse.quote(v, safe='')}" for v in ("a:x", "b=c")
+    }
+    assert os.path.isdir(os.path.join(base, "v1", enc["a:x"]))
+    # both manifests retained: NOTHING is dead, escaped or not
+    assert partition_orphan_gc(base) == {"removed": []}
+    assert os.path.isdir(os.path.join(base, "v1", enc["a:x"]))
+    # expire v1: only its rewritten b=c image is dead; the shared a:x
+    # partition must survive and the head read must keep both rows
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_expire,
+    )
+
+    snapshot_expire(base, keep_versions=[2])
+    assert partition_orphan_gc(base) == {
+        "removed": [f"v1/{enc['b=c']}"]
+    }
+    assert os.path.isdir(os.path.join(base, "v1", enc["a:x"]))
+    got = _rows(snapshot_read(spark, base, 2, "m").select("pk", "m", "val"))
+    assert got == [(1, "a:x", 10), (1, "b=c", 21)]
+
+
 def test_untag_is_explicit_and_refuses_missing(spark, tmp_path):
     base = str(tmp_path / "t")
     snapshot_commit(_df(spark, [(1, "a", 10)]), base, 1, "m")
@@ -489,3 +527,26 @@ def test_txn_occ_refuses_stale_full_table_update(spark, tmp_path):
         txn_occ_commit(
             base, 1, {"t1": (_df(spark, [(1, "a", 12)]), "m", None)}
         )
+
+
+def test_txn_occ_refuses_expired_base_as_valueerror(spark, tmp_path):
+    """A writer whose base transaction pointer was expired from
+    history must get the same ValueError re-read/re-derive contract as
+    every other refusal path — a raw FileNotFoundError breaks the
+    caller's single except-ValueError retry loop (round-14 advisor)."""
+    base = str(tmp_path / "g")
+    txn_commit(
+        base, 1, {"t1": (_df(spark, [(1, "a", 10)]), "m", None)}
+    )
+    txn_occ_commit(
+        base, 1, {"t1": (_df(spark, [(1, "a", 11)]), "m", ["a"])}
+    )
+    # expire transaction 1 from history (retention kept only the head)
+    os.remove(os.path.join(base, "_txn_v1.json"))
+    with pytest.raises(ValueError, match="no longer retained"):
+        txn_occ_commit(
+            base, 1, {"t1": (_df(spark, [(1, "a", 12)]), "m", ["a"])}
+        )
+    # the refusal left no trace
+    ptrs = sorted(e for e in os.listdir(base) if e.startswith("_txn_v"))
+    assert ptrs == ["_txn_v2.json"]

@@ -83,6 +83,25 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # -> u33) likewise move those queries into changed-code slots.
 
 _ROUND15_FRONT = [
+    # round-15 NEW registrations (widening plan item (a)): an untested
+    # registration never waits behind stale refresh
+    "st21_gated_compact_live",
+    # CHANGED-code queries: identical oracles, but a rewrite must earn
+    # fresh driver evidence before stale-green refresh.  st20/u18/u21/
+    # u24 route through the compaction core that grew the scoped-fold
+    # path (mor_compact_seq(parts=...) / _compact_core vector_scope);
+    # u31's compact_partitions now self-heals an interrupted rename
+    # swap on every pass, u32's partition_orphan_gc probes the live
+    # set with DECODED dir suffixes, u33's txn_occ_commit refuses an
+    # expired base pointer under the ValueError contract (the three
+    # round-14 ADVICE fixes)
+    "st20_cdc_compact_live",
+    "u18_mor_delete",
+    "u21_mor_seq_compact",
+    "u24_mor_seq_erasure",
+    "u31_compaction_scheduler",
+    "u32_erasure_hold_lifecycle",
+    "u33_txn_occ_multi_table",
     # the twenty r9-stale leaders the evidence-age guard forces at
     # newest=15 (round-14 verdict ask #1; named in the r14 ledger)
     "a16b_grouped_quantile_sketch",
@@ -129,14 +148,6 @@ _ROUND15_FRONT = [
     "l6_vector_norms",
     "l7_word_frequency",
     "g2_pagerank",
-    "a2_distinct_counts",
-    "a4_rollup_balances",
-    "a4b_cube_quantities",
-    "a4c_grouping_sets",
-    "a5_conditional_agg",
-    "a6_collect_sorted_lists",
-    "a7_pivot_segment_revenue",
-    "a8_unpivot_status_revenue",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -156,7 +167,15 @@ _DRIVER_VERIFIED_R10_R14 = [
     "a19_grouped_hll",
     "a1d_pricing_summary_decimal",
     "a20_kmv_set_algebra",
+    "a2_distinct_counts",
     "a3_approx_distinct",
+    "a4_rollup_balances",
+    "a4b_cube_quantities",
+    "a4c_grouping_sets",
+    "a5_conditional_agg",
+    "a6_collect_sorted_lists",
+    "a7_pivot_segment_revenue",
+    "a8_unpivot_status_revenue",
     "a9_percentiles",
     "a9b_percentile_approx",
     "dq3_mad_outliers",
@@ -263,7 +282,6 @@ _DRIVER_VERIFIED_R10_R14 = [
     "st17_stream_quantile_sketch",
     "st18_stream_cms",
     "st19_stream_hll",
-    "st20_cdc_compact_live",
     "st2_tumbling_window",
     "st3_sliding_window",
     "st4_session_window",
@@ -306,22 +324,16 @@ _DRIVER_VERIFIED_R10_R14 = [
     "u15_time_travel",
     "u16_join_view_maintenance",
     "u17_write_expectations",
-    "u18_mor_delete",
     "u19_txn_snapshot",
     "u1_incremental_diff",
-    "u21_mor_seq_compact",
     "u22_merge_schema_evolution",
     "u23_snapshot_restore",
-    "u24_mor_seq_erasure",
     "u25_partition_evolution",
     "u26_snapshot_vacuum",
     "u27_orphan_gc",
     "u28_snapshot_tags",
     "u29_occ_commit",
     "u30_occ_multi_writer_stress",
-    "u31_compaction_scheduler",
-    "u32_erasure_hold_lifecycle",
-    "u33_txn_occ_multi_table",
     "u3_scd2_history",
     "u4_idempotent_rerun",
     "u5_calendar_backfill",

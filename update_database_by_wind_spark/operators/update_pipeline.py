@@ -1353,6 +1353,7 @@ def _compact_core(
     data: DataFrame,
     dels: DataFrame,
     cond,
+    vector_scope: list | None = None,
 ) -> dict:
     """Shared compaction machinery for :func:`mor_compact` (kill rule:
     key match) and :func:`mor_compact_seq` (kill rule: key match AND
@@ -1360,7 +1361,16 @@ def _compact_core(
     condition between exactly these ``data``/``dels`` frames; every
     other invariant (vector-derived partition list, unlink fully-dead
     dirs, survivors-only dynamic overwrite, vectors removed LAST,
-    zero-row schema file before a whole-table empty) is identical."""
+    zero-row schema file before a whole-table empty) is identical.
+
+    ``vector_scope`` (round-15, the census-gated scheduler): when the
+    caller compacts only a SUBSET of partitions, it passes the subset
+    here and only those partitions' vector subdirs are removed — the
+    out-of-scope partitions keep their tombstones, staying correct
+    under :func:`mor_read_seq` until their own maintenance window.
+    The caller is responsible for having filtered ``dels`` to the same
+    scope; removal compares DECODED dir suffixes (Hive percent-escapes
+    partition values — the partition_orphan_gc lesson)."""
     import os
     import shutil
     from urllib.parse import unquote
@@ -1455,7 +1465,25 @@ def _compact_core(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    shutil.rmtree(os.path.join(target_path, "_deletes"))
+    dels_path = os.path.join(target_path, "_deletes")
+    if vector_scope is None:
+        shutil.rmtree(dels_path)
+    else:
+        want = {str(v) for v in vector_scope}
+        prefix = f"{partition_col}="
+        for entry in os.listdir(dels_path):
+            if entry.startswith(prefix) and (
+                unquote(entry[len(prefix):]) in want
+            ):
+                shutil.rmtree(os.path.join(dels_path, entry))
+        # prune the vector store entirely once nothing committed is
+        # left in it (readers treat a committed-file-free _deletes as
+        # absent, but an empty dir is residue a listing-based census
+        # should not have to reason about)
+        if not any(
+            e.startswith(prefix) for e in os.listdir(dels_path)
+        ):
+            shutil.rmtree(dels_path)
     return {"dropped": dropped, "rewritten": rewritten}
 
 
@@ -2694,6 +2722,7 @@ def mor_compact_seq(
     target_path: str,
     partition_col: str,
     key_col: str,
+    parts: list | None = None,
 ) -> dict:
     """Sequence-aware compaction (the round-9 advisor's missing piece:
     :func:`mor_compact`'s key-only kill rule would fold a CDC upsert's
@@ -2709,20 +2738,44 @@ def mor_compact_seq(
     Survivors keep their ``__seq`` column: the table stays a valid
     :func:`mor_cdc_apply` target and later batches (with larger
     sequence numbers) keep working — compaction is a pure layout
-    change, invisible to the CDC algebra."""
+    change, invisible to the CDC algebra.
+
+    ``parts`` (round-15, the census-gated scheduler's targeting knob):
+    when given, ONLY those partitions are folded — their vectors are
+    applied, their survivors rewritten, and only their vector subdirs
+    removed; every other partition keeps both its files and its
+    tombstones, so :func:`mor_read_seq` stays exact on the
+    half-compacted table.  ``parts=[]`` is an explicit no-op (the
+    policy said nothing is due): nothing is read beyond the vector
+    probe, nothing written, nothing removed.  Non-null partition
+    values only (the vector store's NULL dir is out of a scoped
+    sweep's reach by design — pass ``parts=None`` for the full fold).
+
+    Why scoping matters at 100 TB: compaction debt accrues where the
+    CDC stream is HOT, and a policy that can only say "fold the whole
+    table" turns maintenance into a full-table rewrite on every
+    trigger.  Scoped folding makes the rewrite proportional to the
+    partitions the census actually named."""
     data = _string_partition(spark.read.parquet(target_path), partition_col)
     if "__seq" not in data.columns:
         raise ValueError(
             "mor_compact_seq: table carries no __seq column — this is "
             "a plain MOR table; use mor_compact"
         )
+    if parts is not None and not parts:
+        return {"dropped": [], "rewritten": []}
     dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
     if dels is None:
         return {"dropped": [], "rewritten": []}
+    if parts is not None:
+        dels = dels.filter(F.col("__dv_p").isin([str(p) for p in parts]))
     cond = _vector_match(data, dels, partition_col, key_col) & (
         dels["__dv_seq"] > data["__seq"]
     )
-    return _compact_core(spark, target_path, partition_col, data, dels, cond)
+    return _compact_core(
+        spark, target_path, partition_col, data, dels, cond,
+        vector_scope=parts,
+    )
 
 
 def _read_vectors_seq(
@@ -4620,6 +4673,12 @@ def compact_partitions(
     import os
     import shutil
 
+    # Self-healing (round-14 advisor): a crash between the two swap
+    # renames leaves the partition invisible to readers, and the
+    # census below CANNOT see a missing partition — so recovery must
+    # not depend on the operator separately remembering to run it.
+    # Every pass heals first; on a clean table this is one listing.
+    recover_interrupted_compaction(table_path, partition_col)
     census = small_file_census(table_path, partition_col)
     frag = [c for c in census if c["n_files"] > max_files]
     for c in frag:
@@ -4856,6 +4915,7 @@ def partition_orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
     import re
     import shutil
     import time
+    from urllib.parse import unquote
 
     live: set[tuple[int, str]] = set()
     for entry in os.listdir(base):
@@ -4874,7 +4934,14 @@ def partition_orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
         for sub in sorted(os.listdir(vdir)):
             if "=" not in sub:
                 continue
-            part = sub.split("=", 1)[1]
+            # Directory names are Hive percent-ESCAPED; manifest keys
+            # are the DECODED values (snapshot_commit's cow_delete
+            # lesson).  Probing the live set with the raw suffix made
+            # any escapable partition value (':', '%', '=', ...) look
+            # orphaned and rmtree'd a LIVE shared partition — found by
+            # the round-14 advisor's repro (value 'a:x': v1/m=a%3Ax
+            # deleted with both manifests retained).
+            part = unquote(sub.split("=", 1)[1])
             if (ver, part) in live:
                 continue
             full = os.path.join(vdir, sub)
@@ -5102,7 +5169,17 @@ def txn_occ_commit(base: str, expected_txn: int, updates: dict) -> dict:
     if not txns:
         raise ValueError("txn_occ_commit: no committed transaction")
     head = max(txns)
-    with open(os.path.join(base, f"_txn_v{expected_txn}.json")) as fh:
+    base_path = os.path.join(base, f"_txn_v{expected_txn}.json")
+    if not os.path.exists(base_path):
+        # e.g. the writer's base transaction was expired from history:
+        # same refusal CONTRACT as every other stale-writer path (a
+        # raw FileNotFoundError here broke the caller's single
+        # except-ValueError retry loop — round-14 advisor)
+        raise ValueError(
+            f"txn_occ_commit: base transaction {expected_txn} no "
+            "longer retained; re-read and re-derive"
+        )
+    with open(base_path) as fh:
         base_ptr = _json.load(fh)
     rebased = head > expected_txn
     if rebased:

@@ -1929,3 +1929,329 @@ def st20_cdc_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_snapshot(out, f"{base}/_pin")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- ST21: census-GATED compaction under a live CDC stream ----------------------
+
+_ST21_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+s1 AS (
+  SELECT o_month, k,
+         CASE WHEN k % 89 = 0 AND k % 101 <> 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM base
+),
+s2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-01' AND k % 7 = 0
+                   AND k % 97 <> 0 AND k % 101 <> 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM s1
+),
+final AS (
+  SELECT o_month, cents FROM s2
+  WHERE k % 101 <> 0
+    AND NOT (o_month >= '1997-01' AND k % 97 = 0)
+    AND k % 113 <> 0
+  UNION ALL
+  SELECT '2024-01', 1000000 + i * 100 FROM range(10) t(i)
+)
+SELECT o_month, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY o_month
+"""
+
+
+@query(
+    "st21_gated_compact_live",
+    oracle=_ST21_ORACLE,
+    tags=("streaming", "update", "mor", "layout"),
+)
+def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21: st20's live-compaction lifecycle with the rewrite GATED
+    by u31's census policy — the round-14 verdict's next-trajectory
+    surface.  st20 proves compaction is transparent to the stream but
+    fires it unconditionally; a production maintenance loop cannot (an
+    unconditional fold is a table rewrite per trigger).  Here the
+    scheduler runs ``small_file_census`` over the MOR table's
+    partition dirs after every CDC run and folds ONLY what the policy
+    names, through :func:`mor_compact_seq`'s round-15 ``parts`` scope:
+
+    - after the broad-but-small batch 1 (every partition gains at most
+      one appended image file), the policy says NOTHING is due, and
+      the receipt pins the not-fired branch structurally: the
+      maintenance call returns the no-op receipt and every data file
+      in the table is untouched at (path, size, mtime_ns), with the
+      delete vectors still in place;
+    - after the two-batch HOT burst (updates confined to months >=
+      1997-01), the policy names exactly the months whose file count
+      the burst pushed past the threshold — the expected set is
+      DERIVED from which months each applied batch actually appended
+      to, so the receipt is data-exact, and it must be a non-empty
+      PROPER subset of the partitions (both branches live in one run
+      or the query raises);
+    - the fired branch folds only the named months: their dirs drop to
+      one file and their vector subdirs disappear, while every
+      not-named month keeps its files byte-identical AND its
+      tombstones (the half-compacted table still reads exactly);
+    - batch 3 then applies through the SAME checkpoint onto the
+      half-compacted layout — inserts into a brand-new month plus a
+      third delete family that must kill images on both sides of the
+      scope boundary — and the final rollup hash-checks against the
+      oracle's three-step replay.
+
+    Why it matters at 100 TB: compaction debt accrues where the CDC
+    stream is hot, and the census makes the maintenance loop's
+    rewrite cost proportional to the partitions the ingest actually
+    fragmented — the difference between 'fold the table every
+    trigger' and a policy a 100 TB table can afford to run after
+    every micro-batch run."""
+    import hashlib
+    import os
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+        small_file_census,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_st21_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, target, ckpt = f"{base}/cdc", f"{base}/t", f"{base}/ckpt"
+    snap = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snap.withColumn("__seq", F.lit(0).cast("long")).repartition(
+        F.col("o_month")
+    ).write.partitionBy("o_month").parquet(target)
+    k = F.col("k")
+    hot = F.col("o_month") >= "1997-01"
+    # batch 1: broad but small — the shape that must NOT fire the gate
+    upd1 = (
+        snap.filter((k % 89 == 0) & (k % 101 != 0))
+        .withColumn("cents", F.col("cents") + F.expr("cents DIV 10"))
+        .withColumn("op", F.lit("U"))
+    )
+    del1 = snap.filter(k % 101 == 0).withColumn("op", F.lit("D"))
+    # the hot burst extracts against the POST-batch-1 source of truth
+    s1 = snap.withColumn(
+        "cents",
+        F.when(
+            (k % 89 == 0) & (k % 101 != 0),
+            F.col("cents") + F.expr("cents DIV 10"),
+        ).otherwise(F.col("cents")),
+    ).filter(k % 101 != 0)
+    upd2 = (
+        s1.filter(hot & (k % 7 == 0) & (k % 97 != 0))
+        .withColumn("cents", F.col("cents") + F.expr("cents DIV 20"))
+        .withColumn("op", F.lit("U"))
+    )
+    upd2a, upd2b = upd2.filter(k % 2 == 0), upd2.filter(k % 2 == 1)
+    del2 = snap.filter(hot & (k % 97 == 0) & (k % 101 != 0)).withColumn(
+        "op", F.lit("D")
+    )
+    # batch 3: inserts into a brand-new month + a delete family that
+    # straddles the compaction scope (hot and cold months alike)
+    del3 = snap.filter(
+        (k % 113 == 0) & (k % 101 != 0) & ~(hot & (k % 97 == 0))
+    ).withColumn("op", F.lit("D"))
+    inserts = spark.range(10).select(
+        F.lit("I").alias("op"),
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(900000000) + F.col("id")).alias("k"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    cols = ["op", "o_month", "k", "cents"]
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        mor_cdc_apply(
+            spark, target, batch_df, "o_month", "k", ["cents"],
+            seq=epoch_id + 1,
+        )
+
+    def run_cdc() -> None:
+        stream = spark.readStream.schema(
+            "op string, o_month string, k long, cents long"
+        ).parquet(f"{src}/*")
+        handle = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+
+    MAX_FILES = 3
+
+    def due_partitions() -> list[str]:
+        return sorted(
+            c["partition"]
+            for c in small_file_census(target, "o_month")
+            if c["n_files"] > MAX_FILES
+        )
+
+    def data_listing() -> dict:
+        out = {}
+        for root, dirs, files in os.walk(target):
+            if "_deletes" in root:
+                continue
+            dirs[:] = [d for d in dirs if d != "_deletes"]
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.stat(p).st_mtime_ns)
+        return out
+
+    def months_of(df: DataFrame) -> set:
+        return {
+            r["o_month"]
+            for r in df.filter(F.col("op").isin("U", "I"))
+            .select("o_month")
+            .distinct()
+            .collect()
+        }
+
+    def expect(observed, expected, when: str) -> None:
+        if observed != expected:
+            raise ValueError(
+                f"st21_gated_compact_live: {when}: got {observed!r}, "
+                f"expected {expected!r}"
+            )
+
+    try:
+        n_base = snap.count()
+        n_del1 = del1.count()
+        n_del2 = del2.count()
+        n_del3 = del3.count()
+        b1 = upd1.unionByName(del1).select(*cols)
+        b1.write.parquet(f"{src}/b1")
+        run_cdc()
+        expect(
+            mor_read_seq(spark, target, "o_month", "k").count(),
+            n_base - n_del1,
+            "live count after CDC batch 1",
+        )
+        # gate check #1: the NOT-FIRED branch, pinned structurally
+        due1 = due_partitions()
+        expect(due1, [], "gate after batch 1 (nothing is due)")
+        before = data_listing()
+        expect(
+            mor_compact_seq(spark, target, "o_month", "k", parts=due1),
+            {"dropped": [], "rewritten": []},
+            "no-op maintenance receipt",
+        )
+        expect(
+            data_listing() == before, True,
+            "not-fired branch must leave every data file untouched",
+        )
+        expect(
+            os.path.isdir(f"{target}/_deletes"), True,
+            "not-fired branch must keep the delete vectors",
+        )
+        # the hot burst: two micro-batch runs confined to hot months
+        b2a = upd2a.unionByName(del2).select(*cols)
+        b2a.write.parquet(f"{src}/b2a")
+        run_cdc()
+        upd2b.select(*cols).write.parquet(f"{src}/b2b")
+        run_cdc()
+        expect(
+            mor_read_seq(spark, target, "o_month", "k").count(),
+            n_base - n_del1 - n_del2,
+            "live count after the hot burst",
+        )
+        # gate check #2: the FIRED branch.  Expected set derived from
+        # the months each applied batch actually appended data to
+        # (deletes write only vectors, never data files)
+        appended = [months_of(b1), months_of(b2a), months_of(upd2b)]
+        counts: dict[str, int] = {}
+        for ms in appended:
+            for m in ms:
+                counts[m] = counts.get(m, 0) + 1
+        due_expected = sorted(
+            m for m, c in counts.items() if 1 + c > MAX_FILES
+        )
+        n_parts = len(small_file_census(target, "o_month"))
+        if not due_expected or len(due_expected) >= n_parts:
+            raise ValueError(
+                "st21_gated_compact_live: degenerate fixture — the "
+                f"burst made {len(due_expected)}/{n_parts} partitions "
+                "due; both gate branches must be live in one run"
+            )
+        due2 = due_partitions()
+        expect(due2, due_expected, "the census names the burst months")
+        cold_before = {
+            p: s
+            for p, s in data_listing().items()
+            if not any(f"/o_month={m}/" in p for m in due2)
+        }
+        receipt = mor_compact_seq(
+            spark, target, "o_month", "k", parts=due2
+        )
+        expect(
+            sorted(receipt["rewritten"]), due2,
+            "the fold rewrote exactly the due months",
+        )
+        cold_after = {
+            p: s
+            for p, s in data_listing().items()
+            if not any(f"/o_month={m}/" in p for m in due2)
+        }
+        expect(
+            {p: s for p, s in cold_after.items() if "_SUCCESS" not in p}
+            == {p: s for p, s in cold_before.items() if "_SUCCESS" not in p},
+            True,
+            "cold months byte-identical across the scoped fold",
+        )
+        census2 = {
+            c["partition"]: c["n_files"]
+            for c in small_file_census(target, "o_month")
+        }
+        bad = [m for m in due2 if census2.get(m) != 1]
+        expect(bad, [], "every folded month compacted to one file")
+        for m in due2:
+            expect(
+                os.path.isdir(f"{target}/_deletes/o_month={m}"), False,
+                f"folded month {m} must shed its vector subdir",
+            )
+        expect(
+            os.path.isdir(f"{target}/_deletes"), True,
+            "cold months must keep their tombstones",
+        )
+        expect(
+            mor_read_seq(spark, target, "o_month", "k").count(),
+            n_base - n_del1 - n_del2,
+            "live count across the scoped fold (layout-only change)",
+        )
+        # batch 3 through the SAME checkpoint on the half-compacted
+        # layout: inserts + deletes on both sides of the scope boundary
+        del3.unionByName(inserts).select(*cols).write.parquet(
+            f"{src}/b3"
+        )
+        run_cdc()
+        expect(
+            mor_read_seq(spark, target, "o_month", "k").count(),
+            n_base - n_del1 - n_del2 - n_del3 + 10,
+            "live count after CDC batch 3",
+        )
+        out = (
+            mor_read_seq(spark, target, "o_month", "k")
+            .groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+        return pin_snapshot(out, f"{base}/_pin")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
