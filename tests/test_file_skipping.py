@@ -666,3 +666,62 @@ def test_default_reader_generative_parity(spark, tmp_path_factory):
             assert got == exp, ((bk, bv), n_kept, n_total, got, exp)
             if bk[0] > bk[1]:
                 assert n_kept == 0, "inverted covered band keeps nothing"
+
+
+# --- round-15: per-partition z-span census -------------------------------------
+
+
+def test_partition_zspan_census_groups_and_classifies(spark, tmp_path):
+    """partition_zspan_census laws: files group under their DECODED
+    partition-dir value, a file spanning more than half the table's
+    key domain is degraded, a tight file is healthy, and the entries
+    come back partition-sorted with exact counts."""
+    from update_database_by_wind_spark.operators.storage import (
+        partition_zspan_census,
+    )
+
+    base = str(tmp_path / "t")
+    # partition 'a:x' (escapes to m=a%3Ax): four tight quarter files
+    # (a HALF split sits exactly on the degraded threshold — span*2
+    # == zdom+1 — which is the point of the rule, not a test fixture)
+    (
+        spark.range(1000)
+        .select(F.lit("a:x").alias("m"), F.col("id").alias("z"))
+        .repartitionByRange(4, "z")
+        .write.partitionBy("m")
+        .parquet(base)
+    )
+    # partition 'b': one tight file + one full-span file
+    (
+        spark.range(100)
+        .select(F.lit("b").alias("m"), (F.col("id") + 400).alias("z"))
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("m")
+        .parquet(base)
+    )
+    (
+        spark.createDataFrame([("b", 0), ("b", 999)], "m string, z long")
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("m")
+        .parquet(base)
+    )
+    zdom, entries = partition_zspan_census(spark, base, "z", "m")
+    assert zdom == 999
+    assert [e["partition"] for e in entries] == ["a:x", "b"]
+    a, b = entries
+    assert a["n_files"] == 4 and not a["degraded"]
+    assert b["n_files"] == 2
+    assert len(b["degraded"]) == 1 and len(b["healthy"]) == 1
+    deg = b["degraded"][0]
+    assert deg["z_min"] == 0 and deg["z_max"] == 999
+    # an unpartitioned file is a loud error, not a silent drop
+    flat = str(tmp_path / "flat")
+    spark.range(10).select(F.col("id").alias("z")).coalesce(1).write.parquet(
+        flat
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="no m= path component"):
+        partition_zspan_census(spark, flat, "z", "m")

@@ -25,6 +25,10 @@ from update_database_by_wind_spark.registry import REGISTRY
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
 _R15_NEW: list[str] = [
+    # widening plan (b): s17's z-span census per PARTITION dir feeding
+    # the u31 scheduler shape — per-partition clustering health with
+    # the re-sort scoped to the degraded files of the degraded dirs
+    "s18_partition_clustering_health",
     # widening plan (a): st20's live-compaction lifecycle gated by
     # u31's small-file census policy through mor_compact_seq's scoped
     # fold — receipts pin the fired AND the not-fired branch

@@ -83,8 +83,9 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # -> u33) likewise move those queries into changed-code slots.
 
 _ROUND15_FRONT = [
-    # round-15 NEW registrations (widening plan item (a)): an untested
-    # registration never waits behind stale refresh
+    # round-15 NEW registrations (widening plan items (a) and (b)): an
+    # untested registration never waits behind stale refresh
+    "s18_partition_clustering_health",
     "st21_gated_compact_live",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
@@ -147,7 +148,6 @@ _ROUND15_FRONT = [
     "l5c_matryoshka_recall",
     "l6_vector_norms",
     "l7_word_frequency",
-    "g2_pagerank",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -190,6 +190,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "e5_rfm_segmentation",
     "f_array_functions",
     "f_map_functions",
+    "g2_pagerank",
     "g3_triangle_count",
     "g4_bfs_hops",
     "j11_null_safe_join",

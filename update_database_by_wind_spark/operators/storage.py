@@ -1342,3 +1342,356 @@ def s15_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold"
             )
+
+
+# --- S18: partition-granular clustering-health maintenance ---------------------
+
+
+def partition_zspan_census(
+    spark: SparkSession,
+    table_path: str,
+    zcol: str,
+    partition_col: str,
+    stat_cols: tuple = (),
+) -> tuple[int, list[dict]]:
+    """Per-PARTITION clustering-health census over a dir-partitioned
+    z-layout — s17's z-span rule grouped by the partition directory a
+    file lives in, which is what makes OPTIMIZE targetable on the
+    S1b-style layouts: the scheduler needs to know not just THAT the
+    table degraded but WHERE.
+
+    One footer sweep (:func:`build_file_stats_index` over the
+    materialized clustering key plus any probe columns the caller
+    wants carried), grouped by the ``{partition_col}=`` path
+    component (DECODED — Hive percent-escapes partition values, the
+    partition_orphan_gc lesson).  A file is DEGRADED when its span of
+    the clustering key covers more than half the table's z-domain: a
+    z-clustered file is by construction a tight contiguous chunk of
+    the curve, while an unsorted append spans nearly all of it.
+
+    Returns ``(zdom, entries)`` — the table-wide key span and one
+    entry per partition: ``{"partition", "n_files", "degraded",
+    "healthy"}`` with the latter two as stats-row lists so a
+    scheduler can both pick targets and probe bands without a second
+    sweep.  Cost at 100 TB: the same metadata class as the catalog's
+    listing — footers only, zero data bytes."""
+    import re as _re
+    from urllib.parse import unquote
+
+    rows = build_file_stats_index(
+        spark, table_path, [zcol, *stat_cols]
+    ).collect()
+    if not rows:
+        return 0, []
+    zdom = max(r[f"{zcol}_max"] for r in rows) - min(
+        r[f"{zcol}_min"] for r in rows
+    )
+    pat = _re.compile(
+        _re.escape(f"/{partition_col}=") + r"([^/]+)/"
+    )
+    by_part: dict[str, dict] = {}
+    for r in rows:
+        m = pat.search(r["file"])
+        if not m:
+            raise ValueError(
+                f"partition_zspan_census: file {r['file']!r} carries "
+                f"no {partition_col}= path component — the table is "
+                "not partitioned the way the caller claims"
+            )
+        part = unquote(m.group(1))
+        e = by_part.setdefault(
+            part, {"partition": part, "degraded": [], "healthy": []}
+        )
+        bucket = (
+            "degraded"
+            if (r[f"{zcol}_max"] - r[f"{zcol}_min"]) * 2 > zdom
+            else "healthy"
+        )
+        e[bucket].append(r)
+    out = []
+    for part in sorted(by_part):
+        e = by_part[part]
+        e["n_files"] = len(e["degraded"]) + len(e["healthy"])
+        out.append(e)
+    return zdom, out
+
+
+_S18_ORACLE = f"""
+WITH dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'total_price')}
+FROM orders, b
+WHERE o_custkey BETWEEN b.lo AND b.hi
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "s18_partition_clustering_health",
+    oracle=_S18_ORACLE,
+    tags=("source", "layout"),
+)
+def s18_partition_clustering_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S18: clustering-health maintenance at PARTITION granularity —
+    the round-14 verdict's second trajectory surface.  s17 proves the
+    z-span census and the targeted re-sort on a flat layout; real
+    tables are dir-partitioned (S1b/U8/U14), ingest degrades SOME
+    partitions, and the scheduler must name which — so the census
+    here is :func:`partition_zspan_census` (one footer sweep grouped
+    by partition dir) feeding u31's census → policy → targeted-rewrite
+    shape, with the rewrite scoped to the degraded FILES of the
+    degraded PARTITIONS only.
+
+    Layout: orders partitioned by ``o_year``, clustered within each
+    partition on ``zval`` = z(custkey, day-of-year) — partition prunes
+    the year, the curve prunes customer × season inside it.  Because
+    day-of-year is normalized per year, the z-domain is identical in
+    every partition and one global half-domain threshold classifies
+    all of them.  Fixture: a 16-range z-sorted base (everything except
+    the ingest slice) across all years, then a 4-way append of the
+    slice (%5 == 0, years >= 1999 — last night's ingest hitting the
+    hot partitions), split ROUND-ROBIN on each year's zval rank so
+    every appended file provably spans the curve even at the smallest
+    fixture scale (a random split of a dozen rows can land tight by
+    luck; every-4th-rank cannot).  Base ∪ append = orders exactly.
+
+    Receipts (raise-style, in-query):
+
+    - the post-build census finds ZERO degraded files — a z-sorted
+      range write must never classify as degraded, else the policy
+      would rewrite healthy data forever;
+    - after the append, the degraded file set equals EXACTLY the
+      appended files (derived from the listing diff, data-exact) and
+      the due partitions are exactly the appended years — a non-empty
+      PROPER subset of the partitions (both scheduler branches live);
+    - the maintenance pass re-sorts only the degraded files, inside
+      their own partition dirs; every healthy file in the table —
+      including the healthy files of DEGRADED partitions — is
+      untouched at (path, size, mtime_ns);
+    - after: a fresh census finds zero degraded anywhere, the custkey
+      band plans strictly fewer files than before, and the band's
+      row count is identical pruned vs full both before and after.
+
+    Why it matters at 100 TB: whole-table OPTIMIZE is a rewrite no
+    nightly budget survives, and s17's flat-table answer does not say
+    WHERE to spend; per-partition health makes the rewrite cost
+    proportional to the partitions the ingest actually touched —
+    Delta/Iceberg's incremental clustering maintenance, re-expressed
+    on plain parquet."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    mn, xm = stats.mn, stats.xm
+    lo = mn + (xm - mn) // 8
+    hi = mn + (xm - mn) // 4
+
+    def with_z(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "xn", F.expr(f"(o_custkey * 65536) div ({xm} + 1)")
+            )
+            .withColumn("yn", F.expr("(doy * 65536) div 367"))
+            .withColumn("zval", zorder_value("xn", "yn"))
+            .drop("xn", "yn", "doy", "o_orderkey")
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_s18_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    base, stage = f"{root}/t", f"{root}/stage"
+    ingest = (F.col("o_orderkey") % 5 == 0) & (F.col("o_year") >= 1999)
+    (
+        with_z(orders.filter(~ingest))
+        .repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.partitionBy("o_year")
+        .parquet(base)
+    )
+
+    def listing() -> set:
+        return {
+            p
+            for p in _glob.glob(f"{base}/o_year=*/*.parquet")
+        }
+
+    def file_meta(paths) -> list[tuple]:
+        return sorted(
+            (p, os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in paths
+        )
+
+    built = listing()
+    zdom0, census0 = partition_zspan_census(
+        spark, base, "zval", "o_year", stat_cols=("o_custkey",)
+    )
+    pre_bad = [e["partition"] for e in census0 if e["degraded"]]
+    if pre_bad:
+        raise ValueError(
+            "s18_partition_clustering_health: the z-sorted build "
+            f"already reads degraded in {pre_bad} — the census would "
+            "rewrite healthy data forever"
+        )
+    from pyspark.sql.window import Window
+
+    (
+        with_z(orders.filter(ingest))
+        .withColumn(
+            "split",
+            F.row_number().over(
+                Window.partitionBy("o_year").orderBy("zval", "o_custkey")
+            )
+            % 4,
+        )
+        # range- (not hash-) partition on the split key: hash(0..3)
+        # collides mod 4, which silently merges appended files and
+        # breaks the file-count arithmetic the receipts pin
+        .repartitionByRange(4, "split")
+        .drop("split")
+        .write.mode("append")
+        .partitionBy("o_year")
+        .parquet(base)
+    )
+    appended = listing() - built
+    app_years = sorted(
+        {p.split("/o_year=")[1].split("/")[0] for p in appended}
+    )
+    zdom, census = partition_zspan_census(
+        spark, base, "zval", "o_year", stat_cols=("o_custkey",)
+    )
+    due = [e for e in census if e["degraded"]]
+    deg_files = sorted(
+        r["file"] for e in due for r in e["degraded"]
+    )
+    if deg_files != sorted(appended):
+        raise ValueError(
+            "s18_partition_clustering_health: degraded set != appended "
+            f"set ({len(deg_files)} vs {len(appended)}) — the census "
+            "must classify exactly last night's ingest"
+        )
+    if sorted(e["partition"] for e in due) != app_years:
+        raise ValueError(
+            "s18_partition_clustering_health: due partitions "
+            f"{[e['partition'] for e in due]} != appended years "
+            f"{app_years}"
+        )
+    if not due or len(due) >= len(census):
+        raise ValueError(
+            "s18_partition_clustering_health: degenerate fixture — "
+            f"{len(due)}/{len(census)} partitions due; both scheduler "
+            "branches must be live in one run"
+        )
+
+    def kept(rows) -> list:
+        return [
+            r["file"]
+            for r in rows
+            if r["o_custkey_min"] <= hi and r["o_custkey_max"] >= lo
+        ]
+
+    all_rows = [r for e in census for r in e["degraded"] + e["healthy"]]
+    kept_before = kept(all_rows)
+    full = (
+        spark.read.option("basePath", base)
+        .parquet(base)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .count()
+    )
+    if (
+        spark.read.option("basePath", base)
+        .parquet(*kept_before)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .count()
+        != full
+    ):
+        raise ValueError(
+            "s18_partition_clustering_health: pre-maintenance pruned "
+            "read lost rows"
+        )
+    healthy_files = sorted(
+        r["file"] for e in census for r in e["healthy"]
+    )
+    before_meta = file_meta(healthy_files)
+    # the targeted pass: per DUE partition, re-sort ONLY its degraded
+    # files, staged then moved into the SAME partition dir (the
+    # production commit step is the table format's metadata swap)
+    for e in due:
+        pdir = os.path.join(base, f"o_year={e['partition']}")
+        pstage = os.path.join(stage, e["partition"])
+        (
+            spark.read.parquet(*[r["file"] for r in e["degraded"]])
+            # bit-aligned curve QUARTERS, not sampled ranges: a
+            # sampled boundary can straddle the x15 flip and hand
+            # every output file a full custkey span, defeating the
+            # very skipping the maintenance is buying.  zval is a
+            # 32-bit Morton key, so DIV 2^30 is exactly the
+            # (y_top, x_top) quarter — two of the four quarters have
+            # the x top bit set and can never intersect a lower-half
+            # custkey band
+            .withColumn("q", F.expr("zval div 1073741824"))
+            .repartitionByRange(4, "q")
+            .drop("q")
+            .sortWithinPartitions("zval")
+            .write.parquet(pstage)
+        )
+        for f in _glob.glob(f"{pstage}/*.parquet"):
+            os.replace(f, os.path.join(pdir, os.path.basename(f)))
+        for r in e["degraded"]:
+            os.remove(r["file"])
+    shutil.rmtree(stage, ignore_errors=True)
+    if file_meta(healthy_files) != before_meta:
+        raise ValueError(
+            "s18_partition_clustering_health: a healthy file changed — "
+            "the re-sort was not targeted"
+        )
+    zdom1, census1 = partition_zspan_census(
+        spark, base, "zval", "o_year", stat_cols=("o_custkey",)
+    )
+    still = [e["partition"] for e in census1 if e["degraded"]]
+    if still:
+        raise ValueError(
+            "s18_partition_clustering_health: partitions still "
+            f"degraded after maintenance: {still}"
+        )
+    kept_after = kept(
+        [r for e in census1 for r in e["degraded"] + e["healthy"]]
+    )
+    if len(kept_after) >= len(kept_before):
+        raise ValueError(
+            "s18_partition_clustering_health: the band plans "
+            f"{len(kept_after)} files after maintenance vs "
+            f"{len(kept_before)} before — clustering bought no skipping"
+        )
+    out = (
+        spark.read.option("basePath", base)
+        .parquet(*kept_after)
+        .filter(F.col("o_custkey").between(lo, hi))
+    )
+    if out.count() != full:
+        raise ValueError(
+            "s18_partition_clustering_health: post-maintenance pruned "
+            "read lost rows"
+        )
+    return out.groupBy("o_year", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
