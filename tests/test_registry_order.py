@@ -33,6 +33,11 @@ _R15_NEW: list[str] = [
     # u31's small-file census policy through mor_compact_seq's scoped
     # fold — receipts pin the fired AND the not-fired branch
     "st21_gated_compact_live",
+    # widening plan (c): u20's row-level changelog resolved through
+    # u19's transaction pointer (txn_changes) — mutually consistent
+    # multi-table deltas with a metadata short-circuit for untouched
+    # tables
+    "u34_txn_change_feed",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -550,3 +550,51 @@ def test_txn_occ_refuses_expired_base_as_valueerror(spark, tmp_path):
     # the refusal left no trace
     ptrs = sorted(e for e in os.listdir(base) if e.startswith("_txn_v"))
     assert ptrs == ["_txn_v2.json"]
+
+
+# --- U34: multi-table CDF through the transaction pointer ----------------------
+
+
+def test_txn_changes_resolves_through_pointer(spark, tmp_path):
+    """txn_changes laws: per-table (from, to) versions come from the
+    two pointer files (mutual consistency), an untouched table
+    short-circuits to an empty feed with the right schema, a changed
+    table yields snapshot_changes' row-level diff, and a table in
+    neither pointer is a loud error."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_changes,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(
+        base, 1,
+        {
+            "t1": (_df(spark, [(1, "a", 10), (2, "b", 20)]), "m", None),
+            "t2": (_df(spark, [(1, "a", 1), (2, "b", 2)]), "m", None),
+        },
+    )
+    # txn 2 touches only t1: update pk 1, insert pk 3 into m=a
+    txn_commit(
+        base, 2,
+        {"t1": (_df(spark, [(1, "a", 11), (3, "a", 30)]), "m", ["a"])},
+    )
+    spec = {"t1": ("m", "pk", ["val"]), "t2": ("m", "pk", ["val"])}
+    feeds = txn_changes(spark, base, 1, 2, spec)
+    got = sorted(
+        (r["m"], r["pk"], r["change_type"], r["val_before"], r["val_after"])
+        for r in feeds["t1"].collect()
+    )
+    assert got == [
+        ("a", 1, "update", 10, 11),
+        ("a", 3, "insert", None, 30),
+    ]
+    # untouched t2: empty via the pointer, schema identical to a real feed
+    assert feeds["t2"].count() == 0
+    assert feeds["t2"].columns == feeds["t1"].columns
+    assert dict(feeds["t2"].dtypes) == dict(feeds["t1"].dtypes)
+    # unknown table: loud refusal, not a fabricated "unchanged"
+    with pytest.raises(ValueError, match="neither transaction"):
+        txn_changes(spark, base, 1, 2, {"nope": ("m", "pk", ["val"])})
+    # missing endpoint pointer: loud refusal
+    with pytest.raises(ValueError, match="not retained"):
+        txn_changes(spark, base, 1, 9, spec)

@@ -5427,3 +5427,327 @@ def u33_txn_occ_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("audit").alias("tbl"), "o_month", "n_rows", "total")
     )
     return ledger_out.unionByName(audit_out)
+
+
+# --- U34: multi-table change data feed through the transaction pointer ----------
+
+
+def txn_changes(
+    spark: SparkSession,
+    base: str,
+    txn_from: int,
+    txn_to: int,
+    tables: dict,
+) -> dict:
+    """Row-level changelogs for SEVERAL tables between two committed
+    TRANSACTIONS — :func:`snapshot_changes` lifted through
+    :func:`txn_commit`'s atomic pointer, so the per-table feeds are
+    MUTUALLY CONSISTENT by construction: each table's (from, to)
+    version pair is resolved from the same two pointer files, which is
+    exactly the set of versions a reader at those transactions sees.
+    Diffing table versions independently cannot give that guarantee —
+    version numerology says nothing about which versions were
+    published together.
+
+    ``tables`` maps ``name -> (partition_col, key_col, value_cols)``;
+    returns ``name -> changelog DataFrame`` in snapshot_changes'
+    schema.  A table whose version is UNCHANGED between the two
+    pointers short-circuits to an empty changelog from the pointer
+    alone — metadata cost, no manifest read, no scan (the schema comes
+    from one footer read of the table's current version dir).  At
+    100 TB that short-circuit is the point: a nightly transaction
+    touches a few tables of a large group, and downstream incremental
+    consumers ask "what changed in MY table" — most answers are free.
+
+    A table absent from both pointers is a caller error (loud), not an
+    empty feed: an empty feed means "verified unchanged", which is a
+    claim this function must not fabricate for a table the
+    transaction group never committed."""
+    import json as _json
+    import os
+
+    def pointer(v: int) -> dict:
+        p = os.path.join(base, f"_txn_v{v}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"txn_changes: transaction {v} is not retained; "
+                "changelogs require both endpoint pointers"
+            )
+        with open(p) as fh:
+            return _json.load(fh)
+
+    ptr_f, ptr_t = pointer(txn_from), pointer(txn_to)
+    out: dict[str, DataFrame] = {}
+    for name, (pcol, kcol, vcols) in tables.items():
+        tv_f, tv_t = ptr_f.get(name, 0), ptr_t.get(name, 0)
+        if tv_f == 0 and tv_t == 0:
+            raise ValueError(
+                f"txn_changes: table {name!r} appears in neither "
+                f"transaction {txn_from} nor {txn_to}"
+            )
+        if tv_f == tv_t:
+            # the pointer already proves no row changed: emit the
+            # empty changelog without touching a manifest (schema from
+            # one footer read of the live version dir)
+            src = spark.read.parquet(
+                os.path.join(base, name, f"v{tv_t}")
+            ).limit(0)
+            out[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("update").alias("change_type"),
+                *[F.col(c).alias(f"{c}_before") for c in vcols],
+                *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+        else:
+            out[name] = snapshot_changes(
+                spark, os.path.join(base, name), tv_f, tv_t,
+                pcol, kcol, vcols,
+            )
+    return out
+
+
+_U34_CUT2 = "1998-01"
+
+_U34_ORACLE = f"""
+WITH o1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '{_U19_CUT}' AND k % 97 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM o1
+  UNION ALL
+  SELECT '2024-01', 900000000 + i, 1000000 + i * 100 FROM range(5) t(i)
+),
+o3 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '{_U34_CUT2}' AND k % 89 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o2
+),
+l1 AS (
+  SELECT o1.o_month, l_orderkey AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+  GROUP BY o1.o_month, l_orderkey
+),
+l2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '{_U19_CUT}' AND k % 97 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+d_o12 AS (
+  SELECT COALESCE(a.o_month, b.o_month) AS o_month,
+         COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b.k IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         a.cents AS v_before, b.cents AS v_after
+  FROM o1 a FULL OUTER JOIN o2 b ON a.o_month = b.o_month AND a.k = b.k
+  WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+),
+d_l12 AS (
+  SELECT COALESCE(a.o_month, b.o_month) AS o_month,
+         COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b.k IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         a.qty AS v_before, b.qty AS v_after
+  FROM l1 a FULL OUTER JOIN l2 b ON a.o_month = b.o_month AND a.k = b.k
+  WHERE a.k IS NULL OR b.k IS NULL OR a.qty <> b.qty
+),
+d_o23 AS (
+  SELECT COALESCE(a.o_month, b.o_month) AS o_month,
+         COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b.k IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         a.cents AS v_before, b.cents AS v_after
+  FROM o2 a FULL OUTER JOIN o3 b ON a.o_month = b.o_month AND a.k = b.k
+  WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+)
+SELECT 't1..t2' AS span, 'orders' AS tbl, * FROM d_o12
+UNION ALL
+SELECT 't1..t2' AS span, 'lineitem' AS tbl, * FROM d_l12
+UNION ALL
+SELECT 't2..t3' AS span, 'orders' AS tbl, * FROM d_o23
+"""
+
+
+@query(
+    "u34_txn_change_feed",
+    oracle=_U34_ORACLE,
+    tags=("update", "cdf", "txn"),
+)
+def u34_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U34: the multi-table change data feed — u20's row-level
+    changelog resolved through u19's transaction pointer
+    (:func:`txn_changes`), the round-14 verdict's remaining
+    trajectory surface.  Three transactions over a two-table group
+    (the order ledger and its per-order quantity rollup):
+
+    * txn 1 seeds both tables;
+    * txn 2 lands a consistent correction in BOTH — %97 orders from
+      {cut} get a 10% cents uplift AND their quantities double, plus
+      five late bookings inserted into a brand-new orders partition;
+    * txn 3 touches ONLY orders (%89 keys from {cut2} get +5%) — the
+      pointer carries lineitem forward untouched.
+
+    Receipts (raise-style, in-query):
+
+    - pointer receipts: txn 3 publishes orders at table-version 3
+      with lineitem still at 2 — the carry that makes the feed
+      resolvable;
+    - the t2→t3 lineitem changelog is EMPTY via the pointer
+      short-circuit, asserted BEFORE any scan could run (the pointers
+      agree on the version), then confirmed at zero rows;
+    - mutual consistency: every updated key in the t1→t2 lineitem
+      feed appears as an updated key in the t1→t2 orders feed for the
+      same (month, key) — a quantity correction never published
+      without its price correction (anti-join count = 0);
+    - the t1→t2 orders feed carries all three change kinds' worth of
+      shape here (updates + the inserted partition), and every span's
+      feed is produced at changed-partition cost (snapshot_changes'
+      manifest-diff contract, proven by u20's receipts).
+
+    The driver hash-checks the unioned, span-tagged feed against the
+    oracle's three logical full-outer diffs.
+
+    Why it matters at 100 TB: incremental consumers downstream of a
+    MULTI-table commit need deltas that agree with each other — a
+    view joining orders to quantities rebuilt from independently
+    diffed versions can observe a price uplift without its quantity
+    double (exactly the torn read u19 exists to prevent).  Resolving
+    the CDF through the transaction pointer closes the story: u19
+    proves reads are torn-free, u34 proves the DELTAS are too, and
+    the untouched-table short-circuit keeps the nightly "what changed
+    for me" question metadata-cheap."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_txncdf_{tag}/g"
+    shutil.rmtree(base, ignore_errors=True)
+    o1 = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = (
+        lineitem.join(
+            o1.select("k", "o_month"),
+            lineitem["l_orderkey"] == o1["k"],
+        )
+        .groupBy("o_month", "k")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    k = F.col("k")
+    upl2 = (F.col("o_month") >= _U19_CUT) & (k % 97 == 0)
+    inserts = spark.range(5).select(
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(900000000) + F.col("id")).alias("k"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    o2 = o1.withColumn(
+        "cents",
+        F.when(upl2, F.col("cents") + F.expr("cents DIV 10")).otherwise(
+            F.col("cents")
+        ),
+    ).unionByName(inserts)
+    upl3 = (F.col("o_month") >= _U34_CUT2) & (k % 89 == 0)
+    o3 = o2.withColumn(
+        "cents",
+        F.when(upl3, F.col("cents") + F.expr("cents DIV 20")).otherwise(
+            F.col("cents")
+        ),
+    )
+    l2 = l1.withColumn(
+        "qty", F.when(upl2, F.col("qty") * 2).otherwise(F.col("qty"))
+    )
+
+    def months(df: DataFrame, cut: str) -> list:
+        return sorted(
+            r.o_month
+            for r in df.select("o_month").distinct().collect()
+            if r.o_month >= cut
+        )
+
+    p1 = txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "lineitem": (l1, "o_month", None)},
+    )
+    p2 = txn_commit(
+        base, 2,
+        {
+            "orders": (o2, "o_month", months(o2, _U19_CUT)),
+            "lineitem": (l2, "o_month", months(l1, _U19_CUT)),
+        },
+    )
+    p3 = txn_commit(
+        base, 3, {"orders": (o3, "o_month", months(o2, _U34_CUT2))}
+    )
+    if not (p1 == {"orders": 1, "lineitem": 1} and
+            p2 == {"orders": 2, "lineitem": 2} and
+            p3 == {"orders": 3, "lineitem": 2}):
+        raise ValueError(
+            f"u34_txn_change_feed: pointer chain wrong: {p1} {p2} {p3} "
+            "— txn 3 must advance orders only and carry lineitem"
+        )
+    spec = {
+        "orders": ("o_month", "k", ["cents"]),
+        "lineitem": ("o_month", "k", ["qty"]),
+    }
+    feed12 = txn_changes(spark, base, 1, 2, spec)
+    feed23 = txn_changes(spark, base, 2, 3, spec)
+    # the untouched table's empty feed comes from the POINTER, and it
+    # must also BE empty
+    if p2["lineitem"] != p3["lineitem"]:
+        raise ValueError(
+            "u34_txn_change_feed: lineitem advanced across txn 3 — "
+            "the short-circuit receipt is meaningless"
+        )
+    if feed23["lineitem"].count() != 0:
+        raise ValueError(
+            "u34_txn_change_feed: untouched lineitem emitted changes"
+        )
+    # mutual consistency: a quantity correction never publishes
+    # without its price correction in the same transaction
+    l_upd = feed12["lineitem"].filter(
+        F.col("change_type") == "update"
+    ).select("o_month", "k")
+    o_upd = feed12["orders"].filter(
+        F.col("change_type") == "update"
+    ).select("o_month", "k")
+    orphans = l_upd.join(o_upd, ["o_month", "k"], "left_anti").count()
+    if orphans:
+        raise ValueError(
+            f"u34_txn_change_feed: {orphans} quantity corrections have "
+            "no matching price correction in the same transaction"
+        )
+
+    def tagged(df: DataFrame, span: str, tbl: str, vcol: str) -> DataFrame:
+        return df.select(
+            F.lit(span).alias("span"),
+            F.lit(tbl).alias("tbl"),
+            "o_month",
+            "k",
+            "change_type",
+            F.col(f"{vcol}_before").alias("v_before"),
+            F.col(f"{vcol}_after").alias("v_after"),
+        )
+
+    return (
+        tagged(feed12["orders"], "t1..t2", "orders", "cents")
+        .unionByName(tagged(feed12["lineitem"], "t1..t2", "lineitem", "qty"))
+        .unionByName(tagged(feed23["orders"], "t2..t3", "orders", "cents"))
+    )
