@@ -29,6 +29,10 @@ _R15_NEW: list[str] = [
     # the u31 scheduler shape — per-partition clustering health with
     # the re-sort scoped to the degraded files of the degraded dirs
     "s18_partition_clustering_health",
+    # widening plan (c): S13 stats published per COMMIT and reassembled
+    # through U15 manifests — version-exact file skipping on
+    # non-partition predicates (hidden-partitioning read path)
+    "s19_snapshot_stats_travel",
     # widening plan (a): st20's live-compaction lifecycle gated by
     # u31's small-file census policy through mor_compact_seq's scoped
     # fold — receipts pin the fired AND the not-fired branch

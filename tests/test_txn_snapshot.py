@@ -598,3 +598,70 @@ def test_txn_changes_resolves_through_pointer(spark, tmp_path):
     # missing endpoint pointer: loud refusal
     with pytest.raises(ValueError, match="not retained"):
         txn_changes(spark, base, 1, 9, spec)
+
+
+# --- S19: stats that travel with the snapshot ----------------------------------
+
+
+def test_snapshot_stats_travel_by_reference(spark, tmp_path):
+    """snapshot_commit_stats sweeps ONLY the committed version's dir;
+    snapshot_stats_for reassembles a version-exact view through the
+    manifest — carried partitions keep the owner's entries (including
+    Hive-escaped dir names, matched decoded), rewritten ones swap to
+    the rewriter's; a version without a ledger refuses loudly; and
+    snapshot_read_pruned answers band reads identically to the full
+    scan while keeping fewer files."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        snapshot_read_pruned,
+        snapshot_stats_for,
+    )
+
+    base = str(tmp_path / "t")
+    snapshot_commit(
+        _df(spark, [(1, "a:x", 10), (2, "a:x", 20), (3, "b", 30)]),
+        base, 1, "m",
+    )
+    s1 = snapshot_commit_stats(spark, base, 1, ["pk", "val"])
+    assert all(r.startswith("v1/m=") for r in s1) and len(s1) == 2
+    # v2 rewrites only b; a:x travels by reference
+    snapshot_commit(
+        _df(spark, [(3, "b", 31), (4, "b", 40)]), base, 2, "m",
+        parts=["b"],
+    )
+    s2 = snapshot_commit_stats(spark, base, 2, ["pk", "val"])
+    assert all(r.startswith("v2/m=b/") for r in s2) and len(s2) == 1
+    view1 = snapshot_stats_for(base, 1, "m")
+    view2 = snapshot_stats_for(base, 2, "m")
+    assert set(view1) == set(s1)
+    ax = [r for r in view2 if "m=a%3Ax" in r]
+    assert ax and view2[ax[0]] == s1[ax[0]], (
+        "escaped partition must carry its v1 stats entry by reference"
+    )
+    assert [r for r in view2 if r.startswith("v2/")] == list(s2)
+    # band read: pk band [3,4] lives only in m=b at v2
+    df, kept, total = snapshot_read_pruned(
+        spark, base, 2, "m", "pk", 3, 4
+    )
+    assert (kept, total) == (1, 2)
+    assert sorted((r["pk"], r["val"]) for r in df.collect()) == [
+        (3, 31), (4, 40),
+    ]
+    # time travel: the SAME band at v1 prunes with v1-era stats
+    df1, kept1, total1 = snapshot_read_pruned(
+        spark, base, 1, "m", "pk", 3, 4
+    )
+    assert (kept1, total1) == (1, 2)
+    assert sorted((r["pk"], r["val"]) for r in df1.collect()) == [
+        (3, 30),
+    ]
+    # out-of-domain band: zero files, empty result, right schema
+    dfe, kept0, _t = snapshot_read_pruned(
+        spark, base, 2, "m", "pk", 99, 100
+    )
+    assert kept0 == 0 and dfe.count() == 0
+    assert set(dfe.columns) == {"pk", "m", "val"}
+    # a version with no ledger refuses loudly
+    os.remove(os.path.join(base, "_stats_v1.json"))
+    with pytest.raises(ValueError, match="no stats ledger"):
+        snapshot_stats_for(base, 2, "m")

@@ -83,10 +83,11 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # -> u33) likewise move those queries into changed-code slots.
 
 _ROUND15_FRONT = [
-    # round-15 NEW registrations (widening plan items (a), (b) and the
-    # first slots-remain surface (c)): an untested registration never
+    # round-15 NEW registrations (widening plan items (a), (b) and
+    # both slots-remain surfaces (c)): an untested registration never
     # waits behind stale refresh
     "s18_partition_clustering_health",
+    "s19_snapshot_stats_travel",
     "st21_gated_compact_live",
     "u34_txn_change_feed",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
@@ -148,7 +149,6 @@ _ROUND15_FRONT = [
     "l4c_cosine_topk_vectorized",
     "l5_ann_lsh",
     "l5c_matryoshka_recall",
-    "l6_vector_norms",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -227,6 +227,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l5b_ivf_recall",
     "l5d_pq_recall",
     "l5d_pq_topk",
+    "l6_vector_norms",
     "l7_word_frequency",
     "l8_tfidf_top_terms",
     "l9_lexicon_sentiment",

@@ -5751,3 +5751,368 @@ def u34_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(feed12["lineitem"], "t1..t2", "lineitem", "qty"))
         .unionByName(tagged(feed23["orders"], "t2..t3", "orders", "cents"))
     )
+
+
+# --- S19: file-skipping stats that travel with the snapshot ---------------------
+
+
+def snapshot_commit_stats(
+    spark: SparkSession, base: str, version: int, columns: list
+) -> dict:
+    """Persist footer min/max stats for the files VERSION wrote —
+    ``_stats_v{k}.json`` beside the manifest, keyed by base-relative
+    path.  The sweep covers ONLY ``v{k}``'s directory, so stats cost
+    is commit-proportional: partitions a commit shares by reference
+    keep the stats row their owning version already published, exactly
+    as they keep the data files.  This is the Iceberg/Delta contract
+    of stats living in the table metadata (manifest entries / the
+    transaction log) rather than in a side index that goes stale the
+    moment the table advances — :func:`snapshot_stats_for` reassembles
+    the per-version ledgers through the manifest, giving every
+    snapshot its own exact stats view.
+
+    Columns must be int/long/string-statted (JSON-portable); that
+    covers the skipping keys the S13 family uses.  Run it right after
+    :func:`snapshot_commit` with the same version number — a version
+    with data but no stats ledger makes :func:`snapshot_stats_for`
+    refuse loudly rather than silently skip nothing."""
+    import os
+
+    from update_database_by_wind_spark.operators.storage import (
+        build_file_stats_index,
+    )
+
+    vdir = os.path.join(base, f"v{version}")
+    rows = build_file_stats_index(spark, vdir, list(columns)).collect()
+    stats = {
+        os.path.relpath(r["file"], base): {
+            k: v for k, v in r.asDict().items() if k != "file"
+        }
+        for r in rows
+    }
+    atomic_write_json(
+        os.path.join(base, f"_stats_v{version}.json"), stats
+    )
+    return stats
+
+
+def snapshot_stats_for(
+    base: str, version: int, partition_col: str
+) -> dict:
+    """The stats view AS OF a snapshot: resolve the manifest's
+    partition → owning-version map and pull each partition's file
+    entries from the OWNER's stats ledger.  Metadata-only (one JSON
+    per referenced version), and the result covers exactly the files
+    :func:`snapshot_read` at that version would scan — shared
+    partitions carry their original stats by reference, rewritten
+    ones carry the rewriter's.  Partition-dir components are DECODED
+    before matching (Hive percent-escapes values — the
+    partition_orphan_gc lesson)."""
+    import json as _json
+    import os
+    from urllib.parse import unquote
+
+    with open(os.path.join(base, f"_manifest_v{version}.json")) as fh:
+        manifest: dict[str, int] = _json.load(fh)
+    ledgers: dict[int, dict] = {}
+    grouped: dict[int, dict[str, dict]] = {}
+    prefix = f"{partition_col}="
+    merged: dict[str, dict] = {}
+    for part, ver in manifest.items():
+        if ver not in ledgers:
+            path = os.path.join(base, f"_stats_v{ver}.json")
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"snapshot_stats_for: version {ver} has no stats "
+                    "ledger; run snapshot_commit_stats at commit time"
+                )
+            with open(path) as fh:
+                ledgers[ver] = _json.load(fh)
+            by_part: dict[str, dict] = {}
+            for rel, s in ledgers[ver].items():
+                comp = rel.split("/")[1]
+                if not comp.startswith(prefix):
+                    raise ValueError(
+                        f"snapshot_stats_for: ledger entry {rel!r} is "
+                        f"not under a {partition_col}= directory"
+                    )
+                by_part.setdefault(
+                    unquote(comp[len(prefix):]), {}
+                )[rel] = s
+            grouped[ver] = by_part
+        merged.update(grouped[ver].get(part, {}))
+    return merged
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    partition_col: str,
+    column: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Band read of a snapshot THROUGH its travelling stats: files
+    whose ``[column_min, column_max]`` cannot intersect ``[lo, hi]``
+    are dropped before any scan is planned.  Returns
+    ``(df, n_kept, n_total)`` so callers can assert the skipping
+    actually engaged.  The point versus S13's side index: the pruning
+    decision here is valid AS OF the snapshot — time travel to v1
+    prunes with v1-era stats even after v2 rewrote half the table —
+    and a predicate on a NON-partition column can skip whole
+    partitions without the reader knowing the partition transform
+    (Iceberg's hidden-partitioning read path)."""
+    import os
+    from collections import defaultdict
+
+    merged = snapshot_stats_for(base, version, partition_col)
+    kept = [
+        rel
+        for rel, s in merged.items()
+        if s[f"{column}_min"] <= hi and s[f"{column}_max"] >= lo
+    ]
+    if not kept:
+        empty = snapshot_read(
+            spark, base, version, partition_col
+        ).limit(0)
+        return empty, 0, len(merged)
+    by_vdir: dict[str, list] = defaultdict(list)
+    for rel in kept:
+        by_vdir[rel.split("/")[0]].append(os.path.join(base, rel))
+    scans = [
+        spark.read.option("basePath", os.path.join(base, vd)).parquet(
+            *sorted(files)
+        )
+        for vd, files in sorted(by_vdir.items())
+    ]
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return (
+        out.filter(F.col(column).between(lo, hi)),
+        len(kept),
+        len(merged),
+    )
+
+
+_S19_ORACLE = """
+WITH v1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
+         o_custkey, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+v2 AS (
+  SELECT k_bucket, o_custkey, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM v1
+)
+SELECT 'v1' AS phase, k_bucket,
+       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM v1, b WHERE o_custkey BETWEEN b.lo AND b.hi GROUP BY k_bucket
+UNION ALL
+SELECT 'v2' AS phase, k_bucket,
+       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM v2, b WHERE o_custkey BETWEEN b.lo AND b.hi GROUP BY k_bucket
+"""
+
+
+@query(
+    "s19_snapshot_stats_travel",
+    oracle=_S19_ORACLE,
+    tags=("source", "layout", "update"),
+)
+def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: file-skipping stats that TRAVEL WITH THE SNAPSHOT — the
+    round-14 verdict's last trajectory surface, closing the gap
+    between S13 (a side stats index over a static path, stale the
+    moment the table moves) and U15 (snapshots without stats): each
+    commit publishes footer stats for exactly the files it wrote, the
+    manifest reassembles a version-exact stats view, and a band read
+    at ANY version prunes with the stats that version's files really
+    have.
+
+    The ledger is bucket-partitioned on a custkey transform
+    (``k_bucket = 'b%02d' % (o_custkey div 64)``), and the probe is a
+    band on RAW ``o_custkey`` — a predicate on a non-partition column
+    that no name-based partition filter could serve without the
+    reader knowing the transform; the travelling stats prune it
+    anyway (Iceberg's hidden-partitioning read path).  v2 rewrites
+    only the %3 buckets (a 10% cents uplift) plus nothing else;
+    receipts, raise-style:
+
+    - v1's stats ledger covers exactly v1's committed files, and v2's
+      ledger covers ONLY files under v2/ (stats cost is
+      commit-proportional, never a table re-sweep);
+    - the merged stats view at v2 references BOTH ledgers (carried
+      buckets keep v1-era entries by reference, rewritten buckets
+      carry v2's) and its file set equals exactly what snapshot_read
+      at v2 would scan;
+    - the band read prunes at BOTH versions (kept < total), the
+      EXECUTED scan touches only kept files (input_file_name, the
+      s16 physical-receipt rule), and pruned == unpruned counts at
+      both versions — time travel to v1 after the rewrite still
+      answers with v1's values;
+    - an out-of-domain band keeps zero files and answers empty at
+      metadata cost.
+
+    Why it matters at 100 TB: a side index must be rebuilt (or
+    carefully patched) on every commit and can never answer 'as of
+    version N'; stats in the snapshot metadata are maintained by the
+    commit protocol itself, prune non-partition predicates across the
+    whole version history, and cost one footer sweep of exactly the
+    files each commit wrote."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_s19_{tag}/ledger"
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    v1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 64").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    snapshot_commit(v1, base, 1, "k_bucket")
+    stats1 = snapshot_commit_stats(
+        spark, base, 1, ["o_custkey", "cents"]
+    )
+
+    def vfiles(vdir: str) -> set:
+        out = set()
+        for root, dirs, files in os.walk(os.path.join(base, vdir)):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out.update(
+                os.path.relpath(os.path.join(root, f), base)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return out
+
+    if set(stats1) != vfiles("v1"):
+        raise ValueError(
+            "s19_snapshot_stats_travel: v1 stats ledger does not cover "
+            "exactly v1's committed files"
+        )
+    uplift_on = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    v2 = v1.withColumn(
+        "cents",
+        F.when(
+            uplift_on, F.col("cents") + F.expr("cents DIV 10")
+        ).otherwise(F.col("cents")),
+    )
+    rewritten = sorted(
+        r.k_bucket
+        for r in v1.select("k_bucket").distinct().collect()
+        if int(r.k_bucket[1:]) % 3 == 0
+    )
+    snapshot_commit(v2, base, 2, "k_bucket", parts=rewritten)
+    stats2 = snapshot_commit_stats(
+        spark, base, 2, ["o_custkey", "cents"]
+    )
+    if set(stats2) != vfiles("v2"):
+        raise ValueError(
+            "s19_snapshot_stats_travel: v2 stats ledger must cover "
+            "ONLY the files the commit wrote (commit-proportional cost)"
+        )
+    merged2 = snapshot_stats_for(base, 2, "k_bucket")
+    import json as _json
+
+    with open(os.path.join(base, "_manifest_v2.json")) as fh:
+        m2 = _json.load(fh)
+    want2 = set()
+    for part, ver in m2.items():
+        want2.update(
+            rel
+            for rel in (stats1 if ver == 1 else stats2)
+            if rel.startswith(f"v{ver}/k_bucket={part}/")
+        )
+    if set(merged2) != want2:
+        raise ValueError(
+            "s19_snapshot_stats_travel: the merged v2 stats view does "
+            "not equal the manifest-reachable file set"
+        )
+    owners = {rel.split("/")[0] for rel in merged2}
+    if owners != {"v1", "v2"}:
+        raise ValueError(
+            "s19_snapshot_stats_travel: the v2 stats view must carry "
+            f"v1 entries by reference AND v2's own (got {owners})"
+        )
+    phases = []
+    for version, frame in ((1, v1), (2, v2)):
+        pruned, n_kept, n_total = snapshot_read_pruned(
+            spark, base, version, "k_bucket", "o_custkey", lo, hi
+        )
+        if n_kept >= n_total:
+            raise ValueError(
+                f"s19_snapshot_stats_travel: v{version} band kept "
+                f"{n_kept}/{n_total} files — skipping never engaged"
+            )
+        full_n = (
+            snapshot_read(spark, base, version, "k_bucket")
+            .filter(F.col("o_custkey").between(lo, hi))
+            .count()
+        )
+        kept_paths = {
+            os.path.join(base, rel)
+            for rel, s in snapshot_stats_for(
+                base, version, "k_bucket"
+            ).items()
+            if s["o_custkey_min"] <= hi and s["o_custkey_max"] >= lo
+        }
+        actual = {
+            r[0].replace("file://", "")
+            for r in pruned.select(
+                F.input_file_name()
+            ).distinct().collect()
+        }
+        if pruned.count() != full_n:
+            raise ValueError(
+                f"s19_snapshot_stats_travel: v{version} pruned read "
+                "lost rows"
+            )
+        if not actual or not actual <= kept_paths:
+            raise ValueError(
+                f"s19_snapshot_stats_travel: v{version} executed scan "
+                "touched files outside the kept set — the receipt must "
+                "be physical"
+            )
+        phases.append(
+            pruned.groupBy("k_bucket").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+            ).select(
+                F.lit(f"v{version}").alias("phase"),
+                "k_bucket",
+                "n_rows",
+                "total_cents",
+            )
+        )
+    nothing, n0, _tot = snapshot_read_pruned(
+        spark, base, 2, "k_bucket", "o_custkey", dom.xm + 10, dom.xm + 20
+    )
+    if n0 != 0 or nothing.count() != 0:
+        raise ValueError(
+            "s19_snapshot_stats_travel: an out-of-domain band must "
+            "keep zero files and answer empty at metadata cost"
+        )
+    return phases[0].unionByName(phases[1])
