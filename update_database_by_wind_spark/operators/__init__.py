@@ -63,24 +63,32 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     rotation leaders; the guard will force them at r16 exactly as it
 #     forced this round's twenty.
 #
-# Round-15 widening plan (write the plan before registering — the
-# round-13/14 rhythm): (a) a streaming-side compaction-scheduler chain
-# — st20's live-compaction lifecycle gated by u31's small-file census
-# policy instead of an unconditional rewrite, with receipts pinning
-# BOTH branches (a fragmented run that fires and a healthy run that
-# provably does not); (b) partition-granular clustering-health
-# maintenance — s17's z-span census computed per PARTITION directory
-# of an S1b-style layout, feeding u31's scheduler so OPTIMIZE is
-# targetable per partition; (c) if slots remain: manifest-level file
-# skipping (S13 stats consulted through U15 snapshot manifests so
-# stats travel with the snapshot) and a multi-table change-data-feed
-# (U20 diffed through U19's transaction pointer so changelogs across
-# tables are mutually consistent).  Each lands with its query at the
-# VERY front of this list in the same commit, displacing fill from the
-# back; ADVICE-driven fixes to already-green paths (the
-# partition_orphan_gc unquote fix -> u32, self-healing
-# compact_partitions -> u31/st20, the txn_occ_commit refusal contract
-# -> u33) likewise move those queries into changed-code slots.
+# Round-15 widening plan — ALL FOUR ITEMS EXECUTED this round:
+# (a) landed as st21_gated_compact_live (st20's live-compaction
+# lifecycle gated by u31's small-file census through
+# mor_compact_seq's new parts scope — the scoped fold that removes
+# only the folded partitions' vector subdirs — with receipts pinning
+# BOTH branches: a broad batch that provably does not fire and a hot
+# burst that fires for exactly the months it fragmented); (b) landed
+# as s18_partition_clustering_health (partition_zspan_census — s17's
+# z-span rule per PARTITION dir — feeding a targeted re-sort into
+# bit-aligned curve quarters); (c) BOTH slots-remain surfaces landed:
+# s19_snapshot_stats_travel (snapshot_commit_stats /
+# snapshot_stats_for / snapshot_read_pruned — S13 stats published per
+# commit and reassembled through U15 manifests, version-exact
+# skipping on non-partition predicates) and u34_txn_change_feed
+# (txn_changes — U20's changelog resolved through U19's transaction
+# pointer, mutually consistent multi-table deltas with the
+# untouched-table metadata short-circuit).  The three round-14
+# ADVICE fixes shipped as changed-code entries (partition_orphan_gc
+# unquote -> u32, self-healing compact_partitions -> u31, the
+# txn_occ_commit refusal contract -> u33), and the scoped-fold core
+# change pulled st20/u18/u21/u24 into changed-code slots.  Candidate
+# round-16 surfaces (write the plan before registering): a
+# stats-maintaining snapshot_commit wrapper so s19's ledger is part
+# of the commit protocol itself (single call, crash-ordering
+# receipts), and a streaming consumer of u34's feed (st-family
+# incremental view maintenance driven by txn_changes deltas).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
