@@ -828,3 +828,118 @@ def test_scoped_compact_decodes_escaped_partition_dirs(spark, tmp_path):
         for r in mor_read_seq(spark, path, "m", "pk").collect()
     )
     assert got == [(1, "a:x", 11), (2, "b", 21)]
+
+
+_SEQ_BATCH = st.lists(
+    st.tuples(
+        st.sampled_from(["up", "del"]),
+        st.integers(0, 9),
+        st.integers(0, 99),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+_SEQ_SCHED = st.lists(
+    st.one_of(
+        st.tuples(st.just("batch"), _SEQ_BATCH),
+        st.tuples(
+            st.just("fold"),
+            st.sets(st.sampled_from(["a", "b"]), max_size=2),
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(sched=_SEQ_SCHED)
+# the scope-boundary hazard the fixtures can't vary: fold one
+# partition mid-stream, then delete a key whose image the fold just
+# rewrote, then fold everything — the rewritten survivor must still
+# die to the later tombstone
+@example(
+    sched=[
+        ("batch", [("up", 1, 50)]),
+        ("fold", {"a"}),
+        ("batch", [("del", 1, 0)]),
+        ("fold", {"a", "b"}),
+    ]
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scoped_fold_replays_like_a_dict(spark, tmp_path_factory, sched):
+    """Round-15 law, model-based: for ANY interleaving of CDC batches
+    (upserts/inserts/deletes with strictly increasing sequence) and
+    SCOPED folds of arbitrary partition subsets, mor_read_seq equals
+    a plain dict replay after every step — the scoped fold is
+    invisible to the CDC algebra no matter where the scope boundary
+    falls — and a final full fold converges the physical table to the
+    model."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+    )
+
+    path = str(tmp_path_factory.mktemp("scopefuzz") / "t")
+    seed = [(0, "a", 10), (1, "a", 11), (5, "b", 15), (6, "b", 16)]
+    spark.createDataFrame(
+        [(pk, m, v, 0) for pk, m, v in seed],
+        "pk long, m string, val long, __seq long",
+    ).repartition(F.col("m")).write.partitionBy("m").parquet(path)
+    model = {pk: (m, v) for pk, m, v in seed}
+    seq = 0
+
+    def check():
+        got = sorted(
+            (r["pk"], r["m"], r["val"])
+            for r in mor_read_seq(spark, path, "m", "pk").collect()
+        )
+        want = sorted((pk, m, v) for pk, (m, v) in model.items())
+        assert got == want, (got, want)
+
+    for op, arg in sched:
+        if op == "batch":
+            seq += 1
+            rows, seen = [], set()
+            for kind, key, val in arg:
+                if key in seen:
+                    continue  # one op per key per micro-batch
+                seen.add(key)
+                part = "a" if key < 5 else "b"
+                if kind == "up":
+                    rows.append(
+                        ("U" if key in model else "I", part, key, val)
+                    )
+                    model[key] = (part, val)
+                else:
+                    rows.append(("D", part, key, None))
+                    model.pop(key, None)
+            mor_cdc_apply(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "op string, m string, pk long, val long"
+                ),
+                "m", "pk", ["val"], seq=seq,
+            )
+        else:
+            parts = sorted(arg)
+            mor_compact_seq(spark, path, "m", "pk", parts=parts)
+            for p in parts:
+                assert not os.path.isdir(
+                    os.path.join(path, "_deletes", f"m={p}")
+                )
+        check()
+    mor_compact_seq(spark, path, "m", "pk")
+    got_plain = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got_plain == sorted(
+        (pk, m, v) for pk, (m, v) in model.items()
+    )
+    assert not os.path.isdir(os.path.join(path, "_deletes"))
