@@ -42,6 +42,10 @@ _R15_NEW: list[str] = [
     # multi-table deltas with a metadata short-circuit for untouched
     # tables
     "u34_txn_change_feed",
+    # the feed's consumer: a cross-table materialized view maintained
+    # incrementally from txn_changes deltas, recompute-checked after
+    # every application
+    "u35_feed_view_maintenance",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -83,12 +83,17 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # ADVICE fixes shipped as changed-code entries (partition_orphan_gc
 # unquote -> u32, self-healing compact_partitions -> u31, the
 # txn_occ_commit refusal contract -> u33), and the scoped-fold core
-# change pulled st20/u18/u21/u24 into changed-code slots.  Candidate
+# change pulled st20/u18/u21/u24 into changed-code slots.  A fifth
+# surface landed late-round: u35_feed_view_maintenance — the consumer
+# that justifies u34, a cross-table materialized view maintained
+# incrementally from txn_changes deltas (initial materialization at
+# txn 1 is the only full scan; every later transaction applies signed
+# per-month deltas and is recompute-checked cell-exact).  Candidate
 # round-16 surfaces (write the plan before registering): a
 # stats-maintaining snapshot_commit wrapper so s19's ledger is part
 # of the commit protocol itself (single call, crash-ordering
-# receipts), and a streaming consumer of u34's feed (st-family
-# incremental view maintenance driven by txn_changes deltas).
+# receipts), and the STREAMING form of u35 (foreachBatch view
+# maintenance driven per micro-batch by txn_changes deltas).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
@@ -98,6 +103,7 @@ _ROUND15_FRONT = [
     "s19_snapshot_stats_travel",
     "st21_gated_compact_live",
     "u34_txn_change_feed",
+    "u35_feed_view_maintenance",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
     # u24 route through the compaction core that grew the scoped-fold
@@ -156,7 +162,6 @@ _ROUND15_FRONT = [
     "l4b_cosine_topk_blocked",
     "l4c_cosine_topk_vectorized",
     "l5_ann_lsh",
-    "l5c_matryoshka_recall",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -233,6 +238,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l5_ivf_topk",
     "l5b2_ivf_kmeans_recall",
     "l5b_ivf_recall",
+    "l5c_matryoshka_recall",
     "l5d_pq_recall",
     "l5d_pq_topk",
     "l6_vector_norms",

@@ -5509,7 +5509,105 @@ def txn_changes(
 
 _U34_CUT2 = "1998-01"
 
-_U34_ORACLE = f"""
+_TXN_FEED_SPEC = {
+    "orders": ("o_month", "k", ["cents"]),
+    "lineitem": ("o_month", "k", ["qty"]),
+}
+
+
+def _txn_feed_group(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Build the three-transaction two-table fixture U34 and U35 share
+    (the SQL replay lives in ``_TXN_FEED_CTES`` — one source of truth
+    for both oracles): txn 1 seeds the order ledger and its per-order
+    quantity rollup, txn 2 lands a CONSISTENT correction in both (%97
+    keys from _U19_CUT: 10% cents uplift + quantity double, plus five
+    late bookings in a new month), txn 3 touches ONLY orders (%89
+    keys from _U34_CUT2: +5%).  Commits name exactly the changed
+    months (snapshot_changes' changed-partition cost model depends on
+    it) and the pointer-chain receipt pins that txn 3 advanced orders
+    to table-version 3 while carrying lineitem at 2."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_{tag}_{sfx}/g"
+    shutil.rmtree(base, ignore_errors=True)
+    o1 = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = (
+        lineitem.join(
+            o1.select("k", "o_month"),
+            lineitem["l_orderkey"] == o1["k"],
+        )
+        .groupBy("o_month", "k")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    k = F.col("k")
+    upl2 = (F.col("o_month") >= _U19_CUT) & (k % 97 == 0)
+    inserts = spark.range(5).select(
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(900000000) + F.col("id")).alias("k"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    o2 = o1.withColumn(
+        "cents",
+        F.when(upl2, F.col("cents") + F.expr("cents DIV 10")).otherwise(
+            F.col("cents")
+        ),
+    ).unionByName(inserts)
+    upl3 = (F.col("o_month") >= _U34_CUT2) & (k % 89 == 0)
+    o3 = o2.withColumn(
+        "cents",
+        F.when(upl3, F.col("cents") + F.expr("cents DIV 20")).otherwise(
+            F.col("cents")
+        ),
+    )
+    l2 = l1.withColumn(
+        "qty", F.when(upl2, F.col("qty") * 2).otherwise(F.col("qty"))
+    )
+
+    def months(df: DataFrame, cut: str) -> list:
+        return sorted(
+            r.o_month
+            for r in df.select("o_month").distinct().collect()
+            if r.o_month >= cut
+        )
+
+    p1 = txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "lineitem": (l1, "o_month", None)},
+    )
+    p2 = txn_commit(
+        base, 2,
+        {
+            "orders": (o2, "o_month", months(o2, _U19_CUT)),
+            "lineitem": (l2, "o_month", months(l1, _U19_CUT)),
+        },
+    )
+    p3 = txn_commit(
+        base, 3, {"orders": (o3, "o_month", months(o2, _U34_CUT2))}
+    )
+    if not (p1 == {"orders": 1, "lineitem": 1} and
+            p2 == {"orders": 2, "lineitem": 2} and
+            p3 == {"orders": 3, "lineitem": 2}):
+        raise ValueError(
+            f"txn feed fixture: pointer chain wrong: {p1} {p2} {p3} "
+            "— txn 3 must advance orders only and carry lineitem"
+        )
+    return base
+
+# the three-transaction two-table replay shared by U34 (the feed
+# itself) and U35 (the view maintained FROM the feed) — one source of
+# truth so the two oracles can never drift
+_TXN_FEED_CTES = f"""
 WITH o1 AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -5540,7 +5638,9 @@ l2 AS (
          CASE WHEN o_month >= '{_U19_CUT}' AND k % 97 = 0
               THEN qty * 2 ELSE qty END AS qty
   FROM l1
-),
+)"""
+
+_U34_ORACLE = _TXN_FEED_CTES + """,
 d_o12 AS (
   SELECT COALESCE(a.o_month, b.o_month) AS o_month,
          COALESCE(a.k, b.k) AS k,
@@ -5627,91 +5727,21 @@ def u34_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves reads are torn-free, u34 proves the DELTAS are too, and
     the untouched-table short-circuit keeps the nightly "what changed
     for me" question metadata-cheap."""
-    import hashlib
-    import shutil
-    import tempfile
-
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/wind_spark_txncdf_{tag}/g"
-    shutil.rmtree(base, ignore_errors=True)
-    o1 = orders.select(
-        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-    l1 = (
-        lineitem.join(
-            o1.select("k", "o_month"),
-            lineitem["l_orderkey"] == o1["k"],
-        )
-        .groupBy("o_month", "k")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
-    )
-    k = F.col("k")
-    upl2 = (F.col("o_month") >= _U19_CUT) & (k % 97 == 0)
-    inserts = spark.range(5).select(
-        F.lit("2024-01").alias("o_month"),
-        (F.lit(900000000) + F.col("id")).alias("k"),
-        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
-    )
-    o2 = o1.withColumn(
-        "cents",
-        F.when(upl2, F.col("cents") + F.expr("cents DIV 10")).otherwise(
-            F.col("cents")
-        ),
-    ).unionByName(inserts)
-    upl3 = (F.col("o_month") >= _U34_CUT2) & (k % 89 == 0)
-    o3 = o2.withColumn(
-        "cents",
-        F.when(upl3, F.col("cents") + F.expr("cents DIV 20")).otherwise(
-            F.col("cents")
-        ),
-    )
-    l2 = l1.withColumn(
-        "qty", F.when(upl2, F.col("qty") * 2).otherwise(F.col("qty"))
-    )
-
-    def months(df: DataFrame, cut: str) -> list:
-        return sorted(
-            r.o_month
-            for r in df.select("o_month").distinct().collect()
-            if r.o_month >= cut
-        )
-
-    p1 = txn_commit(
-        base, 1,
-        {"orders": (o1, "o_month", None), "lineitem": (l1, "o_month", None)},
-    )
-    p2 = txn_commit(
-        base, 2,
-        {
-            "orders": (o2, "o_month", months(o2, _U19_CUT)),
-            "lineitem": (l2, "o_month", months(l1, _U19_CUT)),
-        },
-    )
-    p3 = txn_commit(
-        base, 3, {"orders": (o3, "o_month", months(o2, _U34_CUT2))}
-    )
-    if not (p1 == {"orders": 1, "lineitem": 1} and
-            p2 == {"orders": 2, "lineitem": 2} and
-            p3 == {"orders": 3, "lineitem": 2}):
-        raise ValueError(
-            f"u34_txn_change_feed: pointer chain wrong: {p1} {p2} {p3} "
-            "— txn 3 must advance orders only and carry lineitem"
-        )
-    spec = {
-        "orders": ("o_month", "k", ["cents"]),
-        "lineitem": ("o_month", "k", ["qty"]),
-    }
+    base = _txn_feed_group(spark, sf_dir, "txncdf")
+    spec = _TXN_FEED_SPEC
     feed12 = txn_changes(spark, base, 1, 2, spec)
     feed23 = txn_changes(spark, base, 2, 3, spec)
-    # the untouched table's empty feed comes from the POINTER, and it
-    # must also BE empty
-    if p2["lineitem"] != p3["lineitem"]:
+    # the untouched table's empty feed comes from the POINTER (the
+    # fixture's pointer-chain receipt already pinned lineitem carried
+    # at table-version 2 across txn 3), and it must also BE empty
+    import json as _json
+    import os
+
+    with open(os.path.join(base, "_txn_v2.json")) as fh:
+        ptr2 = _json.load(fh)
+    with open(os.path.join(base, "_txn_v3.json")) as fh:
+        ptr3 = _json.load(fh)
+    if ptr2["lineitem"] != ptr3["lineitem"]:
         raise ValueError(
             "u34_txn_change_feed: lineitem advanced across txn 3 — "
             "the short-circuit receipt is meaningless"
@@ -6116,3 +6146,147 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep zero files and answer empty at metadata cost"
         )
     return phases[0].unionByName(phases[1])
+
+
+# --- U35: incremental view maintenance FROM the multi-table feed ----------------
+
+_U35_ORACLE = _TXN_FEED_CTES + """,
+ov AS (
+  SELECT o_month, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM o3 GROUP BY o_month
+),
+lv AS (
+  SELECT o_month, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM l2 GROUP BY o_month
+)
+SELECT ov.o_month, ov.n_orders, ov.total_cents,
+       COALESCE(lv.total_qty, 0) AS total_qty
+FROM ov LEFT JOIN lv ON ov.o_month = lv.o_month
+"""
+
+
+@query(
+    "u35_feed_view_maintenance",
+    oracle=_U35_ORACLE,
+    tags=("update", "cdf", "view"),
+)
+def u35_feed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U35: the consumer that justifies U34 — a materialized
+    cross-table view (per-month order count, cents total, quantity
+    total: one row joining BOTH tables of the group) maintained
+    INCREMENTALLY from :func:`txn_changes` deltas.  The view is
+    materialized once from transaction 1 (the only full scan), then
+    each later transaction applies ONLY its feed: signed count/sum
+    deltas per month (insert → +1/+after, delete → −1/−before,
+    update → +(after − before)), merged into the stored view by a
+    full-outer month join — never a rescan of either fact table.
+
+    Why the TRANSACTION feed and not two per-table CDFs: the view row
+    mixes columns from both tables, so deltas diffed from
+    independently chosen table versions can land a price uplift
+    without its quantity double — a view state that NO transaction
+    ever published.  Resolving both deltas through the same two
+    pointers makes every intermediate view state one a reader at that
+    transaction would have computed; the receipt proves it by
+    recomputing the view from scratch through :func:`txn_read` after
+    EVERY application and requiring cell-exact agreement (a full-outer
+    anti-compare, not a count).
+
+    Receipts, raise-style: per-transaction incremental ≡ from-scratch
+    (both spans — the t2→t3 span exercises the half-empty feed); the
+    t2→t3 lineitem delta aggregation is ZERO rows (the pointer
+    short-circuit means the maintenance job read no lineitem data at
+    all for a transaction that never touched it).
+
+    Why it matters at 100 TB: nightly view maintenance that rescans
+    the fact tables costs the same as rebuilding the view; applying
+    changed-partition deltas costs O(changed rows), and the
+    pointer-resolved feed is what lets the optimization keep the
+    cross-table consistency a rebuild would have had for free."""
+    base = _txn_feed_group(spark, sf_dir, "u35")
+    # view pins live beside the group store, under the same tag-scoped
+    # scratch root the fixture created
+    root = base.rsplit("/", 1)[0]
+    zero = F.lit(0).cast("long")
+
+    def scratch_view(tv: int) -> DataFrame:
+        o = txn_read(spark, base, tv, "orders", "o_month")
+        li = txn_read(spark, base, tv, "lineitem", "o_month")
+        ov = o.groupBy("o_month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        lv = li.groupBy("o_month").agg(F.sum("qty").alias("total_qty"))
+        return ov.join(lv, "o_month", "left").withColumn(
+            "total_qty", F.coalesce("total_qty", zero)
+        )
+
+    view = pin_snapshot(scratch_view(1), f"{root}/_view_t1")
+    for t_from, t_to in ((1, 2), (2, 3)):
+        feeds = txn_changes(spark, base, t_from, t_to, _TXN_FEED_SPEC)
+        ct = F.col("change_type")
+        od = feeds["orders"].groupBy("o_month").agg(
+            F.sum(
+                F.when(ct == "insert", 1)
+                .when(ct == "delete", -1)
+                .otherwise(0)
+            ).alias("d_n"),
+            F.sum(
+                F.coalesce("cents_after", zero)
+                - F.coalesce("cents_before", zero)
+            ).alias("d_cents"),
+        )
+        ld = feeds["lineitem"].groupBy("o_month").agg(
+            F.sum(
+                F.coalesce("qty_after", zero)
+                - F.coalesce("qty_before", zero)
+            ).alias("d_qty"),
+        )
+        if t_to == 3 and ld.count() != 0:
+            raise ValueError(
+                "u35_feed_view_maintenance: the t2→t3 maintenance read "
+                "lineitem delta rows for a transaction that never "
+                "touched lineitem — the pointer short-circuit is broken"
+            )
+        applied = (
+            view.join(od, "o_month", "full")
+            .join(ld, "o_month", "full")
+            .select(
+                "o_month",
+                (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
+                .alias("n_orders"),
+                (
+                    F.coalesce("total_cents", zero)
+                    + F.coalesce("d_cents", zero)
+                ).alias("total_cents"),
+                (
+                    F.coalesce("total_qty", zero)
+                    + F.coalesce("d_qty", zero)
+                ).alias("total_qty"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        view = pin_snapshot(applied, f"{root}/_view_t{t_to}")
+        want = scratch_view(t_to).select(
+            "o_month",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("total_qty").alias("w_qty"),
+        )
+        mism = (
+            view.join(want, "o_month", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("total_qty").eqNullSafe(F.col("w_qty"))
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"u35_feed_view_maintenance: incremental view diverged "
+                f"from the from-scratch recompute at transaction {t_to} "
+                f"({mism} months differ)"
+            )
+    return view
