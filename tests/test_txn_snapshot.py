@@ -665,3 +665,44 @@ def test_snapshot_stats_travel_by_reference(spark, tmp_path):
     os.remove(os.path.join(base, "_stats_v1.json"))
     with pytest.raises(ValueError, match="no stats ledger"):
         snapshot_stats_for(base, 2, "m")
+
+
+def test_commit_with_stats_crash_ordering(spark, tmp_path):
+    """snapshot_commit_with_stats' crash contract: the ledger publishes
+    strictly AFTER the manifest, so the mid-gap crash state (manifest
+    present, ledger absent) leaves the version fully readable while
+    stats-routed reads refuse loudly — and recovery is one idempotent
+    re-run of snapshot_commit_stats, converging to the same ledger."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        snapshot_commit_with_stats,
+        snapshot_read_pruned,
+        snapshot_stats_for,
+    )
+
+    base = str(tmp_path / "t")
+    s1 = snapshot_commit_with_stats(
+        spark, _df(spark, [(1, "a", 10), (5, "b", 50)]), base, 1, "m",
+        ["pk", "val"],
+    )
+    assert set(snapshot_stats_for(base, 1, "m")) == set(s1)
+    # the crash gap: v2's manifest published, ledger never written
+    snapshot_commit(
+        _df(spark, [(5, "b", 51)]), base, 2, "m", parts=["b"]
+    )
+    assert _rows(snapshot_read(spark, base, 2, "m")) == [
+        (1, "a", 10), (5, "b", 51),
+    ]  # plain reads never consult stats
+    with pytest.raises(ValueError, match="no stats ledger"):
+        snapshot_stats_for(base, 2, "m")
+    with pytest.raises(ValueError, match="no stats ledger"):
+        snapshot_read_pruned(spark, base, 2, "m", "pk", 0, 9)
+    # recovery: idempotent stats re-run for the named version
+    s2a = snapshot_commit_stats(spark, base, 2, ["pk", "val"])
+    s2b = snapshot_commit_stats(spark, base, 2, ["pk", "val"])
+    assert s2a == s2b
+    df, kept, total = snapshot_read_pruned(
+        spark, base, 2, "m", "pk", 5, 9
+    )
+    assert (kept, total) == (1, 2)
+    assert _rows(df) == [(5, "b", 51)]

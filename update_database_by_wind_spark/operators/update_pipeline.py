@@ -5826,6 +5826,38 @@ def snapshot_commit_stats(
     return stats
 
 
+def snapshot_commit_with_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    version: int,
+    partition_col: str,
+    stat_cols: list,
+    parts: list | None = None,
+) -> dict:
+    """Commit + stats as ONE protocol step: :func:`snapshot_commit`
+    publishes the data and manifest, then :func:`snapshot_commit_stats`
+    publishes the version's stats ledger.  Crash ordering is the
+    contract: the ledger is written strictly AFTER the manifest, so a
+    crash in the gap leaves the version fully READABLE
+    (snapshot_read never consults stats) while every stats-routed
+    band read refuses loudly (:func:`snapshot_stats_for`'s missing-
+    ledger error) instead of silently scanning nothing — and recovery
+    is exactly one idempotent re-run of ``snapshot_commit_stats`` for
+    the named version (the footer sweep rereads immutable committed
+    files; atomic_write_json republishes the same ledger).  The
+    reverse order would be wrong twice over: a ledger describing
+    files that never published poisons :func:`snapshot_stats_for`'s
+    reachability claim, and snapshot_commit's own crash-retry path
+    (stage + rename) could legitimately produce different file names
+    on the retry.
+
+    Returns the stats ledger (the commit's manifest is on disk, same
+    as snapshot_commit)."""
+    snapshot_commit(df, base, version, partition_col, parts)
+    return snapshot_commit_stats(spark, base, version, stat_cols)
+
+
 def snapshot_stats_for(
     base: str, version: int, partition_col: str
 ) -> dict:
@@ -6022,9 +6054,8 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     lo = dom.mn + (dom.xm - dom.mn) // 8
     hi = dom.mn + (dom.xm - dom.mn) // 4
-    snapshot_commit(v1, base, 1, "k_bucket")
-    stats1 = snapshot_commit_stats(
-        spark, base, 1, ["o_custkey", "cents"]
+    stats1 = snapshot_commit_with_stats(
+        spark, v1, base, 1, "k_bucket", ["o_custkey", "cents"]
     )
 
     def vfiles(vdir: str) -> set:
@@ -6055,9 +6086,9 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in v1.select("k_bucket").distinct().collect()
         if int(r.k_bucket[1:]) % 3 == 0
     )
-    snapshot_commit(v2, base, 2, "k_bucket", parts=rewritten)
-    stats2 = snapshot_commit_stats(
-        spark, base, 2, ["o_custkey", "cents"]
+    stats2 = snapshot_commit_with_stats(
+        spark, v2, base, 2, "k_bucket", ["o_custkey", "cents"],
+        parts=rewritten,
     )
     if set(stats2) != vfiles("v2"):
         raise ValueError(
