@@ -727,7 +727,7 @@ def test_scoped_compact_folds_only_named_partitions(spark, tmp_path):
         if "/m=b/" in p or "/m=c/" in p
     }
     res = mor_compact_seq(spark, path, "m", "pk", parts=["a"])
-    assert res == {"dropped": [], "rewritten": ["a"]}
+    assert res == {"dropped": [], "rewritten": ["a"], "merged": []}
     # scope receipts: a's vectors folded and removed, b/c untouched
     dels = os.path.join(path, "_deletes")
     assert not os.path.isdir(os.path.join(dels, "m=a"))
@@ -788,6 +788,7 @@ def test_scoped_compact_empty_parts_is_noop(spark, tmp_path):
     assert mor_compact_seq(spark, path, "m", "pk", parts=[]) == {
         "dropped": [],
         "rewritten": [],
+        "merged": [],
     }
     assert _file_stats(path) == before
     assert sorted(
@@ -819,7 +820,7 @@ def test_scoped_compact_decodes_escaped_partition_dirs(spark, tmp_path):
         "m", "pk", ["val"], seq=1,
     )
     res = mor_compact_seq(spark, path, "m", "pk", parts=["a:x"])
-    assert res == {"dropped": [], "rewritten": ["a:x"]}
+    assert res == {"dropped": [], "rewritten": ["a:x"], "merged": []}
     dels = os.path.join(path, "_deletes")
     assert not os.path.isdir(os.path.join(dels, "m=a%3Ax"))
     assert os.path.isdir(os.path.join(dels, "m=b"))
@@ -943,3 +944,47 @@ def test_scoped_fold_replays_like_a_dict(spark, tmp_path_factory, sched):
         (pk, m, v) for pk, (m, v) in model.items()
     )
     assert not os.path.isdir(os.path.join(path, "_deletes"))
+
+
+def test_scoped_fold_merges_insert_fragmented_partitions(spark, tmp_path):
+    """Round-15 reviewer scenario: a partition named by the census for
+    INSERT-only fragmentation carries no delete vectors, so the vector
+    fold has nothing to do — the scoped work order must merge its
+    files anyway (reported under 'merged'), or the scheduler names it
+    again on every trigger forever."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        mor_cdc_apply,
+        mor_compact_seq,
+        mor_read_seq,
+        small_file_census,
+    )
+
+    path = str(tmp_path / "t")
+    _seed_seq(spark, path, [(1, "a", 10, 0), (5, "b", 50, 0)])
+    # three insert-only batches fragment ONLY partition a
+    for seq, (pk, val) in enumerate([(2, 20), (3, 30), (4, 40)], start=1):
+        mor_cdc_apply(
+            spark, path, _cdc(spark, [("I", "a", pk, val)]),
+            "m", "pk", ["val"], seq=seq,
+        )
+    census = {c["partition"]: c["n_files"]
+              for c in small_file_census(path, "m")}
+    assert census == {"a": 4, "b": 1}
+    want = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in mor_read_seq(spark, path, "m", "pk").collect()
+    )
+    res = mor_compact_seq(spark, path, "m", "pk", parts=["a"])
+    assert res == {"dropped": [], "rewritten": [], "merged": ["a"]}
+    census2 = {c["partition"]: c["n_files"]
+               for c in small_file_census(path, "m")}
+    assert census2 == {"a": 1, "b": 1}
+    got = sorted(
+        (r["pk"], r["m"], r["val"])
+        for r in mor_read_seq(spark, path, "m", "pk").collect()
+    )
+    assert got == want
+    # a single-file named partition has nothing to merge: honest no-op
+    assert mor_compact_seq(spark, path, "m", "pk", parts=["b"]) == {
+        "dropped": [], "rewritten": [], "merged": [],
+    }

@@ -152,10 +152,14 @@ def test_window_structure():
     """New queries first, then changed-code, then the twenty r9-stale
     leaders the evidence-age guard named, then the r10-stale fill in
     the pinned family sequence (riskiest first, each block sorted).
-    The fifteen r10-stale queries past the window edge (a9/a9b,
-    a10–a13, e1, f_array/f_map, o1, p1, q3, s10, sql_correlated,
-    t_bpe, ts_rolling_corr) are round 16's leaders — the guard will
-    force them at r16 exactly as it forced this round's twenty."""
+    Round 16's forced leaders are the TWENTY-SEVEN r10-stale queries
+    outside the final window — the fifteen never in fill (a9, a10–a13,
+    e1, f_array/f_map, o1, p1, q3, s10, sql_correlated, t_bpe,
+    ts_rolling_corr; not a9b, whose latest green is r12) plus the
+    twelve the round's registrations displaced (a2, a4–a8 family, g2,
+    l5c, l6, l7) — recompute from the artifacts when rotating; the
+    guard forces them at r16 exactly as it forced this round's
+    twenty."""
     names = list(REGISTRY)
     n_new = len(_R15_NEW)
     assert names[:n_new] == _R15_NEW

@@ -643,7 +643,8 @@ def test_snapshot_stats_travel_by_reference(spark, tmp_path):
     df, kept, total = snapshot_read_pruned(
         spark, base, 2, "m", "pk", 3, 4
     )
-    assert (kept, total) == (1, 2)
+    assert (len(kept), total) == (1, 2)
+    assert kept[0].startswith("v2/m=b/")
     assert sorted((r["pk"], r["val"]) for r in df.collect()) == [
         (3, 31), (4, 40),
     ]
@@ -651,7 +652,8 @@ def test_snapshot_stats_travel_by_reference(spark, tmp_path):
     df1, kept1, total1 = snapshot_read_pruned(
         spark, base, 1, "m", "pk", 3, 4
     )
-    assert (kept1, total1) == (1, 2)
+    assert (len(kept1), total1) == (1, 2)
+    assert kept1[0].startswith("v1/m=b/")
     assert sorted((r["pk"], r["val"]) for r in df1.collect()) == [
         (3, 30),
     ]
@@ -659,7 +661,7 @@ def test_snapshot_stats_travel_by_reference(spark, tmp_path):
     dfe, kept0, _t = snapshot_read_pruned(
         spark, base, 2, "m", "pk", 99, 100
     )
-    assert kept0 == 0 and dfe.count() == 0
+    assert kept0 == [] and dfe.count() == 0
     assert set(dfe.columns) == {"pk", "m", "val"}
     # a version with no ledger refuses loudly
     os.remove(os.path.join(base, "_stats_v1.json"))
@@ -704,5 +706,39 @@ def test_commit_with_stats_crash_ordering(spark, tmp_path):
     df, kept, total = snapshot_read_pruned(
         spark, base, 2, "m", "pk", 5, 9
     )
-    assert (kept, total) == (1, 2)
+    assert (len(kept), total) == (1, 2)
     assert _rows(df) == [(5, "b", 51)]
+
+
+def test_txn_changes_feeds_added_table_as_inserts(spark, tmp_path):
+    """A table added to the group mid-history (absent at txn_from,
+    present at txn_to) feeds its entire txn_to snapshot as inserts
+    with NULL before-images — not a raw manifest-read crash."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_changes,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(
+        base, 1, {"t1": (_df(spark, [(1, "a", 10)]), "m", None)}
+    )
+    txn_commit(
+        base, 2,
+        {
+            "t1": (_df(spark, [(1, "a", 11)]), "m", ["a"]),
+            "t2": (_df(spark, [(7, "x", 70), (8, "y", 80)]), "m", None),
+        },
+    )
+    feeds = txn_changes(
+        spark, base, 1, 2,
+        {"t1": ("m", "pk", ["val"]), "t2": ("m", "pk", ["val"])},
+    )
+    got = sorted(
+        (r["m"], r["pk"], r["change_type"], r["val_before"], r["val_after"])
+        for r in feeds["t2"].collect()
+    )
+    assert got == [
+        ("x", 7, "insert", None, 70),
+        ("y", 8, "insert", None, 80),
+    ]
+    assert feeds["t2"].columns == feeds["t1"].columns

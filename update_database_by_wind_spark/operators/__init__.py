@@ -47,21 +47,27 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     r9 f_* scalar families, o5/o5b/o6, p2/p3, s12_incremental_ingest,
 #     the four tr_* plumbing queries, ts_ewma).  With these refreshed,
 #     every registered query is within five rounds of driver evidence;
-# (b) THIRTY of the 45 r10-stale queries as fill, riskiest families
-#     first (streaming CDC, the update lifecycle, pandas UDFs, windows,
-#     joins, the dedup/ANN l-family, pagerank) and pure-expression
-#     aggregates last — so that when round-15 code work lands and new /
-#     changed-code queries displace fill from the back (the "no
-#     untested registration" rule, extended to rewrites), what drops
-#     out is the lowest-risk block.  The FIFTEEN r10-stale queries left
-#     past the edge (a9/a9b percentile shapes, a10-a13 moment/mode/
-#     histogram expression aggregates, e1_event_funnel, f_array/f_map,
-#     o1_global_sort, p1, q3 — re-benched implicitly via the TPC-H
-#     block, s10_zorder_clustering — its machinery earned r14 evidence
-#     via s17, sql_correlated_subquery, t_bpe_pair_counts,
-#     ts_rolling_corr) are the conscious overflow and round 16's
-#     rotation leaders; the guard will force them at r16 exactly as it
-#     forced this round's twenty.
+# (b) r10-stale fill, riskiest families first (streaming CDC, the
+#     update lifecycle, pandas UDFs, windows, joins, the dedup/ANN
+#     l-family) and pure-expression aggregates last — so that as
+#     round-15 code work landed and new / changed-code queries
+#     displaced fill from the back (the "no untested registration"
+#     rule, extended to rewrites), what dropped out was the
+#     lowest-risk block.  The rotation opened with THIRTY fill slots;
+#     the round's 5 new + 7 changed registrations displaced twelve
+#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l5c, l6, l7), leaving 18
+#     in the final window.  Round 16's forced leaders are therefore
+#     TWENTY-SEVEN r10-stale queries: the fifteen never in fill (a9,
+#     a10-a13 moment/mode/histogram expression aggregates,
+#     e1_event_funnel, f_array/f_map, o1_global_sort, p1, q3 —
+#     re-benched implicitly via the TPC-H block, s10_zorder_clustering
+#     — its machinery earned r14 evidence via s17,
+#     sql_correlated_subquery, t_bpe_pair_counts, ts_rolling_corr;
+#     NOT a9b — its latest green is r12) plus the twelve displaced;
+#     the guard will force them at r16 exactly as it forced this
+#     round's twenty, and 27 fits the 50-window with room for new
+#     work.  Recompute from the CORRECTNESS artifacts when rotating —
+#     this paragraph is planning context, the artifacts are truth.
 #
 # Round-15 widening plan — ALL FOUR ITEMS EXECUTED this round:
 # (a) landed as st21_gated_compact_live (st20's live-compaction

@@ -2750,6 +2750,14 @@ def mor_compact_seq(
     probe, nothing written, nothing removed.  Non-null partition
     values only (the vector store's NULL dir is out of a scoped
     sweep's reach by design — pass ``parts=None`` for the full fold).
+    A NAMED partition with no dead rows to fold — the insert-only
+    fragmentation case, which has files worth merging but no vectors
+    — is NOT silently skipped (the round-15 reviewer's scheduler-
+    loops-forever scenario): it gets a file MERGE through
+    :func:`compact_partitions`' scoped work order instead, reported
+    under the receipt's ``merged`` key.  Scoped calls return
+    ``{"dropped", "rewritten", "merged"}``; the full fold keeps the
+    two-key shape shared with :func:`mor_compact`.
 
     Why scoping matters at 100 TB: compaction debt accrues where the
     CDC stream is HOT, and a policy that can only say "fold the whole
@@ -2763,19 +2771,47 @@ def mor_compact_seq(
             "a plain MOR table; use mor_compact"
         )
     if parts is not None and not parts:
-        return {"dropped": [], "rewritten": []}
+        return {"dropped": [], "rewritten": [], "merged": []}
     dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
-    if dels is None:
-        return {"dropped": [], "rewritten": []}
-    if parts is not None:
+    if parts is None:
+        if dels is None:
+            return {"dropped": [], "rewritten": []}
+        cond = _vector_match(data, dels, partition_col, key_col) & (
+            dels["__dv_seq"] > data["__seq"]
+        )
+        return _compact_core(
+            spark, target_path, partition_col, data, dels, cond
+        )
+    if dels is not None:
         dels = dels.filter(F.col("__dv_p").isin([str(p) for p in parts]))
-    cond = _vector_match(data, dels, partition_col, key_col) & (
-        dels["__dv_seq"] > data["__seq"]
-    )
-    return _compact_core(
-        spark, target_path, partition_col, data, dels, cond,
-        vector_scope=parts,
-    )
+        cond = _vector_match(data, dels, partition_col, key_col) & (
+            dels["__dv_seq"] > data["__seq"]
+        )
+        out = _compact_core(
+            spark, target_path, partition_col, data, dels, cond,
+            vector_scope=parts,
+        )
+    else:
+        out = {"dropped": [], "rewritten": []}
+    # named partitions the vector fold never touched (no dead rows =
+    # insert-only fragmentation, or a tombstone set that kills
+    # nothing): an explicit work order is not silently dropped — merge
+    # their files, vectors untouched (they have none that matter)
+    folded = {str(p) for p in out["dropped"] + out["rewritten"]}
+    leftovers = [p for p in parts if str(p) not in folded]
+    merged: list = []
+    if leftovers:
+        from urllib.parse import unquote
+
+        rec = compact_partitions(
+            spark, target_path, partition_col,
+            max_files=1, target_files=1, only=leftovers,
+        )
+        # compact_partitions reports raw dir suffixes; this receipt
+        # speaks decoded values like dropped/rewritten do
+        merged = sorted(unquote(p) for p in rec["fragmented"])
+    out["merged"] = merged
+    return out
 
 
 def _read_vectors_seq(
@@ -4655,6 +4691,7 @@ def compact_partitions(
     partition_col: str,
     max_files: int = 8,
     target_files: int = 1,
+    only: list | None = None,
 ) -> dict:
     """The scheduler: census → policy → TARGETED rewrite.  Partitions
     whose committed file count exceeds ``max_files`` are rewritten to
@@ -4669,7 +4706,13 @@ def compact_partitions(
     rewrite I/O is proportional to the FRAGMENTED bytes, not the
     table — the difference between 'compact the table tonight' (a
     full rewrite no 100 TB budget survives) and 'compact the 3% of
-    partitions the last ingest fragmented'."""
+    partitions the last ingest fragmented'.
+
+    ``only`` (round-15) restricts the census to the named partitions
+    (decoded values) — the work-order form mor_compact_seq's scoped
+    fold uses to merge insert-fragmented partitions that carry no
+    delete vectors.  The ``max_files`` policy still applies within
+    the scope; unnamed partitions are never touched."""
     import os
     import shutil
 
@@ -4680,6 +4723,14 @@ def compact_partitions(
     # Every pass heals first; on a clean table this is one listing.
     recover_interrupted_compaction(table_path, partition_col)
     census = small_file_census(table_path, partition_col)
+    if only is not None:
+        # a caller-scoped work order (mor_compact_seq's leftover
+        # merge): census partition names are the RAW dir suffixes,
+        # scope values are decoded (the partition_orphan_gc lesson)
+        from urllib.parse import unquote
+
+        want = {str(v) for v in only}
+        census = [c for c in census if unquote(c["partition"]) in want]
     frag = [c for c in census if c["n_files"] > max_files]
     for c in frag:
         # staging-name law (caught by the crash-residue unit test):
@@ -5462,7 +5513,14 @@ def txn_changes(
     A table absent from both pointers is a caller error (loud), not an
     empty feed: an empty feed means "verified unchanged", which is a
     claim this function must not fabricate for a table the
-    transaction group never committed."""
+    transaction group never committed.  A table ADDED to the group
+    mid-history (absent at ``txn_from``, present at ``txn_to`` —
+    txn_commit supports this) feeds its ENTIRE ``txn_to`` snapshot as
+    inserts with NULL before-images: the changelog from before a
+    table existed is the table (the round-15 reviewer found the
+    original fall-through crashed on a ``_manifest_v0`` read — the
+    same raw-exception class txn_occ_commit's refusal contract
+    fixed)."""
     import json as _json
     import os
 
@@ -5497,6 +5555,24 @@ def txn_changes(
                 F.col(kcol),
                 F.lit("update").alias("change_type"),
                 *[F.col(c).alias(f"{c}_before") for c in vcols],
+                *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+        elif tv_f == 0:
+            # table added to the group after txn_from: everything it
+            # holds at txn_to is an insert (NULL before-images)
+            src = snapshot_read(
+                spark, os.path.join(base, name), tv_t, pcol
+            )
+            out[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("insert").alias("change_type"),
+                *[
+                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
+                        f"{c}_before"
+                    )
+                    for c in vcols
+                ],
                 *[F.col(c).alias(f"{c}_after") for c in vcols],
             )
         else:
@@ -5693,10 +5769,11 @@ def u34_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * txn 1 seeds both tables;
     * txn 2 lands a consistent correction in BOTH — %97 orders from
-      {cut} get a 10% cents uplift AND their quantities double, plus
-      five late bookings inserted into a brand-new orders partition;
-    * txn 3 touches ONLY orders (%89 keys from {cut2} get +5%) — the
-      pointer carries lineitem forward untouched.
+      1997-01 (_U19_CUT) get a 10% cents uplift AND their quantities
+      double, plus five late bookings inserted into a brand-new
+      orders partition;
+    * txn 3 touches ONLY orders (%89 keys from 1998-01, _U34_CUT2,
+      get +5%) — the pointer carries lineitem forward untouched.
 
     Receipts (raise-style, in-query):
 
@@ -5914,31 +5991,35 @@ def snapshot_read_pruned(
     column: str,
     lo,
     hi,
-) -> tuple[DataFrame, int, int]:
+) -> tuple[DataFrame, list, int]:
     """Band read of a snapshot THROUGH its travelling stats: files
     whose ``[column_min, column_max]`` cannot intersect ``[lo, hi]``
     are dropped before any scan is planned.  Returns
-    ``(df, n_kept, n_total)`` so callers can assert the skipping
-    actually engaged.  The point versus S13's side index: the pruning
-    decision here is valid AS OF the snapshot — time travel to v1
-    prunes with v1-era stats even after v2 rewrote half the table —
-    and a predicate on a NON-partition column can skip whole
-    partitions without the reader knowing the partition transform
-    (Iceberg's hidden-partitioning read path)."""
+    ``(df, kept, n_total)`` — ``kept`` is the base-relative path list
+    the read actually plans over, so callers can assert both that
+    skipping engaged (``len(kept) < n_total``) and that the executed
+    scan stayed inside it, against the SAME rule the read used rather
+    than a re-derivation that could drift (round-15 reviewer).  The
+    point versus S13's side index: the pruning decision here is valid
+    AS OF the snapshot — time travel to v1 prunes with v1-era stats
+    even after v2 rewrote half the table — and a predicate on a
+    NON-partition column can skip whole partitions without the reader
+    knowing the partition transform (Iceberg's hidden-partitioning
+    read path)."""
     import os
     from collections import defaultdict
 
     merged = snapshot_stats_for(base, version, partition_col)
-    kept = [
+    kept = sorted(
         rel
         for rel, s in merged.items()
         if s[f"{column}_min"] <= hi and s[f"{column}_max"] >= lo
-    ]
+    )
     if not kept:
         empty = snapshot_read(
             spark, base, version, partition_col
         ).limit(0)
-        return empty, 0, len(merged)
+        return empty, [], len(merged)
     by_vdir: dict[str, list] = defaultdict(list)
     for rel in kept:
         by_vdir[rel.split("/")[0]].append(os.path.join(base, rel))
@@ -5953,7 +6034,7 @@ def snapshot_read_pruned(
         out = out.unionByName(s)
     return (
         out.filter(F.col(column).between(lo, hi)),
-        len(kept),
+        kept,
         len(merged),
     )
 
@@ -6120,26 +6201,22 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     phases = []
     for version, frame in ((1, v1), (2, v2)):
-        pruned, n_kept, n_total = snapshot_read_pruned(
+        pruned, kept, n_total = snapshot_read_pruned(
             spark, base, version, "k_bucket", "o_custkey", lo, hi
         )
-        if n_kept >= n_total:
+        if len(kept) >= n_total:
             raise ValueError(
                 f"s19_snapshot_stats_travel: v{version} band kept "
-                f"{n_kept}/{n_total} files — skipping never engaged"
+                f"{len(kept)}/{n_total} files — skipping never engaged"
             )
         full_n = (
             snapshot_read(spark, base, version, "k_bucket")
             .filter(F.col("o_custkey").between(lo, hi))
             .count()
         )
-        kept_paths = {
-            os.path.join(base, rel)
-            for rel, s in snapshot_stats_for(
-                base, version, "k_bucket"
-            ).items()
-            if s["o_custkey_min"] <= hi and s["o_custkey_max"] >= lo
-        }
+        # the physical receipt checks against the kept list the read
+        # ITSELF planned over — not a re-derivation of the rule
+        kept_paths = {os.path.join(base, rel) for rel in kept}
         actual = {
             r[0].replace("file://", "")
             for r in pruned.select(
@@ -6168,10 +6245,10 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_cents",
             )
         )
-    nothing, n0, _tot = snapshot_read_pruned(
+    nothing, kept0, _tot = snapshot_read_pruned(
         spark, base, 2, "k_bucket", "o_custkey", dom.xm + 10, dom.xm + 20
     )
-    if n0 != 0 or nothing.count() != 0:
+    if kept0 != [] or nothing.count() != 0:
         raise ValueError(
             "s19_snapshot_stats_travel: an out-of-domain band must "
             "keep zero files and answer empty at metadata cost"

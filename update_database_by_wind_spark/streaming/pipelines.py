@@ -2148,7 +2148,7 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         before = data_listing()
         expect(
             mor_compact_seq(spark, target, "o_month", "k", parts=due1),
-            {"dropped": [], "rewritten": []},
+            {"dropped": [], "rewritten": [], "merged": []},
             "no-op maintenance receipt",
         )
         expect(
@@ -2201,6 +2201,11 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect(
             sorted(receipt["rewritten"]), due2,
             "the fold rewrote exactly the due months",
+        )
+        expect(
+            receipt["merged"], [],
+            "every due month had vectors to fold — nothing should "
+            "take the insert-only merge path",
         )
         cold_after = {
             p: s

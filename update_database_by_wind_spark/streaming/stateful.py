@@ -141,13 +141,26 @@ def st9_foreach_batch_upsert(
     per-batch ``collect()`` into a driver dict — the merge result was
     only ever driver-sized by luck of the fixture; now nothing about
     it touches driver heap and "zero driver materialization in
-    streaming" holds without a footnote."""
+    streaming" holds without a footnote.
+
+    The delta log is TAG-scoped (one dir per sf_dir, recreated per
+    call) rather than mkdtemp'd, so scratch is bounded by tag count,
+    not run count — the ``pin_snapshot`` lifecycle rule; the returned
+    frame is lazy over the log, so consume it before the same sf_dir
+    runs again (pytest is serial)."""
+    import hashlib
+    import os
     import shutil
+    import tempfile
 
     from update_database_by_wind_spark.streaming.pipelines import scratch_dir
 
     ev = events_stream(spark, sf_dir)
-    delta_dir = scratch_dir("wind_spark_fb_delta_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    delta_dir = os.path.join(
+        tempfile.gettempdir(), f"wind_spark_fb_delta_{tag}"
+    )
+    shutil.rmtree(delta_dir, ignore_errors=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
