@@ -37,6 +37,10 @@ _R15_NEW: list[str] = [
     # u31's small-file census policy through mor_compact_seq's scoped
     # fold — receipts pin the fired AND the not-fired branch
     "st21_gated_compact_live",
+    # u35's algebra as the streaming daemon: checkpointed commit-log
+    # notifications, watermark-inside-the-rename idempotent
+    # application, exactly-once across runs
+    "st22_stream_view_maintenance",
     # widening plan (c): u20's row-level changelog resolved through
     # u19's transaction pointer (txn_changes) — mutually consistent
     # multi-table deltas with a metadata short-circuit for untouched
@@ -152,14 +156,14 @@ def test_window_structure():
     """New queries first, then changed-code, then the twenty r9-stale
     leaders the evidence-age guard named, then the r10-stale fill in
     the pinned family sequence (riskiest first, each block sorted).
-    Round 16's forced leaders are the TWENTY-SEVEN r10-stale queries
+    Round 16's forced leaders are the TWENTY-EIGHT r10-stale queries
     outside the final window — the fifteen never in fill (a9, a10–a13,
     e1, f_array/f_map, o1, p1, q3, s10, sql_correlated, t_bpe,
     ts_rolling_corr; not a9b, whose latest green is r12) plus the
-    twelve the round's registrations displaced (a2, a4–a8 family, g2,
-    l5c, l6, l7) — recompute from the artifacts when rotating; the
-    guard forces them at r16 exactly as it forced this round's
-    twenty."""
+    thirteen the round's registrations displaced (a2, a4–a8 family,
+    g2, l5_ann_lsh, l5c, l6, l7) — recompute from the artifacts when
+    rotating; the guard forces them at r16 exactly as it forced this
+    round's twenty."""
     names = list(REGISTRY)
     n_new = len(_R15_NEW)
     assert names[:n_new] == _R15_NEW
@@ -255,6 +259,18 @@ def test_rotation_anticipates_next_round():
         if latest.get(q, 0) <= (newest + 1) - 6 and q not in in_window
     ]
     assert not next_overdue, next_overdue
+
+
+def test_st22_oracle_is_verbatim_u35_oracle():
+    """ST22's whole claim is that the checkpointed daemon lands the
+    view u35's batch maintenance lands — the two queries must share
+    ONE oracle, byte for byte (the st15/s12 pattern)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        _U35_ORACLE,
+    )
+
+    assert REGISTRY["st22_stream_view_maintenance"].oracle == _U35_ORACLE
+    assert REGISTRY["u35_feed_view_maintenance"].oracle == _U35_ORACLE
 
 
 def test_st15_oracle_is_verbatim_s12_oracle():

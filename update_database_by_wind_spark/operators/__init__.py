@@ -54,20 +54,21 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     displaced fill from the back (the "no untested registration"
 #     rule, extended to rewrites), what dropped out was the
 #     lowest-risk block.  The rotation opened with THIRTY fill slots;
-#     the round's 5 new + 7 changed registrations displaced twelve
-#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l5c, l6, l7), leaving 18
-#     in the final window.  Round 16's forced leaders are therefore
-#     TWENTY-SEVEN r10-stale queries: the fifteen never in fill (a9,
-#     a10-a13 moment/mode/histogram expression aggregates,
-#     e1_event_funnel, f_array/f_map, o1_global_sort, p1, q3 —
-#     re-benched implicitly via the TPC-H block, s10_zorder_clustering
-#     — its machinery earned r14 evidence via s17,
-#     sql_correlated_subquery, t_bpe_pair_counts, ts_rolling_corr;
-#     NOT a9b — its latest green is r12) plus the twelve displaced;
-#     the guard will force them at r16 exactly as it forced this
-#     round's twenty, and 27 fits the 50-window with room for new
-#     work.  Recompute from the CORRECTNESS artifacts when rotating —
-#     this paragraph is planning context, the artifacts are truth.
+#     the round's 6 new + 7 changed registrations displaced thirteen
+#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l5_ann_lsh, l5c, l6,
+#     l7), leaving 17 in the final window.  Round 16's forced leaders
+#     are therefore TWENTY-EIGHT r10-stale queries: the fifteen never
+#     in fill (a9, a10-a13 moment/mode/histogram expression
+#     aggregates, e1_event_funnel, f_array/f_map, o1_global_sort, p1,
+#     q3 — re-benched implicitly via the TPC-H block,
+#     s10_zorder_clustering — its machinery earned r14 evidence via
+#     s17, sql_correlated_subquery, t_bpe_pair_counts,
+#     ts_rolling_corr; NOT a9b — its latest green is r12) plus the
+#     thirteen displaced; the guard will force them at r16 exactly as
+#     it forced this round's twenty, and 28 fits the 50-window with
+#     room for new work.  Recompute from the CORRECTNESS artifacts
+#     when rotating — this paragraph is planning context, the
+#     artifacts are truth.
 #
 # Round-15 widening plan — ALL FOUR ITEMS EXECUTED this round:
 # (a) landed as st21_gated_compact_live (st20's live-compaction
@@ -89,17 +90,29 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # ADVICE fixes shipped as changed-code entries (partition_orphan_gc
 # unquote -> u32, self-healing compact_partitions -> u31, the
 # txn_occ_commit refusal contract -> u33), and the scoped-fold core
-# change pulled st20/u18/u21/u24 into changed-code slots.  A fifth
-# surface landed late-round: u35_feed_view_maintenance — the consumer
-# that justifies u34, a cross-table materialized view maintained
-# incrementally from txn_changes deltas (initial materialization at
-# txn 1 is the only full scan; every later transaction applies signed
-# per-month deltas and is recompute-checked cell-exact).  Candidate
-# round-16 surfaces (write the plan before registering): a
-# stats-maintaining snapshot_commit wrapper so s19's ledger is part
-# of the commit protocol itself (single call, crash-ordering
-# receipts), and the STREAMING form of u35 (foreachBatch view
-# maintenance driven per micro-batch by txn_changes deltas).
+# change pulled st20/u18/u21/u24 into changed-code slots.  Two more
+# surfaces landed late-round: u35_feed_view_maintenance (the consumer
+# that justifies u34 — a cross-table materialized view maintained
+# incrementally from txn_changes deltas through the shared
+# apply_feed_deltas algebra, recompute-checked cell-exact after every
+# application) and st22_stream_view_maintenance (the SAME algebra as
+# the checkpointed daemon: commit-log notifications,
+# watermark-inside-the-rename idempotent application proven against
+# redelivery AND an empty re-run; oracle shared verbatim with u35,
+# identity pinned in the order test).  The stats-commit wrapper also
+# landed (snapshot_commit_with_stats, crash-ordering unit-tested), and
+# a review pass closed six gaps (txn_changes added-table inserts
+# feed, scoped-fold merge of insert-fragmented partitions via
+# compact_partitions' `only` work order, the st9 delta-log tag
+# scoping, kept-list receipts in snapshot_read_pruned, this ledger's
+# arithmetic, u34's docstring).  Candidate round-16 surfaces (write
+# the plan before registering): stats/layout coherence — keep s19's
+# travelling ledgers exact across compact_partitions/z-maintenance
+# rewrites (a layout change today invalidates nothing because stats
+# key on immutable version dirs, but a compaction INSIDE a version
+# dir must republish that version's ledger); and a txn-group
+# retention story (u26's expiry lifted through the txn pointer so a
+# group GC can never break a retained transaction's reads).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
@@ -108,6 +121,7 @@ _ROUND15_FRONT = [
     "s18_partition_clustering_health",
     "s19_snapshot_stats_travel",
     "st21_gated_compact_live",
+    "st22_stream_view_maintenance",
     "u34_txn_change_feed",
     "u35_feed_view_maintenance",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
@@ -167,7 +181,6 @@ _ROUND15_FRONT = [
     "l4_cosine_topk_exact",
     "l4b_cosine_topk_blocked",
     "l4c_cosine_topk_vectorized",
-    "l5_ann_lsh",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -240,6 +253,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l3j_chunk_dedup",
     "l3m_containment_dedup",
     "l3n_edit_distance_blocked",
+    "l5_ann_lsh",
     "l5_ivf_kmeans_topk",
     "l5_ivf_topk",
     "l5b2_ivf_kmeans_recall",

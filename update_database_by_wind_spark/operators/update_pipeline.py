@@ -6258,6 +6258,54 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- U35: incremental view maintenance FROM the multi-table feed ----------------
 
+def apply_feed_deltas(view: DataFrame, feeds: dict) -> DataFrame:
+    """Apply one transaction's :func:`txn_changes` feeds to the
+    per-month orders+quantity view — the signed-delta algebra U35
+    (batch) and ST22 (streaming daemon) share, factored so the two
+    maintenance paths cannot drift: insert → +1 count / +after,
+    delete → −1 / −before, update → +(after − before), merged into
+    the stored view by a full-outer month join; months whose order
+    count falls to zero leave the view.  Reads ONLY the feeds and the
+    (month-cardinality) view — never a fact table."""
+    zero = F.lit(0).cast("long")
+    ct = F.col("change_type")
+    od = feeds["orders"].groupBy("o_month").agg(
+        F.sum(
+            F.when(ct == "insert", 1)
+            .when(ct == "delete", -1)
+            .otherwise(0)
+        ).alias("d_n"),
+        F.sum(
+            F.coalesce("cents_after", zero)
+            - F.coalesce("cents_before", zero)
+        ).alias("d_cents"),
+    )
+    ld = feeds["lineitem"].groupBy("o_month").agg(
+        F.sum(
+            F.coalesce("qty_after", zero)
+            - F.coalesce("qty_before", zero)
+        ).alias("d_qty"),
+    )
+    return (
+        view.join(od, "o_month", "full")
+        .join(ld, "o_month", "full")
+        .select(
+            "o_month",
+            (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
+            .alias("n_orders"),
+            (
+                F.coalesce("total_cents", zero)
+                + F.coalesce("d_cents", zero)
+            ).alias("total_cents"),
+            (
+                F.coalesce("total_qty", zero)
+                + F.coalesce("d_qty", zero)
+            ).alias("total_qty"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 _U35_ORACLE = _TXN_FEED_CTES + """,
 ov AS (
   SELECT o_month, COUNT(*) AS n_orders,
@@ -6333,49 +6381,15 @@ def u35_feed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = pin_snapshot(scratch_view(1), f"{root}/_view_t1")
     for t_from, t_to in ((1, 2), (2, 3)):
         feeds = txn_changes(spark, base, t_from, t_to, _TXN_FEED_SPEC)
-        ct = F.col("change_type")
-        od = feeds["orders"].groupBy("o_month").agg(
-            F.sum(
-                F.when(ct == "insert", 1)
-                .when(ct == "delete", -1)
-                .otherwise(0)
-            ).alias("d_n"),
-            F.sum(
-                F.coalesce("cents_after", zero)
-                - F.coalesce("cents_before", zero)
-            ).alias("d_cents"),
-        )
-        ld = feeds["lineitem"].groupBy("o_month").agg(
-            F.sum(
-                F.coalesce("qty_after", zero)
-                - F.coalesce("qty_before", zero)
-            ).alias("d_qty"),
-        )
-        if t_to == 3 and ld.count() != 0:
+        if t_to == 3 and feeds["lineitem"].count() != 0:
             raise ValueError(
                 "u35_feed_view_maintenance: the t2→t3 maintenance read "
                 "lineitem delta rows for a transaction that never "
                 "touched lineitem — the pointer short-circuit is broken"
             )
-        applied = (
-            view.join(od, "o_month", "full")
-            .join(ld, "o_month", "full")
-            .select(
-                "o_month",
-                (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
-                .alias("n_orders"),
-                (
-                    F.coalesce("total_cents", zero)
-                    + F.coalesce("d_cents", zero)
-                ).alias("total_cents"),
-                (
-                    F.coalesce("total_qty", zero)
-                    + F.coalesce("d_qty", zero)
-                ).alias("total_qty"),
-            )
-            .filter(F.col("n_orders") > 0)
+        view = pin_snapshot(
+            apply_feed_deltas(view, feeds), f"{root}/_view_t{t_to}"
         )
-        view = pin_snapshot(applied, f"{root}/_view_t{t_to}")
         want = scratch_view(t_to).select(
             "o_month",
             F.col("n_orders").alias("w_n"),

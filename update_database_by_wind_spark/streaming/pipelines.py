@@ -2260,3 +2260,222 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_snapshot(out, f"{base}/_pin")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- ST22: the view-maintenance daemon — u35's algebra on the stream ------------
+
+# st22's whole claim is that the checkpointed daemon lands EXACTLY the
+# view u35's batch maintenance lands, so the two queries must share
+# ONE oracle, byte for byte (tests/test_registry_order.py pins the
+# string identity, the st15/s12 pattern).
+
+
+def _st22_oracle() -> str:
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        _U35_ORACLE,
+    )
+
+    return _U35_ORACLE
+
+
+@query(
+    "st22_stream_view_maintenance",
+    oracle=_st22_oracle(),
+    tags=("streaming", "update", "cdf", "view"),
+)
+def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22: u35's incremental view maintenance run as the DAEMON a
+    production table group actually deploys — a checkpointed stream of
+    commit NOTIFICATIONS (one row per published transaction, the
+    commit-log subscription) whose foreachBatch handler pulls
+    :func:`txn_changes` for each arriving transaction and applies the
+    shared signed-delta algebra (:func:`apply_feed_deltas` — one
+    implementation for the batch and streaming paths, so they cannot
+    drift) to a materialized view on disk.
+
+    The view store is crash- and redelivery-safe by construction: the
+    staged view dir carries its ``_applied.json`` watermark INSIDE it
+    and publishes by rename, so the data and the applied-transaction
+    marker move atomically, and the handler skips any transaction at
+    or below the watermark — foreachBatch is at-least-once under
+    crash replay, and idempotent application is what turns that into
+    exactly-once view maintenance.
+
+    Receipts (raise-style, in-query):
+
+    - after each notification run, the maintained view equals the
+      from-scratch recompute through txn_read at that transaction
+      (full-outer cell compare) and the watermark equals the
+      transaction — for BOTH the two-table txn 2 and the orders-only
+      txn 3 (whose lineitem feed arrives through the pointer
+      short-circuit);
+    - REDELIVERY: re-invoking the handler with an already-applied
+      transaction returns without touching the store — every view
+      file pinned at (path, size, mtime_ns);
+    - EXACTLY-ONCE ACROSS RUNS: a third availableNow run with no new
+      notifications leaves the store untouched (the checkpoint, not
+      luck, is what prevents re-application).
+
+    Why it matters at 100 TB: the maintenance daemon is a long-lived
+    stream over the commit log, and its failure mode is double- or
+    missed application after a crash mid-batch; watermark-inside-the-
+    rename plus checkpointed notifications is the composition that
+    makes replay harmless, with per-transaction work bounded by the
+    feed (changed rows), never the fact tables."""
+    import json as _json
+    import os
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        _TXN_FEED_SPEC,
+        _txn_feed_group,
+        apply_feed_deltas,
+        txn_changes,
+        txn_read,
+    )
+
+    base = _txn_feed_group(spark, sf_dir, "st22")
+    root = base.rsplit("/", 1)[0]
+    src, ckpt = f"{root}/notify", f"{root}/ckpt"
+    view_dir = f"{root}/view"
+    # the fixture helper recreates only {root}/g — a prior run's
+    # notifications, checkpoint, or view would otherwise make this
+    # run's daemon skip "already processed" files against a FRESH
+    # group (the availableNow file log outlives the data it described)
+    for sub in ("notify", "ckpt", "view", "_view_stage", "_view_old"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+
+    def read_view() -> DataFrame:
+        return spark.read.parquet(view_dir)
+
+    def watermark() -> int:
+        with open(os.path.join(view_dir, "_applied.json")) as fh:
+            return _json.load(fh)["txn"]
+
+    def publish(df: DataFrame, txn: int) -> None:
+        """Stage parquet + watermark together, publish by rename —
+        the compaction rename-swap pattern; the marker travels with
+        the data so a crash can never publish one without the other."""
+        stage, old = f"{root}/_view_stage", f"{root}/_view_old"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(1).write.parquet(stage)
+        with open(os.path.join(stage, "_applied.json"), "w") as fh:
+            _json.dump({"txn": txn}, fh)
+        if os.path.isdir(view_dir):
+            os.replace(view_dir, old)
+        os.replace(stage, view_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def apply_txn(t: int) -> bool:
+        if t <= watermark():
+            return False  # redelivered: already applied
+        feeds = txn_changes(spark, base, t - 1, t, _TXN_FEED_SPEC)
+        publish(apply_feed_deltas(read_view(), feeds), t)
+        return True
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # notification rows are metadata (one per transaction)
+        for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+            apply_txn(r["txn"])
+
+    def run_daemon() -> None:
+        stream = spark.readStream.schema("txn long").parquet(f"{src}/*")
+        h = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        h.awaitTermination()
+
+    def view_listing() -> list:
+        return sorted(
+            (f, os.path.getsize(os.path.join(view_dir, f)),
+             os.stat(os.path.join(view_dir, f)).st_mtime_ns)
+            for f in os.listdir(view_dir)
+        )
+
+    def expect_converged(t: int) -> None:
+        o = txn_read(spark, base, t, "orders", "o_month")
+        li = txn_read(spark, base, t, "lineitem", "o_month")
+        want = (
+            o.groupBy("o_month")
+            .agg(
+                F.count("*").alias("w_n"),
+                F.sum("cents").alias("w_cents"),
+            )
+            .join(
+                li.groupBy("o_month").agg(
+                    F.sum("qty").alias("w_qty")
+                ),
+                "o_month",
+                "left",
+            )
+            .withColumn(
+                "w_qty", F.coalesce("w_qty", F.lit(0).cast("long"))
+            )
+        )
+        mism = (
+            read_view().join(want, "o_month", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("total_qty").eqNullSafe(F.col("w_qty"))
+            )
+            .count()
+        )
+        if mism or watermark() != t:
+            raise ValueError(
+                f"st22_stream_view_maintenance: view diverged at "
+                f"transaction {t} ({mism} months differ, watermark "
+                f"{watermark()})"
+            )
+
+    # initial materialization at txn 1 — the only fact-table scan
+    o1 = txn_read(spark, base, 1, "orders", "o_month")
+    l1 = txn_read(spark, base, 1, "lineitem", "o_month")
+    init = (
+        o1.groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .join(
+            l1.groupBy("o_month").agg(F.sum("qty").alias("total_qty")),
+            "o_month",
+            "left",
+        )
+        .withColumn(
+            "total_qty", F.coalesce("total_qty", F.lit(0).cast("long"))
+        )
+    )
+    publish(init, 1)
+    # commit notifications arrive one per daemon wake-up
+    spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
+    run_daemon()
+    expect_converged(2)
+    # redelivery: the handler sees txn 2 again — idempotent no-op
+    before = view_listing()
+    if apply_txn(2):
+        raise ValueError(
+            "st22_stream_view_maintenance: a redelivered transaction "
+            "was re-applied"
+        )
+    if view_listing() != before:
+        raise ValueError(
+            "st22_stream_view_maintenance: redelivery touched the "
+            "view store"
+        )
+    spark.createDataFrame([(3,)], "txn long").write.parquet(f"{src}/n3")
+    run_daemon()
+    expect_converged(3)
+    # exactly-once across runs: nothing new -> nothing applied
+    before = view_listing()
+    run_daemon()
+    if view_listing() != before:
+        raise ValueError(
+            "st22_stream_view_maintenance: an empty daemon run "
+            "re-applied transactions — the checkpoint is not the "
+            "thing preventing replay"
+        )
+    return read_view()
