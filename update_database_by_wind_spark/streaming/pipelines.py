@@ -2266,21 +2266,63 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # st22's whole claim is that the checkpointed daemon lands EXACTLY the
 # view u35's batch maintenance lands, so the two queries must share
-# ONE oracle, byte for byte (tests/test_registry_order.py pins the
-# string identity, the st15/s12 pattern).
-
-
-def _st22_oracle() -> str:
-    from update_database_by_wind_spark.operators.update_pipeline import (
-        _U35_ORACLE,
-    )
-
-    return _U35_ORACLE
+# ONE oracle, byte for byte.  The string is INLINED here rather than
+# imported from update_pipeline: a module-level import would cycle
+# when this module loads first (pipelines → update_pipeline → the
+# operators package __init__ → the partially-initialized pipelines →
+# reorder() before st22 registers — the exact trap the st15/s12
+# inlining note warned about); tests/test_registry_order.py pins the
+# string identity against _U35_ORACLE, so the copies cannot drift.
+_ST22_ORACLE = """
+WITH o1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-01' AND k % 97 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM o1
+  UNION ALL
+  SELECT '2024-01', 900000000 + i, 1000000 + i * 100 FROM range(5) t(i)
+),
+o3 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1998-01' AND k % 89 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o2
+),
+l1 AS (
+  SELECT o1.o_month, l_orderkey AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+  GROUP BY o1.o_month, l_orderkey
+),
+l2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-01' AND k % 97 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+ov AS (
+  SELECT o_month, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM o3 GROUP BY o_month
+),
+lv AS (
+  SELECT o_month, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM l2 GROUP BY o_month
+)
+SELECT ov.o_month, ov.n_orders, ov.total_cents,
+       COALESCE(lv.total_qty, 0) AS total_qty
+FROM ov LEFT JOIN lv ON ov.o_month = lv.o_month
+"""
 
 
 @query(
     "st22_stream_view_maintenance",
-    oracle=_st22_oracle(),
+    oracle=_ST22_ORACLE,
     tags=("streaming", "update", "cdf", "view"),
 )
 def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
