@@ -742,3 +742,170 @@ def test_txn_changes_feeds_added_table_as_inserts(spark, tmp_path):
         ("y", 8, "insert", None, 80),
     ]
     assert feeds["t2"].columns == feeds["t1"].columns
+
+
+# --- U36: stats/layout coherence ------------------------------------------------
+
+
+def test_stats_resync_heals_a_torn_rewrite(spark, tmp_path):
+    """The crash window between a compaction's data swap and its
+    ledger republish leaves stats-routed reads failing LOUDLY on dead
+    file paths (never silently wrong), and snapshot_stats_resync heals
+    it from existence alone — then reports all-empty deltas on the
+    immediate re-run (recovery must be idempotent)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        compact_partitions,
+        snapshot_commit_stats,
+        snapshot_read_pruned,
+        snapshot_stats_resync,
+    )
+
+    base = str(tmp_path / "t")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        snapshot_commit(
+            _df(spark, [(1, "a", 10), (2, "a", 20), (5, "b", 50)]),
+            base, 1, "m",
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    s1 = snapshot_commit_stats(spark, base, 1, ["pk", "val"])
+    assert sum(1 for k in s1 if "/m=a/" in k) == 2  # born fragmented
+    # the torn state: rewrite WITHOUT the republish
+    compact_partitions(
+        spark, os.path.join(base, "v1"), "m", max_files=1
+    )
+    with pytest.raises(Exception):
+        snapshot_read_pruned(spark, base, 1, "m", "pk", 1, 2)[0].count()
+    rep = snapshot_stats_resync(spark, base, 1, "m")
+    assert rep["resynced_parts"] == ["m=a"]
+    assert rep["dropped"] and rep["added"]
+    df, kept, total = snapshot_read_pruned(spark, base, 1, "m", "pk", 1, 2)
+    assert (len(kept), total) == (1, 2)
+    assert _rows(df) == [(1, "a", 10), (2, "a", 20)]
+    assert snapshot_stats_resync(spark, base, 1, "m") == {
+        "dropped": [], "added": [], "resynced_parts": [],
+    }
+
+
+def test_compact_stats_scoping_and_refusals(spark, tmp_path):
+    """snapshot_compact_stats refuses before touching data when the
+    version has no ledger (it would create the incoherence it exists
+    to prevent); with a ledger, it rewrites only policy-exceeding
+    partitions and leaves healthy partitions' entries byte-identical
+    while coverage stays exact."""
+    import json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        snapshot_compact_stats,
+        snapshot_stats_resync,
+    )
+
+    base = str(tmp_path / "t")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        snapshot_commit(
+            _df(spark, [(1, "a", 10), (2, "a", 20), (5, "b", 50)]),
+            base, 1, "m",
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    with pytest.raises(ValueError, match="no stats ledger"):
+        snapshot_compact_stats(spark, base, 1, "m", max_files=1)
+    with pytest.raises(ValueError, match="no stats ledger"):
+        snapshot_stats_resync(spark, base, 1, "m")
+    # the refusal happened BEFORE any rewrite: m=a is still fragmented
+    s1 = snapshot_commit_stats(spark, base, 1, ["pk", "val"])
+    assert sum(1 for k in s1 if "/m=a/" in k) == 2
+    rep = snapshot_compact_stats(spark, base, 1, "m", max_files=1)
+    assert rep["fragmented"] == ["a"]
+    assert rep["stats_dropped"] and rep["stats_added"]
+    with open(os.path.join(base, "_stats_v1.json")) as fh:
+        led = json.load(fh)
+    b_keys = [k for k in s1 if "/m=b/" in k]
+    assert b_keys and all(led[k] == s1[k] for k in b_keys)
+    assert sum(1 for k in led if "/m=a/" in k) == 1
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), base)
+        for r, ds, fs in os.walk(os.path.join(base, "v1"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert set(led) == on_disk
+
+
+# --- U37: transaction-group retention -------------------------------------------
+
+
+def test_txn_expire_guards(spark, tmp_path):
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    with pytest.raises(ValueError, match="head transaction"):
+        txn_expire(base, [1])
+    with pytest.raises(ValueError, match="no pointer"):
+        txn_expire(base, [2, 9])
+    # a hand-deleted pointer leaves an unpointed manifest BELOW the
+    # pointed head — a shape the commit protocol cannot produce, so
+    # the GC refuses rather than guessing what owns it
+    os.remove(os.path.join(base, "_txn_v1.json"))
+    with pytest.raises(ValueError, match="below its pointed head"):
+        txn_expire(base, [2])
+
+
+def test_txn_expire_shared_dirs_reads_and_stats(spark, tmp_path):
+    """The u37 laws on a toy group: expired pointers go away, a fully
+    superseded version dir is reclaimed while a shared one survives,
+    retained reads are unchanged, orphaned crashed-attempt commits are
+    reclaimed, and travelling stats ledgers die exactly with their
+    version dirs."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        snapshot_stats_for,
+        txn_expire,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)  # txn1: a(v1), b(v1)
+    snapshot_commit_stats(spark, os.path.join(base, "a"), 1, ["pk", "val"])
+    # txn2: FULL rewrite of a (v2) — a/v1 becomes reclaimable
+    txn_commit(
+        base, 2,
+        {"a": (_df(spark, [(1, "x", 11), (2, "y", 21)]), "m", None)},
+    )
+    snapshot_commit_stats(spark, os.path.join(base, "a"), 2, ["pk", "val"])
+    # txn3: partial rewrite of b (m=y only) — b/v1 stays shared
+    txn_commit(
+        base, 3, {"b": (_df(spark, [(2, "y", 201)]), "m", ["y"])}
+    )
+    # crashed 4th attempt on b: table commit without a pointer
+    snapshot_commit(
+        _df(spark, [(9, "z", 900)]), os.path.join(base, "b"), 3, "m",
+        ["z"],
+    )
+    pre_a = _rows(txn_read(spark, base, 3, "a", "m"))
+    pre_b = _rows(txn_read(spark, base, 3, "b", "m"))
+    rep = txn_expire(base, [3])
+    assert rep["removed_pointers"] == ["_txn_v1.json", "_txn_v2.json"]
+    assert rep["orphans_reclaimed"] == ["b/v3"]
+    assert not os.path.isdir(os.path.join(base, "a", "v1"))
+    assert os.path.isdir(os.path.join(base, "b", "v1"))
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == pre_a
+    assert _rows(txn_read(spark, base, 3, "b", "m")) == pre_b
+    # the reclaimed a/v1 took its stats ledger with it; the retained
+    # version's ledger still serves the stats view at the kept txn
+    assert rep["tables"]["a"]["removed_stats"] == ["_stats_v1.json"]
+    assert not os.path.exists(
+        os.path.join(base, "a", "_stats_v1.json")
+    )
+    view = snapshot_stats_for(os.path.join(base, "a"), 2, "m")
+    assert view and all(k.startswith("v2/") for k in view)
+    # idempotent: the immediate re-run finds nothing to do
+    rep2 = txn_expire(base, [3])
+    assert rep2["removed_pointers"] == []
+    assert rep2["orphans_reclaimed"] == []

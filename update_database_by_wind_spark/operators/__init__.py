@@ -54,18 +54,18 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     displaced fill from the back (the "no untested registration"
 #     rule, extended to rewrites), what dropped out was the
 #     lowest-risk block.  The rotation opened with THIRTY fill slots;
-#     the round's 6 new + 7 changed registrations displaced thirteen
-#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l5_ann_lsh, l5c, l6,
-#     l7), leaving 17 in the final window.  Round 16's forced leaders
-#     are therefore TWENTY-EIGHT r10-stale queries: the fifteen never
-#     in fill (a9, a10-a13 moment/mode/histogram expression
-#     aggregates, e1_event_funnel, f_array/f_map, o1_global_sort, p1,
-#     q3 — re-benched implicitly via the TPC-H block,
-#     s10_zorder_clustering — its machinery earned r14 evidence via
-#     s17, sql_correlated_subquery, t_bpe_pair_counts,
+#     the round's 8 new + 7 changed registrations displaced fifteen
+#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l4b, l4c, l5_ann_lsh,
+#     l5c, l6, l7), leaving 15 in the final window.  Round 16's
+#     forced leaders are therefore THIRTY r10-stale queries: the
+#     fifteen never in fill (a9, a10-a13 moment/mode/histogram
+#     expression aggregates, e1_event_funnel, f_array/f_map,
+#     o1_global_sort, p1, q3 — re-benched implicitly via the TPC-H
+#     block, s10_zorder_clustering — its machinery earned r14
+#     evidence via s17, sql_correlated_subquery, t_bpe_pair_counts,
 #     ts_rolling_corr; NOT a9b — its latest green is r12) plus the
-#     thirteen displaced; the guard will force them at r16 exactly as
-#     it forced this round's twenty, and 28 fits the 50-window with
+#     fifteen displaced; the guard will force them at r16 exactly as
+#     it forced this round's twenty, and 30 fits the 50-window with
 #     room for new work.  Recompute from the CORRECTNESS artifacts
 #     when rotating — this paragraph is planning context, the
 #     artifacts are truth.
@@ -105,14 +105,25 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # feed, scoped-fold merge of insert-fragmented partitions via
 # compact_partitions' `only` work order, the st9 delta-log tag
 # scoping, kept-list receipts in snapshot_read_pruned, this ledger's
-# arithmetic, u34's docstring).  Candidate round-16 surfaces (write
-# the plan before registering): stats/layout coherence — keep s19's
-# travelling ledgers exact across compact_partitions/z-maintenance
-# rewrites (a layout change today invalidates nothing because stats
-# key on immutable version dirs, but a compaction INSIDE a version
-# dir must republish that version's ledger); and a txn-group
-# retention story (u26's expiry lifted through the txn pointer so a
-# group GC can never break a retained transaction's reads).
+# arithmetic, u34's docstring).  The two round-16 candidate surfaces
+# named here in the executed plan ALSO landed late-round, after the
+# planned window was green: u36_stats_layout_coherence
+# (snapshot_compact_stats = compact_partitions inside v{k} +
+# snapshot_stats_resync — existence-driven, partition-proportional
+# ledger repair, so a compaction inside a version dir republishes
+# exactly that version's travelling ledger and every snapshot
+# referencing it keeps pruning exactly) and u37_txn_retention
+# (txn_expire — u26's expiry lifted through the txn pointer: head
+# guard, crashed-attempt orphan reclaim, pointers removed before any
+# data reclaim so a crash can only leak, per-table snapshot_expire
+# with retained-pointer versions as roots, stats ledgers dying with
+# their version dirs).  Candidate round-16 surfaces (write the plan
+# before registering): stats coherence for the OTHER maintenance
+# paths (zorder_maintain / s18's partition re-sort republishing
+# through snapshot_stats_resync when they run inside a version dir);
+# and a retention policy layer over txn_expire (keep-last-N /
+# keep-by-age computing keep_txns from the pointer chain, the u28
+# named-refs story lifted to transaction granularity).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
@@ -124,6 +135,13 @@ _ROUND15_FRONT = [
     "st22_stream_view_maintenance",
     "u34_txn_change_feed",
     "u35_feed_view_maintenance",
+    # the two round-16 candidate surfaces the ledger named, landed
+    # late-round once the planned window was green: stats/layout
+    # coherence (compaction inside a version dir republishes that
+    # version's travelling ledger) and transaction-group retention
+    # (u26's expiry lifted through the txn pointer)
+    "u36_stats_layout_coherence",
+    "u37_txn_retention",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
     # u24 route through the compaction core that grew the scoped-fold
@@ -179,8 +197,6 @@ _ROUND15_FRONT = [
     "l3h_portable_minhash",
     "l3k_incremental_index",
     "l4_cosine_topk_exact",
-    "l4b_cosine_topk_blocked",
-    "l4c_cosine_topk_vectorized",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -253,6 +269,8 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l3j_chunk_dedup",
     "l3m_containment_dedup",
     "l3n_edit_distance_blocked",
+    "l4b_cosine_topk_blocked",
+    "l4c_cosine_topk_vectorized",
     "l5_ann_lsh",
     "l5_ivf_kmeans_topk",
     "l5_ivf_topk",

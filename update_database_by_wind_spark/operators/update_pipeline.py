@@ -6412,3 +6412,854 @@ def u35_feed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({mism} months differ)"
             )
     return view
+
+
+# --- U36: travelling stats stay exact across layout rewrites --------------------
+
+
+def snapshot_stats_resync(
+    spark: SparkSession, base: str, version: int, partition_col: str
+) -> dict:
+    """Re-true ``version``'s travelling stats ledger against what is
+    actually on disk under ``v{version}`` — the repair half of the
+    layout-coherence protocol: ledger entries whose file no longer
+    exists are dropped, and files on disk the ledger does not cover
+    get fresh footer entries, swept per PARTITION dir so the cost is
+    proportional to the partitions a rewrite touched, never the
+    version.  The stat columns are inferred from the ledger itself
+    (``{col}_min``/``{col}_max`` keys), so a resync can never drift
+    from what the commit originally tracked.
+
+    Idempotent and self-healing by construction: a crash anywhere
+    (including between a compaction's data swap and its ledger
+    republish) is recovered by re-running this function — existence
+    is the only signal it needs, so it never has to know WHICH
+    rewrite died.  A clean ledger returns all-empty deltas without
+    writing.  Refuses loudly when the version has no ledger (the
+    snapshot_commit_with_stats contract) or an empty one (no entries
+    to infer columns from)."""
+    import json as _json
+    import os
+
+    from update_database_by_wind_spark.operators.storage import (
+        build_file_stats_index,
+    )
+
+    ledger_path = os.path.join(base, f"_stats_v{version}.json")
+    if not os.path.exists(ledger_path):
+        raise ValueError(
+            f"snapshot_stats_resync: version {version} has no stats "
+            "ledger; run snapshot_commit_stats at commit time"
+        )
+    with open(ledger_path) as fh:
+        ledger: dict[str, dict] = _json.load(fh)
+    if not ledger:
+        raise ValueError(
+            f"snapshot_stats_resync: version {version}'s ledger is "
+            "empty — no entries to infer the tracked stat columns from"
+        )
+    stat_cols = sorted(
+        {
+            k[: -len("_min")]
+            for k in next(iter(ledger.values()))
+            if k.endswith("_min")
+        }
+    )
+    vdir = os.path.join(base, f"v{version}")
+    on_disk: set[str] = set()
+    for root_, dirs, files in os.walk(vdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        on_disk.update(
+            os.path.relpath(os.path.join(root_, f), base)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    dead = sorted(k for k in ledger if k not in on_disk)
+    uncovered = sorted(p for p in on_disk if p not in ledger)
+    if not dead and not uncovered:
+        return {"dropped": [], "added": [], "resynced_parts": []}
+    for k in dead:
+        del ledger[k]
+    # footer re-sweep ONLY for partition dirs holding uncovered files;
+    # a dropped-only partition (files deleted, nothing new) needs none
+    for comp in sorted({p.split("/")[1] for p in uncovered}):
+        rows = build_file_stats_index(
+            spark, os.path.join(vdir, comp), stat_cols
+        ).collect()
+        for r in rows:
+            ledger[os.path.relpath(r["file"], base)] = {
+                k: v for k, v in r.asDict().items() if k != "file"
+            }
+    atomic_write_json(ledger_path, ledger)
+    return {
+        "dropped": dead,
+        "added": uncovered,
+        "resynced_parts": sorted(
+            {p.split("/")[1] for p in [*dead, *uncovered]}
+        ),
+    }
+
+
+def snapshot_compact_stats(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    partition_col: str,
+    max_files: int = 8,
+    target_files: int = 1,
+    only: list | None = None,
+) -> dict:
+    """Compact INSIDE a snapshot version's directory and keep that
+    version's travelling stats ledger exact — the coherence step the
+    round-15 ledger named: stats key on immutable version dirs, so an
+    ordinary table rewrite invalidates nothing, but a compaction
+    (or any layout maintenance) that rewrites files UNDER ``v{k}``
+    must republish ``_stats_v{k}.json`` or every snapshot whose
+    manifest references those partitions from ``v{k}`` plans band
+    reads over files that no longer exist.
+
+    Composition, both halves already hardened: the rewrite is
+    :func:`compact_partitions` on the version dir (census → policy →
+    targeted rename-swap, self-healing against its own crash
+    residue), the republish is :func:`snapshot_stats_resync`
+    (existence-driven, partition-proportional).  Crash ordering: data
+    swaps first, ledger after — a crash in the gap leaves stats-
+    routed reads FAILING LOUDLY on missing files (never silently
+    wrong: plain snapshot reads don't consult stats, and a pruned
+    read plans over paths that no longer resolve), and recovery is
+    one idempotent re-run of either this function or the resync
+    alone.  Refuses before touching any data when the version has no
+    ledger, so the protocol can't create the very incoherence it
+    exists to prevent.
+
+    Content-preservation is what makes this safe for SHARED
+    partitions: a manifest in ANY later snapshot that maps a
+    partition to ``v{k}`` reads the compacted files with identical
+    rows, and :func:`snapshot_stats_for` hands it the republished
+    entries — coherence travels to every snapshot, which the u36
+    receipts check at a version that was committed before the
+    rewrite ran."""
+    import os
+
+    if not os.path.exists(os.path.join(base, f"_stats_v{version}.json")):
+        raise ValueError(
+            f"snapshot_compact_stats: version {version} has no stats "
+            "ledger; a layout rewrite without a ledger to republish "
+            "would strand every stats-routed read — run "
+            "snapshot_commit_stats first"
+        )
+    report = compact_partitions(
+        spark,
+        os.path.join(base, f"v{version}"),
+        partition_col,
+        max_files=max_files,
+        target_files=target_files,
+        only=only,
+    )
+    sync = snapshot_stats_resync(spark, base, version, partition_col)
+    return {**report, **{f"stats_{k}": v for k, v in sync.items()}}
+
+
+_U36_ORACLE = """
+WITH v1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
+         o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+v2 AS (
+  SELECT k_bucket, o_custkey,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM v1
+),
+r1 AS (
+  SELECT k_bucket, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM v1, b WHERE o_custkey BETWEEN b.lo AND b.hi GROUP BY k_bucket
+),
+r2 AS (
+  SELECT k_bucket, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM v2, b WHERE o_custkey BETWEEN b.lo AND b.hi GROUP BY k_bucket
+)
+SELECT 'v1_pre' AS phase, k_bucket, n_rows, total_cents FROM r1
+UNION ALL
+SELECT 'v1_post' AS phase, k_bucket, n_rows, total_cents FROM r1
+UNION ALL
+SELECT 'v2_pre' AS phase, k_bucket, n_rows, total_cents FROM r2
+UNION ALL
+SELECT 'v2_post' AS phase, k_bucket, n_rows, total_cents FROM r2
+"""
+
+
+@query(
+    "u36_stats_layout_coherence",
+    oracle=_U36_ORACLE,
+    tags=("update", "layout"),
+)
+def u36_stats_layout_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U36: travelling stats stay EXACT across a layout rewrite — the
+    first of the round-15 ledger's named round-16 surfaces, pulled in:
+    s19 made file-skipping stats travel with the snapshot keyed on
+    immutable version dirs; this closes the one mutation that
+    invalidates them, a compaction INSIDE a version dir, by
+    republishing exactly that version's ledger
+    (:func:`snapshot_compact_stats` = compact_partitions on ``v{k}``
+    + :func:`snapshot_stats_resync`).
+
+    The fixture is s19's bucket-partitioned ledger committed the way
+    a big ingest really lands: the writer's ``maxRecordsPerFile``
+    splits every bucket into ~6 files (at 100 TB the split is the
+    NORM — one file per partition per task), so v1 is born
+    fragmented and each file covers a custkey sub-band.  v2 rewrites
+    the %3 buckets (10% cents uplift) compactly and shares the rest
+    of v1's files by reference.  Then maintenance runs on v1 in two
+    passes — first scoped (``only=`` the even fragmented buckets: a
+    work order), then the full policy pass — and the receipts,
+    raise-style:
+
+    - the scoped pass rewrites EXACTLY the even fragmented buckets;
+      odd and healthy buckets keep byte-identical ledger entries, and
+      v2's ledger file is untouched (coherence work is version- and
+      partition-scoped, never a table re-sweep);
+    - after each pass the v1 ledger covers exactly the files on disk
+      under v1 (no dead entries, no uncovered files), proven by the
+      same walk snapshot_commit_stats uses;
+    - band reads through the travelling stats stay EXACT at v1 AND at
+      v2 — v2 was committed BEFORE the rewrite and still maps carried
+      buckets to v1, so its staying exact is the proof that coherence
+      travels to every snapshot referencing the rewritten version;
+    - the kept-file count SHRINKS at both versions (compaction made
+      skipping coarser but cheaper — fewer, bigger files) while
+      pruning still engages (kept < total), with the physical
+      input_file_name receipt that the executed scan stayed inside
+      the kept set;
+    - a third maintenance pass is a no-op: nothing fragmented,
+      nothing dropped, nothing added (idempotence — the crash-
+      recovery story is 're-run it', so re-running must be free).
+
+    The four result phases pin pre/post equality into the driver
+    hash: v1_pre/v1_post and v2_pre/v2_post are the SAME rollup
+    computed from the pre-rewrite and post-rewrite layouts
+    (pre-phases pinned to scratch parquet before any file moves).
+
+    Why it matters at 100 TB: OPTIMIZE jobs run nightly against the
+    same version dirs the stats ledgers describe; a side index goes
+    stale and silently stops skipping, while stats that the
+    maintenance protocol itself republishes keep every retained
+    snapshot's band reads exact and partition-proportional."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import json as _json
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u36_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 64").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    n_rows = orders.count()
+    n_buckets = v1.select("k_bucket").distinct().count()
+    per_file = max(1, n_rows // (n_buckets * 6))
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+    spark.conf.set(conf_key, str(per_file))
+    try:
+        stats1 = snapshot_commit_with_stats(
+            spark, v1, base, 1, "k_bucket", ["o_custkey", "cents"]
+        )
+    finally:
+        spark.conf.set(conf_key, old_conf)
+    uplift_on = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    v2 = v1.withColumn(
+        "cents",
+        F.when(
+            uplift_on, F.col("cents") + F.expr("cents DIV 10")
+        ).otherwise(F.col("cents")),
+    )
+    rewritten = sorted(
+        r.k_bucket
+        for r in v1.select("k_bucket").distinct().collect()
+        if int(r.k_bucket[1:]) % 3 == 0
+    )
+    stats2 = snapshot_commit_with_stats(
+        spark, v2, base, 2, "k_bucket", ["o_custkey", "cents"],
+        parts=rewritten,
+    )
+
+    def vfiles() -> set:
+        out = set()
+        for root_, dirs, files in os.walk(os.path.join(base, "v1")):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out.update(
+                os.path.relpath(os.path.join(root_, f), base)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return out
+
+    def ledger(version: int) -> dict:
+        with open(os.path.join(base, f"_stats_v{version}.json")) as fh:
+            return _json.load(fh)
+
+    def checked_band(version: int, phase: str) -> tuple[DataFrame, int]:
+        pruned, kept, n_total = snapshot_read_pruned(
+            spark, base, version, "k_bucket", "o_custkey", lo, hi
+        )
+        if not kept or len(kept) >= n_total:
+            raise ValueError(
+                f"u36_stats_layout_coherence: {phase} kept "
+                f"{len(kept)}/{n_total} files — skipping must engage"
+            )
+        full_n = (
+            snapshot_read(spark, base, version, "k_bucket")
+            .filter(F.col("o_custkey").between(lo, hi))
+            .count()
+        )
+        if pruned.count() != full_n:
+            raise ValueError(
+                f"u36_stats_layout_coherence: {phase} pruned read lost "
+                "rows against the full scan"
+            )
+        kept_paths = {os.path.join(base, rel) for rel in kept}
+        actual = {
+            r[0].replace("file://", "")
+            for r in pruned.select(
+                F.input_file_name()
+            ).distinct().collect()
+        }
+        if not actual or not actual <= kept_paths:
+            raise ValueError(
+                f"u36_stats_layout_coherence: {phase} executed scan "
+                "left the kept set — the receipt must be physical"
+            )
+        roll = pruned.groupBy("k_bucket").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        ).select(
+            F.lit(phase).alias("phase"), "k_bucket", "n_rows",
+            "total_cents",
+        )
+        return pin_snapshot(roll, f"{root}/_phase_{phase}"), len(kept)
+
+    census = small_file_census(os.path.join(base, "v1"), "k_bucket")
+    frag = sorted(c["partition"] for c in census if c["n_files"] > 3)
+    if len(frag) < 2:
+        raise ValueError(
+            "u36_stats_layout_coherence: fixture failed to fragment "
+            f"v1 (only {frag} exceed the policy) — the rewrite under "
+            "test would be a no-op"
+        )
+    evens = [p for p in frag if int(p[1:]) % 2 == 0]
+    odds = [p for p in frag if int(p[1:]) % 2 == 1]
+    if not evens or not odds:
+        raise ValueError(
+            "u36_stats_layout_coherence: need both scoped and "
+            "out-of-scope fragmented buckets for the identity receipt"
+        )
+    pre1, kept1_pre = checked_band(1, "v1_pre")
+    pre2, kept2_pre = checked_band(2, "v2_pre")
+
+    rep1 = snapshot_compact_stats(
+        spark, base, 1, "k_bucket", max_files=3, only=evens
+    )
+    if sorted(rep1["fragmented"]) != sorted(evens):
+        raise ValueError(
+            "u36_stats_layout_coherence: the scoped pass must rewrite "
+            f"exactly the even fragmented buckets (got "
+            f"{rep1['fragmented']}, want {sorted(evens)})"
+        )
+    led1 = ledger(1)
+    untouched = {
+        k: v
+        for k, v in stats1.items()
+        if k.split("/")[1][len("k_bucket="):] not in set(evens)
+    }
+    if {k: led1[k] for k in untouched if k in led1} != untouched or any(
+        k not in led1 for k in untouched
+    ):
+        raise ValueError(
+            "u36_stats_layout_coherence: the scoped pass must leave "
+            "out-of-scope buckets' ledger entries byte-identical"
+        )
+    if ledger(2) != stats2:
+        raise ValueError(
+            "u36_stats_layout_coherence: compacting v1 must not touch "
+            "v2's ledger"
+        )
+    for p in evens:
+        n = sum(
+            1 for k in led1 if k.startswith(f"v1/k_bucket={p}/")
+        )
+        if n != 1:
+            raise ValueError(
+                f"u36_stats_layout_coherence: bucket {p} must hold "
+                f"exactly the one compacted file's entry (got {n})"
+            )
+    if set(led1) != vfiles():
+        raise ValueError(
+            "u36_stats_layout_coherence: after the scoped pass the v1 "
+            "ledger must cover exactly the files on disk"
+        )
+
+    rep2 = snapshot_compact_stats(spark, base, 1, "k_bucket", max_files=3)
+    if sorted(rep2["fragmented"]) != sorted(odds):
+        raise ValueError(
+            "u36_stats_layout_coherence: the full pass must rewrite "
+            f"exactly the remaining fragmented buckets (got "
+            f"{rep2['fragmented']}, want {sorted(odds)})"
+        )
+    if set(ledger(1)) != vfiles():
+        raise ValueError(
+            "u36_stats_layout_coherence: after the full pass the v1 "
+            "ledger must cover exactly the files on disk"
+        )
+
+    rep3 = snapshot_compact_stats(spark, base, 1, "k_bucket", max_files=3)
+    if (
+        rep3["fragmented"]
+        or rep3["stats_dropped"]
+        or rep3["stats_added"]
+    ):
+        raise ValueError(
+            "u36_stats_layout_coherence: a third pass must be a no-op "
+            f"(got {rep3}) — re-running recovery has to be free"
+        )
+
+    post1, kept1_post = checked_band(1, "v1_post")
+    post2, kept2_post = checked_band(2, "v2_post")
+    # strict shrink at v1 (its fragmented band buckets were rewritten);
+    # at v2 only non-growth — when the probe band falls entirely inside
+    # buckets v2 itself rewrote (small scale factors), v1's compaction
+    # legitimately changes nothing about v2's kept set
+    if kept1_post >= kept1_pre or kept2_post > kept2_pre:
+        raise ValueError(
+            "u36_stats_layout_coherence: compaction must shrink v1's "
+            f"kept-file count and never grow v2's (v1 "
+            f"{kept1_pre}->{kept1_post}, v2 {kept2_pre}->{kept2_post})"
+        )
+    return (
+        pre1.unionByName(post1).unionByName(pre2).unionByName(post2)
+    )
+
+
+# --- U37: transaction-group retention ------------------------------------------
+
+
+def txn_expire(base: str, keep_txns: list) -> dict:
+    """Expire a multi-table transaction group's history — u26's
+    snapshot expiry LIFTED THROUGH THE TRANSACTION POINTER (the second
+    round-16 surface the round-15 ledger named), so group GC can never
+    break a retained transaction's reads: per-table
+    :func:`snapshot_expire` alone has no way to know that txn 7 still
+    reads table A at version 3, and expiring A's v3 by table-local
+    numerology would tear every cross-table read txn 7 guarantees.
+
+    Protocol, in crash-safety order:
+
+    1. guards — the head transaction is never expirable (mirroring
+       snapshot_expire's head rule) and every requested keep must
+       still have a pointer (ValueError, the re-read/re-derive
+       contract);
+    2. reclaim crashed-attempt ORPHANS: a table manifest no pointer
+       references is residue of a txn_commit that died before its
+       pointer write; by the commit protocol it sits strictly above
+       every pointed version of that table (anything else is a shape
+       this GC does not understand and refuses to touch);
+    3. publish the retention decision — expired pointers are removed
+       FIRST, so a crash mid-expiry can only LEAK data a re-run
+       reclaims, never leave a pointer whose reads step 4 already
+       broke;
+    4. per-table :func:`snapshot_expire` with the versions any
+       RETAINED pointer references as the roots — shared version dirs
+       survive exactly as long as a retained transaction still reads
+       a partition from them — and each removed version dir takes its
+       travelling stats ledger (s19) with it; ledgers of retained and
+       shared-referenced versions stay, because
+       :func:`snapshot_stats_for` at a retained transaction still
+       reassembles through them.
+
+    Idempotent: re-running with the same keep set passes the guards
+    and finds nothing to remove.  Pure metadata work — no data read,
+    same cost class as snapshot_expire per table."""
+    import json as _json
+    import os
+    import re
+    import shutil
+
+    keep = sorted({int(k) for k in keep_txns})
+    pointers = {
+        int(m.group(1)): entry
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    }
+    if not pointers:
+        raise ValueError(
+            f"txn_expire: no transaction pointers under {base}"
+        )
+    head = max(pointers)
+    if head not in keep:
+        raise ValueError(
+            f"txn_expire: keep_txns {keep} omits the head transaction "
+            f"v{head}; the current transaction cannot be expired"
+        )
+    missing = [k for k in keep if k not in pointers]
+    if missing:
+        raise ValueError(
+            f"txn_expire: keep_txns {missing} have no pointer (already "
+            "expired or never committed); re-read and re-derive"
+        )
+
+    def read_ptr(v: int) -> dict:
+        with open(os.path.join(base, pointers[v])) as fh:
+            return {t: int(tv) for t, tv in _json.load(fh).items()}
+
+    all_ref: dict[str, set] = {}
+    for v in pointers:
+        for t, tv in read_ptr(v).items():
+            all_ref.setdefault(t, set()).add(tv)
+    kept_ref: dict[str, set] = {}
+    for v in keep:
+        for t, tv in read_ptr(v).items():
+            kept_ref.setdefault(t, set()).add(tv)
+
+    orphans = []
+    for t in sorted(all_ref):
+        tdir = os.path.join(base, t)
+        if not os.path.isdir(tdir):
+            continue
+        for entry in sorted(os.listdir(tdir)):
+            m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
+            if not m or int(m.group(1)) in all_ref[t]:
+                continue
+            tv = int(m.group(1))
+            if tv <= max(all_ref[t]):
+                # an unpointed manifest BELOW the pointed head is not
+                # the crash shape the commit protocol can produce —
+                # refuse rather than guess what owns it
+                raise ValueError(
+                    f"txn_expire: table {t} has an unpointed manifest "
+                    f"v{tv} below its pointed head "
+                    f"v{max(all_ref[t])}; refusing to GC a state the "
+                    "commit protocol cannot have produced"
+                )
+            os.remove(os.path.join(tdir, entry))
+            shutil.rmtree(os.path.join(tdir, f"v{tv}"), ignore_errors=True)
+            lp = os.path.join(tdir, f"_stats_v{tv}.json")
+            if os.path.exists(lp):
+                os.remove(lp)
+            orphans.append(f"{t}/v{tv}")
+
+    removed_ptrs = []
+    for v in sorted(pointers):
+        if v not in keep:
+            os.remove(os.path.join(base, pointers[v]))
+            removed_ptrs.append(pointers[v])
+
+    per_table: dict[str, dict] = {}
+    for t in sorted(kept_ref):
+        tdir = os.path.join(base, t)
+        rep = snapshot_expire(tdir, sorted(kept_ref[t]))
+        rep["removed_stats"] = []
+        for d in rep["removed_dirs"]:
+            lp = os.path.join(tdir, f"_stats_{d}.json")
+            if os.path.exists(lp):
+                os.remove(lp)
+                rep["removed_stats"].append(f"_stats_{d}.json")
+        per_table[t] = rep
+    return {
+        "removed_pointers": removed_ptrs,
+        "orphans_reclaimed": orphans,
+        "tables": per_table,
+    }
+
+
+_U37_CUT = "1997-01"
+
+_U37_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_orderkey % 7 = 0 THEN cents + cents // 100
+              ELSE cents END AS cents
+  FROM o1
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+l3 AS (
+  SELECT l_orderkey, o_month,
+         CASE WHEN o_month >= '{_U37_CUT}' AND l_orderkey % 5 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+o4 AS (
+  SELECT * FROM o2
+  UNION ALL
+  SELECT 900000000 + i, '2024-01', 1000000 + i * 100 FROM range(5) t(i)
+),
+l4 AS (
+  SELECT * FROM l3
+  UNION ALL
+  SELECT 900000000 + i, '2024-01', i + off
+  FROM range(5) t(i), (VALUES (1), (7)) o(off)
+),
+ov3 AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o2 GROUP BY 1),
+lv3 AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l3 GROUP BY 1),
+ov4 AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o4 GROUP BY 1),
+lv4 AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l4 GROUP BY 1)
+SELECT 3 AS txn_version, ov3.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ov3 JOIN lv3 ON ov3.o_month = lv3.o_month
+UNION ALL
+SELECT 4 AS txn_version, ov4.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ov4 JOIN lv4 ON ov4.o_month = lv4.o_month
+"""
+
+
+@query("u37_txn_retention", oracle=_U37_ORACLE, tags=("update", "layout"))
+def u37_txn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U37: retention for a TRANSACTION GROUP — the second round-16
+    surface the round-15 ledger named, pulled in: :func:`txn_expire`
+    lifts u26's snapshot expiry through u19's transaction pointer so
+    the GC roots are the transactions a reader can still name, never
+    per-table version numerology.
+
+    The fixture walks the lifecycle that makes per-table expiry
+    dangerous: txn 1 commits orders + items in full; txn 2 re-prices
+    EVERY order month (a full-table correction: +1% on the %7 keys),
+    leaving items untouched at its v1; txn 3 corrects only the items
+    of months >= 1997-01 (%5 quantities doubled); txn 4 lands a late
+    2024-01 month in BOTH tables atomically; and a crashed 5th
+    attempt leaves an orphaned items commit (manifest + data,
+    pointer never written).  ``txn_expire(keep=[3, 4])`` then GCs,
+    and the receipts, raise-style:
+
+    - both retained transactions read back CELL-EXACT after the GC
+      (per-month rollups captured before expiry, compared after —
+      and the returned result itself is computed from the
+      POST-expiry store, so the driver hash re-proves it);
+    - orders' v1 directory is RECLAIMED (txn 2 rewrote every month,
+      so no retained pointer can reach it) while items' v1 directory
+      SURVIVES (txn 3 touched only the post-cut months; retained
+      reads still resolve the early months to items/v1) — the shared-
+      directory rule, decided per table THROUGH the pointer;
+    - the orphaned items commit is reclaimed, and expired pointers
+      are gone: reading at txn 1 refuses with the pointer's absence
+      rather than answering from half-GC'd data;
+    - ``orphan_items`` (the real anti-join of items without a parent
+      order, u19's torn-read tooth) is zero per month at BOTH
+      retained transactions — the new 2024-01 month exists only at
+      the final table versions, so any tear the GC introduced would
+      surface as orphans in the driver-hashed result.
+
+    Why it matters at 100 TB: history retention runs nightly, and a
+    table-local VACUUM that doesn't know the transaction graph
+    eventually deletes a version some retained cross-table read still
+    resolves to — the classic broken-time-travel incident.  Lifting
+    expiry through the pointer keeps GC metadata-only and makes
+    'every retained transaction still reads consistently' a protocol
+    invariant instead of an operator's hope."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u37_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+    )
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("cents") + F.expr("cents DIV 100"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(base, 2, {"orders": (o2, "o_month", None)})
+    changed = [
+        r.o_month
+        for r in l1.filter(F.col("o_month") >= _U37_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    l3 = l1.filter(F.col("o_month").isin(changed)).withColumn(
+        "qty",
+        F.when(
+            F.col("l_orderkey") % 5 == 0, F.col("qty") * 2
+        ).otherwise(F.col("qty")),
+    )
+    txn_commit(base, 3, {"items": (l3, "o_month", changed)})
+    late_o = spark.range(5).select(
+        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        F.lit("2024-01").alias("o_month"),
+        (F.lit(1000000) + F.col("id") * 100).alias("cents"),
+    )
+    late_l = spark.range(5).select(
+        (F.lit(900000000) + F.col("id")).alias("l_orderkey"),
+        F.lit("2024-01").alias("o_month"),
+        (F.col("id") + 1).alias("qty"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.lit(900000000) + F.col("id")).alias("l_orderkey"),
+            F.lit("2024-01").alias("o_month"),
+            (F.col("id") + 7).alias("qty"),
+        )
+    )
+    txn_commit(
+        base, 4,
+        {
+            "orders": (late_o, "o_month", ["2024-01"]),
+            "items": (late_l, "o_month", ["2024-01"]),
+        },
+    )
+    # the crashed 5th attempt: items' table commit published, the txn
+    # pointer never written — exactly what txn_commit's retry (and now
+    # txn_expire's orphan reclaim) must recognize as residue
+    ghost = spark.range(5).select(
+        (F.lit(950000000) + F.col("id")).alias("l_orderkey"),
+        F.lit("2025-01").alias("o_month"),
+        (F.col("id") + 1).alias("qty"),
+    )
+    snapshot_commit(ghost, os.path.join(base, "items"), 4, "o_month",
+                    ["2025-01"])
+
+    def roll(v: int) -> DataFrame:
+        ov = txn_read(spark, base, v, "orders", "o_month")
+        lv = txn_read(spark, base, v, "items", "o_month")
+        o_agg = ov.groupBy("o_month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("order_cents"),
+        )
+        l_agg = lv.groupBy("o_month").agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+        orphans = (
+            lv.join(
+                ov.select(F.col("o_orderkey").alias("k")),
+                lv["l_orderkey"] == F.col("k"),
+                "left_anti",
+            )
+            .groupBy("o_month")
+            .agg(F.count("*").alias("orphan_items"))
+        )
+        return (
+            o_agg.join(l_agg, "o_month")
+            .join(orphans, "o_month", "left")
+            .select(
+                F.lit(v).alias("txn_version"),
+                "o_month",
+                "n_orders",
+                "order_cents",
+                "n_items",
+                "total_qty",
+                F.coalesce("orphan_items", F.lit(0))
+                .cast("long")
+                .alias("orphan_items"),
+            )
+        )
+
+    def rows(v: int) -> list:
+        return sorted(map(tuple, roll(v).collect()))
+
+    pre3, pre4 = rows(3), rows(4)
+    rep = txn_expire(base, [3, 4])
+    if rep["orphans_reclaimed"] != ["items/v4"]:
+        raise ValueError(
+            "u37_txn_retention: the crashed attempt's orphaned table "
+            f"commit must be reclaimed (got {rep['orphans_reclaimed']})"
+        )
+    for v in (1, 2):
+        if os.path.exists(os.path.join(base, f"_txn_v{v}.json")):
+            raise ValueError(
+                f"u37_txn_retention: expired pointer _txn_v{v}.json "
+                "survived the GC"
+            )
+    try:
+        txn_read(spark, base, 1, "orders", "o_month")
+    except FileNotFoundError:
+        pass
+    else:
+        raise ValueError(
+            "u37_txn_retention: reading at an expired transaction must "
+            "refuse on the missing pointer, not answer from GC'd data"
+        )
+    if os.path.isdir(os.path.join(base, "orders", "v1")):
+        raise ValueError(
+            "u37_txn_retention: orders/v1 is unreachable from every "
+            "retained transaction (txn 2 rewrote all months) and must "
+            "be reclaimed"
+        )
+    if not os.path.isdir(os.path.join(base, "items", "v1")):
+        raise ValueError(
+            "u37_txn_retention: items/v1 is still read by the retained "
+            "transactions' early months and must survive"
+        )
+    for t in ("orders", "items"):
+        if os.path.exists(
+            os.path.join(base, t, "_manifest_v1.json")
+        ):
+            raise ValueError(
+                f"u37_txn_retention: {t}'s v1 manifest is referenced "
+                "by no retained pointer and must be removed"
+            )
+    if rows(3) != pre3 or rows(4) != pre4:
+        raise ValueError(
+            "u37_txn_retention: a retained transaction's read changed "
+            "across the GC — retention broke time travel"
+        )
+    return roll(3).unionByName(roll(4))
