@@ -909,3 +909,61 @@ def test_txn_expire_shared_dirs_reads_and_stats(spark, tmp_path):
     rep2 = txn_expire(base, [3])
     assert rep2["removed_pointers"] == []
     assert rep2["orphans_reclaimed"] == []
+
+
+# --- U38: transaction tags as GC roots -------------------------------------------
+
+
+def test_txn_tag_laws(spark, tmp_path):
+    """Tag laws at group granularity: unsafe names, unknown targets,
+    re-tags, and missing untags all refuse; the ref read path resolves
+    through the pointer."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_read_tag,
+        txn_tag,
+        txn_tags,
+        txn_untag,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    with pytest.raises(ValueError, match="unsafe ref name"):
+        txn_tag(base, "../escape", 1)
+    with pytest.raises(ValueError, match="no pointer"):
+        txn_tag(base, "ghost", 9)
+    txn_tag(base, "release-1", 1)
+    with pytest.raises(ValueError, match="immutable"):
+        txn_tag(base, "release-1", 1)
+    assert txn_tags(base) == {"release-1": 1}
+    assert _rows(txn_read_tag(spark, base, "release-1", "a", "m")) == _rows(
+        txn_read(spark, base, 1, "a", "m")
+    )
+    with pytest.raises(ValueError, match="no ref named"):
+        txn_untag(base, "nope")
+    txn_untag(base, "release-1")
+    assert txn_tags(base) == {}
+
+
+def test_txn_expire_untagged_policy(spark, tmp_path):
+    """The policy GC computes its keep set (newest keep_last union the
+    tagged txns): a tagged old transaction survives keep_last=1 and
+    reads back unchanged, untagged intermediates expire, and
+    keep_last < 1 refuses (the head is never expirable)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire_untagged,
+        txn_tag,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)  # txn1
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    txn_commit(base, 3, {"a": (_df(spark, [(2, "y", 22)]), "m", ["y"])})
+    txn_tag(base, "audit", 1)
+    with pytest.raises(ValueError, match="keep_last"):
+        txn_expire_untagged(base, keep_last=0)
+    pre = _rows(txn_read(spark, base, 1, "a", "m"))
+    rep = txn_expire_untagged(base, keep_last=1)
+    assert rep["kept_txns"] == [1, 3]
+    assert rep["removed_pointers"] == ["_txn_v2.json"]
+    assert _rows(txn_read(spark, base, 1, "a", "m")) == pre
+    assert not os.path.exists(os.path.join(base, "_txn_v2.json"))

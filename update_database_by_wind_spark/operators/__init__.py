@@ -54,21 +54,21 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     displaced fill from the back (the "no untested registration"
 #     rule, extended to rewrites), what dropped out was the
 #     lowest-risk block.  The rotation opened with THIRTY fill slots;
-#     the round's 8 new + 7 changed registrations displaced fifteen
-#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l4b, l4c, l5_ann_lsh,
-#     l5c, l6, l7), leaving 15 in the final window.  Round 16's
-#     forced leaders are therefore THIRTY r10-stale queries: the
-#     fifteen never in fill (a9, a10-a13 moment/mode/histogram
-#     expression aggregates, e1_event_funnel, f_array/f_map,
-#     o1_global_sort, p1, q3 — re-benched implicitly via the TPC-H
-#     block, s10_zorder_clustering — its machinery earned r14
-#     evidence via s17, sql_correlated_subquery, t_bpe_pair_counts,
-#     ts_rolling_corr; NOT a9b — its latest green is r12) plus the
-#     fifteen displaced; the guard will force them at r16 exactly as
-#     it forced this round's twenty, and 30 fits the 50-window with
-#     room for new work.  Recompute from the CORRECTNESS artifacts
-#     when rotating — this paragraph is planning context, the
-#     artifacts are truth.
+#     the round's 9 new + 7 changed registrations displaced sixteen
+#     (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l4, l4b, l4c,
+#     l5_ann_lsh, l5c, l6, l7), leaving 14 in the final window.
+#     Round 16's forced leaders are therefore THIRTY-ONE r10-stale
+#     queries: the fifteen never in fill (a9, a10-a13
+#     moment/mode/histogram expression aggregates, e1_event_funnel,
+#     f_array/f_map, o1_global_sort, p1, q3 — re-benched implicitly
+#     via the TPC-H block, s10_zorder_clustering — its machinery
+#     earned r14 evidence via s17, sql_correlated_subquery,
+#     t_bpe_pair_counts, ts_rolling_corr; NOT a9b — its latest green
+#     is r12) plus the sixteen displaced; the guard will force them
+#     at r16 exactly as it forced this round's twenty, and 31 fits
+#     the 50-window with room for new work.  Recompute from the
+#     CORRECTNESS artifacts when rotating — this paragraph is
+#     planning context, the artifacts are truth.
 #
 # Round-15 widening plan — ALL FOUR ITEMS EXECUTED this round:
 # (a) landed as st21_gated_compact_live (st20's live-compaction
@@ -142,6 +142,10 @@ _ROUND15_FRONT = [
     # (u26's expiry lifted through the txn pointer)
     "u36_stats_layout_coherence",
     "u37_txn_retention",
+    # the composition that makes txn_expire deployable: named refs on
+    # transactions as GC roots + the computed keep-last-N policy
+    # (u28's tags-reconcile-retention story at group granularity)
+    "u38_txn_tag_retention",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
     # u24 route through the compaction core that grew the scoped-fold
@@ -196,7 +200,6 @@ _ROUND15_FRONT = [
     "l3c_embedding_neardup",
     "l3h_portable_minhash",
     "l3k_incremental_index",
-    "l4_cosine_topk_exact",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -269,6 +272,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l3j_chunk_dedup",
     "l3m_containment_dedup",
     "l3n_edit_distance_blocked",
+    "l4_cosine_topk_exact",
     "l4b_cosine_topk_blocked",
     "l4c_cosine_topk_vectorized",
     "l5_ann_lsh",

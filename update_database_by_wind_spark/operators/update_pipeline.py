@@ -7263,3 +7263,399 @@ def u37_txn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "across the GC — retention broke time travel"
         )
     return roll(3).unionByName(roll(4))
+
+
+# --- U38: transaction tags as GC roots ------------------------------------------
+
+
+def txn_tag(base: str, name: str, txn: int) -> None:
+    """Create an immutable named ref onto a TRANSACTION — u28's tag
+    contract lifted to the group: "audit-2024" pins the mutually
+    consistent set of table versions a reader at that transaction
+    sees, not one table's version number.  Same laws as
+    :func:`snapshot_tag`: filesystem-safe names (the ref IS a file),
+    refuse tagging a transaction with no pointer (expired or never
+    committed), refuse an existing name (retargeting a published name
+    silently changes what auditors re-read — untag + re-tag is the
+    explicit two-step).  The ref filename family ``_txn_ref_*`` is
+    disjoint from the pointer family ``_txn_v{N}`` by pattern, so no
+    ref name can shadow a pointer."""
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]*", name):
+        raise ValueError(f"txn_tag: unsafe ref name {name!r}")
+    if not os.path.exists(os.path.join(base, f"_txn_v{txn}.json")):
+        raise ValueError(
+            f"txn_tag: transaction {txn} has no pointer — cannot tag "
+            "an expired or uncommitted transaction"
+        )
+    ref = os.path.join(base, f"_txn_ref_{name}.json")
+    if os.path.exists(ref):
+        raise ValueError(
+            f"txn_tag: ref {name!r} already exists — tags are "
+            "immutable (untag then re-tag to retarget, explicitly)"
+        )
+    atomic_write_json(ref, {"txn": txn})
+
+
+def txn_tags(base: str) -> dict:
+    """All transaction refs as {name: txn}."""
+    import json as _json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    for entry in os.listdir(base):
+        if m := re.fullmatch(r"_txn_ref_(.+)\.json", entry):
+            with open(os.path.join(base, entry)) as fh:
+                out[m.group(1)] = int(_json.load(fh)["txn"])
+    return out
+
+
+def txn_untag(base: str, name: str) -> None:
+    """Remove a transaction ref — the explicit hold-release act.
+    Refuses a missing ref (the caller believed a whole table GROUP
+    was pinned; silently no-opping that belief is how retained data
+    disappears)."""
+    import os
+
+    ref = os.path.join(base, f"_txn_ref_{name}.json")
+    if not os.path.exists(ref):
+        raise ValueError(f"txn_untag: no ref named {name!r}")
+    os.remove(ref)
+
+
+def txn_read_tag(
+    spark: SparkSession, base: str, name: str, table: str,
+    partition_col: str,
+) -> DataFrame:
+    """Read ``table`` AS OF the tagged transaction — the auditor's
+    read path: name → transaction → pointer-resolved table version."""
+    tags = txn_tags(base)
+    if name not in tags:
+        raise ValueError(f"txn_read_tag: no ref named {name!r}")
+    return txn_read(spark, base, tags[name], table, partition_col)
+
+
+def txn_expire_untagged(base: str, keep_last: int = 1) -> dict:
+    """The retention POLICY over :func:`txn_expire`: the keep set is
+    COMPUTED — the newest ``keep_last`` transactions union every
+    tagged one — rather than hand-listed, so a tagged transaction can
+    never be vacuumed out from under the name auditors use to reach
+    it, and "keep 7 days" plus "keep THIS release forever" reconcile
+    as metadata (u28's reconciliation, lifted to the group).  All of
+    txn_expire's guarantees apply: retained reads are untouched,
+    shared table-version dirs survive through the pointer, orphans
+    are reclaimed, stats ledgers die with their dirs.  Returns
+    txn_expire's receipt plus the computed keep set."""
+    import os
+    import re
+
+    if keep_last < 1:
+        raise ValueError(
+            "txn_expire_untagged: keep_last must be >= 1 — the head "
+            "transaction is never expirable"
+        )
+    versions = sorted(
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    )
+    keep = sorted(set(versions[-keep_last:]) | set(txn_tags(base).values()))
+    rep = txn_expire(base, keep)
+    rep["kept_txns"] = keep
+    return rep
+
+
+_U38_CUT2 = "1998-01"
+
+_U38_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U37_CUT}' AND o_orderkey % 3 = 0
+              THEN cents + cents // 50 ELSE cents END AS cents
+  FROM o1
+),
+o3 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U38_CUT2}' AND o_orderkey % 11 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o2
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+l3 AS (
+  SELECT l_orderkey, o_month,
+         CASE WHEN o_month >= '{_U37_CUT}' AND l_orderkey % 9 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+ovt AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o2 GROUP BY 1),
+lvt AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l1 GROUP BY 1),
+ovh AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o3 GROUP BY 1),
+lvh AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l3 GROUP BY 1)
+SELECT 'tagged' AS ref, ovt.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovt JOIN lvt ON ovt.o_month = lvt.o_month
+UNION ALL
+SELECT 'head' AS ref, ovh.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovh JOIN lvh ON ovh.o_month = lvh.o_month
+"""
+
+
+@query("u38_txn_tag_retention", oracle=_U38_ORACLE, tags=("update", "layout"))
+def u38_txn_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U38: named refs on TRANSACTIONS as GC roots — u28's
+    tags-reconcile-retention story lifted to the table group, the
+    composition that makes :func:`txn_expire` deployable: retention
+    wants "keep the last N transactions", audit wants "keep THIS
+    release forever", and at group granularity the release is a
+    mutually consistent SET of table versions no single table's tag
+    can pin.
+
+    History: txn 1 commits orders + items in full; txn 2 re-prices
+    the %3 orders of months >= 1997-01 (+2%); the auditors tag txn 2
+    (``audit-q2``); txn 3 doubles the %9 item quantities of the same
+    months; txn 4 re-prices the %11 orders of months >= 1998-01
+    (+4%, derived from txn 2's prices).  Then
+    ``txn_expire_untagged(keep_last=1)`` — the nightly policy — runs,
+    and the receipts, raise-style:
+
+    - the COMPUTED keep set is exactly {tagged, head}: txns 1 and 3
+      expire, txn 2 survives the keep-last-1 policy purely because
+      the ref roots it;
+    - the tagged read (both tables, through :func:`txn_read_tag`) and
+      the head read are CELL-EXACT across the GC (captured before,
+      compared after — and the returned result is computed
+      post-GC, so the driver hash re-proves both states);
+    - the downstream feed still works where retention promised it
+      would: ``txn_changes(tagged → head)`` yields the orders
+      re-price delta and the items delta post-GC, while a feed from
+      the EXPIRED txn 1 refuses loudly on the missing pointer
+      (consumers must re-baseline, not silently diff against
+      half-GC'd history);
+    - tag laws hold against the GC'd store: re-tagging the published
+      name refuses, tagging the expired txn 1 refuses, and
+      ``txn_untag`` of a never-created name refuses;
+    - ``orphan_items`` is zero per month at both retained states
+      (u19's torn-read tooth: items at the tagged txn must join
+      orders at the SAME txn).
+
+    Why it matters at 100 TB: the group's nightly retention cannot
+    enumerate keep sets by hand, and a per-table tag cannot express
+    "the quarter-close state of the whole group" — a reader following
+    table A's tag and table B's tag from different nights reconstructs
+    a state no transaction ever published.  One transaction ref pins
+    the group consistently, and the policy GC provably cannot unroot
+    it."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u38_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+    )
+    m97 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U37_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U37_CUT) & (F.col("o_orderkey") % 3 == 0),
+            F.col("cents") + F.expr("cents DIV 50"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (o2.filter(F.col("o_month").isin(m97)), "o_month", m97)},
+    )
+    txn_tag(base, "audit-q2", 2)
+    l3 = l1.filter(F.col("o_month").isin(m97)).withColumn(
+        "qty",
+        F.when(
+            F.col("l_orderkey") % 9 == 0, F.col("qty") * 2
+        ).otherwise(F.col("qty")),
+    )
+    txn_commit(base, 3, {"items": (l3, "o_month", m97)})
+    m98 = [m for m in m97 if m >= _U38_CUT2]
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U38_CUT2)
+            & (F.col("o_orderkey") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 4,
+        {"orders": (o3.filter(F.col("o_month").isin(m98)), "o_month", m98)},
+    )
+
+    def roll(txn: int, label: str) -> DataFrame:
+        ov = txn_read(spark, base, txn, "orders", "o_month")
+        lv = txn_read(spark, base, txn, "items", "o_month")
+        o_agg = ov.groupBy("o_month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("order_cents"),
+        )
+        l_agg = lv.groupBy("o_month").agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+        orphans = (
+            lv.join(
+                ov.select(F.col("o_orderkey").alias("k")),
+                lv["l_orderkey"] == F.col("k"),
+                "left_anti",
+            )
+            .groupBy("o_month")
+            .agg(F.count("*").alias("orphan_items"))
+        )
+        return (
+            o_agg.join(l_agg, "o_month")
+            .join(orphans, "o_month", "left")
+            .select(
+                F.lit(label).alias("ref"),
+                "o_month",
+                "n_orders",
+                "order_cents",
+                "n_items",
+                "total_qty",
+                F.coalesce("orphan_items", F.lit(0))
+                .cast("long")
+                .alias("orphan_items"),
+            )
+        )
+
+    def rows(txn: int, label: str) -> list:
+        return sorted(map(tuple, roll(txn, label).collect()))
+
+    feed_spec = {
+        "orders": ("o_month", "o_orderkey", ["cents"]),
+        "items": ("o_month", "l_orderkey", ["qty"]),
+    }
+    pre_tagged, pre_head = rows(2, "tagged"), rows(4, "head")
+    pre_feed = {
+        t: f.count() for t, f in txn_changes(
+            spark, base, 2, 4, feed_spec
+        ).items()
+    }
+    if not pre_feed["orders"] or not pre_feed["items"]:
+        raise ValueError(
+            "u38_txn_tag_retention: the tagged->head feed must carry "
+            f"both tables' deltas (got {pre_feed})"
+        )
+
+    rep = txn_expire_untagged(base, keep_last=1)
+    if rep["kept_txns"] != [2, 4]:
+        raise ValueError(
+            "u38_txn_tag_retention: the computed keep set must be "
+            f"exactly the tagged txn and the head (got "
+            f"{rep['kept_txns']})"
+        )
+    for v in (1, 3):
+        if os.path.exists(os.path.join(base, f"_txn_v{v}.json")):
+            raise ValueError(
+                f"u38_txn_tag_retention: untagged txn {v} survived the "
+                "policy GC"
+            )
+    tagged_rows = sorted(
+        map(
+            tuple,
+            txn_read_tag(spark, base, "audit-q2", "orders", "o_month")
+            .groupBy("o_month")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("cents").alias("order_cents"))
+            .collect(),
+        )
+    )
+    head_post = rows(4, "head")
+    if rows(2, "tagged") != pre_tagged or head_post != pre_head:
+        raise ValueError(
+            "u38_txn_tag_retention: a rooted transaction's read "
+            "changed across the policy GC"
+        )
+    if tagged_rows != sorted(
+        (r[1], r[2], r[3]) for r in pre_tagged
+    ):
+        raise ValueError(
+            "u38_txn_tag_retention: the named-ref read path diverged "
+            "from the pointer read it resolves to"
+        )
+    post_feed = {
+        t: f.count() for t, f in txn_changes(
+            spark, base, 2, 4, feed_spec
+        ).items()
+    }
+    if post_feed != pre_feed:
+        raise ValueError(
+            "u38_txn_tag_retention: the tagged->head feed changed "
+            f"across the GC ({pre_feed} -> {post_feed})"
+        )
+    try:
+        txn_changes(spark, base, 1, 4, feed_spec)
+    except ValueError:
+        pass
+    else:
+        raise ValueError(
+            "u38_txn_tag_retention: a feed from the expired txn 1 must "
+            "refuse loudly, not diff against half-GC'd history"
+        )
+    for should_raise, fn in (
+        ("re-tag", lambda: txn_tag(base, "audit-q2", 4)),
+        ("tag-expired", lambda: txn_tag(base, "late", 1)),
+        ("untag-missing", lambda: txn_untag(base, "never-created")),
+    ):
+        try:
+            fn()
+        except ValueError:
+            pass
+        else:
+            raise ValueError(
+                f"u38_txn_tag_retention: the {should_raise} law must "
+                "refuse against the GC'd store"
+            )
+    return roll(2, "tagged").unionByName(roll(4, "head"))
