@@ -2521,3 +2521,298 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thing preventing replay"
         )
     return read_view()
+
+
+# --- ST23: the retention-aware feed consumer ------------------------------------
+
+_ST23_ORACLE = """
+WITH o1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-01' AND k % 97 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM o1
+  UNION ALL
+  SELECT '2024-01', 900000000 + i, 1000000 + i * 100 FROM range(5) t(i)
+),
+o3 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1998-01' AND k % 89 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o2
+),
+o4 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1998-03' AND k % 83 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o3
+),
+l1 AS (
+  SELECT o1.o_month, l_orderkey AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+  GROUP BY o1.o_month, l_orderkey
+),
+l2 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '1997-01' AND k % 97 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+ov AS (
+  SELECT o_month, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM o4 GROUP BY o_month
+),
+lv AS (
+  SELECT o_month, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM l2 GROUP BY o_month
+)
+SELECT ov.o_month, ov.n_orders, ov.total_cents,
+       COALESCE(lv.total_qty, 0) AS total_qty
+FROM ov LEFT JOIN lv ON ov.o_month = lv.o_month
+"""
+
+
+@query(
+    "st23_feed_rebaseline",
+    oracle=_ST23_ORACLE,
+    tags=("streaming", "update", "cdf", "view"),
+)
+def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23: the retention ↔ consumer interaction u37/u38 make
+    inevitable, handled the way a production daemon must: an
+    incremental view maintainer (st22's checkpointed daemon, same
+    shared :func:`apply_feed_deltas` algebra) wakes from downtime to
+    find that ``txn_expire`` has RECLAIMED the transaction its
+    watermark names — ``txn_changes(watermark → t)`` refuses on the
+    missing pointer — and responds by RE-BASELINING: one full
+    recompute at the notified transaction (the fact-table scan
+    retention traded for), watermark advanced, then back to
+    incremental application for every transaction after it.
+
+    Timeline: the daemon materializes at txn 1 and incrementally
+    applies txn 2; while it sleeps, txn 4 commits (a further orders
+    re-price derived from txn 3's published state, read back through
+    ``txn_read`` — not recomputed from source) and the nightly
+    ``txn_expire(keep=[3, 4])`` reclaims txns 1–2, including the
+    daemon's watermark.  The wake-up run receives notifications 3 and
+    4 in one availableNow pass.  Receipts, raise-style:
+
+    - the naive diff the daemon WOULD have done
+      (``txn_changes(2 → 3)``) refuses loudly post-GC — silently
+      diffing against half-reclaimed history is the failure mode this
+      query exists to rule out;
+    - the handler's mode ledger is exactly
+      [(2, incremental), (3, rebaseline), (4, incremental)]: one
+      rebaseline, not a rebuild-per-notification panic, and
+      incremental service resumes the moment retained history covers
+      the gap;
+    - the view converges to the ``txn_read`` recompute (cell-exact,
+      watermark checked) after the wake-up, and the post-rebaseline
+      incremental step still rides the pointer short-circuit — the
+      3→4 lineitem feed is ZERO rows (an orders-only transaction cost
+      no lineitem read even straight after a rebaseline);
+    - an empty daemon re-run leaves every view file untouched at
+      (path, size, mtime_ns) — the checkpoint still owns replay
+      protection after the rebaseline path ran.
+
+    Why it matters at 100 TB: retention policies and incremental
+    consumers are operated by different teams on different schedules;
+    the consumer that assumes its watermark is always diffable turns
+    a routine vacuum into silent view corruption.  Refuse-then-
+    rebaseline bounds the damage to one extra full recompute, and the
+    watermark-inside-the-rename publish makes even that crash-safe."""
+    import json as _json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        _TXN_FEED_SPEC,
+        _txn_feed_group,
+        apply_feed_deltas,
+        txn_changes,
+        txn_commit,
+        txn_expire,
+        txn_read,
+    )
+
+    base = _txn_feed_group(spark, sf_dir, "st23")
+    root = base.rsplit("/", 1)[0]
+    src, ckpt = f"{root}/notify", f"{root}/ckpt"
+    view_dir = f"{root}/view"
+    for sub in ("notify", "ckpt", "view", "_view_stage", "_view_old"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+
+    def read_view() -> DataFrame:
+        return spark.read.parquet(view_dir)
+
+    def watermark() -> int:
+        with open(os.path.join(view_dir, "_applied.json")) as fh:
+            return _json.load(fh)["txn"]
+
+    def publish(df: DataFrame, txn: int) -> None:
+        stage, old = f"{root}/_view_stage", f"{root}/_view_old"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(1).write.parquet(stage)
+        with open(os.path.join(stage, "_applied.json"), "w") as fh:
+            _json.dump({"txn": txn}, fh)
+        if os.path.isdir(view_dir):
+            os.replace(view_dir, old)
+        os.replace(stage, view_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def recompute(t: int) -> DataFrame:
+        o = txn_read(spark, base, t, "orders", "o_month")
+        li = txn_read(spark, base, t, "lineitem", "o_month")
+        return (
+            o.groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .join(
+                li.groupBy("o_month").agg(
+                    F.sum("qty").alias("total_qty")
+                ),
+                "o_month",
+                "left",
+            )
+            .withColumn(
+                "total_qty",
+                F.coalesce("total_qty", F.lit(0).cast("long")),
+            )
+        )
+
+    modes: list = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+            t = r["txn"]
+            wm = watermark()
+            if t <= wm:
+                continue
+            try:
+                feeds = txn_changes(spark, base, wm, t, _TXN_FEED_SPEC)
+            except ValueError:
+                # the watermark transaction was expired out from under
+                # us — the only safe continuation is a full re-baseline
+                # at the notified transaction
+                publish(recompute(t), t)
+                modes.append((t, "rebaseline"))
+                continue
+            publish(apply_feed_deltas(read_view(), feeds), t)
+            modes.append((t, "incremental"))
+
+    def run_daemon() -> None:
+        stream = spark.readStream.schema("txn long").parquet(f"{src}/*")
+        h = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        h.awaitTermination()
+
+    def view_listing() -> list:
+        return sorted(
+            (f, os.path.getsize(os.path.join(view_dir, f)),
+             os.stat(os.path.join(view_dir, f)).st_mtime_ns)
+            for f in os.listdir(view_dir)
+        )
+
+    def expect_converged(t: int) -> None:
+        want = recompute(t).select(
+            "o_month",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("total_qty").alias("w_qty"),
+        )
+        mism = (
+            read_view().join(want, "o_month", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("total_qty").eqNullSafe(F.col("w_qty"))
+            )
+            .count()
+        )
+        if mism or watermark() != t:
+            raise ValueError(
+                f"st23_feed_rebaseline: view diverged at transaction "
+                f"{t} ({mism} months differ, watermark {watermark()})"
+            )
+
+    publish(recompute(1), 1)
+    spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
+    run_daemon()
+    expect_converged(2)
+
+    # downtime: txn 4 commits DERIVED FROM txn 3's published state,
+    # and retention reclaims the daemon's watermark era
+    o3v = txn_read(spark, base, 3, "orders", "o_month")
+    o4 = o3v.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= "1998-03") & (F.col("k") % 83 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    m983 = sorted(
+        r.o_month
+        for r in o3v.select("o_month").distinct().collect()
+        if r.o_month >= "1998-03"
+    )
+    txn_commit(
+        base, 4,
+        {"orders": (o4.filter(F.col("o_month").isin(m983)), "o_month",
+                    m983)},
+    )
+    rep = txn_expire(base, [3, 4])
+    if rep["removed_pointers"] != ["_txn_v1.json", "_txn_v2.json"]:
+        raise ValueError(
+            "st23_feed_rebaseline: retention must reclaim txns 1-2 "
+            f"(got {rep['removed_pointers']})"
+        )
+    try:
+        txn_changes(spark, base, 2, 3, _TXN_FEED_SPEC)
+    except ValueError:
+        pass
+    else:
+        raise ValueError(
+            "st23_feed_rebaseline: diffing from the expired watermark "
+            "must refuse loudly — that refusal is the rebaseline "
+            "trigger"
+        )
+
+    spark.createDataFrame([(3,)], "txn long").write.parquet(f"{src}/n3")
+    spark.createDataFrame([(4,)], "txn long").write.parquet(f"{src}/n4")
+    run_daemon()
+    expect_converged(4)
+    if modes != [(2, "incremental"), (3, "rebaseline"),
+                 (4, "incremental")]:
+        raise ValueError(
+            "st23_feed_rebaseline: the mode ledger must show exactly "
+            "one rebaseline then a return to incremental service "
+            f"(got {modes})"
+        )
+    if txn_changes(spark, base, 3, 4, _TXN_FEED_SPEC)[
+        "lineitem"
+    ].count() != 0:
+        raise ValueError(
+            "st23_feed_rebaseline: the post-rebaseline orders-only "
+            "step must still short-circuit the lineitem feed to zero "
+            "rows"
+        )
+    before = view_listing()
+    run_daemon()
+    if view_listing() != before:
+        raise ValueError(
+            "st23_feed_rebaseline: an empty daemon run touched the "
+            "view store — the checkpoint must still own replay "
+            "protection after a rebaseline"
+        )
+    return read_view()
