@@ -1,0 +1,160 @@
+"""Generative differential testing for transaction-group retention:
+hypothesis drives the REAL txn_commit / txn_expire machinery against a
+pure-Python dict model under arbitrary multi-table histories and
+arbitrary keep sets — the occ-fuzz pattern (round 11) applied to the
+round-15 GC surface.  The law under test is txn_expire's contract:
+after any legal expiry, every RETAINED transaction reads back exactly
+the state the model says it published, expired pointers are gone, and
+the immediate re-run is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+
+_TABLES = ["a", "b"]
+_PARTS = ["x", "y"]
+
+# one history step: for each table, either untouched (mask bit 0) or
+# committed with a fresh value over a non-empty partition subset.
+# (table_mask 1..3 picks the touched tables; per-table part_mask 1..3
+# picks the partitions that commit rewrites.)
+_STEPS = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(1, 3), st.integers(1, 3)),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(steps=_STEPS, keep_mask=st.integers(1, 31))
+@settings(**_SETTINGS)
+def test_txn_expire_matches_model_on_random_histories(spark, steps, keep_mask):
+    """Arbitrary histories (each txn touches a random table subset,
+    each touched table rewrites a random partition subset) and an
+    arbitrary keep set (head forced in): the real txn_expire must
+    leave every retained transaction's reads equal to the dict-model
+    replay, remove exactly the expired pointers, and converge — the
+    immediate re-run removes nothing further."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_expire,
+        txn_read,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_expire_fuzz_")
+    base = f"{root}/g"
+    try:
+        # model: per txn, per table, per partition -> committed value
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        state: dict[str, dict[str, int]] = {
+            t: {p: 0 for p in _PARTS} for t in _TABLES
+        }
+        # txn 1 seeds both tables in full (txn_commit requires each
+        # table's first commit to exist before partial updates)
+        txn_commit(
+            base,
+            1,
+            {
+                t: (
+                    spark.createDataFrame(
+                        [(p, 0) for p in _PARTS], "m string, v long"
+                    ),
+                    "m",
+                    None,
+                )
+                for t in _TABLES
+            },
+        )
+        model[1] = {t: dict(state[t]) for t in _TABLES}
+        val = 0
+        for i, (table_mask, pm_a, pm_b) in enumerate(steps):
+            updates = {}
+            for bit, (t, pm) in enumerate(
+                zip(_TABLES, (pm_a, pm_b))
+            ):
+                if not table_mask & (1 << bit):
+                    continue
+                parts = [
+                    p
+                    for j, p in enumerate(_PARTS)
+                    if pm & (1 << j)
+                ]
+                val += 1
+                rows = [(p, val) for p in parts]
+                for p in parts:
+                    state[t][p] = val
+                updates[t] = (
+                    spark.createDataFrame(rows, "m string, v long"),
+                    "m",
+                    parts,
+                )
+            if not updates:  # mask 0 impossible by strategy, guard anyway
+                continue
+            txn_commit(base, 2 + i, updates)
+            model[2 + i] = {t: dict(state[t]) for t in _TABLES}
+        head = max(model)
+        keep = sorted(
+            {head}
+            | {v for v in model if keep_mask & (1 << (v - 1))}
+        )
+        pre = {
+            v: {
+                t: sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                for t in _TABLES
+            }
+            for v in keep
+        }
+        rep = txn_expire(base, keep)
+        expired = sorted(set(model) - set(keep))
+        assert rep["removed_pointers"] == [
+            f"_txn_v{v}.json" for v in expired
+        ]
+        for v in expired:
+            assert not os.path.exists(
+                os.path.join(base, f"_txn_v{v}.json")
+            )
+        for v in keep:
+            for t in _TABLES:
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                assert got == pre[v][t], (v, t, got, pre[v][t])
+                want = sorted(
+                    (p, model[v][t][p]) for p in _PARTS
+                )
+                assert got == want, (v, t, got, want)
+        rep2 = txn_expire(base, keep)
+        assert rep2["removed_pointers"] == []
+        assert rep2["orphans_reclaimed"] == []
+        for t in _TABLES:
+            assert rep2["tables"][t]["removed_dirs"] == []
+            assert rep2["tables"][t]["removed_manifests"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -54,21 +54,22 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     displaced fill from the back (the "no untested registration"
 #     rule, extended to rewrites), what dropped out was the
 #     lowest-risk block.  The rotation opened with THIRTY fill slots;
-#     the round's 10 new + 7 changed registrations displaced
-#     seventeen (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l3k, l4, l4b,
-#     l4c, l5_ann_lsh, l5c, l6, l7), leaving 13 in the final window.
-#     Round 16's forced leaders are therefore THIRTY-TWO r10-stale
-#     queries: the fifteen never in fill (a9, a10-a13
+#     the round's 11 new + 7 changed registrations displaced
+#     eighteen (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l3h, l3k, l4,
+#     l4b, l4c, l5_ann_lsh, l5c, l6, l7), leaving 12 in the final
+#     window.  Round 16's forced leaders are therefore THIRTY-THREE
+#     r10-stale queries: the fifteen never in fill (a9, a10-a13
 #     moment/mode/histogram expression aggregates, e1_event_funnel,
 #     f_array/f_map, o1_global_sort, p1, q3 — re-benched implicitly
 #     via the TPC-H block, s10_zorder_clustering — its machinery
 #     earned r14 evidence via s17, sql_correlated_subquery,
 #     t_bpe_pair_counts, ts_rolling_corr; NOT a9b — its latest green
-#     is r12) plus the seventeen displaced; the guard will force them
-#     at r16 exactly as it forced this round's twenty, and 32 fits
-#     the 50-window with room for new work.  Recompute from the
-#     CORRECTNESS artifacts when rotating — this paragraph is
-#     planning context, the artifacts are truth.
+#     is r12) plus the eighteen displaced; the guard will force them
+#     at r16 exactly as it forced this round's twenty, and 33 fits
+#     the 50-window with 17 slots for new work — round 15 spent 18
+#     on new+changed, so hold round 16's widening to that budget.
+#     Recompute from the CORRECTNESS artifacts when rotating — this
+#     paragraph is planning context, the artifacts are truth.
 #
 # Round-15 widening plan — ALL FOUR ITEMS EXECUTED this round:
 # (a) landed as st21_gated_compact_live (st20's live-compaction
@@ -150,6 +151,10 @@ _ROUND15_FRONT = [
     # inevitable: the st22 daemon wakes to an expired watermark,
     # refuses the torn diff, re-baselines once, resumes incremental
     "st23_feed_rebaseline",
+    # the other rewriter under the same coherence protocol: range
+    # clustering inside a version dir (skipping gets SHARPER, not
+    # just cheaper), ledger republished, kept-fraction receipt
+    "s20_snapshot_clustering_stats",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
     # u24 route through the compaction core that grew the scoped-fold
@@ -202,7 +207,6 @@ _ROUND15_FRONT = [
     "l1_exact_dedup",
     "l3b_minhash_lsh_pairs",
     "l3c_embedding_neardup",
-    "l3h_portable_minhash",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -271,6 +275,7 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l3e_ngram_jaccard",
     "l3f_dup_clusters",
     "l3g_cluster_dedup_keep",
+    "l3h_portable_minhash",
     "l3i_semantic_dedup",
     "l3j_chunk_dedup",
     "l3m_containment_dedup",

@@ -7659,3 +7659,301 @@ def u38_txn_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refuse against the GC'd store"
             )
     return roll(2, "tagged").unionByName(roll(4, "head"))
+
+
+# --- S20: clustering maintenance on the snapshot path ---------------------------
+
+
+def cluster_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    cluster_col: str,
+    files_per_part: int = 6,
+    only: list | None = None,
+) -> dict:
+    """Range-cluster each partition directory on ``cluster_col`` —
+    the 1-D case of S10's z-order, as MAINTENANCE: every partition is
+    rewritten into ``files_per_part`` range-disjoint, internally
+    sorted files (``repartitionByRange`` + ``sortWithinPartitions``),
+    so each file's footer min/max spans a narrow band of the cluster
+    key and stats-routed reads skip most files — the property an
+    append-order ingest does not have (arrival order is uncorrelated
+    with the cluster key, so every file spans the whole domain and
+    skipping keeps everything).
+
+    ``only`` scopes the work order to the named partitions (decoded
+    values), same contract as :func:`compact_partitions`.  The
+    rename-swap protocol and the ``_compact_tmp_``/``_compact_old_``
+    staging names are deliberately IDENTICAL to compact_partitions'
+    (including the staging-name law: no "=" in hidden names), so
+    :func:`recover_interrupted_compaction` heals a crashed clustering
+    pass exactly as it heals a crashed compaction — one recovery
+    protocol for every partition rewriter.  The swap loop is kept
+    separate from compact_partitions rather than parameterized into
+    it so the hardened scheduler path stays byte-identical and its
+    driver evidence stays valid.
+
+    At 100 TB: clustering cost is proportional to the partitions
+    named (one sort each, no shuffle across partitions — the
+    partition dir IS the unit), and the payoff is permanent: every
+    band read on the cluster key afterwards plans over
+    ``~1/files_per_part`` of the files."""
+    import os
+    import shutil
+
+    recover_interrupted_compaction(table_path, partition_col)
+    targets = small_file_census(table_path, partition_col)
+    if only is not None:
+        from urllib.parse import unquote
+
+        want = {str(v) for v in only}
+        targets = [t for t in targets if unquote(t["partition"]) in want]
+    for c in targets:
+        stage = os.path.join(
+            table_path, f"_compact_tmp_{c['partition']}"
+        )
+        old = os.path.join(
+            table_path, f"_compact_old_{c['partition']}"
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (
+            spark.read.parquet(c["dir"])
+            .repartitionByRange(files_per_part, F.col(cluster_col))
+            .sortWithinPartitions(cluster_col)
+            .write.parquet(stage)
+        )
+        os.replace(c["dir"], old)
+        os.replace(stage, c["dir"])
+        shutil.rmtree(old)
+    return {"clustered": sorted(t["partition"] for t in targets)}
+
+
+def snapshot_cluster_stats(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    partition_col: str,
+    cluster_col: str,
+    files_per_part: int = 6,
+    only: list | None = None,
+) -> dict:
+    """Cluster INSIDE a snapshot version's directory and keep that
+    version's travelling stats ledger exact — :func:`cluster_partitions`
+    on ``v{k}`` followed by :func:`snapshot_stats_resync`, the same
+    coherence protocol as :func:`snapshot_compact_stats` with the
+    other rewriter: compaction makes skipping CHEAPER (fewer files),
+    clustering makes it SHARPER (narrower per-file spans at the same
+    data), and both must republish the ledger or every snapshot
+    referencing the rewritten partitions plans band reads over dead
+    files.  Same crash contract: refuse before touching data when the
+    version has no ledger; data swaps first, ledger after; recovery
+    is an idempotent re-run of either this function or the resync
+    alone."""
+    import os
+
+    if not os.path.exists(os.path.join(base, f"_stats_v{version}.json")):
+        raise ValueError(
+            f"snapshot_cluster_stats: version {version} has no stats "
+            "ledger; a layout rewrite without a ledger to republish "
+            "would strand every stats-routed read — run "
+            "snapshot_commit_stats first"
+        )
+    report = cluster_partitions(
+        spark,
+        os.path.join(base, f"v{version}"),
+        partition_col,
+        cluster_col,
+        files_per_part=files_per_part,
+        only=only,
+    )
+    sync = snapshot_stats_resync(spark, base, version, partition_col)
+    return {**report, **{f"stats_{k}": v for k, v in sync.items()}}
+
+
+_S20_ORACLE = """
+WITH v1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+r AS (
+  SELECT o_month, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM v1, b WHERE o_custkey BETWEEN b.lo AND b.hi GROUP BY o_month
+)
+SELECT 'pre' AS phase, o_month, n_rows, total_cents FROM r
+UNION ALL
+SELECT 'post' AS phase, o_month, n_rows, total_cents FROM r
+"""
+
+
+@query(
+    "s20_snapshot_clustering_stats",
+    oracle=_S20_ORACLE,
+    tags=("source", "layout", "update"),
+)
+def s20_snapshot_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: clustering maintenance on the SNAPSHOT path, with the
+    receipt u36 cannot give — a QUANTIFIED skipping improvement.  The
+    fixture commits v1 the way ingest really lands: month-partitioned,
+    ~6 files per month split by the writer's ``maxRecordsPerFile`` in
+    ARRIVAL order, which is uncorrelated with ``o_custkey`` — so a
+    custkey band read's travelling-stats pruning keeps most files
+    (every file spans most of the custkey domain).  Then
+    :func:`snapshot_cluster_stats` range-clusters every month dir on
+    ``o_custkey`` inside ``v1`` and republishes the ledger, and the
+    receipts, raise-style:
+
+    - the fixture really was fragmented AND unclustered: more files
+      than months before maintenance, and the pre-clustering band
+      keeps MOST files (> half — arrival order defeats skipping);
+    - after clustering, the kept FRACTION strictly drops (fraction,
+      not count, so the receipt attributes the win to narrower
+      per-file spans rather than to fewer files) — the band read
+      plans over ~1/files_per_part of the files at identical data;
+    - band reads are EXACT before and after (pruned == full count,
+      physical input_file_name containment both times), and the
+      pre/post rollups land in the driver-hashed result as equal
+      phases — maintenance changed the PLAN, never the answer;
+    - the ledger covers exactly the files on disk after the rewrite,
+      and an immediate resync reports zero deltas (the coherence
+      protocol converged in one pass);
+    - the maintenance refuses up front on a version with no ledger
+      (unit-tested for the compaction twin; same guard here).
+
+    Why it matters at 100 TB: ingest order is the enemy of data
+    skipping — a table can be perfectly compacted and still scan
+    everything because every right-sized file spans the whole key
+    domain.  Clustering is the maintenance that makes the travelling
+    stats SHARP, and doing it inside the snapshot protocol keeps
+    every retained version's reads exact while it runs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import json as _json
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_s20_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    n_rows = orders.count()
+    n_months = v1.select("o_month").distinct().count()
+    per_file = max(1, n_rows // (n_months * 6))
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+    spark.conf.set(conf_key, str(per_file))
+    try:
+        snapshot_commit_with_stats(
+            spark, v1, base, 1, "o_month", ["o_custkey", "cents"]
+        )
+    finally:
+        spark.conf.set(conf_key, old_conf)
+
+    def checked_band(phase: str) -> tuple[DataFrame, int, int]:
+        pruned, kept, n_total = snapshot_read_pruned(
+            spark, base, 1, "o_month", "o_custkey", lo, hi
+        )
+        full_n = (
+            snapshot_read(spark, base, 1, "o_month")
+            .filter(F.col("o_custkey").between(lo, hi))
+            .count()
+        )
+        if pruned.count() != full_n:
+            raise ValueError(
+                f"s20_snapshot_clustering_stats: {phase} pruned read "
+                "lost rows against the full scan"
+            )
+        kept_paths = {os.path.join(base, rel) for rel in kept}
+        actual = {
+            r[0].replace("file://", "")
+            for r in pruned.select(
+                F.input_file_name()
+            ).distinct().collect()
+        }
+        if not actual or not actual <= kept_paths:
+            raise ValueError(
+                f"s20_snapshot_clustering_stats: {phase} executed scan "
+                "left the kept set — the receipt must be physical"
+            )
+        roll = pruned.groupBy("o_month").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        ).select(
+            F.lit(phase).alias("phase"), "o_month", "n_rows",
+            "total_cents",
+        )
+        return (
+            pin_snapshot(roll, f"{root}/_phase_{phase}"),
+            len(kept),
+            n_total,
+        )
+
+    census = small_file_census(os.path.join(base, "v1"), "o_month")
+    total_files = sum(c["n_files"] for c in census)
+    if total_files <= n_months:
+        raise ValueError(
+            "s20_snapshot_clustering_stats: fixture failed to "
+            f"fragment ({total_files} files over {n_months} months) — "
+            "there is nothing for clustering to sharpen"
+        )
+    pre, kept_pre, total_pre = checked_band("pre")
+    if kept_pre * 2 <= total_pre:
+        raise ValueError(
+            "s20_snapshot_clustering_stats: the arrival-order fixture "
+            f"must defeat skipping (kept {kept_pre}/{total_pre}) — "
+            "otherwise the clustering receipt proves nothing"
+        )
+
+    snapshot_cluster_stats(
+        spark, base, 1, "o_month", "o_custkey", files_per_part=6
+    )
+
+    with open(os.path.join(base, "_stats_v1.json")) as fh:
+        led = _json.load(fh)
+    on_disk = set()
+    for root_, dirs, files in os.walk(os.path.join(base, "v1")):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        on_disk.update(
+            os.path.relpath(os.path.join(root_, f), base)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    if set(led) != on_disk:
+        raise ValueError(
+            "s20_snapshot_clustering_stats: after clustering the "
+            "ledger must cover exactly the files on disk"
+        )
+    if snapshot_stats_resync(spark, base, 1, "o_month") != {
+        "dropped": [], "added": [], "resynced_parts": [],
+    }:
+        raise ValueError(
+            "s20_snapshot_clustering_stats: the coherence protocol "
+            "must converge in one pass (immediate resync found work)"
+        )
+    post, kept_post, total_post = checked_band("post")
+    if kept_post * total_pre >= kept_pre * total_post:
+        raise ValueError(
+            "s20_snapshot_clustering_stats: clustering must strictly "
+            f"drop the kept fraction (pre {kept_pre}/{total_pre}, "
+            f"post {kept_post}/{total_post})"
+        )
+    return pre.unionByName(post)
