@@ -118,13 +118,27 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # guard, crashed-attempt orphan reclaim, pointers removed before any
 # data reclaim so a crash can only leak, per-table snapshot_expire
 # with retained-pointer versions as roots, stats ledgers dying with
-# their version dirs).  Candidate round-16 surfaces (write the plan
-# before registering): stats coherence for the OTHER maintenance
-# paths (zorder_maintain / s18's partition re-sort republishing
-# through snapshot_stats_resync when they run inside a version dir);
-# and a retention policy layer over txn_expire (keep-last-N /
-# keep-by-age computing keep_txns from the pointer chain, the u28
-# named-refs story lifted to transaction granularity).
+# their version dirs).  Both of the round-16 candidates named here
+# were THEMSELVES pulled in late-round once the planned window was
+# green (s20_snapshot_clustering_stats — range clustering inside a
+# version dir under the same coherence protocol, with the
+# kept-fraction sharpness receipt; u38_txn_tag_retention — named
+# refs on transactions as GC roots with the computed keep-last-N
+# policy), plus the interaction they expose (st23_feed_rebaseline —
+# the st22 daemon re-baselines when retention expires its watermark,
+# then resumes incremental service) and a txn_expire hypothesis fuzz
+# (random histories x random keep sets vs a dict-model replay).
+# Fresh candidate round-16 surfaces (write the plan before
+# registering, and mind the 17-slot budget above): partition-
+# granular orphan GC lifted through the txn pointer (u32's
+# partition_orphan_gc with the live set computed from retained
+# TRANSACTION pointers, so group erasure is "gone", not
+# "unreachable"); conjunctive multi-column bands on the snapshot
+# stats path (S13's skipping_read_multi semantics through
+# snapshot_stats_for, one ledger probe serving several predicates);
+# and age-based txn retention (keep-by-age computing keep_txns from
+# an embedded commit stamp, composing with txn_expire_untagged's
+# tag roots).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
