@@ -653,3 +653,33 @@ def test_forward_fill_smells_are_the_declared_scalar_shapes(spark, sf_oracle):
     sp = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
     assert len(sp) == 1, plan  # the scalar agg's final merge only
     assert "hashpartitioning(user_id" in plan  # the fill window's spec
+
+
+def test_scoped_vector_read_is_partition_pruned(spark, tmp_path):
+    """mor_compact_seq's scoped fold filters the vector aggregate on
+    the partition column AFTER _read_vectors_seq's groupBy — safe only
+    because Catalyst pushes the filter through the alias and the
+    aggregate down to the scan as a PartitionFilter, so a scoped
+    nightly pass reads only the scoped _deletes subdirs, not the whole
+    tombstone store (round-15 review adjudication: verified here
+    rather than restructured).  If an expression between the filter
+    and the scan ever defeats the pushdown, this fails instead of
+    silently turning scoped maintenance into a full vector sweep."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dels = os.path.join(str(tmp_path), "_deletes")
+    spark.createDataFrame(
+        [("a", 1, 5), ("b", 2, 6), ("c", 3, 7)],
+        "m string, pk long, __seq long",
+    ).write.partitionBy("m").parquet(dels)
+    agg = (
+        spark.read.parquet(dels)
+        .groupBy(F.col("m").alias("__dv_p"), F.col("pk").alias("__dv_k"))
+        .agg(F.max("__seq").alias("__dv_seq"))
+        .filter(F.col("__dv_p").isin(["a"]))
+    )
+    plan = formatted_plan(agg)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "m" in pf[0] and "a" in pf[0], plan

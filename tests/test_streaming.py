@@ -331,3 +331,80 @@ def test_run_stream_pinned_mode_mapping_multi_batch(spark):
                         ("b", 1), ("b", 2), ("b", 3)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_view_notification_gap_and_redelivery(spark, tmp_path):
+    """The daemon notification law (round-15 review): application
+    spans (watermark, t), so a LOST notification is healed by the next
+    one — the feed covers the whole gap — and the late redelivery of
+    the lost transaction is a skip, never a double-apply.  The
+    original (t-1, t) span applied only the tail delta onto the stale
+    view and advanced the watermark past the unapplied transaction
+    forever."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+    )
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ViewStore,
+        _apply_view_notification,
+        _feed_group_view,
+    )
+
+    base = str(tmp_path / "g")
+    spec = {
+        "orders": ("o_month", "k", ["cents"]),
+        "lineitem": ("o_month", "k", ["qty"]),
+    }
+
+    def odf(rows):
+        return spark.createDataFrame(
+            rows, "o_month string, k long, cents long"
+        )
+
+    def ldf(rows):
+        return spark.createDataFrame(
+            rows, "o_month string, k long, qty long"
+        )
+
+    txn_commit(base, 1, {
+        "orders": (odf([("m1", 1, 100), ("m2", 2, 200)]), "o_month", None),
+        "lineitem": (ldf([("m1", 1, 5), ("m2", 2, 7)]), "o_month", None),
+    })
+    # txn 2 re-prices m1; txn 3 re-prices m2 — distinct months so a
+    # missed txn-2 application is VISIBLE in the final state
+    txn_commit(base, 2, {
+        "orders": (odf([("m1", 1, 110)]), "o_month", ["m1"]),
+    })
+    txn_commit(base, 3, {
+        "orders": (odf([("m2", 2, 220)]), "o_month", ["m2"]),
+    })
+
+    store = _ViewStore(spark, str(tmp_path))
+    recompute = lambda t: _feed_group_view(spark, base, t)  # noqa: E731
+    store.publish(recompute(1), 1)
+
+    def rows():
+        return sorted(
+            map(
+                tuple,
+                store.read()
+                .select("o_month", "n_orders", "total_cents", "total_qty")
+                .collect(),
+            )
+        )
+
+    # notification for txn 2 is LOST; txn 3 arrives first
+    assert _apply_view_notification(
+        spark, base, store, spec, 3, recompute
+    ) == "incremental"
+    assert store.watermark() == 3
+    assert rows() == [("m1", 1, 110, 5), ("m2", 1, 220, 7)], (
+        "the (watermark, t) span must carry txn 2's m1 re-price "
+        "through the gap"
+    )
+    # the late redelivery of txn 2 is a skip with the store untouched
+    before = store.listing()
+    assert _apply_view_notification(
+        spark, base, store, spec, 2, recompute
+    ) == "skip"
+    assert store.listing() == before

@@ -967,3 +967,30 @@ def test_txn_expire_untagged_policy(spark, tmp_path):
     assert rep["removed_pointers"] == ["_txn_v2.json"]
     assert _rows(txn_read(spark, base, 1, "a", "m")) == pre
     assert not os.path.exists(os.path.join(base, "_txn_v2.json"))
+
+
+def test_txn_expire_reclaims_crashed_table_add(spark, tmp_path):
+    """A txn_commit that crashed while ADDING a brand-new table (table
+    manifest + data published, pointer never written) leaves a table
+    dir no pointer mentions; txn_expire must reclaim it whole rather
+    than leak it forever (round-15 review — the all_ref-keyed scan
+    never visited it)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    # the crashed ADD: table "c" committed at its v1, pointer absent
+    snapshot_commit(
+        _df(spark, [(9, "z", 900)]), os.path.join(base, "c"), 1, "m"
+    )
+    assert os.path.isdir(os.path.join(base, "c"))
+    rep = txn_expire(base, [2])
+    assert rep["orphans_reclaimed"] == ["c/v1"]
+    assert not os.path.exists(os.path.join(base, "c"))
+    # retained reads untouched
+    assert _rows(txn_read(spark, base, 2, "a", "m")) == [
+        (1, "x", 11), (2, "y", 20),
+    ]

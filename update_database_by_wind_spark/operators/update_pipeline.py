@@ -6465,6 +6465,17 @@ def snapshot_stats_resync(
             if k.endswith("_min")
         }
     )
+    # the same ledger-shape validation snapshot_stats_for performs
+    # (round-15 review: an unused partition_col parameter implied a
+    # check that never ran — a caller naming the wrong column must
+    # hear about it, not get a silent pass)
+    prefix = f"{partition_col}="
+    for rel in ledger:
+        if not rel.split("/")[1].startswith(prefix):
+            raise ValueError(
+                f"snapshot_stats_resync: ledger entry {rel!r} is not "
+                f"under a {partition_col}= directory"
+            )
     vdir = os.path.join(base, f"v{version}")
     on_disk: set[str] = set()
     for root_, dirs, files in os.walk(vdir):
@@ -6883,7 +6894,11 @@ def txn_expire(base: str, keep_txns: list) -> dict:
        references is residue of a txn_commit that died before its
        pointer write; by the commit protocol it sits strictly above
        every pointed version of that table (anything else is a shape
-       this GC does not understand and refuses to touch);
+       this GC does not understand and refuses to touch).  The scan
+       walks table dirs on DISK, so a table NO pointer mentions — a
+       crashed ADD of a brand-new table (txn_commit supports
+       mid-history adds) — is reclaimed whole rather than leaked
+       (round-15 review);
     3. publish the retention decision — expired pointers are removed
        FIRST, so a crash mid-expiry can only LEAK data a re-run
        reclaims, never leave a pointer whose reads step 4 already
@@ -6941,24 +6956,34 @@ def txn_expire(base: str, keep_txns: list) -> dict:
         for t, tv in read_ptr(v).items():
             kept_ref.setdefault(t, set()).add(tv)
 
+    # the scan walks table DIRS on disk, not just pointer-referenced
+    # names (round-15 review): a txn_commit that crashed while ADDING
+    # a brand-new table leaves a table dir NO pointer mentions, and an
+    # all_ref-keyed loop would leak it forever — exactly the residue
+    # the "a crash can only leak data a re-run reclaims" contract
+    # promises to collect
     orphans = []
-    for t in sorted(all_ref):
+    for t in sorted(
+        e
+        for e in os.listdir(base)
+        if os.path.isdir(os.path.join(base, e))
+        and not e.startswith(("_", "."))
+    ):
         tdir = os.path.join(base, t)
-        if not os.path.isdir(tdir):
-            continue
+        pointed = all_ref.get(t, set())
         for entry in sorted(os.listdir(tdir)):
             m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
-            if not m or int(m.group(1)) in all_ref[t]:
+            if not m or int(m.group(1)) in pointed:
                 continue
             tv = int(m.group(1))
-            if tv <= max(all_ref[t]):
+            if pointed and tv <= max(pointed):
                 # an unpointed manifest BELOW the pointed head is not
                 # the crash shape the commit protocol can produce —
                 # refuse rather than guess what owns it
                 raise ValueError(
                     f"txn_expire: table {t} has an unpointed manifest "
                     f"v{tv} below its pointed head "
-                    f"v{max(all_ref[t])}; refusing to GC a state the "
+                    f"v{max(pointed)}; refusing to GC a state the "
                     "commit protocol cannot have produced"
                 )
             os.remove(os.path.join(tdir, entry))
@@ -6967,6 +6992,11 @@ def txn_expire(base: str, keep_txns: list) -> dict:
             if os.path.exists(lp):
                 os.remove(lp)
             orphans.append(f"{t}/v{tv}")
+        if not pointed:
+            # a table dir no pointer has ever referenced is the shell
+            # of a crashed table ADD; with its manifests reclaimed
+            # above, what remains is at most hidden staging residue
+            shutil.rmtree(tdir, ignore_errors=True)
 
     removed_ptrs = []
     for v in sorted(pointers):
@@ -6990,6 +7020,54 @@ def txn_expire(base: str, keep_txns: list) -> dict:
         "orphans_reclaimed": orphans,
         "tables": per_table,
     }
+
+
+def _txn_group_rollup(
+    spark: SparkSession, base: str, txn: int, label_col: str, label
+) -> DataFrame:
+    """Per-month rollup of the u37/u38 retention fixtures' two-table
+    group at one transaction — order count/cents from the orders
+    table, item count/quantities from the items table, plus
+    ``orphan_items``, the real anti-join count of items without a
+    parent order at that transaction (u19's torn-read tooth: a GC or
+    tag read that resolved the tables inconsistently surfaces as
+    orphans in the driver-hashed result).  Hoisted out of the two
+    queries (round-15 review) so the receipt rollup has one
+    definition."""
+    ov = txn_read(spark, base, txn, "orders", "o_month")
+    lv = txn_read(spark, base, txn, "items", "o_month")
+    o_agg = ov.groupBy("o_month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("order_cents"),
+    )
+    l_agg = lv.groupBy("o_month").agg(
+        F.count("*").alias("n_items"),
+        F.sum("qty").alias("total_qty"),
+    )
+    orphans = (
+        lv.join(
+            ov.select(F.col("o_orderkey").alias("k")),
+            lv["l_orderkey"] == F.col("k"),
+            "left_anti",
+        )
+        .groupBy("o_month")
+        .agg(F.count("*").alias("orphan_items"))
+    )
+    return (
+        o_agg.join(l_agg, "o_month")
+        .join(orphans, "o_month", "left")
+        .select(
+            F.lit(label).alias(label_col),
+            "o_month",
+            "n_orders",
+            "order_cents",
+            "n_items",
+            "total_qty",
+            F.coalesce("orphan_items", F.lit(0))
+            .cast("long")
+            .alias("orphan_items"),
+        )
+    )
 
 
 _U37_CUT = "1997-01"
@@ -7178,40 +7256,7 @@ def u37_txn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["2025-01"])
 
     def roll(v: int) -> DataFrame:
-        ov = txn_read(spark, base, v, "orders", "o_month")
-        lv = txn_read(spark, base, v, "items", "o_month")
-        o_agg = ov.groupBy("o_month").agg(
-            F.count("*").alias("n_orders"),
-            F.sum("cents").alias("order_cents"),
-        )
-        l_agg = lv.groupBy("o_month").agg(
-            F.count("*").alias("n_items"),
-            F.sum("qty").alias("total_qty"),
-        )
-        orphans = (
-            lv.join(
-                ov.select(F.col("o_orderkey").alias("k")),
-                lv["l_orderkey"] == F.col("k"),
-                "left_anti",
-            )
-            .groupBy("o_month")
-            .agg(F.count("*").alias("orphan_items"))
-        )
-        return (
-            o_agg.join(l_agg, "o_month")
-            .join(orphans, "o_month", "left")
-            .select(
-                F.lit(v).alias("txn_version"),
-                "o_month",
-                "n_orders",
-                "order_cents",
-                "n_items",
-                "total_qty",
-                F.coalesce("orphan_items", F.lit(0))
-                .cast("long")
-                .alias("orphan_items"),
-            )
-        )
+        return _txn_group_rollup(spark, base, v, "txn_version", v)
 
     def rows(v: int) -> list:
         return sorted(map(tuple, roll(v).collect()))
@@ -7535,40 +7580,7 @@ def u38_txn_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def roll(txn: int, label: str) -> DataFrame:
-        ov = txn_read(spark, base, txn, "orders", "o_month")
-        lv = txn_read(spark, base, txn, "items", "o_month")
-        o_agg = ov.groupBy("o_month").agg(
-            F.count("*").alias("n_orders"),
-            F.sum("cents").alias("order_cents"),
-        )
-        l_agg = lv.groupBy("o_month").agg(
-            F.count("*").alias("n_items"),
-            F.sum("qty").alias("total_qty"),
-        )
-        orphans = (
-            lv.join(
-                ov.select(F.col("o_orderkey").alias("k")),
-                lv["l_orderkey"] == F.col("k"),
-                "left_anti",
-            )
-            .groupBy("o_month")
-            .agg(F.count("*").alias("orphan_items"))
-        )
-        return (
-            o_agg.join(l_agg, "o_month")
-            .join(orphans, "o_month", "left")
-            .select(
-                F.lit(label).alias("ref"),
-                "o_month",
-                "n_orders",
-                "order_cents",
-                "n_items",
-                "total_qty",
-                F.coalesce("orphan_items", F.lit(0))
-                .cast("long")
-                .alias("orphan_items"),
-            )
-        )
+        return _txn_group_rollup(spark, base, txn, "ref", label)
 
     def rows(txn: int, label: str) -> list:
         return sorted(map(tuple, roll(txn, label).collect()))

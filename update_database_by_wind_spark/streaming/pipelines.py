@@ -2261,6 +2261,121 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
+# --- shared daemon machinery for ST22 / ST23 -------------------------------
+
+
+class _ViewStore:
+    """Crash- and redelivery-safe materialized-view store shared by
+    the ST22/ST23 daemons: the staged view dir carries its
+    ``_applied.json`` watermark INSIDE it and publishes by rename
+    (the compaction rename-swap pattern), so the data and the
+    applied-transaction marker move atomically and a crash can never
+    publish one without the other.  Hoisted out of the two daemons
+    (round-15 review): two byte-identical copies of a
+    durability-critical protocol drift apart — the atomic_write_json
+    lesson, applied again."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self._spark = spark
+        self._root = root
+        self.view_dir = os.path.join(root, "view")
+
+    def read(self) -> DataFrame:
+        return self._spark.read.parquet(self.view_dir)
+
+    def watermark(self) -> int:
+        import json as _json
+
+        with open(os.path.join(self.view_dir, "_applied.json")) as fh:
+            return _json.load(fh)["txn"]
+
+    def publish(self, df: DataFrame, txn: int) -> None:
+        import json as _json
+
+        stage = os.path.join(self._root, "_view_stage")
+        old = os.path.join(self._root, "_view_old")
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.coalesce(1).write.parquet(stage)
+        with open(os.path.join(stage, "_applied.json"), "w") as fh:
+            _json.dump({"txn": txn}, fh)
+        if os.path.isdir(self.view_dir):
+            os.replace(self.view_dir, old)
+        os.replace(stage, self.view_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def listing(self) -> list:
+        return sorted(
+            (f, os.path.getsize(os.path.join(self.view_dir, f)),
+             os.stat(os.path.join(self.view_dir, f)).st_mtime_ns)
+            for f in os.listdir(self.view_dir)
+        )
+
+
+def _feed_group_view(spark: SparkSession, base: str, txn: int) -> DataFrame:
+    """From-scratch per-month view of the u34/u35/st22/st23 feed-group
+    fixture at a transaction — the recompute the incremental paths are
+    checked against, and the rebaseline fallback."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_read,
+    )
+
+    o = txn_read(spark, base, txn, "orders", "o_month")
+    li = txn_read(spark, base, txn, "lineitem", "o_month")
+    return (
+        o.groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .join(
+            li.groupBy("o_month").agg(F.sum("qty").alias("total_qty")),
+            "o_month",
+            "left",
+        )
+        .withColumn(
+            "total_qty", F.coalesce("total_qty", F.lit(0).cast("long"))
+        )
+    )
+
+
+def _apply_view_notification(
+    spark: SparkSession, base: str, store: _ViewStore, spec: dict,
+    t: int, recompute,
+) -> str:
+    """Apply ONE commit notification to a :class:`_ViewStore` and
+    report the action taken:
+
+    * ``"skip"`` — at or below the watermark (redelivery; foreachBatch
+      is at-least-once, idempotent application makes it exactly-once);
+    * ``"incremental"`` — the pointer-resolved feed is applied from
+      the CURRENT watermark to ``t``, so a missed or out-of-order
+      notification is covered by the span rather than silently
+      dropped (the round-15 review caught the original ``(t-1, t)``
+      span corrupting the view whenever a notification went missing:
+      the next notification advanced the watermark past the
+      unapplied transaction forever);
+    * ``"rebaseline"`` — retention expired the watermark's pointer,
+      ``txn_changes`` refuses the torn diff, and the only safe
+      continuation is the caller's full recompute at ``t``."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        apply_feed_deltas,
+        txn_changes,
+    )
+
+    wm = store.watermark()
+    if t <= wm:
+        return "skip"
+    try:
+        feeds = txn_changes(spark, base, wm, t, spec)
+    except ValueError:
+        store.publish(recompute(t), t)
+        return "rebaseline"
+    store.publish(apply_feed_deltas(store.read(), feeds), t)
+    return "incremental"
+
+
+
 
 # --- ST22: the view-maintenance daemon — u35's algebra on the stream ------------
 
@@ -2341,7 +2456,12 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker move atomically, and the handler skips any transaction at
     or below the watermark — foreachBatch is at-least-once under
     crash replay, and idempotent application is what turns that into
-    exactly-once view maintenance.
+    exactly-once view maintenance.  Application spans
+    ``(watermark, t)``, not ``(t-1, t)``: a missed or out-of-order
+    notification is covered by the pointer-resolved feed over the
+    whole gap instead of silently leaving a transaction unapplied
+    behind an advanced watermark (the round-15 review's catch; the
+    gap law is unit-tested in tests/test_streaming.py).
 
     Receipts (raise-style, in-query):
 
@@ -2364,21 +2484,14 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename plus checkpointed notifications is the composition that
     makes replay harmless, with per-transaction work bounded by the
     feed (changed rows), never the fact tables."""
-    import json as _json
-    import os
-
     from update_database_by_wind_spark.operators.update_pipeline import (
         _TXN_FEED_SPEC,
         _txn_feed_group,
-        apply_feed_deltas,
-        txn_changes,
-        txn_read,
     )
 
     base = _txn_feed_group(spark, sf_dir, "st22")
     root = base.rsplit("/", 1)[0]
     src, ckpt = f"{root}/notify", f"{root}/ckpt"
-    view_dir = f"{root}/view"
     # the fixture helper recreates only {root}/g — a prior run's
     # notifications, checkpoint, or view would otherwise make this
     # run's daemon skip "already processed" files against a FRESH
@@ -2386,34 +2499,18 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sub in ("notify", "ckpt", "view", "_view_stage", "_view_old"):
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
 
-    def read_view() -> DataFrame:
-        return spark.read.parquet(view_dir)
+    store = _ViewStore(spark, root)
 
-    def watermark() -> int:
-        with open(os.path.join(view_dir, "_applied.json")) as fh:
-            return _json.load(fh)["txn"]
+    def recompute(t: int) -> DataFrame:
+        return _feed_group_view(spark, base, t)
 
-    def publish(df: DataFrame, txn: int) -> None:
-        """Stage parquet + watermark together, publish by rename —
-        the compaction rename-swap pattern; the marker travels with
-        the data so a crash can never publish one without the other."""
-        stage, old = f"{root}/_view_stage", f"{root}/_view_old"
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        df.coalesce(1).write.parquet(stage)
-        with open(os.path.join(stage, "_applied.json"), "w") as fh:
-            _json.dump({"txn": txn}, fh)
-        if os.path.isdir(view_dir):
-            os.replace(view_dir, old)
-        os.replace(stage, view_dir)
-        shutil.rmtree(old, ignore_errors=True)
-
-    def apply_txn(t: int) -> bool:
-        if t <= watermark():
-            return False  # redelivered: already applied
-        feeds = txn_changes(spark, base, t - 1, t, _TXN_FEED_SPEC)
-        publish(apply_feed_deltas(read_view(), feeds), t)
-        return True
+    def apply_txn(t: int) -> str:
+        # watermark-span application through the shared helper: a
+        # missed or out-of-order notification is covered by the
+        # (watermark, t) feed, never silently dropped
+        return _apply_view_notification(
+            spark, base, store, _TXN_FEED_SPEC, t, recompute
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         # notification rows are metadata (one per transaction)
@@ -2430,35 +2527,15 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         h.awaitTermination()
 
-    def view_listing() -> list:
-        return sorted(
-            (f, os.path.getsize(os.path.join(view_dir, f)),
-             os.stat(os.path.join(view_dir, f)).st_mtime_ns)
-            for f in os.listdir(view_dir)
-        )
-
     def expect_converged(t: int) -> None:
-        o = txn_read(spark, base, t, "orders", "o_month")
-        li = txn_read(spark, base, t, "lineitem", "o_month")
-        want = (
-            o.groupBy("o_month")
-            .agg(
-                F.count("*").alias("w_n"),
-                F.sum("cents").alias("w_cents"),
-            )
-            .join(
-                li.groupBy("o_month").agg(
-                    F.sum("qty").alias("w_qty")
-                ),
-                "o_month",
-                "left",
-            )
-            .withColumn(
-                "w_qty", F.coalesce("w_qty", F.lit(0).cast("long"))
-            )
+        want = recompute(t).select(
+            "o_month",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("total_qty").alias("w_qty"),
         )
         mism = (
-            read_view().join(want, "o_month", "full")
+            store.read().join(want, "o_month", "full")
             .filter(
                 ~F.col("n_orders").eqNullSafe(F.col("w_n"))
                 | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
@@ -2466,44 +2543,27 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .count()
         )
-        if mism or watermark() != t:
+        if mism or store.watermark() != t:
             raise ValueError(
                 f"st22_stream_view_maintenance: view diverged at "
                 f"transaction {t} ({mism} months differ, watermark "
-                f"{watermark()})"
+                f"{store.watermark()})"
             )
 
     # initial materialization at txn 1 — the only fact-table scan
-    o1 = txn_read(spark, base, 1, "orders", "o_month")
-    l1 = txn_read(spark, base, 1, "lineitem", "o_month")
-    init = (
-        o1.groupBy("o_month")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum("cents").alias("total_cents"),
-        )
-        .join(
-            l1.groupBy("o_month").agg(F.sum("qty").alias("total_qty")),
-            "o_month",
-            "left",
-        )
-        .withColumn(
-            "total_qty", F.coalesce("total_qty", F.lit(0).cast("long"))
-        )
-    )
-    publish(init, 1)
+    store.publish(recompute(1), 1)
     # commit notifications arrive one per daemon wake-up
     spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
     run_daemon()
     expect_converged(2)
     # redelivery: the handler sees txn 2 again — idempotent no-op
-    before = view_listing()
-    if apply_txn(2):
+    before = store.listing()
+    if apply_txn(2) != "skip":
         raise ValueError(
             "st22_stream_view_maintenance: a redelivered transaction "
             "was re-applied"
         )
-    if view_listing() != before:
+    if store.listing() != before:
         raise ValueError(
             "st22_stream_view_maintenance: redelivery touched the "
             "view store"
@@ -2512,15 +2572,15 @@ def st22_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_daemon()
     expect_converged(3)
     # exactly-once across runs: nothing new -> nothing applied
-    before = view_listing()
+    before = store.listing()
     run_daemon()
-    if view_listing() != before:
+    if store.listing() != before:
         raise ValueError(
             "st22_stream_view_maintenance: an empty daemon run "
             "re-applied transactions — the checkpoint is not the "
             "thing preventing replay"
         )
-    return read_view()
+    return store.read()
 
 
 # --- ST23: the retention-aware feed consumer ------------------------------------
@@ -2627,12 +2687,9 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a routine vacuum into silent view corruption.  Refuse-then-
     rebaseline bounds the damage to one extra full recompute, and the
     watermark-inside-the-rename publish makes even that crash-safe."""
-    import json as _json
-
     from update_database_by_wind_spark.operators.update_pipeline import (
         _TXN_FEED_SPEC,
         _txn_feed_group,
-        apply_feed_deltas,
         txn_changes,
         txn_commit,
         txn_expire,
@@ -2642,70 +2699,23 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _txn_feed_group(spark, sf_dir, "st23")
     root = base.rsplit("/", 1)[0]
     src, ckpt = f"{root}/notify", f"{root}/ckpt"
-    view_dir = f"{root}/view"
     for sub in ("notify", "ckpt", "view", "_view_stage", "_view_old"):
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
 
-    def read_view() -> DataFrame:
-        return spark.read.parquet(view_dir)
-
-    def watermark() -> int:
-        with open(os.path.join(view_dir, "_applied.json")) as fh:
-            return _json.load(fh)["txn"]
-
-    def publish(df: DataFrame, txn: int) -> None:
-        stage, old = f"{root}/_view_stage", f"{root}/_view_old"
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        df.coalesce(1).write.parquet(stage)
-        with open(os.path.join(stage, "_applied.json"), "w") as fh:
-            _json.dump({"txn": txn}, fh)
-        if os.path.isdir(view_dir):
-            os.replace(view_dir, old)
-        os.replace(stage, view_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    store = _ViewStore(spark, root)
 
     def recompute(t: int) -> DataFrame:
-        o = txn_read(spark, base, t, "orders", "o_month")
-        li = txn_read(spark, base, t, "lineitem", "o_month")
-        return (
-            o.groupBy("o_month")
-            .agg(
-                F.count("*").alias("n_orders"),
-                F.sum("cents").alias("total_cents"),
-            )
-            .join(
-                li.groupBy("o_month").agg(
-                    F.sum("qty").alias("total_qty")
-                ),
-                "o_month",
-                "left",
-            )
-            .withColumn(
-                "total_qty",
-                F.coalesce("total_qty", F.lit(0).cast("long")),
-            )
-        )
+        return _feed_group_view(spark, base, t)
 
     modes: list = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
-            t = r["txn"]
-            wm = watermark()
-            if t <= wm:
-                continue
-            try:
-                feeds = txn_changes(spark, base, wm, t, _TXN_FEED_SPEC)
-            except ValueError:
-                # the watermark transaction was expired out from under
-                # us — the only safe continuation is a full re-baseline
-                # at the notified transaction
-                publish(recompute(t), t)
-                modes.append((t, "rebaseline"))
-                continue
-            publish(apply_feed_deltas(read_view(), feeds), t)
-            modes.append((t, "incremental"))
+            mode = _apply_view_notification(
+                spark, base, store, _TXN_FEED_SPEC, r["txn"], recompute
+            )
+            if mode != "skip":
+                modes.append((r["txn"], mode))
 
     def run_daemon() -> None:
         stream = spark.readStream.schema("txn long").parquet(f"{src}/*")
@@ -2717,13 +2727,6 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         h.awaitTermination()
 
-    def view_listing() -> list:
-        return sorted(
-            (f, os.path.getsize(os.path.join(view_dir, f)),
-             os.stat(os.path.join(view_dir, f)).st_mtime_ns)
-            for f in os.listdir(view_dir)
-        )
-
     def expect_converged(t: int) -> None:
         want = recompute(t).select(
             "o_month",
@@ -2732,7 +2735,7 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").alias("w_qty"),
         )
         mism = (
-            read_view().join(want, "o_month", "full")
+            store.read().join(want, "o_month", "full")
             .filter(
                 ~F.col("n_orders").eqNullSafe(F.col("w_n"))
                 | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
@@ -2740,13 +2743,14 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .count()
         )
-        if mism or watermark() != t:
+        if mism or store.watermark() != t:
             raise ValueError(
                 f"st23_feed_rebaseline: view diverged at transaction "
-                f"{t} ({mism} months differ, watermark {watermark()})"
+                f"{t} ({mism} months differ, watermark "
+                f"{store.watermark()})"
             )
 
-    publish(recompute(1), 1)
+    store.publish(recompute(1), 1)
     spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
     run_daemon()
     expect_converged(2)
@@ -2807,12 +2811,12 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step must still short-circuit the lineitem feed to zero "
             "rows"
         )
-    before = view_listing()
+    before = store.listing()
     run_daemon()
-    if view_listing() != before:
+    if store.listing() != before:
         raise ValueError(
             "st23_feed_rebaseline: an empty daemon run touched the "
             "view store — the checkpoint must still own replay "
             "protection after a rebaseline"
         )
-    return read_view()
+    return store.read()
