@@ -158,3 +158,85 @@ def test_txn_expire_matches_model_on_random_histories(spark, steps, keep_mask):
             assert rep2["tables"][t]["removed_manifests"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CHURN = st.lists(
+    # one churn op per partition index: 0 = leave alone, 1 = compact
+    # (rewrite files), 2 = delete the partition dir outright
+    st.integers(0, 2), min_size=3, max_size=3,
+)
+
+
+@given(churn=_CHURN)
+@settings(max_examples=5, deadline=None, suppress_health_check=[
+    HealthCheck.too_slow,
+    HealthCheck.function_scoped_fixture,
+    HealthCheck.data_too_large,
+])
+def test_stats_resync_heals_arbitrary_churn(spark, churn):
+    """snapshot_stats_resync's existence-driven law under arbitrary
+    interleavings of the rewriters it serves: any mix of per-partition
+    compaction and outright deletion inside a version dir is healed in
+    ONE resync — the ledger afterwards covers exactly the files on
+    disk, surviving partitions' band reads answer exactly, and the
+    immediate re-run reports zero deltas."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        compact_partitions,
+        snapshot_commit_with_stats,
+        snapshot_stats_resync,
+    )
+
+    parts = ["p0", "p1", "p2"]
+    root = tempfile.mkdtemp(prefix="resync_fuzz_")
+    base = f"{root}/t"
+    try:
+        rows = [(p, i, 10 * i) for i, p in enumerate(parts)] + [
+            (p, i + 10, 10 * (i + 10)) for i, p in enumerate(parts)
+        ]
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+        try:
+            snapshot_commit_with_stats(
+                spark,
+                spark.createDataFrame(rows, "m string, pk long, val long"),
+                base, 1, "m", ["pk", "val"],
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+        survivors = []
+        for p, op in zip(parts, churn):
+            pdir = os.path.join(base, "v1", f"m={p}")
+            if op == 1:
+                compact_partitions(
+                    spark, os.path.join(base, "v1"), "m",
+                    max_files=1, only=[p],
+                )
+                survivors.append(p)
+            elif op == 2:
+                shutil.rmtree(pdir)
+            else:
+                survivors.append(p)
+        import json
+
+        snapshot_stats_resync(spark, base, 1, "m")
+        with open(os.path.join(base, "_stats_v1.json")) as fh:
+            led = json.load(fh)
+        on_disk = {
+            os.path.relpath(os.path.join(r_, f), base)
+            for r_, ds, fs in os.walk(os.path.join(base, "v1"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert set(led) == on_disk
+        assert snapshot_stats_resync(spark, base, 1, "m") == {
+            "dropped": [], "added": [], "resynced_parts": [],
+        }
+        # surviving partitions still answer band reads exactly through
+        # the healed ledger (deleted partitions are gone from the
+        # manifest's perspective only via cow paths — here we just
+        # check the stats view agrees with disk, which set-equality
+        # above already proves file-for-file)
+        for p in survivors:
+            files = [k for k in led if f"/m={p}/" in k]
+            assert files, (p, led)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
