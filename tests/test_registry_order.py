@@ -67,6 +67,11 @@ _R15_NEW: list[str] = [
     # range clustering inside a version dir under the same stats
     # coherence protocol — skipping gets sharper, not just cheaper
     "s20_snapshot_clustering_stats",
+    # conjunctive multi-column bands through the travelling stats
+    "s21_snapshot_multiband",
+    # group erasure made physically complete via pointer-lifted
+    # partition GC
+    "u39_group_erasure_gc",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a
@@ -173,14 +178,14 @@ def test_window_structure():
     """New queries first, then changed-code, then the twenty r9-stale
     leaders the evidence-age guard named, then the r10-stale fill in
     the pinned family sequence (riskiest first, each block sorted).
-    Round 16's forced leaders are the THIRTY-THREE r10-stale queries
+    Round 16's forced leaders are the THIRTY-FIVE r10-stale queries
     outside the final window — the fifteen never in fill (a9, a10–a13,
     e1, f_array/f_map, o1, p1, q3, s10, sql_correlated, t_bpe,
     ts_rolling_corr; not a9b, whose latest green is r12) plus the
-    eighteen the round's registrations displaced (a2, a4–a8 family,
-    g2, l3h, l3k, the l4 cosine block, l5_ann_lsh, l5c, l6, l7) —
-    recompute from the artifacts when rotating; the guard forces them
-    at r16 exactly as it forced this round's twenty."""
+    twenty the round's registrations displaced (a2, a4–a8 family, g2,
+    l3b, l3c, l3h, l3k, the l4 cosine block, l5_ann_lsh, l5c, l6,
+    l7) — recompute from the artifacts when rotating; the guard
+    forces them at r16 exactly as it forced this round's twenty."""
     names = list(REGISTRY)
     n_new = len(_R15_NEW)
     assert names[:n_new] == _R15_NEW

@@ -54,20 +54,20 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     displaced fill from the back (the "no untested registration"
 #     rule, extended to rewrites), what dropped out was the
 #     lowest-risk block.  The rotation opened with THIRTY fill slots;
-#     the round's 11 new + 7 changed registrations displaced
-#     eighteen (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l3h, l3k, l4,
-#     l4b, l4c, l5_ann_lsh, l5c, l6, l7), leaving 12 in the final
-#     window.  Round 16's forced leaders are therefore THIRTY-THREE
-#     r10-stale queries: the fifteen never in fill (a9, a10-a13
+#     the round's 13 new + 7 changed registrations displaced
+#     twenty (a2, a4, a4b, a4c, a5, a6, a7, a8, g2, l3b, l3c, l3h,
+#     l3k, l4, l4b, l4c, l5_ann_lsh, l5c, l6, l7), leaving 10 in the
+#     final window.  Round 16's forced leaders are therefore
+#     THIRTY-FIVE r10-stale queries: the fifteen never in fill (a9, a10-a13
 #     moment/mode/histogram expression aggregates, e1_event_funnel,
 #     f_array/f_map, o1_global_sort, p1, q3 — re-benched implicitly
 #     via the TPC-H block, s10_zorder_clustering — its machinery
 #     earned r14 evidence via s17, sql_correlated_subquery,
 #     t_bpe_pair_counts, ts_rolling_corr; NOT a9b — its latest green
-#     is r12) plus the eighteen displaced; the guard will force them
-#     at r16 exactly as it forced this round's twenty, and 33 fits
-#     the 50-window with 17 slots for new work — round 15 spent 18
-#     on new+changed, so hold round 16's widening to that budget.
+#     is r12) plus the twenty displaced; the guard will force them
+#     at r16 exactly as it forced this round's twenty, and 35 fits
+#     the 50-window with 15 slots for new work — hold round 16's
+#     widening to that budget.
 #     Recompute from the CORRECTNESS artifacts when rotating — this
 #     paragraph is planning context, the artifacts are truth.
 #
@@ -128,17 +128,24 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # the st22 daemon re-baselines when retention expires its watermark,
 # then resumes incremental service) and a txn_expire hypothesis fuzz
 # (random histories x random keep sets vs a dict-model replay).
-# Fresh candidate round-16 surfaces (write the plan before
-# registering, and mind the 17-slot budget above): partition-
-# granular orphan GC lifted through the txn pointer (u32's
-# partition_orphan_gc with the live set computed from retained
-# TRANSACTION pointers, so group erasure is "gone", not
-# "unreachable"); conjunctive multi-column bands on the snapshot
-# stats path (S13's skipping_read_multi semantics through
-# snapshot_stats_for, one ledger probe serving several predicates);
-# and age-based txn retention (keep-by-age computing keep_txns from
-# an embedded commit stamp, composing with txn_expire_untagged's
-# tag roots).
+# Two of the three fresh candidates ALSO landed before round close
+# (the compose-and-certify loop ran three times this round):
+# s21_snapshot_multiband (conjunctive multi-column bands through one
+# stats probe, the kept set pinned as the intersection of the
+# single-band reads, with partitioning x clustering giving both
+# dimensions real pruning) and u39_group_erasure_gc
+# (txn_partition_gc — u32's partition GC lifted through the txn
+# pointer behind a manifests-match-pointers consistency guard, with
+# the auditor's-disk-walk receipt that erased bytes are GONE and the
+# no-op-on-fully-retained receipt).  Remaining candidate round-16
+# surfaces (write the plan before registering, and mind the 15-slot
+# budget above): age-based txn retention (keep-by-age computing
+# keep_txns from an embedded commit stamp, composing with
+# txn_expire_untagged's tag roots); stats-aware snapshot_changes (the
+# U20 diff pruned through the travelling ledgers so a CDC diff of a
+# band-disjoint version pair is metadata-only); and a group-level
+# OPTIMIZE planner (partition_zspan_census + small_file_census across
+# every table of a txn group feeding one maintenance work order).
 
 _ROUND15_FRONT = [
     # round-15 NEW registrations (widening plan items (a), (b) and
@@ -169,6 +176,13 @@ _ROUND15_FRONT = [
     # clustering inside a version dir (skipping gets SHARPER, not
     # just cheaper), ledger republished, kept-fraction receipt
     "s20_snapshot_clustering_stats",
+    # conjunctive multi-column bands through the travelling stats —
+    # partitioning x clustering makes BOTH dimensions prune, and the
+    # kept set is pinned as the intersection of the single-band reads
+    "s21_snapshot_multiband",
+    # group erasure made physically complete: u32's partition GC
+    # lifted through the txn pointer, no-op-when-retained receipt
+    "u39_group_erasure_gc",
     # CHANGED-code queries: identical oracles, but a rewrite must earn
     # fresh driver evidence before stale-green refresh.  st20/u18/u21/
     # u24 route through the compaction core that grew the scoped-fold
@@ -219,8 +233,6 @@ _ROUND15_FRONT = [
     "j10_salted_skew_join",
     "j2b_full_outer_join",
     "l1_exact_dedup",
-    "l3b_minhash_lsh_pairs",
-    "l3c_embedding_neardup",
 ]
 
 # Every other query has a driver-green row in r10-r14 -> back of the
@@ -285,6 +297,8 @@ _DRIVER_VERIFIED_R10_R14 = [
     "l2_hash_dedup",
     "l2b_canonical_dedup",
     "l3a_near_dup_signatures",
+    "l3b_minhash_lsh_pairs",
+    "l3c_embedding_neardup",
     "l3d_simhash",
     "l3e_ngram_jaccard",
     "l3f_dup_clusters",

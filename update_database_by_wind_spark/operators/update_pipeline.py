@@ -6006,9 +6006,6 @@ def snapshot_read_pruned(
     NON-partition column can skip whole partitions without the reader
     knowing the partition transform (Iceberg's hidden-partitioning
     read path)."""
-    import os
-    from collections import defaultdict
-
     merged = snapshot_stats_for(base, version, partition_col)
     kept = sorted(
         rel
@@ -6020,6 +6017,24 @@ def snapshot_read_pruned(
             spark, base, version, partition_col
         ).limit(0)
         return empty, [], len(merged)
+    out = _assemble_kept_scan(spark, base, kept)
+    return (
+        out.filter(F.col(column).between(lo, hi)),
+        kept,
+        len(merged),
+    )
+
+
+def _assemble_kept_scan(
+    spark: SparkSession, base: str, kept: list
+) -> DataFrame:
+    """Plan a scan over exactly the kept base-relative files, one
+    basePath-anchored read per owning version dir (the partition
+    column is recovered from the dir names), unioned by name — shared
+    by the single-band and conjunctive multi-band snapshot reads."""
+    import os
+    from collections import defaultdict
+
     by_vdir: dict[str, list] = defaultdict(list)
     for rel in kept:
         by_vdir[rel.split("/")[0]].append(os.path.join(base, rel))
@@ -6030,13 +6045,55 @@ def snapshot_read_pruned(
         for vd, files in sorted(by_vdir.items())
     ]
     out = scans[0]
-    for s in scans[1:]:
-        out = out.unionByName(s)
-    return (
-        out.filter(F.col(column).between(lo, hi)),
-        kept,
-        len(merged),
+    for sc in scans[1:]:
+        out = out.unionByName(sc)
+    return out
+
+
+def snapshot_read_pruned_multi(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    partition_col: str,
+    bands: dict,
+) -> tuple[DataFrame, list, int]:
+    """CONJUNCTIVE band read of a snapshot through its travelling
+    stats — S13's ``skipping_read_multi`` semantics on the snapshot
+    path: ``bands`` maps ``column -> (lo, hi)``, a file survives only
+    when EVERY band intersects its footer ``[min, max]``, and the one
+    merged stats view (one JSON probe per referenced owner version)
+    serves all predicates at once.  The kept set is by construction
+    the INTERSECTION of the per-column kept sets — the s21 receipt
+    pins that identity against the single-band reads — and the
+    executed scan re-applies every band as a data filter, so the
+    stats can only ever drop provably-empty files, never rows.
+
+    Why conjunctive pruning needs LAYOUT, not just stats: a band on
+    one column prunes only where the layout correlates files with
+    that column.  The s21 fixture gets two independent dimensions by
+    composing the partition transform (bucket dirs carry the custkey
+    correlation) with in-dir range clustering on cents
+    (:func:`cluster_partitions`) — each file then spans a narrow band
+    of BOTH columns, and the conjunctive read keeps strictly fewer
+    files than either single-column read."""
+    merged = snapshot_stats_for(base, version, partition_col)
+    kept = sorted(
+        rel
+        for rel, s in merged.items()
+        if all(
+            s[f"{c}_min"] <= hi and s[f"{c}_max"] >= lo
+            for c, (lo, hi) in bands.items()
+        )
     )
+    if not kept:
+        empty = snapshot_read(
+            spark, base, version, partition_col
+        ).limit(0)
+        return empty, [], len(merged)
+    out = _assemble_kept_scan(spark, base, kept)
+    for c, (lo, hi) in sorted(bands.items()):
+        out = out.filter(F.col(c).between(lo, hi))
+    return out, kept, len(merged)
 
 
 _S19_ORACLE = """
@@ -7969,3 +8026,425 @@ def s20_snapshot_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             f"post {kept_post}/{total_post})"
         )
     return pre.unionByName(post)
+
+
+_S21_ORACLE = """
+WITH v1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
+         o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+domc AS (SELECT MIN(cents) AS cmn, MAX(cents) AS cmx FROM v1),
+bc AS (
+  SELECT cmn + (cmx - cmn) // 8 AS clo, cmn + (cmx - cmn) // 4 AS chi
+  FROM domc
+)
+SELECT k_bucket, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM v1, b, bc
+WHERE o_custkey BETWEEN b.lo AND b.hi AND cents BETWEEN bc.clo AND bc.chi
+GROUP BY k_bucket
+"""
+
+
+@query(
+    "s21_snapshot_multiband",
+    oracle=_S21_ORACLE,
+    tags=("source", "layout"),
+)
+def s21_snapshot_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: CONJUNCTIVE two-column pruning through the travelling
+    stats — the third round-16 candidate the ledger named, pulled in:
+    one merged stats view serves several predicates at once
+    (:func:`snapshot_read_pruned_multi`), and the LAYOUT is what
+    makes both dimensions prune: the partition transform buckets dirs
+    by ``o_custkey div 64`` (dir-level custkey correlation, s19's
+    hidden-partitioning story) while :func:`cluster_partitions`
+    range-clusters each bucket's files on ``cents`` (file-level cents
+    correlation, s20's sharpness story) — two independent skipping
+    dimensions from one commit plus one maintenance pass.
+
+    Receipts, raise-style:
+
+    - the conjunctive kept set equals EXACTLY the intersection of the
+      two single-band kept sets (the multi-read is the set algebra it
+      claims, not a reimplementation that could drift);
+    - it is STRICTLY smaller than each single-band kept set alone —
+      each dimension prunes files the other keeps, so stacking
+      predicates compounds (the reason a 100 TB scan with two
+      selective predicates reads ~1/(f₁·f₂) of the files, not
+      ~1/max(f₁, f₂));
+    - the conjunctive read is EXACT (row count equals the full scan
+      under both predicates; physical input_file_name containment in
+      the kept set), and the driver-hashed rollup re-proves the
+      values;
+    - both single-band reads engage on their own (each kept <
+      total) — the fixture really does correlate both dimensions.
+
+    Why it matters at 100 TB: real queries carry several predicates,
+    and per-column pruning that cannot be composed forces the planner
+    to pick ONE skipping dimension; stats that answer conjunctively
+    from one metadata probe make multi-predicate scans cheap exactly
+    where partitioning × clustering made the layout sharp in both
+    axes."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_s21_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 64").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    domc = v1.agg(
+        F.min("cents").alias("cmn"), F.max("cents").alias("cmx")
+    ).first()
+    clo = domc.cmn + (domc.cmx - domc.cmn) // 8
+    chi = domc.cmn + (domc.cmx - domc.cmn) // 4
+    n_rows = orders.count()
+    n_buckets = v1.select("k_bucket").distinct().count()
+    per_file = max(1, n_rows // (n_buckets * 6))
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+    spark.conf.set(conf_key, str(per_file))
+    try:
+        snapshot_commit_with_stats(
+            spark, v1, base, 1, "k_bucket", ["o_custkey", "cents"]
+        )
+    finally:
+        spark.conf.set(conf_key, old_conf)
+    # the maintenance pass that gives files their cents correlation
+    snapshot_cluster_stats(
+        spark, base, 1, "k_bucket", "cents", files_per_part=6
+    )
+
+    _, kept_ck, total = snapshot_read_pruned(
+        spark, base, 1, "k_bucket", "o_custkey", lo, hi
+    )
+    _, kept_c, _t2 = snapshot_read_pruned(
+        spark, base, 1, "k_bucket", "cents", clo, chi
+    )
+    for name, kept1 in (("custkey", kept_ck), ("cents", kept_c)):
+        if not kept1 or len(kept1) >= total:
+            raise ValueError(
+                f"s21_snapshot_multiband: the {name} band alone must "
+                f"engage (kept {len(kept1)}/{total})"
+            )
+    pruned, kept_m, _t3 = snapshot_read_pruned_multi(
+        spark, base, 1, "k_bucket",
+        {"o_custkey": (lo, hi), "cents": (clo, chi)},
+    )
+    if set(kept_m) != set(kept_ck) & set(kept_c):
+        raise ValueError(
+            "s21_snapshot_multiband: the conjunctive kept set must be "
+            "exactly the intersection of the single-band kept sets"
+        )
+    if not (len(kept_m) < len(kept_ck) and len(kept_m) < len(kept_c)):
+        raise ValueError(
+            "s21_snapshot_multiband: stacking predicates must "
+            f"compound (multi {len(kept_m)}, custkey {len(kept_ck)}, "
+            f"cents {len(kept_c)})"
+        )
+    full_n = (
+        snapshot_read(spark, base, 1, "k_bucket")
+        .filter(
+            F.col("o_custkey").between(lo, hi)
+            & F.col("cents").between(clo, chi)
+        )
+        .count()
+    )
+    if pruned.count() != full_n:
+        raise ValueError(
+            "s21_snapshot_multiband: the conjunctive pruned read lost "
+            "rows against the full scan"
+        )
+    kept_paths = {os.path.join(base, rel) for rel in kept_m}
+    actual = {
+        r[0].replace("file://", "")
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    if not actual or not actual <= kept_paths:
+        raise ValueError(
+            "s21_snapshot_multiband: the executed scan left the kept "
+            "set — the receipt must be physical"
+        )
+    return pruned.groupBy("k_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+# --- U39: group erasure with partition-granular GC through the pointer ----------
+
+
+def txn_partition_gc(base: str, min_age_s: float = 0.0) -> dict:
+    """Partition-granular orphan GC for a TRANSACTION GROUP — u32's
+    :func:`partition_orphan_gc` lifted through the txn pointer (the
+    first fresh round-16 candidate the ledger named): per-table
+    expiry can only drop whole version dirs, so a version dir that
+    still shares ANY partition with a retained snapshot keeps every
+    rewritten partition's PRE-REWRITE images on disk, unreachable but
+    present.  For retention that is cosmetic; for a GROUP ERASURE it
+    is the difference between "unreachable" and "gone" across every
+    table the erasure transaction touched.
+
+    The per-table live sets are computed from the manifests present
+    in each table dir — which, by :func:`txn_expire`'s invariant, are
+    exactly the manifests some retained POINTER references.  That
+    invariant is load-bearing, so it is CHECKED first: every
+    (table, version) any pointer references must have its manifest on
+    disk, and any manifest no pointer references is a state this GC
+    refuses to reclaim around (run txn_expire first — it owns
+    manifest lifecycle; this function owns sub-partition residue).
+    Metadata-only decision; deletion cost proportional to dead bytes;
+    ``min_age_s`` is the same concurrent-writer guard as the
+    single-table form."""
+    import json as _json
+    import os
+    import re
+
+    pointers = sorted(
+        entry
+        for entry in os.listdir(base)
+        if re.fullmatch(r"_txn_v(\d+)\.json", entry)
+    )
+    if not pointers:
+        raise ValueError(
+            f"txn_partition_gc: no transaction pointers under {base}"
+        )
+    referenced: dict[str, set] = {}
+    for entry in pointers:
+        with open(os.path.join(base, entry)) as fh:
+            for t, tv in _json.load(fh).items():
+                referenced.setdefault(t, set()).add(int(tv))
+    removed: dict[str, list] = {}
+    for t in sorted(referenced):
+        tdir = os.path.join(base, t)
+        on_disk = {
+            int(m.group(1))
+            for entry in os.listdir(tdir)
+            if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+        }
+        if on_disk != referenced[t]:
+            raise ValueError(
+                f"txn_partition_gc: table {t}'s manifests on disk "
+                f"(v{sorted(on_disk)}) do not match the retained "
+                f"pointers' references (v{sorted(referenced[t])}); "
+                "run txn_expire first — it owns manifest lifecycle"
+            )
+        rep = partition_orphan_gc(tdir, min_age_s)
+        removed[t] = rep["removed"]
+    return {"removed": removed}
+
+
+_U39_CUT = "1997-01"
+
+_U39_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+o2 AS (
+  SELECT * FROM o1
+  WHERE NOT (o_month >= '{_U39_CUT}' AND o_orderkey % 101 = 0)
+),
+l2 AS (
+  SELECT * FROM l1
+  WHERE NOT (o_month >= '{_U39_CUT}' AND l_orderkey % 101 = 0)
+),
+ov AS (SELECT o_month, COUNT(*) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS order_cents
+       FROM o2 GROUP BY 1),
+lv AS (SELECT o_month, COUNT(*) AS n_items,
+              CAST(SUM(qty) AS BIGINT) AS total_qty
+       FROM l2 GROUP BY 1)
+SELECT ov.o_month, n_orders, order_cents, n_items, total_qty,
+       CAST(0 AS BIGINT) AS orphan_items
+FROM ov JOIN lv ON ov.o_month = lv.o_month
+"""
+
+
+@query("u39_group_erasure_gc", oracle=_U39_ORACLE, tags=("update", "layout"))
+def u39_group_erasure_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U39: GDPR-style erasure across a TABLE GROUP, physically
+    complete — u32 proved erasure-vs-retention per table; this lifts
+    the whole lifecycle through the transaction pointer so the
+    erasure is atomic ACROSS tables and the cleanup is provably
+    "gone", not "unreachable":
+
+    txn 1 commits orders + their items; txn 2 ERASES the %101 keys
+    from months >= 1997-01 in BOTH tables in ONE transaction
+    (rewriting exactly the affected months); ``txn_expire(keep=[2])``
+    drops the pre-erasure transaction; and
+    :func:`txn_partition_gc` reclaims, per table, every version-dir
+    partition subdir no retained manifest references — the
+    pre-erasure images of exactly the rewritten months, which
+    whole-dir expiry could not touch because the untouched early
+    months still share v1.  Receipts, raise-style:
+
+    - the GC's removed set is exactly v1's rewritten months in BOTH
+      tables (orders and items agree on the month list — the erasure
+      was transactional, so the residue is too);
+    - the untouched months' v1 subdirs remain on disk and the head
+      read is BYTE-IDENTICAL across the GC (same per-month rollups,
+      captured before and compared after);
+    - physically gone: after the GC, a direct parquet scan of each
+      table's ENTIRE v1 directory (bypassing manifests — the
+      auditor's disk walk) contains ZERO erased keys, the receipt
+      that turns "no retained snapshot can reach them" into "the
+      bytes do not exist";
+    - the erased keys are absent from the head read of both tables,
+      and ``orphan_items`` is zero per month (the erasure removed
+      orders and their items consistently — u19's torn-read tooth on
+      the erasure path);
+    - on the FULLY-RETAINED store the GC is a provable no-op (every
+      pair is live through some pointer — nothing is reclaimable
+      until expiry decides what history stays), and the consistency
+      guard that REFUSES a store whose manifests match no pointer is
+      unit-tested in test_txn_snapshot.py.
+
+    Why it matters at 100 TB: erasure requests touch every table that
+    ever joined on the subject's keys, and per-table vacuums leave
+    either torn erasure states (table A scrubbed at tonight's
+    version, table B readable at yesterday's) or unreachable-but-
+    present images inside shared version dirs.  Pointer-resolved
+    expiry + partition-granular GC makes the group's erasure atomic,
+    complete, and metadata-cheap."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u39_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+    )
+    erased_months = sorted(
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U39_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    )
+    o2 = o1.filter(F.col("o_month").isin(erased_months)).filter(
+        ~(F.col("o_orderkey") % 101 == 0)
+    )
+    l2 = l1.filter(F.col("o_month").isin(erased_months)).filter(
+        ~(F.col("l_orderkey") % 101 == 0)
+    )
+    txn_commit(
+        base, 2,
+        {
+            "orders": (o2, "o_month", erased_months),
+            "items": (l2, "o_month", erased_months),
+        },
+    )
+
+    def head_rows() -> list:
+        return sorted(
+            map(
+                tuple,
+                _txn_group_rollup(
+                    spark, base, 2, "gc", "x"
+                ).drop("gc").collect(),
+            )
+        )
+
+    # on the fully-retained store every (version, partition) pair is
+    # live through some pointer, so the GC must be a provable no-op —
+    # nothing is reclaimable until expiry decides what history stays
+    # (the refusal on an INCONSISTENT store — manifests that match no
+    # pointer — is unit-tested in test_txn_snapshot.py)
+    rep0 = txn_partition_gc(base)
+    if any(rep0["removed"][t] for t in rep0["removed"]):
+        raise ValueError(
+            "u39_group_erasure_gc: partition GC reclaimed "
+            f"{rep0['removed']} from a fully retained store"
+        )
+    pre = head_rows()
+    txn_expire(base, [2])
+    rep = txn_partition_gc(base)
+    want = {f"v1/o_month={m}" for m in erased_months}
+    for t in ("orders", "items"):
+        if set(rep["removed"][t]) != want:
+            raise ValueError(
+                f"u39_group_erasure_gc: {t}'s reclaimed set must be "
+                f"exactly v1's rewritten months (got "
+                f"{sorted(rep['removed'][t])[:4]}...)"
+            )
+        vdir = os.path.join(base, t, "v1")
+        survivors = {
+            e for e in os.listdir(vdir) if e.startswith("o_month=")
+        }
+        if not survivors or any(
+            e.split("=", 1)[1] >= _U39_CUT for e in survivors
+        ):
+            raise ValueError(
+                f"u39_group_erasure_gc: {t}/v1 must keep exactly the "
+                "untouched early months"
+            )
+        # the auditor's disk walk: the erased keys' bytes are GONE
+        key = "o_orderkey" if t == "orders" else "l_orderkey"
+        leftover = (
+            spark.read.parquet(vdir)
+            .filter(
+                (F.col(key) % 101 == 0)
+                & (F.col("o_month") >= _U39_CUT)
+            )
+            .count()
+        )
+        if leftover:
+            raise ValueError(
+                f"u39_group_erasure_gc: {leftover} pre-erasure images "
+                f"of erased {t} keys still physically present under v1"
+            )
+    if head_rows() != pre:
+        raise ValueError(
+            "u39_group_erasure_gc: the head read changed across the "
+            "partition GC — reclamation touched live data"
+        )
+    return _txn_group_rollup(spark, base, 2, "gc", "x").drop("gc")
