@@ -6510,18 +6510,6 @@ def snapshot_stats_resync(
         )
     with open(ledger_path) as fh:
         ledger: dict[str, dict] = _json.load(fh)
-    if not ledger:
-        raise ValueError(
-            f"snapshot_stats_resync: version {version}'s ledger is "
-            "empty — no entries to infer the tracked stat columns from"
-        )
-    stat_cols = sorted(
-        {
-            k[: -len("_min")]
-            for k in next(iter(ledger.values()))
-            if k.endswith("_min")
-        }
-    )
     # the same ledger-shape validation snapshot_stats_for performs
     # (round-15 review: an unused partition_col parameter implied a
     # check that never ran — a caller naming the wrong column must
@@ -6545,7 +6533,27 @@ def snapshot_stats_resync(
     dead = sorted(k for k in ledger if k not in on_disk)
     uncovered = sorted(p for p in on_disk if p not in ledger)
     if not dead and not uncovered:
+        # includes the total-deletion edge the churn fuzz found: an
+        # EMPTY ledger over an empty version dir is trivially coherent,
+        # and refusing it broke the "re-running recovery is free"
+        # contract after a rewrite removed every partition
         return {"dropped": [], "added": [], "resynced_parts": []}
+    if uncovered and not ledger:
+        # files appeared under a version whose ledger holds no entry to
+        # infer the tracked stat columns from — not a state the commit
+        # or maintenance protocols can produce; refuse loudly
+        raise ValueError(
+            f"snapshot_stats_resync: version {version}'s ledger is "
+            "empty but files exist on disk — no entries to infer the "
+            "tracked stat columns from"
+        )
+    stat_cols = sorted(
+        {
+            k[: -len("_min")]
+            for k in next(iter(ledger.values()))
+            if k.endswith("_min")
+        }
+    )
     for k in dead:
         del ledger[k]
     # footer re-sweep ONLY for partition dirs holding uncovered files;
