@@ -1036,3 +1036,97 @@ def test_txn_partition_gc_noop_refusal_and_reclaim(spark, tmp_path):
     assert _rows(txn_read(spark, base, 2, "a", "m")) == [
         (1, "x", 11), (2, "y", 20),
     ]
+
+
+def test_multiband_kept_set_is_the_model_intersection(spark, tmp_path):
+    """snapshot_read_pruned_multi's kept set equals a brute-force
+    evaluation of the band rule over the merged stats view, for every
+    single band and for their conjunction — and the conjunctive read
+    still answers exactly on a fixture where one file survives one
+    band but not the other."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        snapshot_read_pruned,
+        snapshot_read_pruned_multi,
+        snapshot_stats_for,
+    )
+
+    base = str(tmp_path / "t")
+    # pk correlates with partition; val anti-correlates — so the two
+    # bands keep DIFFERENT file subsets
+    snapshot_commit(
+        _df(spark, [(1, "a", 90), (2, "a", 80), (8, "b", 20), (9, "b", 10)]),
+        base, 1, "m",
+    )
+    snapshot_commit_stats(spark, base, 1, ["pk", "val"])
+    merged = snapshot_stats_for(base, 1, "m")
+
+    def brute(bands):
+        return sorted(
+            rel
+            for rel, s in merged.items()
+            if all(
+                s[f"{c}_min"] <= hi and s[f"{c}_max"] >= lo
+                for c, (lo, hi) in bands.items()
+            )
+        )
+
+    for bands in (
+        {"pk": (1, 2)},
+        {"val": (0, 30)},
+        {"pk": (1, 2), "val": (0, 30)},
+        {"pk": (0, 100), "val": (0, 100)},
+        {"pk": (50, 60)},
+    ):
+        df, kept, total = snapshot_read_pruned_multi(
+            spark, base, 1, "m", bands
+        )
+        assert kept == brute(bands), bands
+        assert total == len(merged)
+        # exactness against the full-data filter
+        want = [(1, "a", 90), (2, "a", 80), (8, "b", 20), (9, "b", 10)]
+        want = [
+            r for r in want
+            if all(lo <= {"pk": r[0], "val": r[2]}[c] <= hi
+                   for c, (lo, hi) in bands.items())
+        ]
+        assert _rows(df) == sorted(want), bands
+    # single-band reads agree with the single-entry multi form
+    _, kept1, _t = snapshot_read_pruned(spark, base, 1, "m", "pk", 1, 2)
+    _, kept1m, _t2 = snapshot_read_pruned_multi(
+        spark, base, 1, "m", {"pk": (1, 2)}
+    )
+    assert kept1 == kept1m
+
+
+def test_view_store_survives_stage_residue(spark, tmp_path):
+    """_ViewStore's crash contract: stage/old residue from a crashed
+    publish never corrupts reads or the watermark, and the next
+    publish clears it and lands atomically."""
+    import json
+
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ViewStore,
+    )
+
+    root = str(tmp_path)
+    store = _ViewStore(spark, root)
+    df1 = spark.createDataFrame([("m1", 1)], "o_month string, n long")
+    store.publish(df1, 1)
+    assert store.watermark() == 1
+    # crash mid-publish: a fully-written stage (data + marker) that
+    # never reached the rename, plus an _view_old leftover
+    os.makedirs(os.path.join(root, "_view_stage"))
+    with open(
+        os.path.join(root, "_view_stage", "_applied.json"), "w"
+    ) as fh:
+        json.dump({"txn": 9}, fh)
+    os.makedirs(os.path.join(root, "_view_old"))
+    assert store.watermark() == 1  # residue is invisible to readers
+    assert [tuple(r) for r in store.read().collect()] == [("m1", 1)]
+    df2 = spark.createDataFrame([("m1", 2)], "o_month string, n long")
+    store.publish(df2, 2)
+    assert store.watermark() == 2
+    assert [tuple(r) for r in store.read().collect()] == [("m1", 2)]
+    assert not os.path.exists(os.path.join(root, "_view_stage"))
+    assert not os.path.exists(os.path.join(root, "_view_old"))
