@@ -7787,6 +7787,11 @@ def cluster_partitions(
         want = {str(v) for v in only}
         targets = [t for t in targets if unquote(t["partition"]) in want]
     for c in targets:
+        if c["n_files"] == 0:
+            # an empty partition dir (possible after partition-granular
+            # GC interleavings) has nothing to sort and would fail the
+            # staged read — clustering it is vacuously done
+            continue
         stage = os.path.join(
             table_path, f"_compact_tmp_{c['partition']}"
         )
@@ -7804,7 +7809,11 @@ def cluster_partitions(
         os.replace(c["dir"], old)
         os.replace(stage, c["dir"])
         shutil.rmtree(old)
-    return {"clustered": sorted(t["partition"] for t in targets)}
+    return {
+        "clustered": sorted(
+            t["partition"] for t in targets if t["n_files"] > 0
+        )
+    }
 
 
 def snapshot_cluster_stats(
@@ -8247,6 +8256,15 @@ def txn_partition_gc(base: str, min_age_s: float = 0.0) -> dict:
     removed: dict[str, list] = {}
     for t in sorted(referenced):
         tdir = os.path.join(base, t)
+        if not os.path.isdir(tdir):
+            # the ValueError re-read/re-derive contract (u33's lesson):
+            # a pointer naming a table with no directory is store
+            # corruption, not a condition to crash past
+            raise ValueError(
+                f"txn_partition_gc: retained pointers reference table "
+                f"{t!r} but {tdir} does not exist; the store is "
+                "inconsistent"
+            )
         on_disk = {
             int(m.group(1))
             for entry in os.listdir(tdir)
