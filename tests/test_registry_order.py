@@ -4,8 +4,8 @@ these tests pin the contract that the window is spent first on
 never-yet-verified queries, then on queries whose code changed this
 round, then on the stalest regression evidence.  Round 12 added the
 evidence-age GUARD: staleness past six rounds is a red test, not a
-ledger comment — round 15 opens by paying exactly the debt the guard
-names against CORRECTNESS_r14 at newest=15 (the twenty r9-stale
+ledger comment — round 16 opens by paying exactly the debt the guard
+names against CORRECTNESS_r15 at newest=16 (the thirty-five r10-stale
 queries), which keeps every registered query within five rounds of
 driver evidence.
 """
@@ -19,128 +19,84 @@ import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
 # Newly-registered queries this round.  Every newly-registered query
-# is appended here and to the top of _ROUND15_FRONT in the same commit
+# is appended here and to the top of _ROUND16_FRONT in the same commit
 # — and its oracle-match test plus this file must be run BEFORE that
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R15_NEW: list[str] = [
-    # widening plan (b): s17's z-span census per PARTITION dir feeding
-    # the u31 scheduler shape — per-partition clustering health with
-    # the re-sort scoped to the degraded files of the degraded dirs
-    "s18_partition_clustering_health",
-    # widening plan (c): S13 stats published per COMMIT and reassembled
-    # through U15 manifests — version-exact file skipping on
-    # non-partition predicates (hidden-partitioning read path)
-    "s19_snapshot_stats_travel",
-    # widening plan (a): st20's live-compaction lifecycle gated by
-    # u31's small-file census policy through mor_compact_seq's scoped
-    # fold — receipts pin the fired AND the not-fired branch
-    "st21_gated_compact_live",
-    # u35's algebra as the streaming daemon: checkpointed commit-log
-    # notifications, watermark-inside-the-rename idempotent
-    # application, exactly-once across runs
-    "st22_stream_view_maintenance",
-    # widening plan (c): u20's row-level changelog resolved through
-    # u19's transaction pointer (txn_changes) — mutually consistent
-    # multi-table deltas with a metadata short-circuit for untouched
-    # tables
-    "u34_txn_change_feed",
-    # the feed's consumer: a cross-table materialized view maintained
-    # incrementally from txn_changes deltas, recompute-checked after
-    # every application
-    "u35_feed_view_maintenance",
-    # the two round-16 candidate surfaces the ledger named, pulled
-    # into this round once the planned window was green: travelling
-    # stats republished across a compaction inside a version dir
-    "u36_stats_layout_coherence",
-    # u26's expiry lifted through the txn pointer — group GC that can
-    # never break a retained transaction's reads
-    "u37_txn_retention",
-    # named refs on transactions as GC roots + the computed
-    # keep-last-N policy over txn_expire
-    "u38_txn_tag_retention",
-    # the retention <-> consumer interaction: the maintenance daemon
-    # re-baselines when its watermark transaction was expired, then
-    # resumes incremental service
-    "st23_feed_rebaseline",
-    # range clustering inside a version dir under the same stats
-    # coherence protocol — skipping gets sharper, not just cheaper
-    "s20_snapshot_clustering_stats",
-    # conjunctive multi-column bands through the travelling stats
-    "s21_snapshot_multiband",
-    # group erasure made physically complete via pointer-lifted
-    # partition GC
-    "u39_group_erasure_gc",
-]
+_R16_NEW: list[str] = []
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-# Populated as the round-15 work lands (ADVICE fixes to the lifecycle
-# primitives, the widening plan); each addition moves the query to the
-# front of _ROUND15_FRONT in the same commit as the code change.
-_R15_CHANGED: list[str] = [
-    # the compaction core grew the scoped-fold path
-    # (mor_compact_seq(parts=...) / _compact_core vector_scope):
-    # every query routing through it re-earns driver evidence
-    "st20_cdc_compact_live",
-    "u18_mor_delete",
-    "u21_mor_seq_compact",
-    "u24_mor_seq_erasure",
-    # the three round-14 ADVICE fixes
-    "u31_compaction_scheduler",
-    "u32_erasure_hold_lifecycle",
-    "u33_txn_occ_multi_table",
+# Populated as the round-16 work lands (the four round-15 ADVICE fixes
+# to txn_expire and the view daemon, the widening plan); each addition
+# moves the query to the front of _ROUND16_FRONT in the same commit as
+# the code change.
+_R16_CHANGED: list[str] = []
+
+# Round 15's named overflow: last driver-green row is round 10 — the
+# thirty-five queries the evidence-age guard forces into this window
+# at newest=16 (round-15 verdict ask #1; recomputed from the artifacts
+# in the rotation commit, identical to the r15 ledger's list).
+_R10_STALE_LEADERS = [
+    "a10_moment_statistics",
+    "a11_geometric_mean",
+    "a12_mode_per_group",
+    "a13_histogram_equiwidth",
+    "a2_distinct_counts",
+    "a4_rollup_balances",
+    "a4b_cube_quantities",
+    "a4c_grouping_sets",
+    "a5_conditional_agg",
+    "a6_collect_sorted_lists",
+    "a7_pivot_segment_revenue",
+    "a8_unpivot_status_revenue",
+    "a9_percentiles",
+    "e1_event_funnel",
+    "f_array_functions",
+    "f_map_functions",
+    "g2_pagerank",
+    "l3b_minhash_lsh_pairs",
+    "l3c_embedding_neardup",
+    "l3h_portable_minhash",
+    "l3k_incremental_index",
+    "l4_cosine_topk_exact",
+    "l4b_cosine_topk_blocked",
+    "l4c_cosine_topk_vectorized",
+    "l5_ann_lsh",
+    "l5c_matryoshka_recall",
+    "l6_vector_norms",
+    "l7_word_frequency",
+    "o1_global_sort",
+    "p1_project_rename_cast",
+    "q3_shipping_priority",
+    "s10_zorder_clustering",
+    "sql_correlated_subquery",
+    "t_bpe_pair_counts",
+    "ts_rolling_corr",
 ]
 
-# Round 14's named overflow: last driver-green row is round 9 — the
-# twenty queries the evidence-age guard forces into this window at
-# newest=15 (round-14 verdict ask #1; named verbatim in the r14
-# ledger).
-_R9_STALE_LEADERS = [
-    "a16b_grouped_quantile_sketch",
-    "a1_pricing_summary",
-    "f_datetime_functions",
-    "f_hash_functions",
-    "f_json_extraction",
-    "f_math_null_functions",
-    "f_string_functions",
-    "f_try_functions",
-    "f_variant_json",
-    "o5_intersect_except_nations",
-    "o5b_intersect_except_all",
-    "o6_distinct_flag_combos",
-    "p2_filter_kitchen_sink",
-    "p3_case_when_tiers",
-    "s12_incremental_ingest",
-    "tr_k_anonymity",
-    "tr_mix_weights",
-    "tr_sequence_pack",
-    "tr_token_budget",
-    "ts_ewma",
-]
-
-# The r10-stale fill's family-block sequence, riskiest first: when new
+# The r11-stale fill's family-block sequence, riskiest first: when new
 # or changed-code registrations displace fill from the back, what
-# drops out is the pure-expression aggregate block, never the
-# streaming/lifecycle shapes.  (The round-14 advisor asked for this
-# explicit sequence assertion — the generic sorted-blocks check alone
-# cannot see ordering BETWEEN families.)
-_FILL_FAMILY_SEQUENCE = ["st", "u", "ud", "w", "j", "l", "g", "a"]
+# drops out is the dedup/ANN trio and the window pair, never the
+# update-lifecycle CDC/snapshot block.  (The round-14 advisor asked
+# for this explicit sequence assertion — the generic sorted-blocks
+# check alone cannot see ordering BETWEEN families.)
+_FILL_FAMILY_SEQUENCE = ["u", "w", "j", "l"]
 
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND15_FRONT)] == ops._ROUND15_FRONT
+    assert names[: len(ops._ROUND16_FRONT)] == ops._ROUND16_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND15_FRONT)
+    front = set(ops._ROUND16_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R10_R14 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R11_R15 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -149,7 +105,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND15_FRONT, *ops._DRIVER_VERIFIED_R10_R14]:
+    for n in [*ops._ROUND16_FRONT, *ops._DRIVER_VERIFIED_R11_R15]:
         assert n in REGISTRY, n
 
 
@@ -158,52 +114,48 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND15_FRONT) & set(ops._DRIVER_VERIFIED_R10_R14)
+    dup = set(ops._ROUND16_FRONT) & set(ops._DRIVER_VERIFIED_R11_R15)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-15 front (new + changed-code + stalest regression
-    slots) or in the r10–r14 driver-green defer list.  A query in
+    in the round-16 front (new + changed-code + stalest regression
+    slots) or in the r11–r15 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that — exactly how s13 missed round
     10 (it was registered but in neither list)."""
-    covered = set(ops._ROUND15_FRONT) | set(ops._DRIVER_VERIFIED_R10_R14)
+    covered = set(ops._ROUND16_FRONT) | set(ops._DRIVER_VERIFIED_R11_R15)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_window_structure():
-    """New queries first, then changed-code, then the twenty r9-stale
-    leaders the evidence-age guard named, then the r10-stale fill in
-    the pinned family sequence (riskiest first, each block sorted).
-    Round 16's forced leaders are the THIRTY-FIVE r10-stale queries
-    outside the final window — the fifteen never in fill (a9, a10–a13,
-    e1, f_array/f_map, o1, p1, q3, s10, sql_correlated, t_bpe,
-    ts_rolling_corr; not a9b, whose latest green is r12) plus the
-    twenty the round's registrations displaced (a2, a4–a8 family, g2,
-    l3b, l3c, l3h, l3k, the l4 cosine block, l5_ann_lsh, l5c, l6,
-    l7) — recompute from the artifacts when rotating; the guard
-    forces them at r16 exactly as it forced this round's twenty."""
+    """New queries first, then changed-code, then the thirty-five
+    r10-stale leaders the evidence-age guard named, then the r11-stale
+    fill in the pinned family sequence (riskiest first, each block
+    sorted).  Round 17's forced leaders are the r11-green queries that
+    neither this fill nor displacement refreshes — recompute from the
+    artifacts when rotating; the guard forces them at r17 exactly as
+    it forced this round's thirty-five."""
     names = list(REGISTRY)
-    n_new = len(_R15_NEW)
-    assert names[:n_new] == _R15_NEW
-    n_chg = len(_R15_CHANGED)
-    assert names[n_new : n_new + n_chg] == _R15_CHANGED
-    # leaders follow, minus any promoted into the changed-code block
+    n_new = len(_R16_NEW)
+    assert names[:n_new] == _R16_NEW
+    n_chg = len(_R16_CHANGED)
+    assert names[n_new : n_new + n_chg] == _R16_CHANGED
+    # leaders follow, minus any promoted into the new/changed blocks
     leaders = [
         n
-        for n in _R9_STALE_LEADERS
-        if n not in set(_R15_CHANGED) and n not in set(_R15_NEW)
+        for n in _R10_STALE_LEADERS
+        if n not in set(_R16_CHANGED) and n not in set(_R16_NEW)
     ]
     lead_start = n_new + n_chg
     lead_end = lead_start + len(leaders)
     assert names[lead_start:lead_end] == leaders
-    # the r10 fill: every remaining window slot is grouped by family,
+    # the r11 fill: every remaining window slot is grouped by family,
     # each block sorted, and the blocks follow the pinned risk order
     # (a prefix of it once displacement starts dropping the back)
-    fill = names[lead_end : len(ops._ROUND15_FRONT)]
+    fill = names[lead_end : len(ops._ROUND16_FRONT)]
     blocks: list[list[str]] = []
     for n in fill:
         fam = re.match(r"[a-z]+", n).group(0)
@@ -215,8 +167,8 @@ def test_window_structure():
         assert b == sorted(b), b
     fams = [re.match(r"[a-z]+", b[0]).group(0) for b in blocks]
     assert fams == _FILL_FAMILY_SEQUENCE[: len(fams)], fams
-    assert len(ops._ROUND15_FRONT) == lead_end + len(fill)
-    assert len(ops._ROUND15_FRONT) == 50
+    assert len(ops._ROUND16_FRONT) == lead_end + len(fill)
+    assert len(ops._ROUND16_FRONT) == 50
 
 
 def _latest_green_rounds() -> tuple[dict[str, int], int, int]:
@@ -253,7 +205,7 @@ def test_evidence_age_guard():
     When this fails, rotate _ROUND{N}_FRONT; do not widen the
     threshold."""
     latest, newest, window = _latest_green_rounds()
-    assert newest >= 14, "CORRECTNESS artifacts missing from the repo"
+    assert newest >= 15, "CORRECTNESS artifacts missing from the repo"
     in_window = set(list(REGISTRY)[:window])
     overdue = [
         q
@@ -267,12 +219,13 @@ def test_evidence_age_guard():
 
 
 def test_rotation_anticipates_next_round():
-    """The r15 rotation must ALSO hold when CORRECTNESS_r15 lands: at
-    newest=15 the guard threshold moves to <=9, so every query whose
-    latest green row is round 9 or earlier must already sit inside the
-    current window.  This is the assertion that failed silently in
+    """The r16 rotation must ALSO hold when CORRECTNESS_r16 lands: at
+    newest=16 the guard threshold moves to <=10, so every query whose
+    latest green row is round 10 or earlier must already sit inside
+    the current window.  This is the assertion that failed silently in
     rounds 12–14's planning (the ledger said it; no test checked it
-    before the artifact arrived)."""
+    before the artifact arrived), and the tripwire that correctly went
+    red on the round-15 tree the moment CORRECTNESS_r15 landed."""
     latest, newest, window = _latest_green_rounds()
     in_window = set(list(REGISTRY)[:window])
     next_overdue = [
