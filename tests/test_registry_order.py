@@ -33,7 +33,20 @@ _R16_NEW: list[str] = []
 # to txn_expire and the view daemon, the widening plan); each addition
 # moves the query to the front of _ROUND16_FRONT in the same commit as
 # the code change.
-_R16_CHANGED: list[str] = []
+_R16_CHANGED: list[str] = [
+    # the four round-15 ADVICE fixes (widening plan item (1)):
+    # txn_expire crash-idempotent recovery + min_age_s concurrent-
+    # writer guard; txn_changes' typed RetentionExpiredError;
+    # _apply_view_notification rebaselining only on that type;
+    # _ViewStore healing the interrupted rename swap
+    "st22_stream_view_maintenance",
+    "st23_feed_rebaseline",
+    "u34_txn_change_feed",
+    "u35_feed_view_maintenance",
+    "u37_txn_retention",
+    "u38_txn_tag_retention",
+    "u39_group_erasure_gc",
+]
 
 # Round 15's named overflow: last driver-green row is round 10 — the
 # thirty-five queries the evidence-age guard forces into this window

@@ -240,3 +240,102 @@ def test_stats_resync_heals_arbitrary_churn(spark, churn):
             assert files, (p, led)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(steps=_STEPS, keep_mask=st.integers(1, 31), crash_after=st.integers(0, 6))
+@settings(**_SETTINGS)
+def test_txn_expire_crash_interleaving_recovers(
+    spark, steps, keep_mask, crash_after
+):
+    """The round-15 advisor's kill point, fuzzed: an expiry that dies
+    after removing the first ``crash_after`` expired pointers (and
+    before any per-table expiry ran) must be finished by the re-run —
+    retained reads equal the dict-model replay, the deferred residue
+    is reclaimed through the keep-set expiry, and the run after THAT
+    is a provable no-op.  Before the fix the re-run raised
+    'below its pointed head' on every schedule with crash_after > 0."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_expire,
+        txn_read,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_expire_crash_fuzz_")
+    base = f"{root}/g"
+    try:
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        state: dict[str, dict[str, int]] = {
+            t: {p: 0 for p in _PARTS} for t in _TABLES
+        }
+        txn_commit(
+            base,
+            1,
+            {
+                t: (
+                    spark.createDataFrame(
+                        [(p, 0) for p in _PARTS], "m string, v long"
+                    ),
+                    "m",
+                    None,
+                )
+                for t in _TABLES
+            },
+        )
+        model[1] = {t: dict(state[t]) for t in _TABLES}
+        val = 0
+        for i, (table_mask, pm_a, pm_b) in enumerate(steps):
+            updates = {}
+            for bit, (t, pm) in enumerate(zip(_TABLES, (pm_a, pm_b))):
+                if not table_mask & (1 << bit):
+                    continue
+                parts = [
+                    p for j, p in enumerate(_PARTS) if pm & (1 << j)
+                ]
+                val += 1
+                for p in parts:
+                    state[t][p] = val
+                updates[t] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ),
+                    "m",
+                    parts,
+                )
+            if not updates:
+                continue
+            txn_commit(base, 2 + i, updates)
+            model[2 + i] = {t: dict(state[t]) for t in _TABLES}
+        head = max(model)
+        keep = sorted(
+            {head} | {v for v in model if keep_mask & (1 << (v - 1))}
+        )
+        expired = sorted(set(model) - set(keep))
+        # the crash: step 3 got through the first crash_after pointer
+        # removals, step 4 never ran
+        for v in expired[:crash_after]:
+            os.remove(os.path.join(base, f"_txn_v{v}.json"))
+        rep = txn_expire(base, keep)
+        assert rep["removed_pointers"] == [
+            f"_txn_v{v}.json" for v in expired[crash_after:]
+        ]
+        for v in keep:
+            for t in _TABLES:
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                want = sorted((p, model[v][t][p]) for p in _PARTS)
+                assert got == want, (v, t, got, want)
+        rep2 = txn_expire(base, keep)
+        assert rep2["removed_pointers"] == []
+        assert rep2["orphans_reclaimed"] == []
+        assert rep2["residue_deferred"] == []
+        for t in _TABLES:
+            assert rep2["tables"][t]["removed_dirs"] == []
+            assert rep2["tables"][t]["removed_manifests"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -850,12 +850,18 @@ def test_txn_expire_guards(spark, tmp_path):
         txn_expire(base, [1])
     with pytest.raises(ValueError, match="no pointer"):
         txn_expire(base, [2, 9])
-    # a hand-deleted pointer leaves an unpointed manifest BELOW the
-    # pointed head — a shape the commit protocol cannot produce, so
-    # the GC refuses rather than guessing what owns it
+    # a missing pointer leaves unpointed manifests BELOW the pointed
+    # head — byte-identical to an expiry that crashed between pointer
+    # removal and the per-table expiry loop, so the GC treats it as
+    # that crash's residue and finishes the reclaim instead of
+    # wedging (round-15 advisor: the old refusal made the crash
+    # unrecoverable — txn_expire raised on every re-run and
+    # txn_partition_gc refuses until txn_expire succeeds)
     os.remove(os.path.join(base, "_txn_v1.json"))
-    with pytest.raises(ValueError, match="below its pointed head"):
-        txn_expire(base, [2])
+    pre = _rows(txn_read(spark, base, 2, "a", "m"))
+    rep = txn_expire(base, [2])
+    assert rep["residue_deferred"] == ["a/v1"]
+    assert _rows(txn_read(spark, base, 2, "a", "m")) == pre
 
 
 def test_txn_expire_shared_dirs_reads_and_stats(spark, tmp_path):
@@ -909,6 +915,101 @@ def test_txn_expire_shared_dirs_reads_and_stats(spark, tmp_path):
     rep2 = txn_expire(base, [3])
     assert rep2["removed_pointers"] == []
     assert rep2["orphans_reclaimed"] == []
+
+
+def test_txn_expire_crash_recovery_is_idempotent(spark, tmp_path):
+    """The round-15 advisor's crash interleaving: an expiry that dies
+    AFTER removing the expired pointers but BEFORE the per-table
+    snapshot_expire loop leaves manifests only the deleted pointers
+    referenced.  The re-run must finish the reclaim — defer those
+    manifests to the keep-set expiry (which honours version-dir
+    sharing), keep retained reads byte-identical, and unwedge
+    txn_partition_gc — not raise on the orphan scan."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+        txn_partition_gc,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)  # txn1: a(v1), b(v1)
+    # txn2: FULL rewrite of a (v2) — after expiring txn1, a/v1 is
+    # reclaimable; txn3: partial rewrite of b (m=y) — b/v1 stays
+    # SHARED by txn3's manifest for partition x
+    txn_commit(
+        base, 2,
+        {"a": (_df(spark, [(1, "x", 11), (2, "y", 21)]), "m", None)},
+    )
+    txn_commit(
+        base, 3, {"b": (_df(spark, [(2, "y", 201)]), "m", ["y"])}
+    )
+    pre_a = _rows(txn_read(spark, base, 3, "a", "m"))
+    pre_b = _rows(txn_read(spark, base, 3, "b", "m"))
+    # the crash: step 3 completed (expired pointers gone), step 4
+    # never ran — exactly the state txn_expire(base, [3]) leaves if
+    # killed between os.remove(pointer) and the expiry loop
+    os.remove(os.path.join(base, "_txn_v1.json"))
+    os.remove(os.path.join(base, "_txn_v2.json"))
+    # before the fix this raised "below its pointed head" forever,
+    # and txn_partition_gc refused ("run txn_expire first") — the
+    # wedge the advisor named
+    with pytest.raises(ValueError, match="run txn_expire first"):
+        txn_partition_gc(base)
+    rep = txn_expire(base, [3])
+    assert rep["removed_pointers"] == []
+    # a/v1 and b/v1 are the crash residue (txn3's pointer carries
+    # a:2, b:2 forward); the expiry loop — not a blind rmtree —
+    # reclaims their manifests, and only the UNSHARED dir goes
+    assert rep["residue_deferred"] == ["a/v1", "b/v1"]
+    assert rep["tables"]["a"]["removed_manifests"] == [
+        "_manifest_v1.json",
+    ]
+    assert rep["tables"]["b"]["removed_manifests"] == [
+        "_manifest_v1.json",
+    ]
+    assert not os.path.isdir(os.path.join(base, "a", "v1"))
+    assert os.path.isdir(os.path.join(base, "b", "v1"))  # shared
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == pre_a
+    assert _rows(txn_read(spark, base, 3, "b", "m")) == pre_b
+    # the group is unwedged: partition GC's invariant holds again
+    txn_partition_gc(base)
+    # and the recovery converged: the next run finds nothing
+    rep2 = txn_expire(base, [3])
+    assert rep2["residue_deferred"] == []
+    assert rep2["orphans_reclaimed"] == []
+    assert rep2["removed_pointers"] == []
+
+
+def test_txn_expire_min_age_guards_inflight_commit(spark, tmp_path):
+    """The concurrent-writer guard (round-15 advisor): an in-flight
+    txn_commit publishes table manifests/version dirs BEFORE its
+    pointer, so a txn_expire racing it sees them as crashed-attempt
+    orphans.  With min_age_s the young orphan (and a young
+    brand-new-table ADD) survive the pass; once aged (min_age_s=0
+    here) the same shapes are reclaimed."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+    )
+
+    base = str(tmp_path / "t")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    # the "in-flight commit": table a's v3 and brand-new table c's v1
+    # published moments ago, pointers not yet written
+    snapshot_commit(
+        _df(spark, [(9, "z", 900)]), os.path.join(base, "a"), 3, "m",
+        ["z"],
+    )
+    snapshot_commit(
+        _df(spark, [(8, "w", 800)]), os.path.join(base, "c"), 1, "m"
+    )
+    rep = txn_expire(base, [2], min_age_s=3600)
+    assert rep["orphans_reclaimed"] == []
+    assert os.path.exists(os.path.join(base, "a", "_manifest_v3.json"))
+    assert os.path.isdir(os.path.join(base, "c"))
+    # aged out (min_age_s=0): the same shapes are crash residue now
+    rep2 = txn_expire(base, [2], min_age_s=0.0)
+    assert rep2["orphans_reclaimed"] == ["a/v3", "c/v1"]
+    assert not os.path.exists(os.path.join(base, "c"))
 
 
 # --- U38: transaction tags as GC roots -------------------------------------------
@@ -1130,3 +1231,84 @@ def test_view_store_survives_stage_residue(spark, tmp_path):
     assert [tuple(r) for r in store.read().collect()] == [("m1", 2)]
     assert not os.path.exists(os.path.join(root, "_view_stage"))
     assert not os.path.exists(os.path.join(root, "_view_old"))
+
+
+def test_view_store_heals_interrupted_swap(spark, tmp_path):
+    """The OTHER crash shape (round-15 advisor): a publish that died
+    between os.replace(view_dir, old) and os.replace(stage, view_dir)
+    leaves the view dir ABSENT with the complete previous view parked
+    in _view_old.  Every accessor must rename it back (data +
+    watermark move together, so the restored view is consistent at
+    its old watermark) instead of raising FileNotFoundError on every
+    daemon wake-up with no recovery path."""
+    import shutil as _sh
+
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ViewStore,
+    )
+
+    root = str(tmp_path)
+    store = _ViewStore(spark, root)
+    df1 = spark.createDataFrame([("m1", 1)], "o_month string, n long")
+    store.publish(df1, 1)
+    # the interrupted swap: view moved aside, replacement never landed
+    os.replace(store.view_dir, os.path.join(root, "_view_old"))
+    assert store.watermark() == 1  # healed on first touch
+    assert [tuple(r) for r in store.read().collect()] == [("m1", 1)]
+    assert not os.path.exists(os.path.join(root, "_view_old"))
+    # same crash, healed by the next PUBLISH instead of a read
+    os.replace(store.view_dir, os.path.join(root, "_view_old"))
+    df2 = spark.createDataFrame([("m1", 2)], "o_month string, n long")
+    store.publish(df2, 2)
+    assert store.watermark() == 2
+    # an INCOMPLETE _view_old (no watermark marker) is not a view —
+    # never "healed" into the view slot; accessors fail loudly
+    _sh.rmtree(store.view_dir)
+    os.makedirs(os.path.join(root, "_view_old"))
+    with pytest.raises(Exception):
+        store.watermark()
+
+
+def test_view_notification_distinguishes_refusal_from_spec_bug(
+    spark, tmp_path
+):
+    """_apply_view_notification's error discrimination (round-15
+    advisor): ONLY the typed retention refusal converts to a
+    rebaseline; a caller error from txn_changes (table in neither
+    pointer — a permanent spec bug) re-raises instead of silently
+    recomputing the view on every notification forever."""
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ViewStore,
+        _apply_view_notification,
+    )
+
+    base = str(tmp_path / "g")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    store = _ViewStore(spark, str(tmp_path / "v"))
+    store.publish(_df(spark, [(0, "seed", 0)]), 1)
+    rebaselines = []
+
+    def recompute(t):
+        rebaselines.append(t)
+        return _df(spark, [(t, "recomputed", t)])
+
+    # spec bug: the table exists in no pointer -> plain ValueError
+    # propagates (no rebaseline, no publish)
+    with pytest.raises(ValueError, match="neither"):
+        _apply_view_notification(
+            spark, base, store, {"nope": ("m", "pk", ["val"])}, 2,
+            recompute,
+        )
+    assert rebaselines == []
+    assert store.watermark() == 1
+    # retention refusal: the watermark's pointer is gone -> exactly
+    # one rebaseline at the notified transaction
+    os.remove(os.path.join(base, "_txn_v1.json"))
+    spec = {"a": ("m", "pk", ["val"]), "b": ("m", "pk", ["val"])}
+    assert (
+        _apply_view_notification(spark, base, store, spec, 2, recompute)
+        == "rebaseline"
+    )
+    assert rebaselines == [2]
+    assert store.watermark() == 2

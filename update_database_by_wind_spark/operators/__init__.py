@@ -106,6 +106,24 @@ _ROUND16_FRONT = [
     # waits behind stale refresh); each insertion displaces one fill
     # slot from the back in the same commit.
     #
+    # CHANGED-code queries (widening plan item (1), the four
+    # round-15 ADVICE fixes): identical oracles, but a rewrite must
+    # earn fresh driver evidence before stale-green refresh.
+    # txn_expire grew crash-idempotent recovery (below-head residue
+    # defers to the keep-set expiry instead of wedging) and the
+    # min_age_s concurrent-writer guard -> u37/u38/u39/st23;
+    # txn_changes' retention refusal became the TYPED
+    # RetentionExpiredError -> u34/u35; _apply_view_notification
+    # rebaselines ONLY on that type (spec bugs re-raise) and
+    # _ViewStore heals the old-present/view-missing crash shape ->
+    # st22/st23.  Each displaces one fill slot from the back.
+    "st22_stream_view_maintenance",
+    "st23_feed_rebaseline",
+    "u34_txn_change_feed",
+    "u35_feed_view_maintenance",
+    "u37_txn_retention",
+    "u38_txn_tag_retention",
+    "u39_group_erasure_gc",
     # the thirty-five r10-stale leaders the evidence-age guard forces
     # at newest=16 (round-15 verdict ask #1; recomputed from the
     # artifacts in this rotation commit)
@@ -144,9 +162,10 @@ _ROUND16_FRONT = [
     "sql_correlated_subquery",
     "t_bpe_pair_counts",
     "ts_rolling_corr",
-    # r11-stale fill — the 15-slot round-16 budget, riskiest
-    # families first (displacement from the back drops the dedup/ANN
-    # trio and windows before the update-lifecycle block)
+    # r11-stale fill: opened at 15 slots (the round-16 budget);
+    # the 7 changed-code entries above displaced the dedup/ANN
+    # trio, the tolerance join, the window pair and u29 from the
+    # back, leaving the CDC/snapshot-lifecycle block
     "u12_cdc_classify",
     "u13_cdc_merge_sink",
     "u22_merge_schema_evolution",
@@ -155,13 +174,6 @@ _ROUND16_FRONT = [
     "u26_snapshot_vacuum",
     "u27_orphan_gc",
     "u28_snapshot_tags",
-    "u29_occ_commit",
-    "w10_event_runs",
-    "w11_cumulative_distinct",
-    "j14_asof_tolerance",
-    "l3m_containment_dedup",
-    "l3n_edit_distance_blocked",
-    "l5_ivf_kmeans_topk",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -203,6 +215,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "j11_null_safe_join",
     "j12_bloom_prefilter",
     "j13_interval_bin_join",
+    "j14_asof_tolerance",
     "j1_star_join_revenue",
     "j1d_star_join_revenue_decimal",
     "j2_left_join_order_counts",
@@ -226,6 +239,9 @@ _DRIVER_VERIFIED_R11_R15 = [
     "l3g_cluster_dedup_keep",
     "l3i_semantic_dedup",
     "l3j_chunk_dedup",
+    "l3m_containment_dedup",
+    "l3n_edit_distance_blocked",
+    "l5_ivf_kmeans_topk",
     "l5_ivf_topk",
     "l5b2_ivf_kmeans_recall",
     "l5b_ivf_recall",
@@ -296,8 +312,6 @@ _DRIVER_VERIFIED_R11_R15 = [
     "st19_stream_hll",
     "st20_cdc_compact_live",
     "st21_gated_compact_live",
-    "st22_stream_view_maintenance",
-    "st23_feed_rebaseline",
     "st2_tumbling_window",
     "st3_sliding_window",
     "st4_session_window",
@@ -348,17 +362,13 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u20_change_data_feed",
     "u21_mor_seq_compact",
     "u24_mor_seq_erasure",
+    "u29_occ_commit",
     "u2_upsert_merge",
     "u30_occ_multi_writer_stress",
     "u31_compaction_scheduler",
     "u32_erasure_hold_lifecycle",
     "u33_txn_occ_multi_table",
-    "u34_txn_change_feed",
-    "u35_feed_view_maintenance",
     "u36_stats_layout_coherence",
-    "u37_txn_retention",
-    "u38_txn_tag_retention",
-    "u39_group_erasure_gc",
     "u3_scd2_history",
     "u4_idempotent_rerun",
     "u5_calendar_backfill",
@@ -371,6 +381,8 @@ _DRIVER_VERIFIED_R11_R15 = [
     "ud2_pandas_scalar_udf",
     "ud3_pandas_grouped_agg",
     "ud5_udtf_bigrams",
+    "w10_event_runs",
+    "w11_cumulative_distinct",
     "w1_rank_top_orders_per_segment",
     "w2_lag_daily_returns",
     "w3_moving_average",

@@ -5483,6 +5483,19 @@ def u33_txn_occ_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U34: multi-table change data feed through the transaction pointer ----------
 
 
+class RetentionExpiredError(ValueError):
+    """Raised by :func:`txn_changes` when an endpoint transaction's
+    pointer has been expired by retention — the one ValueError a feed
+    consumer may CONVERT into a rebaseline.  txn_changes also raises
+    plain ValueError for caller errors (a table in neither pointer, a
+    mis-specified feed spec); the round-15 advisor found
+    the st22/st23 daemons treating every ValueError as the rebaseline
+    trigger, silently converting a permanent spec bug into a full
+    recompute on every notification.  Subclasses ValueError so
+    callers holding the documented re-read/re-derive contract are
+    unaffected."""
+
+
 def txn_changes(
     spark: SparkSession,
     base: str,
@@ -5527,7 +5540,7 @@ def txn_changes(
     def pointer(v: int) -> dict:
         p = os.path.join(base, f"_txn_v{v}.json")
         if not os.path.exists(p):
-            raise ValueError(
+            raise RetentionExpiredError(
                 f"txn_changes: transaction {v} is not retained; "
                 "changelogs require both endpoint pointers"
             )
@@ -6940,7 +6953,7 @@ def u36_stats_layout_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U37: transaction-group retention ------------------------------------------
 
 
-def txn_expire(base: str, keep_txns: list) -> dict:
+def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
     """Expire a multi-table transaction group's history — u26's
     snapshot expiry LIFTED THROUGH THE TRANSACTION POINTER (the second
     round-16 surface the round-15 ledger named), so group GC can never
@@ -6956,10 +6969,24 @@ def txn_expire(base: str, keep_txns: list) -> dict:
        still have a pointer (ValueError, the re-read/re-derive
        contract);
     2. reclaim crashed-attempt ORPHANS: a table manifest no pointer
-       references is residue of a txn_commit that died before its
-       pointer write; by the commit protocol it sits strictly above
-       every pointed version of that table (anything else is a shape
-       this GC does not understand and refuses to touch).  The scan
+       references and sitting ABOVE every pointed version of that
+       table is residue of a txn_commit that died before its pointer
+       write.  ``min_age_s`` is the same concurrent-writer guard as
+       :func:`partition_orphan_gc`: an IN-FLIGHT txn_commit publishes
+       its table manifests and version dirs before its pointer, so
+       without an mtime gate a concurrent txn_expire would reclaim
+       them and the commit would then publish a pointer referencing
+       deleted data (round-15 advisor) — young orphans are skipped,
+       not reclaimed.  An unpointed manifest BELOW the pointed head
+       is the residue of an expiry that crashed between step 3 and
+       step 4 on a PREVIOUS run (its pointer is gone, so nothing
+       reads it): it is exactly what this run's step-4
+       snapshot_expire removes for the keep set, so it is DEFERRED to
+       step 4 — never blind-deleted here, because its version dirs
+       may still be shared by retained manifests (round-15 advisor:
+       the old refusal wedged every re-run after such a crash, and
+       txn_partition_gc refuses until txn_expire succeeds, so the
+       group was stuck until manual manifest surgery).  The scan
        walks table dirs on DISK, so a table NO pointer mentions — a
        crashed ADD of a brand-new table (txn_commit supports
        mid-history adds) — is reclaimed whole rather than leaked
@@ -6978,12 +7005,16 @@ def txn_expire(base: str, keep_txns: list) -> dict:
        reassembles through them.
 
     Idempotent: re-running with the same keep set passes the guards
-    and finds nothing to remove.  Pure metadata work — no data read,
-    same cost class as snapshot_expire per table."""
+    and finds nothing to remove — including after a crash at ANY
+    point of a previous run (between pointer removals, or between
+    pointer removal and the per-table expiry loop): the re-run
+    finishes the reclaim the crash abandoned.  Pure metadata work —
+    no data read, same cost class as snapshot_expire per table."""
     import json as _json
     import os
     import re
     import shutil
+    import time
 
     keep = sorted({int(k) for k in keep_txns})
     pointers = {
@@ -7028,6 +7059,9 @@ def txn_expire(base: str, keep_txns: list) -> dict:
     # the "a crash can only leak data a re-run reclaims" contract
     # promises to collect
     orphans = []
+    residue = []
+    young_skipped: dict[str, set] = {}
+    now = time.time()
     for t in sorted(
         e
         for e in os.listdir(base)
@@ -7042,25 +7076,48 @@ def txn_expire(base: str, keep_txns: list) -> dict:
                 continue
             tv = int(m.group(1))
             if pointed and tv <= max(pointed):
-                # an unpointed manifest BELOW the pointed head is not
-                # the crash shape the commit protocol can produce —
-                # refuse rather than guess what owns it
-                raise ValueError(
-                    f"txn_expire: table {t} has an unpointed manifest "
-                    f"v{tv} below its pointed head "
-                    f"v{max(pointed)}; refusing to GC a state the "
-                    "commit protocol cannot have produced"
-                )
-            os.remove(os.path.join(tdir, entry))
-            shutil.rmtree(os.path.join(tdir, f"v{tv}"), ignore_errors=True)
+                # an unpointed manifest BELOW the pointed head: a
+                # previous expiry crashed after removing its pointer
+                # but before the per-table expiry loop.  It is
+                # unreadable (no retained pointer reaches it) and is
+                # exactly what step 4's snapshot_expire for the keep
+                # set removes — so defer it there, where version-dir
+                # SHARING is honoured (its dirs may still back
+                # retained manifests; a blind rmtree here would tear
+                # retained reads).  kept_ref never contains an
+                # unpointed version (kept pointers are a subset of
+                # all pointers), so the deferral can never touch a
+                # manifest a retained transaction reads.
+                residue.append(f"{t}/v{tv}")
+                continue
+            mpath = os.path.join(tdir, entry)
+            vdir = os.path.join(tdir, f"v{tv}")
+            age = now - max(
+                os.path.getmtime(mpath),
+                os.path.getmtime(vdir) if os.path.isdir(vdir) else 0.0,
+            )
+            if age < min_age_s:
+                # concurrent-writer guard: an in-flight txn_commit
+                # publishes manifests/version dirs BEFORE its pointer;
+                # a fresh above-head orphan may be that commit, not a
+                # crash.  Skip it — a real crash's residue ages past
+                # the gate and the next pass reclaims it.  Step 4
+                # treats it as retained so the per-table expiry's
+                # head guard sees a consistent chain.
+                young_skipped.setdefault(t, set()).add(tv)
+                continue
+            os.remove(mpath)
+            shutil.rmtree(vdir, ignore_errors=True)
             lp = os.path.join(tdir, f"_stats_v{tv}.json")
             if os.path.exists(lp):
                 os.remove(lp)
             orphans.append(f"{t}/v{tv}")
-        if not pointed:
+        if not pointed and t not in young_skipped:
             # a table dir no pointer has ever referenced is the shell
             # of a crashed table ADD; with its manifests reclaimed
             # above, what remains is at most hidden staging residue
+            # (skipped while any of its manifests is min_age_s-young —
+            # it may be an in-flight ADD about to publish its pointer)
             shutil.rmtree(tdir, ignore_errors=True)
 
     removed_ptrs = []
@@ -7072,7 +7129,13 @@ def txn_expire(base: str, keep_txns: list) -> dict:
     per_table: dict[str, dict] = {}
     for t in sorted(kept_ref):
         tdir = os.path.join(base, t)
-        rep = snapshot_expire(tdir, sorted(kept_ref[t]))
+        # min_age_s-young orphans above the head count as retained
+        # this pass (they may be an in-flight commit about to publish
+        # its pointer); without them the expiry's own head guard
+        # would refuse the chain they sit on top of
+        rep = snapshot_expire(
+            tdir, sorted(kept_ref[t] | young_skipped.get(t, set()))
+        )
         rep["removed_stats"] = []
         for d in rep["removed_dirs"]:
             lp = os.path.join(tdir, f"_stats_{d}.json")
@@ -7083,6 +7146,7 @@ def txn_expire(base: str, keep_txns: list) -> dict:
     return {
         "removed_pointers": removed_ptrs,
         "orphans_reclaimed": orphans,
+        "residue_deferred": residue,
         "tables": per_table,
     }
 
@@ -7448,7 +7512,9 @@ def txn_read_tag(
     return txn_read(spark, base, tags[name], table, partition_col)
 
 
-def txn_expire_untagged(base: str, keep_last: int = 1) -> dict:
+def txn_expire_untagged(
+    base: str, keep_last: int = 1, min_age_s: float = 0.0
+) -> dict:
     """The retention POLICY over :func:`txn_expire`: the keep set is
     COMPUTED — the newest ``keep_last`` transactions union every
     tagged one — rather than hand-listed, so a tagged transaction can
@@ -7473,7 +7539,7 @@ def txn_expire_untagged(base: str, keep_last: int = 1) -> dict:
         if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
     )
     keep = sorted(set(versions[-keep_last:]) | set(txn_tags(base).values()))
-    rep = txn_expire(base, keep)
+    rep = txn_expire(base, keep, min_age_s=min_age_s)
     rep["kept_txns"] = keep
     return rep
 

@@ -2280,18 +2280,41 @@ class _ViewStore:
         self._root = root
         self.view_dir = os.path.join(root, "view")
 
+    def _heal(self) -> None:
+        """Recover the one crash shape the rename swap can strand: a
+        publish that died between ``os.replace(view_dir, old)`` and
+        ``os.replace(stage, view_dir)`` leaves the view dir ABSENT
+        with the previous complete view parked in ``_view_old``
+        (round-15 advisor — without this, every daemon wake-up raised
+        FileNotFoundError forever, the same shape
+        recover_interrupted_compaction heals for the compaction
+        swap).  Rename the old view back iff it is complete (data dir
+        carrying its ``_applied.json`` watermark); the next
+        notification then re-applies from that watermark — the swap
+        moved the data and the marker together, so nothing is torn."""
+        old = os.path.join(self._root, "_view_old")
+        if (
+            not os.path.isdir(self.view_dir)
+            and os.path.isdir(old)
+            and os.path.exists(os.path.join(old, "_applied.json"))
+        ):
+            os.replace(old, self.view_dir)
+
     def read(self) -> DataFrame:
+        self._heal()
         return self._spark.read.parquet(self.view_dir)
 
     def watermark(self) -> int:
         import json as _json
 
+        self._heal()
         with open(os.path.join(self.view_dir, "_applied.json")) as fh:
             return _json.load(fh)["txn"]
 
     def publish(self, df: DataFrame, txn: int) -> None:
         import json as _json
 
+        self._heal()
         stage = os.path.join(self._root, "_view_stage")
         old = os.path.join(self._root, "_view_old")
         shutil.rmtree(stage, ignore_errors=True)
@@ -2357,8 +2380,15 @@ def _apply_view_notification(
       unapplied transaction forever);
     * ``"rebaseline"`` — retention expired the watermark's pointer,
       ``txn_changes`` refuses the torn diff, and the only safe
-      continuation is the caller's full recompute at ``t``."""
+      continuation is the caller's full recompute at ``t``.  ONLY the
+      retention refusal (:class:`RetentionExpiredError`) converts to
+      a rebaseline: txn_changes' other ValueErrors are caller errors
+      (a table in neither pointer, a mis-specified feed spec) and
+      re-raise — the round-15 advisor found the blanket except
+      silently turning a permanent spec bug into a full recompute on
+      every notification."""
     from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
         apply_feed_deltas,
         txn_changes,
     )
@@ -2368,7 +2398,7 @@ def _apply_view_notification(
         return "skip"
     try:
         feeds = txn_changes(spark, base, wm, t, spec)
-    except ValueError:
+    except RetentionExpiredError:
         store.publish(recompute(t), t)
         return "rebaseline"
     store.publish(apply_feed_deltas(store.read(), feeds), t)
@@ -2689,6 +2719,7 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-inside-the-rename publish makes even that crash-safe."""
     from update_database_by_wind_spark.operators.update_pipeline import (
         _TXN_FEED_SPEC,
+        RetentionExpiredError,
         _txn_feed_group,
         txn_changes,
         txn_commit,
@@ -2783,7 +2814,10 @@ def st23_feed_rebaseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     try:
         txn_changes(spark, base, 2, 3, _TXN_FEED_SPEC)
-    except ValueError:
+    except RetentionExpiredError:
+        # the TYPED refusal — the one error the daemon may convert
+        # into a rebaseline (a plain ValueError here would be a spec
+        # bug and must propagate, not trigger recompute)
         pass
     else:
         raise ValueError(
