@@ -24,7 +24,12 @@ from update_database_by_wind_spark.registry import REGISTRY
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).
-_R16_NEW: list[str] = []
+_R16_NEW: list[str] = [
+    # widening plan (2): "keep 15 days + every tagged release" as one
+    # computed keep set over the group — txn_commit_at's embedded
+    # stamp + txn_expire_by_age over txn_expire's machinery
+    "u40_txn_age_retention",
+]
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh

@@ -339,3 +339,124 @@ def test_txn_expire_crash_interleaving_recovers(
             assert rep2["tables"][t]["removed_manifests"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    stamp_mask=st.integers(0, 63),
+    tag_mask=st.integers(0, 63),
+    max_age_days=st.integers(1, 40),
+)
+@settings(**_SETTINGS)
+def test_txn_expire_by_age_matches_model(
+    spark, steps, stamp_mask, tag_mask, max_age_days
+):
+    """u40's policy against a dict model under random histories,
+    random stamping (stamp_mask bit v-1 = txn v is dated at day
+    10*(v-1)), random tag subsets and a random age horizon: the
+    machinery's keep set must equal newest ∪ tagged ∪ undated ∪
+    young, every retained read must equal the model replay, and the
+    policy must converge."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_commit_at,
+        txn_expire_by_age,
+        txn_read,
+        txn_tag,
+    )
+
+    day = 86400.0
+    root = tempfile.mkdtemp(prefix="txn_age_fuzz_")
+    base = f"{root}/g"
+    try:
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        state = {t: {p: 0 for p in _PARTS} for t in _TABLES}
+
+        def commit(v, updates):
+            if stamp_mask & (1 << (v - 1)):
+                txn_commit_at(
+                    base, v, updates, committed_at=10 * (v - 1) * day
+                )
+            else:
+                txn_commit(base, v, updates)
+
+        commit(
+            1,
+            {
+                t: (
+                    spark.createDataFrame(
+                        [(p, 0) for p in _PARTS], "m string, v long"
+                    ),
+                    "m",
+                    None,
+                )
+                for t in _TABLES
+            },
+        )
+        model[1] = {t: dict(state[t]) for t in _TABLES}
+        val = 0
+        for i, (table_mask, pm_a, pm_b) in enumerate(steps):
+            updates = {}
+            for bit, (t, pm) in enumerate(zip(_TABLES, (pm_a, pm_b))):
+                if not table_mask & (1 << bit):
+                    continue
+                parts = [
+                    p for j, p in enumerate(_PARTS) if pm & (1 << j)
+                ]
+                val += 1
+                for p in parts:
+                    state[t][p] = val
+                updates[t] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ),
+                    "m",
+                    parts,
+                )
+            if not updates:
+                continue
+            commit(2 + i, updates)
+            model[2 + i] = {t: dict(state[t]) for t in _TABLES}
+        head = max(model)
+        tagged = sorted(
+            v for v in model if tag_mask & (1 << (v - 1))
+        )
+        for v in tagged:
+            txn_tag(base, f"pin-{v}", v)
+        now = 10 * head * day
+        dated = {
+            v: 10 * (v - 1) * day
+            for v in model
+            if stamp_mask & (1 << (v - 1))
+        }
+        young = {
+            v for v, ts in dated.items()
+            if now - ts <= max_age_days * day
+        }
+        undated = {v for v in model if v not in dated}
+        want_keep = sorted({head} | set(tagged) | undated | young)
+        rep = txn_expire_by_age(
+            base, max_age_s=max_age_days * day, now=now
+        )
+        assert rep["kept_txns"] == want_keep
+        assert rep["undated"] == sorted(undated)
+        assert rep["aged_out"] == sorted(set(model) - set(want_keep))
+        for v in want_keep:
+            for t in _TABLES:
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                want = sorted((p, model[v][t][p]) for p in _PARTS)
+                assert got == want, (v, t, got, want)
+        rep2 = txn_expire_by_age(
+            base, max_age_s=max_age_days * day, now=now
+        )
+        assert rep2["kept_txns"] == want_keep
+        assert rep2["removed_pointers"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1012,6 +1012,57 @@ def test_txn_expire_min_age_guards_inflight_commit(spark, tmp_path):
     assert not os.path.exists(os.path.join(base, "c"))
 
 
+def test_txn_expire_by_age_policy_laws(spark, tmp_path):
+    """u40's policy laws on a toy group and a logical clock: dated-old
+    expires, dated-young and tagged-old and undated all survive,
+    expired stamps die with their pointers, stamp residue (a stamp
+    whose pointer a crashed expiry already removed) is swept, and the
+    policy converges on re-run."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit_at,
+        txn_expire_by_age,
+        txn_tag,
+    )
+
+    base = str(tmp_path / "t")
+    day = 86400.0
+    txn_commit_at(
+        base, 1,
+        {"a": (_df(spark, [(1, "x", 10), (2, "y", 20)]), "m", None)},
+        committed_at=0.0,
+    )
+    txn_commit_at(
+        base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])},
+        committed_at=5 * day,
+    )
+    txn_tag(base, "pin", 2)
+    txn_commit(base, 3, {"a": (_df(spark, [(2, "y", 22)]), "m", ["y"])})
+    txn_commit_at(
+        base, 4, {"a": (_df(spark, [(1, "x", 13)]), "m", ["x"])},
+        committed_at=29 * day,
+    )
+    # stamp residue: a crashed expiry removed pointer 0's... simulate
+    # with a stamp for a version that never had a pointer here
+    import json
+
+    with open(os.path.join(base, "_txn_stamp_v9.json"), "w") as fh:
+        json.dump({"committed_at": 1.0}, fh)
+    pre = _rows(txn_read(spark, base, 2, "a", "m"))
+    rep = txn_expire_by_age(base, max_age_s=10 * day, now=30 * day)
+    assert rep["kept_txns"] == [2, 3, 4]
+    assert rep["aged_out"] == [1]
+    assert rep["undated"] == [3]
+    assert rep["stamp_residue"] == ["_txn_stamp_v9.json"]
+    assert not os.path.exists(os.path.join(base, "_txn_stamp_v1.json"))
+    assert os.path.exists(os.path.join(base, "_txn_stamp_v2.json"))
+    assert not os.path.exists(os.path.join(base, "_txn_stamp_v9.json"))
+    assert _rows(txn_read(spark, base, 2, "a", "m")) == pre
+    rep2 = txn_expire_by_age(base, max_age_s=10 * day, now=30 * day)
+    assert rep2["kept_txns"] == [2, 3, 4]
+    assert rep2["removed_pointers"] == []
+    assert rep2["stamp_residue"] == []
+
+
 # --- U38: transaction tags as GC roots -------------------------------------------
 
 

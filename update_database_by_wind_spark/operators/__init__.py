@@ -101,6 +101,11 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     at N — the repartition-state operational reality).
 
 _ROUND16_FRONT = [
+    # round-16 NEW registrations (widening plan items (2)-(5)): an
+    # untested registration never waits behind stale refresh
+    # (2) age-based txn retention: keep-by-age from the embedded
+    # commit stamp, composed with tag roots and keep-last
+    "u40_txn_age_retention",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -173,7 +178,6 @@ _ROUND16_FRONT = [
     "u25_partition_evolution",
     "u26_snapshot_vacuum",
     "u27_orphan_gc",
-    "u28_snapshot_tags",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -362,6 +366,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u20_change_data_feed",
     "u21_mor_seq_compact",
     "u24_mor_seq_erasure",
+    "u28_snapshot_tags",
     "u29_occ_commit",
     "u2_upsert_merge",
     "u30_occ_multi_writer_stress",

@@ -7804,6 +7804,340 @@ def u38_txn_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(2, "tagged").unionByName(roll(4, "head"))
 
 
+# --- U40: age-based transaction retention ----------------------------------------
+
+
+def txn_commit_at(
+    base: str, version: int, updates: dict, committed_at: float
+) -> dict:
+    """:func:`txn_commit` plus a DATED receipt: the commit stamp
+    ``_txn_stamp_v{k}.json`` records when the transaction was
+    published, which is what an age-based retention policy ("keep 30
+    days") needs and table-version numerology cannot give.  The stamp
+    is written AFTER the pointer — the pointer stays the ONLY publish,
+    so a crash between the two leaves a committed-but-undated
+    transaction that :func:`txn_expire_by_age` conservatively KEEPS
+    (and reports), never a dated claim about data that was never
+    published.  ``committed_at`` is the caller's clock (epoch
+    seconds): ingest frameworks stamp their own event time, tests
+    stamp logical time, and nothing in the store depends on the
+    filesystem's."""
+    import os
+
+    pointer = txn_commit(base, version, updates)
+    atomic_write_json(
+        os.path.join(base, f"_txn_stamp_v{version}.json"),
+        {"committed_at": float(committed_at)},
+    )
+    return pointer
+
+
+def txn_expire_by_age(
+    base: str,
+    max_age_s: float,
+    now: float | None = None,
+    keep_last: int = 1,
+    min_age_s: float = 0.0,
+) -> dict:
+    """The AGE-based retention policy over :func:`txn_expire` — the
+    third keep-root production groups run alongside
+    :func:`txn_expire_untagged`'s two: keep the newest ``keep_last``
+    transactions, every TAGGED one, and every transaction younger
+    than ``max_age_s`` by its embedded commit stamp ("keep 30 days
+    plus every tagged release").  Undated transactions (committed via
+    plain :func:`txn_commit`, or a :func:`txn_commit_at` that crashed
+    before its stamp) are conservatively kept and reported under
+    ``undated`` — age retention never guesses an age.
+
+    Stamps die with their pointers: expiring txn k removes
+    ``_txn_stamp_vk.json`` after :func:`txn_expire` removed the
+    pointer (same crash direction — a stamp outliving its pointer is
+    inert residue this function also sweeps, so recovery is a
+    re-run).  ``now`` defaults to the wall clock; callers with a
+    logical clock (tests, replayed histories) pass it explicitly.
+    ``min_age_s`` is txn_expire's concurrent-writer guard, threaded
+    through.  All of txn_expire's guarantees apply: retained reads
+    untouched, shared version dirs survive through the pointers,
+    crash-idempotent recovery."""
+    import json as _json
+    import os
+    import re
+    import time
+
+    if now is None:
+        now = time.time()
+    versions = sorted(
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    )
+    stamps: dict[int, float] = {}
+    stamp_residue = []
+    for entry in sorted(os.listdir(base)):
+        m = re.fullmatch(r"_txn_stamp_v(\d+)\.json", entry)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v not in versions:
+            # a stamp whose pointer a previous (possibly crashed)
+            # expiry already removed — inert residue, swept here
+            os.remove(os.path.join(base, entry))
+            stamp_residue.append(entry)
+            continue
+        with open(os.path.join(base, entry)) as fh:
+            stamps[v] = float(_json.load(fh)["committed_at"])
+    undated = [v for v in versions if v not in stamps]
+    young = [v for v in stamps if now - stamps[v] <= max_age_s]
+    keep = sorted(
+        set(versions[-keep_last:])
+        | set(txn_tags(base).values())
+        | set(undated)
+        | set(young)
+    )
+    rep = txn_expire(base, keep, min_age_s=min_age_s)
+    for v in versions:
+        if v in keep:
+            continue
+        sp = os.path.join(base, f"_txn_stamp_v{v}.json")
+        if os.path.exists(sp):
+            os.remove(sp)
+    rep["kept_txns"] = keep
+    rep["aged_out"] = [v for v in versions if v not in keep]
+    rep["undated"] = undated
+    rep["stamp_residue"] = stamp_residue
+    return rep
+
+
+_U40_CUT = "1997-04"
+_U40_CUT2 = "1998-02"
+
+_U40_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U40_CUT}' AND o_orderkey % 5 = 0
+              THEN cents + cents // 40 ELSE cents END AS cents
+  FROM o1
+),
+o3 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U40_CUT2}' AND o_orderkey % 13 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o2
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+l3 AS (
+  SELECT l_orderkey, o_month,
+         CASE WHEN o_month >= '{_U40_CUT}' AND l_orderkey % 7 = 0
+              THEN qty * 3 ELSE qty END AS qty
+  FROM l1
+),
+ovt AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o2 GROUP BY 1),
+lvt AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l1 GROUP BY 1),
+ovh AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o3 GROUP BY 1),
+lvh AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l3 GROUP BY 1)
+SELECT 'tagged' AS ref, ovt.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovt JOIN lvt ON ovt.o_month = lvt.o_month
+UNION ALL
+SELECT 'head' AS ref, ovh.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovh JOIN lvh ON ovh.o_month = lvh.o_month
+"""
+
+
+@query("u40_txn_age_retention", oracle=_U40_ORACLE, tags=("update", "layout"))
+def u40_txn_age_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U40: AGE-based transaction retention — "keep 15 days plus every
+    tagged release" as ONE computed keep set over the group
+    (:func:`txn_expire_by_age`), the policy shape u37's hand-listed
+    keep set and u38's keep-last-N both stop short of: production
+    retention is stated in TIME, and a table group can only honour it
+    if the commit itself is dated (:func:`txn_commit_at`'s embedded
+    stamp — table-version numerology says nothing about when).
+
+    History, on a 31-day logical clock: txn 1 (day 0) commits orders +
+    items in full; txn 2 (day 10) re-prices the %5 orders of months >=
+    1997-04 (+2.5%) and is tagged ``release-q2``; txn 3 commits the %7
+    item quantity triplings UNDATED (plain txn_commit — the
+    crashed-stamp shape); txn 4 (day 30) re-prices the %13 orders of
+    months >= 1998-02 (+4%).  ``txn_expire_by_age(max_age = 15 days,
+    now = day 31)`` then enforces the policy, and the receipts,
+    raise-style:
+
+    - the computed keep set is exactly {tagged, undated, young head}:
+      txn 1 (31 days old, untagged, dated) is the ONLY expiry — txn 2
+      is 21 days old and survives purely through its tag, txn 3
+      survives because age retention refuses to guess an age for an
+      undated transaction (reported under ``undated``), txn 4 is both
+      newest and young;
+    - the tagged read and the head read are cell-exact across the GC,
+      via the rollup whose ``orphan_items`` column proves the group
+      resolved consistently (u19's torn-read tooth);
+    - expired stamps die with their pointers (``_txn_stamp_v1`` is
+      gone), kept stamps stay, and the immediate re-run keeps the
+      same set and removes nothing — the policy converged;
+    - the feed a downstream consumer holds from the tagged release
+      still serves (``txn_changes(2 → 4)``), while a feed from the
+      aged-out txn 1 refuses with the TYPED retention error (st23's
+      rebaseline trigger, not a silent wrong diff).
+
+    Why it matters at 100 TB: nightly retention is a TIME policy set
+    by compliance, not a count policy set by engineers — and it has
+    to compose with audit pins.  One metadata pass computes the keep
+    set from stamps + tags and hands txn_expire the union; data cost
+    stays proportional to what actually aged out.  Cites the r15
+    ledger's round-16 candidate #1 (operators/__init__.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    day = 86400.0
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u40_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    txn_commit_at(
+        base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+        committed_at=0.0,
+    )
+    m97 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U40_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U40_CUT) & (F.col("o_orderkey") % 5 == 0),
+            F.col("cents") + F.expr("cents DIV 40"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit_at(
+        base, 2,
+        {"orders": (o2.filter(F.col("o_month").isin(m97)), "o_month", m97)},
+        committed_at=10 * day,
+    )
+    txn_tag(base, "release-q2", 2)
+    l3 = l1.filter(F.col("o_month").isin(m97)).withColumn(
+        "qty",
+        F.when(
+            F.col("l_orderkey") % 7 == 0, F.col("qty") * 3
+        ).otherwise(F.col("qty")),
+    )
+    # the crashed-stamp shape: committed, never dated
+    txn_commit(base, 3, {"items": (l3, "o_month", m97)})
+    m98 = [m for m in m97 if m >= _U40_CUT2]
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U40_CUT2)
+            & (F.col("o_orderkey") % 13 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit_at(
+        base, 4,
+        {"orders": (o3.filter(F.col("o_month").isin(m98)), "o_month", m98)},
+        committed_at=30 * day,
+    )
+
+    def roll(txn: int, label: str) -> DataFrame:
+        return _txn_group_rollup(spark, base, txn, "ref", label)
+
+    def rows(txn: int, label: str) -> list:
+        return sorted(map(tuple, roll(txn, label).collect()))
+
+    feed_spec = {
+        "orders": ("o_month", "o_orderkey", ["cents"]),
+        "items": ("o_month", "l_orderkey", ["qty"]),
+    }
+    pre_tagged, pre_head = rows(2, "tagged"), rows(4, "head")
+    rep = txn_expire_by_age(base, max_age_s=15 * day, now=31 * day)
+    if rep["kept_txns"] != [2, 3, 4]:
+        raise ValueError(
+            "u40_txn_age_retention: keep must be exactly the tagged, "
+            f"undated and young-head txns (got {rep['kept_txns']})"
+        )
+    if rep["aged_out"] != [1] or rep["undated"] != [3]:
+        raise ValueError(
+            "u40_txn_age_retention: txn 1 ages out and txn 3 is the "
+            f"undated survivor (got {rep['aged_out']}, {rep['undated']})"
+        )
+    if os.path.exists(os.path.join(base, "_txn_stamp_v1.json")):
+        raise ValueError(
+            "u40_txn_age_retention: an expired transaction's stamp "
+            "must die with its pointer"
+        )
+    for v in (2, 4):
+        if not os.path.exists(os.path.join(base, f"_txn_stamp_v{v}.json")):
+            raise ValueError(
+                f"u40_txn_age_retention: kept txn {v}'s stamp must "
+                "survive the GC"
+            )
+    if rows(2, "tagged") != pre_tagged or rows(4, "head") != pre_head:
+        raise ValueError(
+            "u40_txn_age_retention: a kept transaction's read changed "
+            "across the age GC"
+        )
+    if not txn_changes(spark, base, 2, 4, feed_spec)["orders"].count():
+        raise ValueError(
+            "u40_txn_age_retention: the tagged->head feed must still "
+            "serve after the age GC"
+        )
+    try:
+        txn_changes(spark, base, 1, 4, feed_spec)
+    except RetentionExpiredError:
+        pass
+    else:
+        raise ValueError(
+            "u40_txn_age_retention: a feed from the aged-out txn must "
+            "refuse with the typed retention error"
+        )
+    rep2 = txn_expire_by_age(base, max_age_s=15 * day, now=31 * day)
+    if rep2["kept_txns"] != [2, 3, 4] or rep2["removed_pointers"]:
+        raise ValueError(
+            "u40_txn_age_retention: the age policy must converge — the "
+            "re-run keeps the same set and removes nothing"
+        )
+    return roll(2, "tagged").unionByName(roll(4, "head"))
+
+
 # --- S20: clustering maintenance on the snapshot path ---------------------------
 
 
