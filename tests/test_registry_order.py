@@ -29,6 +29,10 @@ _R16_NEW: list[str] = [
     # computed keep set over the group — txn_commit_at's embedded
     # stamp + txn_expire_by_age over txn_expire's machinery
     "u40_txn_age_retention",
+    # widening plan (3): snapshot_changes_pruned — U20's diff pruned
+    # through S19's travelling ledgers, partition-level both-sides
+    # band rule, metadata-only on disjoint pairs
+    "u41_cdc_stats_pruned",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -501,6 +501,73 @@ def test_snapshot_changes_scans_only_changed_partitions(spark, tmp_path):
     assert all("= b)" in ln for ln in lines), lines
 
 
+def test_snapshot_changes_pruned_skip_soundness(spark, tmp_path):
+    """u41's partition-skip laws on a hand-built store: a changed
+    partition is scanned when EITHER side's band intersects — in
+    particular a value moved INTO the band (from-side disjoint,
+    to-side intersecting) is found — both-sides-disjoint partitions
+    are skipped, an out-of-domain band is metadata-only, and a band
+    column outside value_cols refuses."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes_pruned,
+        snapshot_commit_with_stats,
+    )
+
+    base = str(tmp_path / "t")
+    rows = "pk long, m string, val long"
+    snapshot_commit_with_stats(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 25), (4, "c", 30)], rows
+        ),
+        base, 1, "m", ["pk", "val"],
+    )
+    snapshot_commit_with_stats(
+        spark,
+        spark.createDataFrame([(2, "b", 21), (3, "b", 25), (4, "c", 5)],
+                              rows),
+        base, 2, "m", ["pk", "val"], parts=["b", "c"],
+    )
+
+    def run(lo, hi):
+        df, scanned, changed = snapshot_changes_pruned(
+            spark, base, 1, 2, "m", "pk", ["val"], "val", lo, hi
+        )
+        assert changed == ["b", "c"]
+        return (
+            sorted(
+                map(
+                    tuple,
+                    df.select(
+                        "m", "pk", "change_type", "val_before", "val_after"
+                    ).collect(),
+                )
+            ),
+            scanned,
+        )
+
+    # moved INTO the band: c's from-stats [30,30] are disjoint from
+    # [0,9] but its to-stats [5,5] intersect — must be scanned
+    feed, scanned = run(0, 9)
+    assert scanned == ["c"]
+    assert feed == [("c", 4, "update", 30, 5)]
+    # both-sides intersection picks b alone; the carried-forward row
+    # (pk 3) stays invisible
+    feed, scanned = run(20, 29)
+    assert scanned == ["b"]
+    assert feed == [("b", 2, "update", 20, 21)]
+    # out-of-domain band: zero partitions scanned, empty feed
+    feed, scanned = run(100, 200)
+    assert scanned == []
+    assert feed == []
+    with pytest.raises(ValueError, match="must be"):
+        snapshot_changes_pruned(
+            spark, base, 1, 2, "m", "pk", ["val"], "pk", 0, 9
+        )
+
+
 # --- U23 snapshot_restore laws -------------------------------------------------
 
 

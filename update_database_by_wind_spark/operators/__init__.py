@@ -106,6 +106,11 @@ _ROUND16_FRONT = [
     # (2) age-based txn retention: keep-by-age from the embedded
     # commit stamp, composed with tag roots and keep-last
     "u40_txn_age_retention",
+    # (3) the change feed pruned through the travelling stats: a
+    # band-scoped CDC diff scans only the rewritten partitions
+    # whose stats could touch the band; band-disjoint pairs are
+    # metadata-only
+    "u41_cdc_stats_pruned",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -177,7 +182,6 @@ _ROUND16_FRONT = [
     "u23_snapshot_restore",
     "u25_partition_evolution",
     "u26_snapshot_vacuum",
-    "u27_orphan_gc",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -366,6 +370,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u20_change_data_feed",
     "u21_mor_seq_compact",
     "u24_mor_seq_erasure",
+    "u27_orphan_gc",
     "u28_snapshot_tags",
     "u29_occ_commit",
     "u2_upsert_merge",

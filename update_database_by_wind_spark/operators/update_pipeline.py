@@ -8138,6 +8138,330 @@ def u40_txn_age_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(2, "tagged").unionByName(roll(4, "head"))
 
 
+# --- U41: the change feed pruned through the travelling stats ---------------------
+
+
+def _stats_band_by_partition(
+    base: str, version: int, partition_col: str, column: str
+) -> dict:
+    """Partition-level ``column`` bands AS OF a snapshot: fold the
+    version's merged stats view (:func:`snapshot_stats_for`) from
+    per-file ``[min, max]`` to per-partition ``[min, max]`` — the
+    granularity the changelog prunes at (the diff's unit of work is
+    the partition, not the file: file-level pruning would starve the
+    full-outer key join of images and misclassify rows)."""
+    from urllib.parse import unquote
+
+    merged = snapshot_stats_for(base, version, partition_col)
+    prefix = f"{partition_col}="
+    bands: dict[str, tuple] = {}
+    for rel, s in merged.items():
+        part = unquote(rel.split("/")[1][len(prefix):])
+        mn, mx = s[f"{column}_min"], s[f"{column}_max"]
+        if part in bands:
+            bands[part] = (min(bands[part][0], mn), max(bands[part][1], mx))
+        else:
+            bands[part] = (mn, mx)
+    return bands
+
+
+def snapshot_changes_pruned(
+    spark: SparkSession,
+    base: str,
+    v_from: int,
+    v_to: int,
+    partition_col: str,
+    key_col: str,
+    value_cols: list,
+    column: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, list, list]:
+    """U20's changelog pruned through S19's travelling stats — the
+    r15 ledger's round-16 candidate #2: a CDC consumer that only cares
+    about a band of ``column`` (a tenant range, a key shard, a price
+    tier) should pay for the partitions whose CHANGE could touch the
+    band, not for every partition the commit rewrote.
+
+    Two-stage pruning, both metadata-only:
+
+    1. the manifest diff (U20's rule) — only partitions whose owning
+       version differs can hold changed rows;
+    2. the stats rule — a changed partition is scanned only if EITHER
+       side's partition-level ``[min, max]`` on ``column``
+       (reassembled version-exactly through the manifests, so the
+       from-side prunes with from-era stats) intersects ``[lo, hi]``.
+       Skipping needs BOTH sides disjoint because the changelog's
+       band semantics is ``before ∈ band OR after ∈ band``: a row
+       repriced INTO the band lives in a partition whose to-side
+       stats intersect even when the from-side's do not.
+
+    The pruning unit is the PARTITION, deliberately coarser than the
+    band reads' file-level rule: the diff's full-outer join needs the
+    complete key set of both images per partition — dropping
+    band-disjoint FILES inside a surviving partition would make their
+    rows look inserted/deleted.  Returns ``(changelog, scanned,
+    changed)``; a band disjoint from every changed partition returns
+    the empty changelog with ``scanned == []`` — zero files planned,
+    the metadata-only receipt.  ``column`` must be in ``value_cols``
+    (the band filter needs both images).
+
+    At 100 TB: a nightly commit rewrites 1% of partitions; a sharded
+    consumer's band intersects a few of those.  U20 alone scans 2% of
+    the table; this scans both images of only the intersecting
+    partitions and decides the rest from two JSON probes."""
+    import json as _json
+    import os
+
+    if column not in value_cols:
+        raise ValueError(
+            f"snapshot_changes_pruned: band column {column!r} must be "
+            f"in value_cols {value_cols} — the changelog filter needs "
+            "its before/after images"
+        )
+
+    def manifest(v: int) -> dict:
+        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
+            return _json.load(fh)
+
+    m_from, m_to = manifest(v_from), manifest(v_to)
+    changed = sorted(
+        p
+        for p in set(m_from) | set(m_to)
+        if m_from.get(p) != m_to.get(p)
+    )
+    band_f = _stats_band_by_partition(base, v_from, partition_col, column)
+    band_t = _stats_band_by_partition(base, v_to, partition_col, column)
+
+    def hits(bands: dict, p: str) -> bool:
+        if p not in bands:
+            return False
+        mn, mx = bands[p]
+        return mn <= hi and mx >= lo
+
+    scanned = [p for p in changed if hits(band_f, p) or hits(band_t, p)]
+    cols = [partition_col, key_col, *value_cols]
+
+    def side(v: int, m: dict) -> DataFrame:
+        parts = [p for p in scanned if p in m]
+        scan = snapshot_read(spark, base, v, partition_col)
+        if not parts:
+            return scan.select(*cols).limit(0)
+        return scan.filter(F.col(partition_col).isin(parts)).select(*cols)
+
+    old = side(v_from, m_from).alias("a")
+    new = side(v_to, m_to).alias("b")
+    joined = old.join(
+        new,
+        on=[
+            F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"),
+            F.col(f"a.{key_col}") == F.col(f"b.{key_col}"),
+        ],
+        how="full_outer",
+    )
+    differs = F.lit(False)
+    for c in value_cols:
+        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    out = joined.filter(
+        F.col(f"a.{key_col}").isNull()
+        | F.col(f"b.{key_col}").isNull()
+        | differs
+    ).select(
+        F.coalesce(f"a.{partition_col}", f"b.{partition_col}").alias(
+            partition_col
+        ),
+        F.coalesce(f"a.{key_col}", f"b.{key_col}").alias(key_col),
+        F.when(F.col(f"a.{key_col}").isNull(), "insert")
+        .when(F.col(f"b.{key_col}").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        *[F.col(f"a.{c}").alias(f"{c}_before") for c in value_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_after") for c in value_cols],
+    )
+    return (
+        out.filter(
+            F.col(f"{column}_before").between(lo, hi)
+            | F.col(f"{column}_after").between(lo, hi)
+        ),
+        scanned,
+        changed,
+    )
+
+
+_U41_ORACLE = """
+WITH v1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
+         o_custkey, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+bd AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+v2 AS (
+  SELECT k_bucket, o_custkey, k,
+         CASE WHEN k % 7 = 0 THEN cents + cents // 20 ELSE cents END AS cents
+  FROM v1
+  WHERE CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0 AND k % 113 <> 0
+  UNION ALL
+  SELECT k_bucket, o_custkey, k, cents FROM v1
+  WHERE CAST(substr(k_bucket, 2) AS INTEGER) % 3 <> 0
+),
+diff AS (
+  SELECT COALESCE(a.k_bucket, b2.k_bucket) AS k_bucket,
+         COALESCE(a.k, b2.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b2.k IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         a.o_custkey AS o_custkey_before, b2.o_custkey AS o_custkey_after,
+         a.cents AS cents_before, b2.cents AS cents_after
+  FROM v1 a FULL OUTER JOIN v2 b2
+    ON a.k_bucket = b2.k_bucket AND a.k = b2.k
+  WHERE a.k IS NULL OR b2.k IS NULL
+     OR a.cents IS DISTINCT FROM b2.cents
+     OR a.o_custkey IS DISTINCT FROM b2.o_custkey
+)
+SELECT d.k_bucket, d.k, d.change_type,
+       d.o_custkey_before, d.o_custkey_after,
+       d.cents_before, d.cents_after
+FROM diff d, bd
+WHERE (d.o_custkey_before BETWEEN bd.lo AND bd.hi)
+   OR (d.o_custkey_after BETWEEN bd.lo AND bd.hi)
+"""
+
+
+@query(
+    "u41_cdc_stats_pruned",
+    oracle=_U41_ORACLE,
+    tags=("update", "cdf", "layout"),
+)
+def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U41: the change feed pruned through the travelling stats —
+    :func:`snapshot_changes_pruned` on the s19 fixture shape (bucket
+    partitioning on a custkey transform, band probe on RAW custkey —
+    the hidden-partitioning read path, now for CDC).
+
+    v1 commits orders bucket-partitioned with stats; v2 rewrites only
+    the %3 buckets (a 5% reprice on the %7 keys, the %113 keys
+    deleted), with stats.  The consumer asks for the changelog
+    restricted to a custkey band.  Receipts, raise-style:
+
+    - the stats prune STRICTLY inside the manifest diff: scanned is a
+      non-empty proper subset of the changed buckets, and every
+      scanned bucket is arithmetically consistent with the transform
+      (its bucket index lies in [lo div 64, hi div 64] — the stats
+      can only narrow that, never widen it);
+    - EXACTNESS vs the unpruned diff: the pruned changelog equals
+      u20's :func:`snapshot_changes` filtered to the same
+      before-or-after band predicate, cell-for-cell both ways
+      (exceptAll in both directions) — the receipt that partition
+      skipping dropped only provably-band-free work;
+    - the METADATA-ONLY case: a band beyond the custkey domain
+      returns the empty changelog with zero partitions scanned — two
+      JSON probes, no file planned;
+    - band rows from UNCHANGED buckets never appear (the manifest
+      rule), and the returned feed carries all three receipts'
+      worth of rows for the driver hash.
+
+    Why it matters at 100 TB: incremental consumers are usually
+    sharded — each maintains its slice of a view keyed by a band of
+    some column.  U20 already charges them only for rewritten
+    partitions; this charges them only for rewritten partitions whose
+    stats could touch their shard, and answers every other shard's
+    "anything for me?" from metadata.  Cites the r15 ledger's
+    round-16 candidate #2 (operators/__init__.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/wind_spark_u41_{tag}/ledger"
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    v1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 64").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    snapshot_commit_with_stats(
+        spark, v1, base, 1, "k_bucket", ["o_custkey", "cents"]
+    )
+    in_rw = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    v2 = v1.filter(~(in_rw & (F.col("k") % 113 == 0))).withColumn(
+        "cents",
+        F.when(
+            in_rw & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    rewritten = sorted(
+        r.k_bucket
+        for r in v1.select("k_bucket").distinct().collect()
+        if int(r.k_bucket[1:]) % 3 == 0
+    )
+    snapshot_commit_with_stats(
+        spark, v2, base, 2, "k_bucket", ["o_custkey", "cents"],
+        parts=rewritten,
+    )
+    vcols = ["o_custkey", "cents"]
+    pruned, scanned, changed = snapshot_changes_pruned(
+        spark, base, 1, 2, "k_bucket", "k", vcols, "o_custkey", lo, hi
+    )
+    if sorted(changed) != rewritten:
+        raise ValueError(
+            "u41_cdc_stats_pruned: the manifest diff must name exactly "
+            f"the rewritten buckets (got {changed})"
+        )
+    if not scanned or not set(scanned) < set(changed):
+        raise ValueError(
+            "u41_cdc_stats_pruned: the stats rule must prune strictly "
+            f"inside the manifest diff ({len(scanned)} of "
+            f"{len(changed)} changed buckets)"
+        )
+    want_idx = set(range(int(lo) // 64, int(hi) // 64 + 1))
+    if not all(int(p[1:]) in want_idx for p in scanned):
+        raise ValueError(
+            "u41_cdc_stats_pruned: a scanned bucket lies outside the "
+            "band's transform range — the stats widened the prune"
+        )
+    unpruned = snapshot_changes(
+        spark, base, 1, 2, "k_bucket", "k", vcols
+    ).filter(
+        F.col("o_custkey_before").between(lo, hi)
+        | F.col("o_custkey_after").between(lo, hi)
+    )
+    if (
+        pruned.exceptAll(unpruned).count()
+        or unpruned.exceptAll(pruned).count()
+    ):
+        raise ValueError(
+            "u41_cdc_stats_pruned: the pruned changelog diverged from "
+            "the unpruned diff restricted to the band"
+        )
+    empty, scanned0, _ = snapshot_changes_pruned(
+        spark, base, 1, 2, "k_bucket", "k", vcols,
+        "o_custkey", dom.xm + 1, dom.xm + 1000,
+    )
+    if scanned0 or empty.count():
+        raise ValueError(
+            "u41_cdc_stats_pruned: an out-of-domain band must answer "
+            "empty at metadata cost (zero partitions scanned)"
+        )
+    return pruned
+
+
 # --- S20: clustering maintenance on the snapshot path ---------------------------
 
 
