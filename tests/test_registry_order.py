@@ -33,6 +33,10 @@ _R16_NEW: list[str] = [
     # through S19's travelling ledgers, partition-level both-sides
     # band rule, metadata-only on disjoint pairs
     "u41_cdc_stats_pruned",
+    # widening plan (4): txn_optimize_plan/_run — small_file_census +
+    # partition_zspan_census across the group's head-referenced
+    # version dirs, one work order, u36-coherent execution
+    "u42_group_optimize",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

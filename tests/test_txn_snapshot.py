@@ -1063,6 +1063,57 @@ def test_txn_expire_by_age_policy_laws(spark, tmp_path):
     assert rep2["stamp_residue"] == []
 
 
+def test_txn_optimize_plan_laws(spark, tmp_path):
+    """u42's planner laws on a toy group: the work order is scoped to
+    the (version dir, partition) pairs the HEAD manifests route to
+    (a stale twin in the censused dir is not scheduled), a partition
+    needing clustering is never also listed for compaction, execution
+    under the coherence protocol keeps an OLDER transaction's reads
+    cell-exact, and the re-plan is empty."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_optimize_plan,
+        txn_optimize_run,
+    )
+
+    base = str(tmp_path / "g")
+    # rows CREATED interleaved (by residue class) so the writer's
+    # sequential file splits each span nearly the whole pk domain —
+    # an explicit orderBy would be eliminated by Catalyst below
+    # snapshot_commit's repartition, so the arrival order is the knob
+    rows = sorted(
+        ((i, "x" if i % 2 == 0 else "y", i * 7 % 100) for i in range(40)),
+        key=lambda r: (r[0] % 5, r[0]),
+    )
+    df = spark.createDataFrame(rows, "pk long, m string, val long")
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(conf_key, "4")  # 40 rows / 2 parts -> ~5 files each
+    try:
+        txn_commit(base, 1, {"a": (df, "m", None)})
+    finally:
+        spark.conf.set(conf_key, "0")
+    snapshot_commit_stats(spark, os.path.join(base, "a"), 1, ["pk", "val"])
+    # txn2 rewrites partition x healthy -> head routes x to v2, y to v1
+    txn_commit(
+        base, 2,
+        {"a": (df.filter(F.col("m") == "x"), "m", ["x"])},
+    )
+    snapshot_commit_stats(spark, os.path.join(base, "a"), 2, ["pk", "val"])
+    spec = {"a": ("m", "pk")}
+    plan = txn_optimize_plan(spark, base, spec, max_files=3)
+    # y is degraded (hash-shuffled splits span the pk domain) so it
+    # clusters and is NOT double-listed for compaction; x's stale twin
+    # under v1 is out of head scope; v2's x is a single healthy file
+    assert plan == {"a": {1: {"compact": [], "cluster": ["y"]}}}
+    pre_v1 = _rows(txn_read(spark, base, 1, "a", "m"))
+    txn_optimize_run(spark, base, spec, plan, max_files=3, files_per_part=3)
+    assert _rows(txn_read(spark, base, 1, "a", "m")) == pre_v1
+    assert txn_optimize_plan(spark, base, spec, max_files=3) == {}
+    # unknown table in the spec refuses
+    with pytest.raises(ValueError, match="not in the head"):
+        txn_optimize_plan(spark, base, {"ghost": ("m", None)})
+
+
 # --- U38: transaction tags as GC roots -------------------------------------------
 
 

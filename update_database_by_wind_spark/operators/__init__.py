@@ -111,6 +111,10 @@ _ROUND16_FRONT = [
     # whose stats could touch the band; band-disjoint pairs are
     # metadata-only
     "u41_cdc_stats_pruned",
+    # (4) the group-level OPTIMIZE planner: both censuses across
+    # every table of the txn group -> ONE work order, executed
+    # under the u36 coherence protocol with history intact
+    "u42_group_optimize",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -181,7 +185,6 @@ _ROUND16_FRONT = [
     "u22_merge_schema_evolution",
     "u23_snapshot_restore",
     "u25_partition_evolution",
-    "u26_snapshot_vacuum",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -370,6 +373,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u20_change_data_feed",
     "u21_mor_seq_compact",
     "u24_mor_seq_erasure",
+    "u26_snapshot_vacuum",
     "u27_orphan_gc",
     "u28_snapshot_tags",
     "u29_occ_commit",

@@ -8462,6 +8462,375 @@ def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned
 
 
+# --- U42: the group-level OPTIMIZE planner ----------------------------------------
+
+
+def txn_optimize_plan(
+    spark: SparkSession, base: str, spec: dict, max_files: int = 8
+) -> dict:
+    """ONE maintenance work order for a whole TRANSACTION GROUP — the
+    r15 ledger's round-16 candidate #3: run both metadata censuses
+    (u31's :func:`small_file_census` for fragmentation, s18's
+    :func:`partition_zspan_census` for clustering health) over every
+    table the HEAD pointer references, scoped to the (version dir,
+    partition) pairs the head manifests actually route to, and emit
+    ``{table: {version: {"compact": [...], "cluster": [...]}}}``.
+
+    ``spec`` maps ``table -> (partition_col, cluster_col | None)``.
+    Policy: a partition needing CLUSTERING (any file spanning more
+    than half the key domain) is never also listed for compaction —
+    the range rewrite produces right-sized files anyway, so listing
+    both would schedule the same bytes twice.  Partitions a head
+    manifest routes to OTHER versions are out of scope even when
+    their stale twins sit in the censused dir: maintenance chases the
+    LIVE layout, and older transactions' reads are protected not by
+    skipping them but by the executor's content-preserving rewrites
+    (:func:`txn_optimize_run`).
+
+    Cost at 100 TB: footers + listings only — the same metadata class
+    as the catalog's own listing, once per referenced version dir,
+    and the emitted order is exactly the fragmented/degraded bytes."""
+    import json as _json
+    import os
+    import re
+    from urllib.parse import unquote
+
+    from update_database_by_wind_spark.operators.storage import (
+        partition_zspan_census,
+    )
+
+    pointers = sorted(
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    )
+    if not pointers:
+        raise ValueError(
+            f"txn_optimize_plan: no transaction pointers under {base}"
+        )
+    with open(os.path.join(base, f"_txn_v{max(pointers)}.json")) as fh:
+        head_ptr = {t: int(v) for t, v in _json.load(fh).items()}
+    plan: dict = {}
+    for t in sorted(spec):
+        if t not in head_ptr:
+            raise ValueError(
+                f"txn_optimize_plan: table {t!r} is not in the head "
+                f"transaction v{max(pointers)}'s pointer"
+            )
+        pcol, ccol = spec[t]
+        with open(
+            os.path.join(base, t, f"_manifest_v{head_ptr[t]}.json")
+        ) as fh:
+            manifest = _json.load(fh)
+        by_owner: dict[int, set] = {}
+        for part, ver in manifest.items():
+            by_owner.setdefault(int(ver), set()).add(part)
+        for ver in sorted(by_owner):
+            scope = by_owner[ver]
+            vdir = os.path.join(base, t, f"v{ver}")
+            cluster: list = []
+            if ccol is not None:
+                _, entries = partition_zspan_census(
+                    spark, vdir, ccol, pcol
+                )
+                # a SINGLE-file partition always "spans" its own
+                # domain, but there is nothing to skip between files,
+                # so the span carries no clustering signal — without
+                # the n_files guard every freshly compacted partition
+                # would be rescheduled for clustering on the next
+                # pass (found building the u42 toy: v2's one-file
+                # rewrite came back as a cluster target)
+                cluster = sorted(
+                    e["partition"]
+                    for e in entries
+                    if e["degraded"]
+                    and e["n_files"] > 1
+                    and e["partition"] in scope
+                )
+            cl = set(cluster)
+            compact = sorted(
+                unquote(c["partition"])
+                for c in small_file_census(vdir, pcol)
+                if unquote(c["partition"]) in scope
+                and unquote(c["partition"]) not in cl
+                and c["n_files"] > max_files
+            )
+            if compact or cluster:
+                plan.setdefault(t, {})[ver] = {
+                    "compact": compact,
+                    "cluster": cluster,
+                }
+    return plan
+
+
+def txn_optimize_run(
+    spark: SparkSession,
+    base: str,
+    spec: dict,
+    plan: dict,
+    max_files: int = 8,
+    target_files: int = 1,
+    files_per_part: int = 4,
+) -> dict:
+    """Execute a :func:`txn_optimize_plan` work order under the u36
+    COHERENCE protocol: every entry routes through the snapshot-path
+    rewriters (:func:`snapshot_compact_stats` /
+    :func:`snapshot_cluster_stats`), so each rewritten version dir
+    swaps data first and republishes its travelling stats ledger
+    after — band reads at EVERY transaction whose pointer reaches the
+    rewritten versions stay exact, which is what makes one group-wide
+    OPTIMIZE safe to run under retained history.  Content-preserving
+    by construction (the rewriters re-emit the same rows), so older
+    transactions sharing the version dirs read identical data through
+    fewer, tighter files."""
+    import os
+
+    receipts: dict = {}
+    for t in sorted(plan):
+        pcol, ccol = spec[t]
+        for ver in sorted(plan[t]):
+            order = plan[t][ver]
+            rep: dict = {}
+            if order["compact"]:
+                rep["compact"] = snapshot_compact_stats(
+                    spark, os.path.join(base, t), ver, pcol,
+                    max_files=max_files, target_files=target_files,
+                    only=order["compact"],
+                )
+            if order["cluster"]:
+                rep["cluster"] = snapshot_cluster_stats(
+                    spark, os.path.join(base, t), ver, pcol, ccol,
+                    files_per_part=files_per_part,
+                    only=order["cluster"],
+                )
+            receipts[f"{t}/v{ver}"] = rep
+    return receipts
+
+
+_U42_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT k_bucket, o_orderkey,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+              THEN cents + cents // 10 ELSE cents END AS cents
+  FROM o1
+),
+i1 AS (
+  SELECT o1.k_bucket, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+ov AS (
+  SELECT k_bucket, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS order_cents
+  FROM o2 GROUP BY 1
+),
+iv AS (
+  SELECT k_bucket, COUNT(*) AS n_items,
+         CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM i1 GROUP BY 1
+)
+SELECT ov.k_bucket, n_orders, order_cents, n_items, total_qty
+FROM ov JOIN iv ON ov.k_bucket = iv.k_bucket
+"""
+
+
+@query(
+    "u42_group_optimize",
+    oracle=_U42_ORACLE,
+    tags=("update", "layout"),
+)
+def u42_group_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U42: group-level OPTIMIZE — one planner pass across every table
+    of a transaction group, one work order, executed under the stats
+    coherence protocol, with history intact.
+
+    Fixture: txn 1 commits ORDERS bucket-partitioned on the custkey
+    transform, fragmented by the writer (~6 files per bucket); txn 2
+    ADDS the ITEMS table, fragmented AND unclustered on the order key
+    (hash-shuffled before the split, so every file spans nearly the
+    whole key domain); txn 3 re-prices the %3 buckets of orders into
+    a healthy v2 (one file each).  The head therefore routes orders'
+    non-%3 buckets to a fragmented v1, orders' %3 buckets to a
+    healthy v2, and all of items to a degraded v1 — three different
+    maintenance answers in one group.  Receipts, raise-style:
+
+    - the work order equals the TRANSFORM-ARITHMETIC expectation
+      (non-%3 orders buckets compact under v1; every items bucket
+      clusters; nothing for orders v2) — the union of the per-table
+      censuses, checked against an independent derivation, with the
+      cluster-subsumes-compact disjointness law built in;
+    - band reads are CELL-EXACT at every retained transaction across
+      the maintenance (pruned counts at txns 1, 2, 3 captured before
+      and compared after — the u36 coherence promise at group scope);
+    - clustering makes skipping SHARPER, not just cheaper: a narrow
+      order-key band over items keeps strictly fewer files after the
+      rewrite, at identical answers;
+    - the re-plan is EMPTY — one OPTIMIZE converged the whole group,
+      and the returned head-state rollup is computed post-maintenance
+      so the driver hash proves content preservation end to end.
+
+    Why it matters at 100 TB: nightly maintenance is budgeted per
+    GROUP, not per table — the planner reads footers and listings
+    only, emits exactly the fragmented/degraded bytes as work, and
+    the coherence protocol means no consumer (time traveller, band
+    reader, CDC feed) has to be quiesced while it runs.  Cites the
+    r15 ledger's round-16 candidate #3 (operators/__init__.py)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u42_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    i1 = lineitem.join(
+        o1.select(F.col("k").alias("ok"), "k_bucket"),
+        lineitem["l_orderkey"] == F.col("ok"),
+    ).select(
+        "k_bucket",
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    all_b = sorted(r.k_bucket for r in o1.select("k_bucket").distinct().collect())
+    rw = [b for b in all_b if int(b[1:]) % 3 == 0]
+    non3 = [b for b in all_b if int(b[1:]) % 3 != 0]
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+    n_orders = o1.count()
+    spark.conf.set(conf_key, str(max(1, n_orders // (len(all_b) * 6))))
+    try:
+        txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
+    finally:
+        spark.conf.set(conf_key, old_conf)
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["k", "cents"]
+    )
+    n_items = i1.count()
+    spark.conf.set(conf_key, str(max(1, n_items // (len(all_b) * 6))))
+    try:
+        # the join's shuffle leaves i1's arrival order hash-scattered
+        # on the order key (an explicit orderBy here would be
+        # ELIMINATED by Catalyst below snapshot_commit's repartition —
+        # verified while building the toy test), so each split file
+        # spans nearly the whole key domain: the unclustered-ingest
+        # shape the census must flag
+        txn_commit(base, 2, {"items": (i1, "k_bucket", None)})
+    finally:
+        spark.conf.set(conf_key, old_conf)
+    snapshot_commit_stats(
+        spark, os.path.join(base, "items"), 1, ["k", "qty"]
+    )
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0"),
+            F.col("cents") + F.expr("cents DIV 10"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 3,
+        {"orders": (o2.filter(F.col("k_bucket").isin(rw)), "k_bucket", rw)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["k", "cents"]
+    )
+
+    spec = {"orders": ("k_bucket", None), "items": ("k_bucket", "k")}
+    plan = txn_optimize_plan(spark, base, spec, max_files=4)
+    want: dict = {"items": {1: {"compact": [], "cluster": all_b}}}
+    if non3:
+        want["orders"] = {1: {"compact": non3, "cluster": []}}
+    if plan != want:
+        raise ValueError(
+            "u42_group_optimize: the work order must equal the "
+            "transform-arithmetic expectation — fragmented non-%3 "
+            "orders buckets compact, every items bucket clusters "
+            f"(got {plan}, want {want})"
+        )
+
+    kdom = i1.agg(
+        F.min("k").alias("mn"), F.max("k").alias("xm")
+    ).first()
+    klo = kdom.mn + (kdom.xm - kdom.mn) // 2
+    khi = klo + (kdom.xm - kdom.mn) // 16
+
+    def ptr(v: int) -> dict:
+        with open(os.path.join(base, f"_txn_v{v}.json")) as fh:
+            return {t: int(tv) for t, tv in _json.load(fh).items()}
+
+    def band_counts() -> dict:
+        out = {}
+        for txn in (1, 2, 3):
+            for t, tv in ptr(txn).items():
+                col = "k"
+                lo2, hi2 = (klo, khi)
+                df, kept, _ = snapshot_read_pruned(
+                    spark, os.path.join(base, t), tv, "k_bucket",
+                    col, lo2, hi2,
+                )
+                out[(txn, t)] = (df.count(), len(kept))
+        return out
+
+    pre = band_counts()
+    txn_optimize_run(spark, base, spec, plan, max_files=4)
+    post = band_counts()
+    for key in pre:
+        if pre[key][0] != post[key][0]:
+            raise ValueError(
+                "u42_group_optimize: a band read changed across the "
+                f"maintenance at txn/table {key} ({pre[key][0]} -> "
+                f"{post[key][0]})"
+            )
+    items_pre_kept = pre[(2, "items")][1]
+    items_post_kept = post[(2, "items")][1]
+    if items_post_kept >= items_pre_kept:
+        raise ValueError(
+            "u42_group_optimize: clustering must make the narrow-band "
+            f"items read keep strictly fewer files ({items_pre_kept} "
+            f"-> {items_post_kept})"
+        )
+    if txn_optimize_plan(spark, base, spec, max_files=4):
+        raise ValueError(
+            "u42_group_optimize: one OPTIMIZE pass must converge the "
+            "group — the re-plan is not empty"
+        )
+    ov = (
+        txn_read(spark, base, 3, "orders", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("order_cents"),
+        )
+    )
+    iv = (
+        txn_read(spark, base, 3, "items", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+    )
+    return ov.join(iv, "k_bucket")
+
+
 # --- S20: clustering maintenance on the snapshot path ---------------------------
 
 
