@@ -37,6 +37,9 @@ _R16_NEW: list[str] = [
     # partition_zspan_census across the group's head-referenced
     # version dirs, one work order, u36-coherent execution
     "u42_group_optimize",
+    # widening plan (5): the checkpoint owns the state partition
+    # count — restore-and-continue at N under a mismatched session
+    "st24_state_repartition_restore",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -115,6 +115,11 @@ _ROUND16_FRONT = [
     # every table of the txn group -> ONE work order, executed
     # under the u36 coherence protocol with history intact
     "u42_group_optimize",
+    # (5) the state-rebalance contract: a checkpoint written at N
+    # state partitions restores and continues at N under a
+    # mismatched session — the operational pin behind every
+    # 4-partition streaming fixture (r15 verdict ask #8)
+    "st24_state_repartition_restore",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -184,7 +189,6 @@ _ROUND16_FRONT = [
     "u13_cdc_merge_sink",
     "u22_merge_schema_evolution",
     "u23_snapshot_restore",
-    "u25_partition_evolution",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -373,6 +377,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u20_change_data_feed",
     "u21_mor_seq_compact",
     "u24_mor_seq_erasure",
+    "u25_partition_evolution",
     "u26_snapshot_vacuum",
     "u27_orphan_gc",
     "u28_snapshot_tags",
