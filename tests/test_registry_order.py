@@ -40,6 +40,10 @@ _R16_NEW: list[str] = [
     # widening plan (5): the checkpoint owns the state partition
     # count — restore-and-continue at N under a mismatched session
     "st24_state_repartition_restore",
+    # u34 x u41: the band-scoped group feed — three cost classes
+    # (pointer short-circuit / band-pruned diff / file-pruned insert
+    # feed) in one txn_changes_pruned call
+    "u43_txn_feed_pruned",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

@@ -1114,6 +1114,33 @@ def test_txn_optimize_plan_laws(spark, tmp_path):
         txn_optimize_plan(spark, base, {"ghost": ("m", None)})
 
 
+def test_txn_changes_pruned_refusals_and_short_circuit(spark, tmp_path):
+    """u43's edges on a toy group: an expired endpoint refuses with
+    the TYPED retention error, a table in neither pointer is a plain
+    caller error, and an untouched table short-circuits from the
+    pointer with the 'unchanged' receipt and zero rows."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
+        txn_changes_pruned,
+        txn_expire,
+    )
+
+    base = str(tmp_path / "g")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    spec = {"b": ("m", "pk", ["val"])}
+    feeds, rec = txn_changes_pruned(spark, base, 1, 2, spec, {})
+    assert rec["b"] == {"mode": "unchanged"}
+    assert feeds["b"].count() == 0
+    with pytest.raises(ValueError, match="neither"):
+        txn_changes_pruned(
+            spark, base, 1, 2, {"nope": ("m", "pk", ["val"])}, {}
+        )
+    txn_expire(base, [2])
+    with pytest.raises(RetentionExpiredError):
+        txn_changes_pruned(spark, base, 1, 2, spec, {})
+
+
 # --- U38: transaction tags as GC roots -------------------------------------------
 
 

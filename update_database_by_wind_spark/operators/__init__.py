@@ -120,6 +120,10 @@ _ROUND16_FRONT = [
     # mismatched session — the operational pin behind every
     # 4-partition streaming fixture (r15 verdict ask #8)
     "st24_state_repartition_restore",
+    # the composition u41 makes inevitable: the GROUP feed for a
+    # sharded consumer — pointer short-circuit, band-pruned diff,
+    # file-pruned insert feed for an added table, in one call
+    "u43_txn_feed_pruned",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -188,7 +192,6 @@ _ROUND16_FRONT = [
     "u12_cdc_classify",
     "u13_cdc_merge_sink",
     "u22_merge_schema_evolution",
-    "u23_snapshot_restore",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -376,6 +379,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u1_incremental_diff",
     "u20_change_data_feed",
     "u21_mor_seq_compact",
+    "u23_snapshot_restore",
     "u24_mor_seq_erasure",
     "u25_partition_evolution",
     "u26_snapshot_vacuum",

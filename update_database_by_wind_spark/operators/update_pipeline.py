@@ -8831,6 +8831,383 @@ def u42_group_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ov.join(iv, "k_bucket")
 
 
+# --- U43: the group feed, band-scoped through the travelling stats ----------------
+
+
+def txn_changes_pruned(
+    spark: SparkSession,
+    base: str,
+    txn_from: int,
+    txn_to: int,
+    tables: dict,
+    bands: dict,
+) -> tuple[dict, dict]:
+    """:func:`txn_changes` for a BAND-SCOPED consumer — u34's mutually
+    consistent multi-table feed with u41's stats rule applied per
+    table, so a sharded consumer pays three successively cheaper
+    prices: an untouched table short-circuits from the POINTER (no
+    manifest read), a touched table scans only the rewritten
+    partitions whose stats intersect the shard's band
+    (:func:`snapshot_changes_pruned`), and a table ADDED mid-history
+    feeds its inserts through the FILE-level pruned snapshot read
+    (:func:`snapshot_read_pruned` — file pruning is sound for a pure
+    insert feed because no key join is involved; the diff path must
+    stay partition-granular, see snapshot_changes_pruned).
+
+    ``tables`` maps ``name -> (partition_col, key_col, value_cols)``;
+    ``bands`` maps ``name -> (column, lo, hi)`` — a table missing
+    from ``bands`` gets the unpruned :func:`snapshot_changes` diff.
+    Returns ``(feeds, receipts)``; receipts carry per-table
+    ``{"mode": "unchanged" | "added" | "diff" | "full", ...}`` with
+    the scanned/changed partition lists (diff) or kept/total file
+    counts (added) so callers can assert the cost class, not just the
+    rows.  Retention refusals are the typed
+    :class:`RetentionExpiredError`, same as txn_changes — the st23
+    rebaseline contract extends to sharded consumers unchanged."""
+    import json as _json
+    import os
+
+    def pointer(v: int) -> dict:
+        p = os.path.join(base, f"_txn_v{v}.json")
+        if not os.path.exists(p):
+            raise RetentionExpiredError(
+                f"txn_changes_pruned: transaction {v} is not retained; "
+                "changelogs require both endpoint pointers"
+            )
+        with open(p) as fh:
+            return _json.load(fh)
+
+    ptr_f, ptr_t = pointer(txn_from), pointer(txn_to)
+    feeds: dict[str, DataFrame] = {}
+    receipts: dict[str, dict] = {}
+    for name, (pcol, kcol, vcols) in tables.items():
+        tv_f, tv_t = ptr_f.get(name, 0), ptr_t.get(name, 0)
+        tdir = os.path.join(base, name)
+        if tv_f == 0 and tv_t == 0:
+            raise ValueError(
+                f"txn_changes_pruned: table {name!r} appears in "
+                f"neither transaction {txn_from} nor {txn_to}"
+            )
+        if tv_f == tv_t:
+            src = spark.read.parquet(
+                os.path.join(tdir, f"v{tv_t}")
+            ).limit(0)
+            feeds[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("update").alias("change_type"),
+                *[F.col(c).alias(f"{c}_before") for c in vcols],
+                *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+            receipts[name] = {"mode": "unchanged"}
+        elif tv_f == 0:
+            if name in bands:
+                column, lo, hi = bands[name]
+                src, kept, total = snapshot_read_pruned(
+                    spark, tdir, tv_t, pcol, column, lo, hi
+                )
+                receipts[name] = {
+                    "mode": "added", "kept_files": len(kept),
+                    "n_files": total,
+                }
+            else:
+                src = snapshot_read(spark, tdir, tv_t, pcol)
+                receipts[name] = {"mode": "added"}
+            feeds[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("insert").alias("change_type"),
+                *[
+                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
+                        f"{c}_before"
+                    )
+                    for c in vcols
+                ],
+                *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+        elif name in bands:
+            column, lo, hi = bands[name]
+            df, scanned, changed = snapshot_changes_pruned(
+                spark, tdir, tv_f, tv_t, pcol, kcol, vcols,
+                column, lo, hi,
+            )
+            feeds[name] = df
+            receipts[name] = {
+                "mode": "diff", "scanned": scanned, "changed": changed,
+            }
+        else:
+            feeds[name] = snapshot_changes(
+                spark, tdir, tv_f, tv_t, pcol, kcol, vcols
+            )
+            receipts[name] = {"mode": "full"}
+    return feeds, receipts
+
+
+_U43_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         o_custkey, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+dom AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+bd AS (
+  SELECT mn + (mx - mn) // 8 AS lo, mn + (mx - mn) // 4 AS hi FROM dom
+),
+v2 AS (
+  SELECT k_bucket, o_custkey, k,
+         CASE WHEN k % 7 = 0 THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o1
+  WHERE CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0 AND k % 113 <> 0
+  UNION ALL
+  SELECT k_bucket, o_custkey, k, cents FROM o1
+  WHERE CAST(substr(k_bucket, 2) AS INTEGER) % 3 <> 0
+),
+diff AS (
+  SELECT COALESCE(a.k_bucket, b2.k_bucket) AS k_bucket,
+         COALESCE(a.k, b2.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b2.k IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         a.o_custkey AS cb, b2.o_custkey AS ca,
+         a.cents AS vb, b2.cents AS va
+  FROM o1 a FULL OUTER JOIN v2 b2
+    ON a.k_bucket = b2.k_bucket AND a.k = b2.k
+  WHERE a.k IS NULL OR b2.k IS NULL
+     OR a.cents IS DISTINCT FROM b2.cents
+     OR a.o_custkey IS DISTINCT FROM b2.o_custkey
+),
+rets AS (
+  SELECT k_bucket, o_custkey, k, cents // 2 AS cents
+  FROM o1 WHERE k % 13 = 0
+)
+SELECT 'orders' AS tbl, d.k_bucket, d.k, d.change_type,
+       d.vb AS v_before, d.va AS v_after
+FROM diff d, bd
+WHERE (d.cb BETWEEN bd.lo AND bd.hi) OR (d.ca BETWEEN bd.lo AND bd.hi)
+UNION ALL
+SELECT 'returns' AS tbl, r.k_bucket, r.k, 'insert' AS change_type,
+       CAST(NULL AS BIGINT) AS v_before, r.cents AS v_after
+FROM rets r, bd
+WHERE r.o_custkey BETWEEN bd.lo AND bd.hi
+"""
+
+
+@query(
+    "u43_txn_feed_pruned",
+    oracle=_U43_ORACLE,
+    tags=("update", "cdf", "layout"),
+)
+def u43_txn_feed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U43: the GROUP feed for a sharded consumer — u34's
+    pointer-consistent multi-table changelog with u41's stats pruning
+    applied per table (:func:`txn_changes_pruned`).  A consumer that
+    maintains one custkey shard of a downstream view asks "what
+    changed for MY band between txn 1 and txn 3" and the three cost
+    classes answer in one call:
+
+    * txn 2 re-prices the %3 buckets of ORDERS (the %7 keys, %113
+      deleted) — the orders feed scans only the rewritten buckets
+      whose stats intersect the shard's band;
+    * ITEMS is untouched across the span — its feed is empty from the
+      POINTER alone (mode receipt "unchanged", no manifest read, no
+      stats probe — the table needs no ledger at all);
+    * txn 3 ADDS the RETURNS table — its whole-snapshot insert feed
+      prunes at FILE level through the travelling stats (sound for
+      pure inserts: no key join, so dropping band-free files cannot
+      misclassify anything).
+
+    Receipts, raise-style: the orders scan is a non-empty proper
+    subset of the rewritten buckets and cell-exact against the
+    unpruned :func:`txn_changes` feed band-filtered (exceptAll both
+    ways); the returns read keeps strictly fewer files than the
+    table holds, cell-exact against the unpruned insert feed; and an
+    out-of-domain band answers ALL THREE tables empty with zero
+    partitions and zero files planned — the whole group's "anything
+    for my shard?" at metadata cost.
+
+    Why it matters at 100 TB: sharded view maintenance is the normal
+    deployment (one daemon per key range).  Without band pruning,
+    every shard's nightly pull scans both images of every rewritten
+    partition — N_shards × the u20 cost; with it, each shard pays
+    only for the rewritten partitions its stats can touch and the
+    group answers most shards from pointers and JSON probes.  Cites
+    u34/u41; composes their receipts."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u43_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    i1 = lineitem.join(
+        o1.select(F.col("k").alias("ok"), "k_bucket"),
+        lineitem["l_orderkey"] == F.col("ok"),
+    ).select(
+        "k_bucket",
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    lo = dom.mn + (dom.xm - dom.mn) // 8
+    hi = dom.mn + (dom.xm - dom.mn) // 4
+    txn_commit(
+        base, 1,
+        {"orders": (o1, "k_bucket", None), "items": (i1, "k_bucket", None)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
+    )
+    in_rw = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    o2 = o1.filter(~(in_rw & (F.col("k") % 113 == 0))).withColumn(
+        "cents",
+        F.when(
+            in_rw & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    rewritten = sorted(
+        r.k_bucket
+        for r in o1.select("k_bucket").distinct().collect()
+        if int(r.k_bucket[1:]) % 3 == 0
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (o2.filter(F.col("k_bucket").isin(rewritten)),
+                    "k_bucket", rewritten)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
+    )
+    r1 = o1.filter(F.col("k") % 13 == 0).withColumn(
+        "cents", F.expr("cents DIV 2")
+    )
+    txn_commit(base, 3, {"returns": (r1, "k_bucket", None)})
+    snapshot_commit_stats(
+        spark, os.path.join(base, "returns"), 1, ["o_custkey", "cents"]
+    )
+
+    spec = {
+        "orders": ("k_bucket", "k", ["o_custkey", "cents"]),
+        "items": ("k_bucket", "k", ["qty"]),
+        "returns": ("k_bucket", "k", ["o_custkey", "cents"]),
+    }
+
+    def run_bands(blo, bhi):
+        return txn_changes_pruned(
+            spark, base, 1, 3, spec,
+            {
+                "orders": ("o_custkey", blo, bhi),
+                "returns": ("o_custkey", blo, bhi),
+            },
+        )
+
+    feeds, rec = run_bands(lo, hi)
+    if rec["items"] != {"mode": "unchanged"} or feeds["items"].count():
+        raise ValueError(
+            "u43_txn_feed_pruned: the untouched table must "
+            f"short-circuit from the pointer (got {rec['items']})"
+        )
+    ro = rec["orders"]
+    # the arithmetic bound on what the stats may keep: buckets whose
+    # transform range can intersect the band (stats can only narrow
+    # it).  The proper-subset tooth applies whenever some rewritten
+    # bucket lies outside that range (always at sf >= 0.01; at the
+    # single-bucket sf0.001 fixture scanned == changed is correct).
+    in_range = {
+        p
+        for p in ro.get("changed", [])
+        if int(lo) // 256 <= int(p[1:]) <= int(hi) // 256
+    }
+    if (
+        ro["mode"] != "diff"
+        or not ro["scanned"]
+        or not set(ro["scanned"]) <= in_range
+        or sorted(ro["changed"]) != rewritten
+        or (in_range < set(ro["changed"])
+            and not set(ro["scanned"]) < set(ro["changed"]))
+    ):
+        raise ValueError(
+            "u43_txn_feed_pruned: the orders feed must scan a "
+            "non-empty band-consistent subset of the rewritten "
+            f"buckets (got {ro})"
+        )
+    band_or = F.col("o_custkey_before").between(lo, hi) | F.col(
+        "o_custkey_after"
+    ).between(lo, hi)
+    unpruned = txn_changes(spark, base, 1, 3, spec)
+    uo = unpruned["orders"].filter(band_or)
+    if (
+        feeds["orders"].exceptAll(uo).count()
+        or uo.exceptAll(feeds["orders"]).count()
+    ):
+        raise ValueError(
+            "u43_txn_feed_pruned: the pruned orders feed diverged "
+            "from the unpruned feed restricted to the band"
+        )
+    rr = rec["returns"]
+    # the strict tooth needs something to prune: a single-file table
+    # (the sf0.001 fixture) legitimately keeps its one file
+    if rr["mode"] != "added" or not (
+        rr["kept_files"] < rr["n_files"] or rr["n_files"] <= 1
+    ):
+        raise ValueError(
+            "u43_txn_feed_pruned: the added-table insert feed must "
+            f"prune at file level (got {rr})"
+        )
+    ur = unpruned["returns"].filter(
+        F.col("o_custkey_after").between(lo, hi)
+    )
+    if (
+        feeds["returns"].exceptAll(ur).count()
+        or ur.exceptAll(feeds["returns"]).count()
+    ):
+        raise ValueError(
+            "u43_txn_feed_pruned: the pruned insert feed diverged "
+            "from the unpruned inserts restricted to the band"
+        )
+    feeds0, rec0 = run_bands(dom.xm + 1, dom.xm + 1000)
+    if (
+        rec0["orders"]["scanned"]
+        or rec0["returns"]["kept_files"]
+        or any(feeds0[t].count() for t in ("orders", "items", "returns"))
+    ):
+        raise ValueError(
+            "u43_txn_feed_pruned: an out-of-domain band must answer "
+            "the whole group empty at metadata cost"
+        )
+
+    def tagged(df: DataFrame, tbl: str) -> DataFrame:
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            "k_bucket",
+            "k",
+            "change_type",
+            F.col("cents_before").alias("v_before"),
+            F.col("cents_after").alias("v_after"),
+        )
+
+    return tagged(feeds["orders"], "orders").unionByName(
+        tagged(feeds["returns"], "returns")
+    )
+
+
 # --- S20: clustering maintenance on the snapshot path ---------------------------
 
 
