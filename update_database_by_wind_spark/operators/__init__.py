@@ -73,32 +73,51 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # CORRECTNESS artifacts when rotating — this paragraph is planning
 # context, the artifacts are truth.
 #
-# Round-16 widening plan (write the plan before registering; budget
-# 15 slots shared between new and changed-code entries):
-# (1) the four round-15 ADVICE fixes to the txn-group lifecycle and
-#     the view daemon — txn_expire crash-idempotent recovery (a crash
-#     between pointer removal and the per-table snapshot_expire loop
-#     must re-run clean, not wedge on the orphan scan), txn_expire
-#     min_age_s concurrent-writer guard (matching partition_orphan_gc),
-#     _apply_view_notification distinguishing the retention refusal
-#     from caller errors, and _ViewStore.publish healing the
-#     old-present/view-missing crash shape — each pulls its queries
-#     into changed-code slots (u37/u38/u39, st22/st23);
-# (2) age-based txn retention: keep-by-age computing keep_txns from
-#     an embedded commit stamp, composed with txn_expire_untagged's
-#     tag roots ("keep 30 days + every tagged release");
-# (3) stats-aware snapshot_changes: the U20 version-pair diff pruned
-#     through the S19 travelling ledgers so a CDC diff whose band
-#     predicates are disjoint from a partition's stats skips it
-#     without reading data (metadata-only receipt + exactness vs the
-#     unpruned diff);
-# (4) a group-level OPTIMIZE planner: partition_zspan_census +
-#     small_file_census across every table of a txn group feeding ONE
-#     maintenance work order, executed under the u36 coherence
-#     protocol;
-# (5) if slots remain: the streaming state-rebalance receipt (a
-#     checkpoint written at N state partitions restores and continues
-#     at N — the repartition-state operational reality).
+# Round-16 widening plan — ALL FIVE ITEMS EXECUTED, plus one
+# composition beyond the plan:
+# (1) the four round-15 ADVICE fixes landed as changed-code entries
+#     (u37/u38/u39, st22/st23): txn_expire now recovers a crash
+#     between pointer removal and the per-table expiry loop by
+#     DEFERRING below-head unpointed manifests to the keep-set expiry
+#     (which honours version-dir sharing) instead of wedging on the
+#     orphan-scan refusal, and grew the min_age_s concurrent-writer
+#     guard (young above-head orphans are skipped and counted as
+#     retained for the per-table head guard); txn_changes' retention
+#     refusal became the TYPED RetentionExpiredError and
+#     _apply_view_notification rebaselines ONLY on that type (spec
+#     bugs re-raise); _ViewStore heals the old-present/view-missing
+#     crash shape on every accessor.  Crash-interleaving unit tests +
+#     a fuzzed kill-point variant landed with the fixes;
+# (2) landed as u40_txn_age_retention (txn_commit_at's embedded
+#     stamp, written after the pointer; txn_expire_by_age computing
+#     newest ∪ tagged ∪ undated ∪ young; age added to the retention
+#     fuzz as a dict-model comparison);
+# (3) landed as u41_cdc_stats_pruned (snapshot_changes_pruned —
+#     partition-granular both-sides band rule, metadata-only on
+#     disjoint pairs, exactness vs the unpruned diff);
+# (4) landed as u42_group_optimize (txn_optimize_plan/_run — both
+#     censuses over the head-referenced version dirs, one work order,
+#     cluster-subsumes-compact, the single-file no-signal guard,
+#     u36-coherent execution, empty re-plan receipt);
+# (5) landed as st24_state_repartition_restore (the checkpoint owns
+#     the state partition count: {0..3} layout and offsets-conf 4
+#     pinned across a deliberately mismatched 11-partition resume);
+# (+) u43_txn_feed_pruned (u34 × u41): the band-scoped GROUP feed —
+#     pointer short-circuit / stats-pruned diff / file-pruned insert
+#     feed for an added table, three cost classes in one call, typed
+#     refusals carried through to sharded consumers.
+#
+# Remaining candidate round-17 surfaces (write the plan before
+# registering, and mind the forced-leader budget below):
+# group-level RESTORE (u23's snapshot_restore lifted through the txn
+# pointer — restore the whole group to a tagged transaction as a NEW
+# transaction, metadata-only, composing with u38's tag roots); a
+# sharded view-maintenance daemon (st22's daemon × u43 — N band
+# shards each maintaining its slice from txn_changes_pruned, the
+# union recompute-exact, rebaseline per shard); and feed-driven
+# maintenance planning (u42's planner scoped by txn_changes' touched
+# partitions instead of a full census — plan cost proportional to the
+# night's commits, not the table).
 
 _ROUND16_FRONT = [
     # round-16 NEW registrations (widening plan items (2)-(5)): an
@@ -185,10 +204,12 @@ _ROUND16_FRONT = [
     "sql_correlated_subquery",
     "t_bpe_pair_counts",
     "ts_rolling_corr",
-    # r11-stale fill: opened at 15 slots (the round-16 budget);
-    # the 7 changed-code entries above displaced the dedup/ANN
-    # trio, the tolerance join, the window pair and u29 from the
-    # back, leaving the CDC/snapshot-lifecycle block
+    # r11-stale fill: opened at 15 slots (the round-16 budget); the
+    # 7 changed-code + 5 new registrations above displaced twelve
+    # from the back (the dedup/ANN trio, the tolerance join, the
+    # window pair, then u29..u23 of the lifecycle block), leaving
+    # the riskiest head of the block — the CDC pair and the
+    # schema-evolution merge
     "u12_cdc_classify",
     "u13_cdc_merge_sink",
     "u22_merge_schema_evolution",
