@@ -44,6 +44,9 @@ _R16_NEW: list[str] = [
     # (pointer short-circuit / band-pruned diff / file-pruned insert
     # feed) in one txn_changes_pruned call
     "u43_txn_feed_pruned",
+    # group RESTORE through the pointer: one metadata write, inverse
+    # change feed, retention-composing (the r17 candidate pulled in)
+    "u44_txn_restore",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

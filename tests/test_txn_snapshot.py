@@ -1141,6 +1141,34 @@ def test_txn_changes_pruned_refusals_and_short_circuit(spark, tmp_path):
         txn_changes_pruned(spark, base, 1, 2, spec, {})
 
 
+def test_txn_restore_laws(spark, tmp_path):
+    """u44's restore laws on a toy group: the restored pointer equals
+    the target's verbatim and the restored reads match; an expired or
+    missing target refuses; restoring the head refuses; and the next
+    txn_commit continues the chain past the restore."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 99)]), "m", ["x"])})
+    pre = _rows(txn_read(spark, base, 1, "a", "m"))
+    rep = txn_restore(base, 1)
+    assert rep["new_txn"] == 3
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == pre
+    with pytest.raises(ValueError, match="already the head"):
+        txn_restore(base, 3)
+    with pytest.raises(ValueError, match="nothing to restore"):
+        txn_restore(base, 9)
+    # the chain continues: a normal commit lands as txn 4 on top of
+    # the restored state
+    txn_commit(base, 4, {"a": (_df(spark, [(2, "y", 44)]), "m", ["y"])})
+    assert _rows(txn_read(spark, base, 4, "a", "m")) == [
+        (1, "x", 10), (2, "y", 44),
+    ]
+
+
 # --- U38: transaction tags as GC roots -------------------------------------------
 
 

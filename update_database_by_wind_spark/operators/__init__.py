@@ -107,17 +107,25 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #     feed for an added table, three cost classes in one call, typed
 #     refusals carried through to sharded consumers.
 #
+# The first named round-17 candidate ALSO landed in-round once the
+# planned window was green (the compose-and-certify loop, third
+# consecutive round): u44_txn_restore — group RESTORE as one verbatim
+# pointer write, metadata-only receipt (the on-disk manifest/version
+# census is byte-identical across the restore), the inverse-feed
+# receipt (txn_changes(bad → restore) equals the bad deploy's feed
+# with before/after swapped), and the retention composition (expiring
+# the original good pointer leaves the restore self-sufficient).
+#
 # Remaining candidate round-17 surfaces (write the plan before
 # registering, and mind the forced-leader budget below):
-# group-level RESTORE (u23's snapshot_restore lifted through the txn
-# pointer — restore the whole group to a tagged transaction as a NEW
-# transaction, metadata-only, composing with u38's tag roots); a
-# sharded view-maintenance daemon (st22's daemon × u43 — N band
+# a sharded view-maintenance daemon (st22's daemon × u43 — N band
 # shards each maintaining its slice from txn_changes_pruned, the
-# union recompute-exact, rebaseline per shard); and feed-driven
+# union recompute-exact, rebaseline per shard); feed-driven
 # maintenance planning (u42's planner scoped by txn_changes' touched
 # partitions instead of a full census — plan cost proportional to the
-# night's commits, not the table).
+# night's commits, not the table); and restore-aware view consumers
+# (st22's daemon observing u44's restore notification applies the
+# inverse feed instead of rebaselining — rollback without recompute).
 
 _ROUND16_FRONT = [
     # round-16 NEW registrations (widening plan items (2)-(5)): an
@@ -143,6 +151,11 @@ _ROUND16_FRONT = [
     # sharded consumer — pointer short-circuit, band-pruned diff,
     # file-pruned insert feed for an added table, in one call
     "u43_txn_feed_pruned",
+    # the first round-17 candidate, pulled in once the planned
+    # window was green: group RESTORE as one pointer write —
+    # mutually consistent by construction, history intact,
+    # retention-composing (the restore roots what it reads)
+    "u44_txn_restore",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -212,7 +225,6 @@ _ROUND16_FRONT = [
     # schema-evolution merge
     "u12_cdc_classify",
     "u13_cdc_merge_sink",
-    "u22_merge_schema_evolution",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -400,6 +412,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "u1_incremental_diff",
     "u20_change_data_feed",
     "u21_mor_seq_compact",
+    "u22_merge_schema_evolution",
     "u23_snapshot_restore",
     "u24_mor_seq_erasure",
     "u25_partition_evolution",

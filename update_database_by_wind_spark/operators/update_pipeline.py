@@ -9208,6 +9208,344 @@ def u43_txn_feed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- U44: group-level RESTORE through the transaction pointer ---------------------
+
+
+def txn_restore(base: str, to_txn: int) -> dict:
+    """Roll a TRANSACTION GROUP back to ``to_txn`` — u23's ``RESTORE``
+    contract lifted through u19's pointer: for every table whose
+    version differs between the head and the target, publish a fresh
+    table manifest whose CONTENT is a verbatim copy of the target
+    version's (:func:`snapshot_restore` at ``max(existing)+1``), then
+    publish one new transaction pointer referencing the copies.  The
+    result is mutually consistent by construction — the thing N
+    independent per-table restores cannot promise (interleaved with a
+    concurrent commit they could pin table A's Tuesday against table
+    B's Wednesday) — and METADATA-ONLY: one small JSON per rolled-back
+    table plus the pointer; zero data bytes, zero version dirs.
+
+    Why fresh manifest copies instead of a pointer that re-references
+    the OLD table versions (which would be one write total): the next
+    partial commit to a restored table carries forward from its
+    predecessor MANIFEST, and table versions advance monotonically —
+    a pointer rolled below versions that retained transactions still
+    reference would make the next commit either collide with a
+    retained version or carry the BAD state's partition map (found
+    building the chain-continues law).  The manifest copy forks the
+    table chain from the restored content, exactly u23's mechanism.
+
+    History stays intact: the bad transaction remains readable and
+    auditable.  Retention composes: the restore's manifests reference
+    the old version DIRS, so :func:`txn_expire` keeps those dirs
+    alive as long as the restore is retained — expiring even the
+    original good pointer leaves the restore self-sufficient.  Crash
+    ordering: manifests before pointer, so a crash mid-restore leaves
+    only unpointed above-head manifests — exactly the crashed-attempt
+    shape txn_expire reclaims.  Guards: an expired target refuses
+    (its manifests may be gone), restoring the current head refuses
+    as a pointless no-op commit.  Returns ``{"new_txn", "pointer",
+    "restored_tables"}``."""
+    import json as _json
+    import os
+    import re
+
+    src = os.path.join(base, f"_txn_v{to_txn}.json")
+    if not os.path.exists(src):
+        raise ValueError(
+            f"txn_restore: transaction {to_txn} has no pointer "
+            "(expired or never committed) — nothing to restore to"
+        )
+    existing = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    ]
+    head = max(existing)
+    if to_txn == head:
+        raise ValueError(
+            f"txn_restore: transaction {to_txn} is already the head; "
+            "restoring it would publish a pointless no-op commit"
+        )
+    with open(src) as fh:
+        target_ptr = {t: int(v) for t, v in _json.load(fh).items()}
+    with open(os.path.join(base, f"_txn_v{head}.json")) as fh:
+        head_ptr = {t: int(v) for t, v in _json.load(fh).items()}
+    new_ptr: dict[str, int] = {}
+    restored = []
+    for t in sorted(target_ptr):
+        tv = target_ptr[t]
+        if head_ptr.get(t) == tv:
+            # the head already reads this table at the target version:
+            # carry it — no manifest copy needed
+            new_ptr[t] = tv
+            continue
+        tdir = os.path.join(base, t)
+        on_disk = [
+            int(m.group(1))
+            for entry in os.listdir(tdir)
+            if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
+        ]
+        nv = max(on_disk) + 1
+        snapshot_restore(tdir, tv, nv)
+        new_ptr[t] = nv
+        restored.append(t)
+    new_txn = head + 1
+    atomic_write_json(
+        os.path.join(base, f"_txn_v{new_txn}.json"), new_ptr
+    )
+    return {
+        "new_txn": new_txn,
+        "pointer": new_ptr,
+        "restored_tables": restored,
+    }
+
+
+_U44_CUT = "1997-01"
+
+_U44_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+l1 AS (
+  SELECT l_orderkey, o1.o_month, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o_orderkey
+),
+o2 AS (
+  SELECT o_orderkey, o_month,
+         CASE WHEN o_month >= '{_U44_CUT}' AND o_orderkey % 3 = 0
+              THEN 0 ELSE cents END AS cents
+  FROM o1
+),
+l2 AS (
+  SELECT l_orderkey, o_month,
+         CASE WHEN o_month >= '{_U44_CUT}' AND l_orderkey % 3 = 0
+              THEN 0 ELSE qty END AS qty
+  FROM l1
+),
+ovg AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o1 GROUP BY 1),
+lvg AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l1 GROUP BY 1),
+ovb AS (SELECT o_month, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS order_cents
+        FROM o2 GROUP BY 1),
+lvb AS (SELECT o_month, COUNT(*) AS n_items,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM l2 GROUP BY 1)
+SELECT 'restored' AS ref, ovg.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovg JOIN lvg ON ovg.o_month = lvg.o_month
+UNION ALL
+SELECT 'bad' AS ref, ovb.o_month, n_orders, order_cents,
+       n_items, total_qty, CAST(0 AS BIGINT) AS orphan_items
+FROM ovb JOIN lvb ON ovb.o_month = lvb.o_month
+"""
+
+
+@query("u44_txn_restore", oracle=_U44_ORACLE, tags=("update", "layout"))
+def u44_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U44: group-level RESTORE — the bad-deploy rollback across a
+    table group as ONE metadata write (:func:`txn_restore`), the
+    first round-17 candidate the ledger named, pulled in once the
+    planned window was green.
+
+    History: txn 1 commits orders + items in full (the last good
+    state); txn 2 is the bad deploy — a
+    consistent-but-wrong correction zeroing the %3 order prices AND
+    the %3 item quantities of months >= 1997-01 in one transaction;
+    ``txn_restore(to_txn=1)`` publishes txn 3.  Receipts,
+    raise-style:
+
+    - METADATA-ONLY: the restore writes one manifest copy per
+      rolled-back table plus the pointer and NOTHING else — the
+      on-disk data/version-dir census is byte-identical before and
+      after, and each restored table's new manifest verbatim-equals
+      the target version's CONTENT (the u23 mechanism, so the next
+      partial commit carries the restored partition map, not the bad
+      one);
+    - the restored head reads cell-exact as txn 1 at BOTH tables
+      (rollup with the orphan tooth), while the bad txn 2 stays
+      readable — history intact, incident auditable;
+    - the restore's change feed is the INVERSE of the bad deploy's:
+      ``txn_changes(2 → 3)`` equals ``txn_changes(1 → 2)`` with
+      before/after images swapped, cell-for-cell both ways — the
+      changelog a downstream view needs to roll ITSELF back arrives
+      for free from the pointer flip;
+    - retention composes: expiring the original good pointer (keep
+      {2, 3}) leaves the restore self-sufficient — txn 3 still reads
+      the good state because ITS pointer roots the shared version
+      dirs — and a later restore to the now-expired txn 1 refuses;
+      restoring the current head also refuses.
+
+    The returned frame unions the restored head and the bad state
+    (both computed post-expiry), so the driver hash proves the
+    rollback and the audit trail at once.
+
+    Why it matters at 100 TB: rollback is the operation you need at
+    the worst moment; per-table restores of a 12-table group under
+    concurrent commits can pin mutually inconsistent versions, and
+    any data-copying rollback of 100 TB misses the incident window.
+    One pointer write, mutually consistent by construction, cost
+    independent of table count and data size."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u44_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = lineitem.join(
+        o1.select("o_orderkey", "o_month"),
+        lineitem["l_orderkey"] == o1["o_orderkey"],
+    ).select(
+        "l_orderkey", "o_month",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    txn_commit(
+        base, 1,
+        {"orders": (o1, "o_month", None), "items": (l1, "o_month", None)},
+    )
+    m97 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U44_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    bad_o = o1.filter(F.col("o_month").isin(m97)).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(0)).otherwise(
+            F.col("cents")
+        ),
+    )
+    bad_l = l1.filter(F.col("o_month").isin(m97)).withColumn(
+        "qty",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0)).otherwise(
+            F.col("qty")
+        ),
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (bad_o, "o_month", m97), "items": (bad_l, "o_month", m97)},
+    )
+
+    def census() -> list:
+        out = []
+        for r, ds, fs in os.walk(base):
+            ds[:] = sorted(d for d in ds if not d.startswith("."))
+            out.extend(
+                os.path.relpath(os.path.join(r, f), base)
+                for f in fs
+                if not f.startswith(("_txn_v", "_manifest_v"))
+            )
+        return sorted(out)
+
+    pre_files = census()
+    rep = txn_restore(base, 1)
+    if rep["new_txn"] != 3 or rep["restored_tables"] != ["items", "orders"]:
+        raise ValueError(
+            f"u44_txn_restore: the restore must publish txn 3 with "
+            f"manifest copies for both rolled-back tables (got {rep})"
+        )
+    if census() != pre_files:
+        raise ValueError(
+            "u44_txn_restore: a restore moved data beyond the manifest "
+            "copies and the pointer — it must be metadata-only"
+        )
+    import json as _json
+
+    with open(os.path.join(base, "_txn_v1.json")) as fh:
+        p1 = {t: int(v) for t, v in _json.load(fh).items()}
+    for t in ("orders", "items"):
+        with open(
+            os.path.join(base, t, f"_manifest_v{rep['pointer'][t]}.json")
+        ) as fh:
+            got = _json.load(fh)
+        with open(
+            os.path.join(base, t, f"_manifest_v{p1[t]}.json")
+        ) as fh:
+            want = _json.load(fh)
+        if got != want:
+            raise ValueError(
+                f"u44_txn_restore: table {t}'s restored manifest must "
+                "verbatim-equal the target version's content"
+            )
+
+    def roll(txn: int, label: str) -> DataFrame:
+        return _txn_group_rollup(spark, base, txn, "ref", label)
+
+    def rows(txn: int, label: str) -> list:
+        return sorted(map(tuple, roll(txn, label).collect()))
+
+    if rows(3, "x") != rows(1, "x"):
+        raise ValueError(
+            "u44_txn_restore: the restored head must read cell-exact "
+            "as the target transaction"
+        )
+    feed_spec = {
+        "orders": ("o_month", "o_orderkey", ["cents"]),
+        "items": ("o_month", "l_orderkey", ["qty"]),
+    }
+    feed12 = txn_changes(spark, base, 1, 2, feed_spec)
+    feed23 = txn_changes(spark, base, 2, 3, feed_spec)
+    for t, vcol in (("orders", "cents"), ("items", "qty")):
+        inverse = feed12[t].select(
+            "o_month",
+            F.col("o_orderkey" if t == "orders" else "l_orderkey"),
+            F.when(F.col("change_type") == "insert", "delete")
+            .when(F.col("change_type") == "delete", "insert")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col(f"{vcol}_after").alias(f"{vcol}_before"),
+            F.col(f"{vcol}_before").alias(f"{vcol}_after"),
+        )
+        if (
+            feed23[t].exceptAll(inverse).count()
+            or inverse.exceptAll(feed23[t]).count()
+        ):
+            raise ValueError(
+                f"u44_txn_restore: the restore's {t} feed must be the "
+                "inverse of the bad deploy's"
+            )
+    # retention composes: expiring the ORIGINAL good pointer leaves
+    # the restore self-sufficient, and the expired target refuses a
+    # second restore; restoring the head refuses too
+    pre_restored = rows(3, "restored")
+    txn_expire(base, [2, 3])
+    if rows(3, "restored") != pre_restored:
+        raise ValueError(
+            "u44_txn_restore: the restored head must survive expiry of "
+            "the original good pointer — its own pointer roots the "
+            "shared version dirs"
+        )
+    for should_raise, target in (("expired-target", 1), ("head", 3)):
+        try:
+            txn_restore(base, target)
+        except ValueError:
+            pass
+        else:
+            raise ValueError(
+                f"u44_txn_restore: the {should_raise} restore must "
+                "refuse"
+            )
+    return roll(3, "restored").unionByName(roll(2, "bad"))
+
+
 # --- S20: clustering maintenance on the snapshot path ---------------------------
 
 
