@@ -47,6 +47,9 @@ _R16_NEW: list[str] = [
     # group RESTORE through the pointer: one metadata write, inverse
     # change feed, retention-composing (the r17 candidate pulled in)
     "u44_txn_restore",
+    # st22 x u43: two shard daemons, disjoint bucket ranges, pruned
+    # per-shard pulls conserving the manifest diff, union exact
+    "st25_sharded_view_daemon",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

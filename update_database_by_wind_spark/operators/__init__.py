@@ -109,23 +109,31 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 #
 # The first named round-17 candidate ALSO landed in-round once the
 # planned window was green (the compose-and-certify loop, third
-# consecutive round): u44_txn_restore — group RESTORE as one verbatim
-# pointer write, metadata-only receipt (the on-disk manifest/version
-# census is byte-identical across the restore), the inverse-feed
-# receipt (txn_changes(bad → restore) equals the bad deploy's feed
-# with before/after swapped), and the retention composition (expiring
-# the original good pointer leaves the restore self-sufficient).
+# consecutive round): u44_txn_restore — group RESTORE as one fresh
+# manifest COPY per rolled-back table (content verbatim-equals the
+# target version's, the u23 fork that keeps the next partial commit
+# carrying the restored partition map) plus one pointer write;
+# metadata-only receipt (the data/version-dir census is byte-identical
+# across the restore), the inverse-feed receipt (txn_changes(bad →
+# restore) equals the bad deploy's feed with before/after swapped),
+# and the retention composition (expiring the original good pointer
+# leaves the restore self-sufficient).
+#
+# The sharded-daemon candidate ALSO landed in-round
+# (st25_sharded_view_daemon — two shard daemons with independent
+# checkpoints and view stores over disjoint bucket ranges, per-shard
+# pruned pulls whose union conserves the manifest diff, disjoint-union
+# convergence after every notification).
 #
 # Remaining candidate round-17 surfaces (write the plan before
 # registering, and mind the forced-leader budget below):
-# a sharded view-maintenance daemon (st22's daemon × u43 — N band
-# shards each maintaining its slice from txn_changes_pruned, the
-# union recompute-exact, rebaseline per shard); feed-driven
-# maintenance planning (u42's planner scoped by txn_changes' touched
-# partitions instead of a full census — plan cost proportional to the
-# night's commits, not the table); and restore-aware view consumers
-# (st22's daemon observing u44's restore notification applies the
-# inverse feed instead of rebaselining — rollback without recompute).
+# feed-driven maintenance planning (u42's planner scoped by
+# txn_changes' touched partitions instead of a full census — plan cost
+# proportional to the night's commits, not the table); restore-aware
+# view consumers (st22's daemon observing u44's restore notification
+# applies the inverse feed instead of rebaselining — rollback without
+# recompute); and age-policy daemons (txn_expire_by_age on a schedule
+# with the st23 rebaseline interaction).
 
 _ROUND16_FRONT = [
     # round-16 NEW registrations (widening plan items (2)-(5)): an
@@ -156,6 +164,12 @@ _ROUND16_FRONT = [
     # mutually consistent by construction, history intact,
     # retention-composing (the restore roots what it reads)
     "u44_txn_restore",
+    # the second round-17 candidate, also pulled in: view
+    # maintenance SHARDED over the band-scoped feed — N daemons,
+    # disjoint bucket ranges, per-shard pruned pulls, the union
+    # recompute-exact (st22 proved the protocol; this proves it
+    # partitions)
+    "st25_sharded_view_daemon",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -224,7 +238,6 @@ _ROUND16_FRONT = [
     # the riskiest head of the block — the CDC pair and the
     # schema-evolution merge
     "u12_cdc_classify",
-    "u13_cdc_merge_sink",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -403,6 +416,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "ts_vwap",
     "u10_table_checksum",
     "u11_wind_update_pipeline",
+    "u13_cdc_merge_sink",
     "u14_retention_delete",
     "u15_time_travel",
     "u16_join_view_maintenance",

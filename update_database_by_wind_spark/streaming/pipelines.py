@@ -3016,3 +3016,331 @@ def st24_state_repartition_restore(
         ),
         f"{root}/_pin",
     )
+
+
+# --- ST25: sharded view maintenance over the band-scoped feed ---------------------
+
+_ST25_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         o_custkey, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT k_bucket, o_custkey, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+                   AND k % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o1
+),
+o3 AS (
+  SELECT k_bucket, o_custkey, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 2 = 0
+                   AND k % 11 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o2
+)
+SELECT k_bucket, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o3 GROUP BY k_bucket
+"""
+
+
+def _bucket_view_apply(view: DataFrame, feed: DataFrame) -> DataFrame:
+    """u16/u35's signed-delta algebra for the per-bucket order view:
+    inserts contribute (+1, +cents_after), deletes (−1, −cents_before),
+    updates (0, after−before); the group-key-sized merge is a
+    full-outer join on the bucket with zero-count groups dropped.
+    Shard-local: a shard's feed only ever carries its own buckets, so
+    the merge is bounded by the shard's group count."""
+    delta = feed.groupBy("k_bucket").agg(
+        F.sum(
+            F.when(F.col("change_type") == "insert", F.lit(1))
+            .when(F.col("change_type") == "delete", F.lit(-1))
+            .otherwise(F.lit(0))
+        ).alias("d_n"),
+        F.sum(
+            F.coalesce(F.col("cents_after"), F.lit(0))
+            - F.coalesce(F.col("cents_before"), F.lit(0))
+        ).alias("d_cents"),
+    )
+    return (
+        view.join(delta, "k_bucket", "full_outer")
+        .select(
+            "k_bucket",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).cast("long").alias("n_orders"),
+            (
+                F.coalesce(F.col("total_cents"), F.lit(0))
+                + F.coalesce(F.col("d_cents"), F.lit(0))
+            ).cast("long").alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+@query(
+    "st25_sharded_view_daemon",
+    oracle=_ST25_ORACLE,
+    tags=("streaming", "update", "cdf", "view", "layout"),
+)
+def st25_sharded_view_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST25: view maintenance SHARDED the way production deploys it —
+    N daemons, each owning a disjoint key band of the group view,
+    each pulling its slice of every transaction through the
+    band-scoped feed (:func:`txn_changes_pruned`, u43) so a shard
+    pays only for the rewritten partitions its band's stats can
+    touch.  The st22 daemon proved the maintenance protocol; this
+    proves it PARTITIONS: two shard daemons with independent
+    checkpoints and view stores, bucket ranges split at the domain
+    midpoint, maintained over two correction transactions.
+
+    Receipts, raise-style:
+
+    - DISJOINT UNION: after every notification, the shards' views are
+      bucket-disjoint and their union equals the from-scratch
+      recompute at that transaction, cell-for-cell — sharding loses
+      nothing and double-counts nothing;
+    - PER-SHARD PRUNING: each shard's feed receipt scans only the
+      rewritten buckets inside its band's transform range, and the
+      union of the shards' scans equals the manifest diff — the
+      group-wide work is conserved, just divided (strict proper-
+      subset teeth engage whenever the fixture has at least two
+      buckets; the single-bucket sf0.001 shape degrades gracefully);
+    - the usual daemon laws per shard: watermark-gated idempotent
+      application (redelivery is a no-op with every view file pinned)
+      and an empty availableNow run touching neither store;
+    - the returned frame is the shards' UNION at the final
+      transaction, driver-hashed against the full-view oracle.
+
+    Why it matters at 100 TB: one daemon maintaining a 100 TB group's
+    view serializes the feed; N shards each apply O(their slice) with
+    no coordination — the band-scoped feed is what makes the split
+    free (each shard's pull is pruned server-side by stats, not
+    filtered client-side after scanning everything).  Cites u43/st22;
+    oracle is the full view, so the hash proves the union."""
+    import hashlib
+    import json as _json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_changes_pruned,
+        txn_commit,
+        txn_read,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st25_{tag}")
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/notify"
+    os.makedirs(src)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+            & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (o2.filter(F.col("k_bucket").isin(rw2)), "k_bucket",
+                    rw2)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
+    )
+    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+            & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 3,
+        {"orders": (o3.filter(F.col("k_bucket").isin(rw3)), "k_bucket",
+                    rw3)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 3, ["o_custkey", "cents"]
+    )
+
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
+    shard_bands = {
+        "A": (int(dom.mn), mid_idx * 256 - 1),
+        "B": (mid_idx * 256, int(dom.xm)),
+    }
+    spec = {"orders": ("k_bucket", "k", ["o_custkey", "cents"])}
+    stores = {s: _ViewStore(spark, f"{root}/shard_{s}") for s in ("A", "B")}
+    scans: dict[str, dict] = {s: {} for s in ("A", "B")}
+
+    def shard_view(t: int, s: str) -> DataFrame:
+        lo, hi = shard_bands[s]
+        return (
+            txn_read(spark, base, t, "orders", "k_bucket")
+            .filter(F.col("o_custkey").between(lo, hi))
+            .groupBy("k_bucket")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+
+    def apply_txn(s: str, t: int) -> str:
+        store = stores[s]
+        wm = store.watermark()
+        if t <= wm:
+            return "skip"
+        lo, hi = shard_bands[s]
+        feeds, rec = txn_changes_pruned(
+            spark, base, wm, t, spec, {"orders": ("o_custkey", lo, hi)}
+        )
+        scans[s][t] = rec["orders"]
+        store.publish(
+            _bucket_view_apply(store.read(), feeds["orders"]), t
+        )
+        return "incremental"
+
+    def make_handler(s: str):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+                apply_txn(s, r["txn"])
+
+        return handle
+
+    def run_daemons() -> None:
+        for s in ("A", "B"):
+            stream = spark.readStream.schema("txn long").parquet(
+                f"{src}/*"
+            )
+            h = (
+                stream.writeStream.foreachBatch(make_handler(s))
+                .option("checkpointLocation", f"{root}/ckpt_{s}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            h.awaitTermination()
+
+    def expect_union_converged(t: int) -> None:
+        union = stores["A"].read().unionByName(stores["B"].read())
+        dup = (
+            union.groupBy("k_bucket").count().filter(F.col("count") > 1)
+        ).count()
+        if dup:
+            raise ValueError(
+                f"st25_sharded_view_daemon: {dup} buckets appear in "
+                "both shards — the shards are not disjoint"
+            )
+        want = (
+            txn_read(spark, base, t, "orders", "k_bucket")
+            .groupBy("k_bucket")
+            .agg(
+                F.count("*").alias("w_n"),
+                F.sum("cents").alias("w_cents"),
+            )
+        )
+        mism = (
+            union.join(want, "k_bucket", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"st25_sharded_view_daemon: the shard union diverged "
+                f"from the recompute at txn {t} ({mism} buckets)"
+            )
+
+    # initial materialization per shard at txn 1 (the only full scan,
+    # each shard reading only its band)
+    for s in ("A", "B"):
+        stores[s].publish(shard_view(1, s), 1)
+    expect_union_converged(1)
+    spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
+    run_daemons()
+    expect_union_converged(2)
+    for s in ("A", "B"):
+        if stores[s].watermark() != 2:
+            raise ValueError(
+                f"st25_sharded_view_daemon: shard {s} watermark "
+                f"{stores[s].watermark()} after txn 2"
+            )
+    # per-shard pruning receipts for the txn-2 notification
+    changed2 = set(rw2)
+    got_union = set(scans["A"][2]["scanned"]) | set(scans["B"][2]["scanned"])
+    if got_union != changed2:
+        raise ValueError(
+            "st25_sharded_view_daemon: the shards' scans must conserve "
+            f"the manifest diff (got {sorted(got_union)}, want {rw2})"
+        )
+    for s in ("A", "B"):
+        lo, hi = shard_bands[s]
+        rng = set(range(lo // 256, hi // 256 + 1))
+        if any(int(p[1:]) not in rng for p in scans[s][2]["scanned"]):
+            raise ValueError(
+                f"st25_sharded_view_daemon: shard {s} scanned outside "
+                "its band's transform range"
+            )
+        if len(all_b) > 1 and set(scans[s][2]["scanned"]) >= changed2:
+            raise ValueError(
+                f"st25_sharded_view_daemon: shard {s} scanned the whole "
+                "diff — sharding divided no work"
+            )
+    # redelivery: both shards skip an already-applied txn untouched
+    before = {s: stores[s].listing() for s in ("A", "B")}
+    for s in ("A", "B"):
+        if apply_txn(s, 2) != "skip":
+            raise ValueError(
+                f"st25_sharded_view_daemon: shard {s} re-applied a "
+                "redelivered transaction"
+            )
+        if stores[s].listing() != before[s]:
+            raise ValueError(
+                f"st25_sharded_view_daemon: redelivery touched shard "
+                f"{s}'s store"
+            )
+    spark.createDataFrame([(3,)], "txn long").write.parquet(f"{src}/n3")
+    run_daemons()
+    expect_union_converged(3)
+    # exactly-once across runs, per shard
+    before = {s: stores[s].listing() for s in ("A", "B")}
+    run_daemons()
+    for s in ("A", "B"):
+        if stores[s].listing() != before[s]:
+            raise ValueError(
+                f"st25_sharded_view_daemon: an empty daemon run "
+                f"touched shard {s}'s store"
+            )
+    return stores["A"].read().unionByName(stores["B"].read())
