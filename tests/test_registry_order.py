@@ -50,6 +50,9 @@ _R16_NEW: list[str] = [
     # st22 x u43: two shard daemons, disjoint bucket ranges, pruned
     # per-shard pulls conserving the manifest diff, union exact
     "st25_sharded_view_daemon",
+    # u42 x u34: feed-driven OPTIMIZE planning — O(commits) scope,
+    # physical skip tooth, typed retention fallback
+    "u45_feed_driven_optimize",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

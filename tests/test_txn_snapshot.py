@@ -1469,3 +1469,28 @@ def test_view_notification_distinguishes_refusal_from_spec_bug(
     )
     assert rebaselines == [2]
     assert store.watermark() == 2
+
+
+def test_txn_touched_since_laws(spark, tmp_path):
+    """u45's scope helper: untouched tables report empty sets, touched
+    tables report exactly the manifest-diff partitions, a table added
+    after the anchor is touched in full, and an expired anchor
+    refuses with the typed retention error."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
+        txn_expire,
+        txn_touched_since,
+    )
+
+    base = str(tmp_path / "g")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 11)]), "m", ["x"])})
+    txn_commit(base, 3, {"c": (_df(spark, [(9, "z", 90)]), "m", None)})
+    touched = txn_touched_since(base, 1)
+    assert touched == {"a": {"x"}, "b": set(), "c": {"z"}}
+    assert txn_touched_since(base, 3) == {
+        "a": set(), "b": set(), "c": set(),
+    }
+    txn_expire(base, [2, 3])
+    with pytest.raises(RetentionExpiredError):
+        txn_touched_since(base, 1)

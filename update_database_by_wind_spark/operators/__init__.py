@@ -125,15 +125,22 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # pruned pulls whose union conserves the manifest diff, disjoint-union
 # convergence after every notification).
 #
+# Feed-driven maintenance planning ALSO landed
+# (u45_feed_driven_optimize — txn_touched_since derives the scope from
+# the pointer/manifest diff, the planner skips converged version dirs
+# whole with the renamed-dirs physical tooth, exactness vs the full
+# census, typed retention fallback), closing the round at exactly the
+# 15-slot budget: 8 new + 7 changed, zero fill remaining.
+#
 # Remaining candidate round-17 surfaces (write the plan before
-# registering, and mind the forced-leader budget below):
-# feed-driven maintenance planning (u42's planner scoped by
-# txn_changes' touched partitions instead of a full census — plan cost
-# proportional to the night's commits, not the table); restore-aware
-# view consumers (st22's daemon observing u44's restore notification
-# applies the inverse feed instead of rebaselining — rollback without
-# recompute); and age-policy daemons (txn_expire_by_age on a schedule
-# with the st23 rebaseline interaction).
+# registering, and mind the forced-leader budget below — ~40 r11-stale
+# queries will be forced at newest=17): restore-aware view consumers
+# (st22's daemon observing u44's restore notification applies the
+# inverse feed instead of rebaselining — rollback without recompute);
+# age-policy daemons (txn_expire_by_age on a schedule with the st23
+# rebaseline interaction); and sharded maintenance (st25's shard split
+# applied to u45's planner — each shard plans and rewrites only its
+# band's partitions).
 
 _ROUND16_FRONT = [
     # round-16 NEW registrations (widening plan items (2)-(5)): an
@@ -170,6 +177,11 @@ _ROUND16_FRONT = [
     # recompute-exact (st22 proved the protocol; this proves it
     # partitions)
     "st25_sharded_view_daemon",
+    # the last ledger candidate: OPTIMIZE planning driven by the
+    # txn feed — plan cost O(the night's commits), physical
+    # skip tooth (converged dirs renamed away, planner unmoved),
+    # typed retention fallback to the full census
+    "u45_feed_driven_optimize",
     # round-16 NEW and CHANGED-code registrations are inserted ABOVE
     # the leaders as the work lands (an untested registration never
     # waits behind stale refresh); each insertion displaces one fill
@@ -237,7 +249,6 @@ _ROUND16_FRONT = [
     # window pair, then u29..u23 of the lifecycle block), leaving
     # the riskiest head of the block — the CDC pair and the
     # schema-evolution merge
-    "u12_cdc_classify",
 ]
 
 # Every other query has a driver-green row in r11-r15 -> back of the
@@ -416,6 +427,7 @@ _DRIVER_VERIFIED_R11_R15 = [
     "ts_vwap",
     "u10_table_checksum",
     "u11_wind_update_pipeline",
+    "u12_cdc_classify",
     "u13_cdc_merge_sink",
     "u14_retention_delete",
     "u15_time_travel",

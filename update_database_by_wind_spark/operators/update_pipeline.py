@@ -8465,8 +8465,72 @@ def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U42: the group-level OPTIMIZE planner ----------------------------------------
 
 
+def txn_touched_since(base: str, since_txn: int) -> dict:
+    """Per-table sets of partitions whose owning version differs
+    between ``since_txn`` and the head transaction — the U20 manifest
+    rule applied group-wide, metadata-only (two pointer reads + one
+    manifest pair per table).  This is the incremental planner's
+    scope: partitions untouched since the last converged maintenance
+    kept their maintained layout, so only the touched ones can have
+    accrued debt.  A ``since_txn`` retention already expired raises
+    the typed :class:`RetentionExpiredError` — the planner daemon's
+    rebaseline trigger (fall back to the full census), same contract
+    as the feed consumers'."""
+    import json as _json
+    import os
+    import re
+
+    def pointer(v: int) -> dict:
+        p = os.path.join(base, f"_txn_v{v}.json")
+        if not os.path.exists(p):
+            raise RetentionExpiredError(
+                f"txn_touched_since: transaction {v} is not retained; "
+                "fall back to the full census"
+            )
+        with open(p) as fh:
+            return {t: int(tv) for t, tv in _json.load(fh).items()}
+
+    versions = [
+        int(m.group(1))
+        for entry in os.listdir(base)
+        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
+    ]
+    ptr_f, ptr_t = pointer(since_txn), pointer(max(versions))
+    touched: dict[str, set] = {}
+    for t, tv_t in ptr_t.items():
+        tv_f = ptr_f.get(t, 0)
+        if tv_f == tv_t:
+            touched[t] = set()
+            continue
+        if tv_f == 0:
+            # a table added after since_txn is touched in full
+            with open(
+                os.path.join(base, t, f"_manifest_v{tv_t}.json")
+            ) as fh:
+                touched[t] = set(_json.load(fh))
+            continue
+        with open(
+            os.path.join(base, t, f"_manifest_v{tv_f}.json")
+        ) as fh:
+            m_f = _json.load(fh)
+        with open(
+            os.path.join(base, t, f"_manifest_v{tv_t}.json")
+        ) as fh:
+            m_t = _json.load(fh)
+        touched[t] = {
+            p
+            for p in set(m_f) | set(m_t)
+            if m_f.get(p) != m_t.get(p)
+        }
+    return touched
+
+
 def txn_optimize_plan(
-    spark: SparkSession, base: str, spec: dict, max_files: int = 8
+    spark: SparkSession,
+    base: str,
+    spec: dict,
+    max_files: int = 8,
+    touched: dict | None = None,
 ) -> dict:
     """ONE maintenance work order for a whole TRANSACTION GROUP — the
     r15 ledger's round-16 candidate #3: run both metadata censuses
@@ -8487,9 +8551,19 @@ def txn_optimize_plan(
     skipping them but by the executor's content-preserving rewrites
     (:func:`txn_optimize_run`).
 
+    ``touched`` (optional, from :func:`txn_touched_since`) scopes the
+    censuses to the partitions changed since the last CONVERGED
+    maintenance: a version dir whose head-routed partitions are all
+    untouched is skipped ENTIRELY — no listing, no footer sweep —
+    because an untouched partition kept its maintained layout.  When
+    the previous plan converged, the feed-scoped plan EQUALS the full
+    plan (u45's receipt); plan cost becomes proportional to the
+    night's commits, not the table.
+
     Cost at 100 TB: footers + listings only — the same metadata class
-    as the catalog's own listing, once per referenced version dir,
-    and the emitted order is exactly the fragmented/degraded bytes."""
+    as the catalog's own listing, once per referenced version dir
+    (once per TOUCHED version dir under a ``touched`` scope), and the
+    emitted order is exactly the fragmented/degraded bytes."""
     import json as _json
     import os
     import re
@@ -8527,6 +8601,13 @@ def txn_optimize_plan(
             by_owner.setdefault(int(ver), set()).add(part)
         for ver in sorted(by_owner):
             scope = by_owner[ver]
+            if touched is not None:
+                scope = scope & touched.get(t, set())
+                if not scope:
+                    # every head-routed partition of this version dir
+                    # is untouched since the last maintenance — its
+                    # layout is already converged, skip the dir whole
+                    continue
             vdir = os.path.join(base, t, f"v{ver}")
             cluster: list = []
             if ccol is not None:
@@ -8822,6 +8903,266 @@ def u42_group_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iv = (
         txn_read(spark, base, 3, "items", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("total_qty"),
+        )
+    )
+    return ov.join(iv, "k_bucket")
+
+
+# --- U45: feed-driven OPTIMIZE planning --------------------------------------------
+
+_U45_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT k_bucket, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+                   AND k % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o1
+),
+i1 AS (
+  SELECT o1.k_bucket, l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+),
+i2 AS (
+  SELECT k_bucket, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 2 = 0
+                   AND k % 9 = 0
+              THEN qty * 3 ELSE qty END AS qty
+  FROM i1
+),
+ov AS (
+  SELECT k_bucket, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS order_cents
+  FROM o2 GROUP BY 1
+),
+iv AS (
+  SELECT k_bucket, COUNT(*) AS n_items,
+         CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM i2 GROUP BY 1
+)
+SELECT ov.k_bucket, n_orders, order_cents, n_items, total_qty
+FROM ov JOIN iv ON ov.k_bucket = iv.k_bucket
+"""
+
+
+@query(
+    "u45_feed_driven_optimize",
+    oracle=_U45_ORACLE,
+    tags=("update", "layout", "cdf"),
+)
+def u45_feed_driven_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U45: OPTIMIZE planning driven by the TRANSACTION FEED — the
+    last ledger candidate: once a maintenance pass has converged,
+    only partitions the subsequent commits touched can have accrued
+    new debt, so the nightly plan needs to census the night's
+    commits, not the table.  :func:`txn_touched_since` derives the
+    scope from the pointer/manifest diff (metadata-only, the U20
+    rule group-wide) and :func:`txn_optimize_plan` under that scope
+    SKIPS every version dir whose head-routed partitions are all
+    untouched — no listing, no footer sweep.
+
+    Lifecycle: txn 1 commits fragmented unclustered ORDERS, txn 2
+    adds fragmented unclustered ITEMS; maintenance 0 (full census)
+    converges both.  Then the night's commits land: txn 3 re-prices
+    the %3 orders buckets (writer-fragmented), txn 4 triples the %9
+    item quantities of the even buckets (writer-fragmented,
+    shuffle-scattered).  Receipts, raise-style:
+
+    - EXACTNESS: the feed-scoped plan EQUALS the fresh full-census
+      plan, and both equal the transform-arithmetic expectation
+      (orders v2 compacts the %3 buckets; items v2 clusters the even
+      buckets; the CONVERGED v1 dirs contribute nothing) — the
+      soundness condition being precisely that the previous
+      maintenance converged;
+    - the PHYSICAL skip tooth: with both v1 dirs renamed out from
+      under it, the feed-scoped planner still produces the identical
+      plan — it provably never opened the dirs it skipped — while
+      the full census on the same store would have to read them;
+    - the scoped plan executes under the u36 coherence protocol and
+      the group re-plans EMPTY (converged again);
+    - retention interaction: after expiring the maintenance
+      watermark's transaction, txn_touched_since refuses with the
+      TYPED retention error — the planner daemon's signal to fall
+      back to one full census and re-anchor (st23's rebaseline
+      contract, now for maintenance);
+    - the returned head-state rollup is computed after maintenance
+      AND expiry, so the driver hash proves content preservation
+      through both.
+
+    Why it matters at 100 TB: a full census is footers+listings over
+    every referenced version dir — cheap next to a rewrite, but still
+    O(table) every night; the feed scope makes planning O(commits),
+    which is what lets maintenance run after every transaction group
+    publish instead of on a nightly budget.  Cites u42/u34."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u45_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    i1 = lineitem.join(
+        o1.select(F.col("k").alias("ok"), "k_bucket"),
+        lineitem["l_orderkey"] == F.col("ok"),
+    ).select(
+        "k_bucket",
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+
+    def frag_commit(txn: int, table: str, df: DataFrame,
+                    parts, n_parts: int) -> None:
+        spark.conf.set(
+            conf_key, str(max(1, df.count() // (n_parts * 6)))
+        )
+        try:
+            txn_commit(base, txn, {table: (df, "k_bucket", parts)})
+        finally:
+            spark.conf.set(conf_key, old_conf)
+
+    frag_commit(1, "orders", o1, None, len(all_b))
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["k", "cents"]
+    )
+    frag_commit(2, "items", i1, None, len(all_b))
+    snapshot_commit_stats(
+        spark, os.path.join(base, "items"), 1, ["k", "qty"]
+    )
+    spec = {"orders": ("k_bucket", None), "items": ("k_bucket", "k")}
+    # maintenance 0: the full census converges the seeded layout
+    plan0 = txn_optimize_plan(spark, base, spec, max_files=4)
+    txn_optimize_run(spark, base, spec, plan0, max_files=4)
+    if txn_optimize_plan(spark, base, spec, max_files=4):
+        raise ValueError(
+            "u45_feed_driven_optimize: maintenance 0 must converge the "
+            "group — the feed-scoped exactness law depends on it"
+        )
+    # the night's commits: fragmented re-price on the %3 orders
+    # buckets, fragmented scattered update on the even items buckets
+    rw3 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+            & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit(3, "orders", o2.filter(F.col("k_bucket").isin(rw3)),
+                rw3, len(rw3))
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["k", "cents"]
+    )
+    rw4 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    i2 = i1.withColumn(
+        "qty",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+            & (F.col("k") % 9 == 0),
+            F.col("qty") * 3,
+        ).otherwise(F.col("qty")),
+    )
+    frag_commit(4, "items", i2.filter(F.col("k_bucket").isin(rw4)),
+                rw4, len(rw4))
+    snapshot_commit_stats(
+        spark, os.path.join(base, "items"), 2, ["k", "qty"]
+    )
+
+    touched = txn_touched_since(base, 2)
+    if touched != {"orders": set(rw3), "items": set(rw4)}:
+        raise ValueError(
+            "u45_feed_driven_optimize: the feed scope must name "
+            f"exactly the night's partitions (got {touched})"
+        )
+    plan_full = txn_optimize_plan(spark, base, spec, max_files=4)
+    want = {
+        "orders": {2: {"compact": rw3, "cluster": []}},
+        "items": {2: {"compact": [], "cluster": rw4}},
+    }
+    if plan_full != want:
+        raise ValueError(
+            "u45_feed_driven_optimize: the full census must equal the "
+            f"transform-arithmetic expectation (got {plan_full})"
+        )
+    # the physical skip tooth: the converged v1 dirs renamed away —
+    # a planner that opened them would crash; the feed-scoped one
+    # must not notice
+    for t in ("orders", "items"):
+        os.rename(
+            os.path.join(base, t, "v1"),
+            os.path.join(base, t, "_offline_v1"),
+        )
+    try:
+        plan_inc = txn_optimize_plan(
+            spark, base, spec, max_files=4, touched=touched
+        )
+    finally:
+        for t in ("orders", "items"):
+            os.rename(
+                os.path.join(base, t, "_offline_v1"),
+                os.path.join(base, t, "v1"),
+            )
+    if plan_inc != plan_full:
+        raise ValueError(
+            "u45_feed_driven_optimize: the feed-scoped plan diverged "
+            f"from the full census (got {plan_inc})"
+        )
+    txn_optimize_run(spark, base, spec, plan_inc, max_files=4)
+    if txn_optimize_plan(spark, base, spec, max_files=4):
+        raise ValueError(
+            "u45_feed_driven_optimize: the scoped maintenance must "
+            "re-converge the group"
+        )
+    # retention interaction: the maintenance watermark expires -> the
+    # planner daemon gets the typed refusal and re-anchors on a full
+    # census
+    txn_expire(base, [3, 4])
+    try:
+        txn_touched_since(base, 2)
+    except RetentionExpiredError:
+        pass
+    else:
+        raise ValueError(
+            "u45_feed_driven_optimize: a feed scope from an expired "
+            "watermark must refuse with the typed retention error"
+        )
+    ov = (
+        txn_read(spark, base, 4, "orders", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("order_cents"),
+        )
+    )
+    iv = (
+        txn_read(spark, base, 4, "items", "k_bucket")
         .groupBy("k_bucket")
         .agg(
             F.count("*").alias("n_items"),
