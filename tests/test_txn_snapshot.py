@@ -1494,3 +1494,96 @@ def test_txn_touched_since_laws(spark, tmp_path):
     txn_expire(base, [2, 3])
     with pytest.raises(RetentionExpiredError):
         txn_touched_since(base, 1)
+
+
+def test_round16_machinery_survives_escaped_partition_values(
+    spark, tmp_path
+):
+    """The partition_orphan_gc lesson (round 14: value 'a:x' rmtree'd a
+    live partition) applied to the round-16 surfaces: Hive
+    percent-escapes partition values on disk while manifests carry the
+    DECODED strings, so every census/prune/plan path must unquote
+    before comparing.  One store with an escapable partition value
+    drives snapshot_changes_pruned's band folding and the
+    txn_optimize planner's scope/work-order algebra."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes_pruned,
+        snapshot_commit_stats,
+        txn_optimize_plan,
+        txn_optimize_run,
+        txn_touched_since,
+    )
+
+    base = str(tmp_path / "g")
+    # partition values 'a:x' and 'plain' — ':' percent-escapes on disk
+    rows = [(i, "a:x" if i % 2 == 0 else "plain", i) for i in range(40)]
+    df = spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[0] % 5, r[0])),
+        "pk long, m string, val long",
+    )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(conf_key, "4")
+    try:
+        txn_commit(base, 1, {"t": (df, "m", None)})
+    finally:
+        spark.conf.set(conf_key, "0")
+    snapshot_commit_stats(spark, os.path.join(base, "t"), 1, ["pk", "val"])
+    # txn 2 rewrites ONLY the escaped partition (healthy single file)
+    upd = df.filter(F.col("m") == "a:x").withColumn(
+        "val", F.col("val") + 100
+    )
+    txn_commit(base, 2, {"t": (upd, "m", ["a:x"])})
+    snapshot_commit_stats(spark, os.path.join(base, "t"), 2, ["pk", "val"])
+    # the feed scope and the stats-pruned diff both speak DECODED
+    assert txn_touched_since(base, 1) == {"t": {"a:x"}}
+    feed, scanned, changed = snapshot_changes_pruned(
+        spark, os.path.join(base, "t"), 1, 2, "m", "pk", ["val"],
+        "val", 100, 200,
+    )
+    assert changed == ["a:x"] and scanned == ["a:x"]
+    assert feed.count() == 20  # every escaped-partition row moved up
+    # the planner censuses the escaped dirs and emits DECODED names;
+    # v1's 'plain' partition is fragmented, v2's rewrite is healthy
+    spec = {"t": ("m", "pk")}
+    plan = txn_optimize_plan(spark, base, spec, max_files=3)
+    assert plan == {"t": {1: {"compact": [], "cluster": ["plain"]}}}
+    pre = _rows(txn_read(spark, base, 2, "t", "m"))
+    txn_optimize_run(spark, base, spec, plan, max_files=3,
+                     files_per_part=3)
+    assert _rows(txn_read(spark, base, 2, "t", "m")) == pre
+    assert txn_optimize_plan(spark, base, spec, max_files=3) == {}
+
+
+def test_txn_restore_crash_residue_is_reclaimable(spark, tmp_path):
+    """u44's crash contract: a restore killed between the per-table
+    manifest copies and the pointer write leaves unpointed above-head
+    manifests — exactly txn_expire's crashed-attempt shape — and the
+    retried restore converges on a store the expiry has cleaned."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_restore,
+        txn_expire,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    _seed(spark, base)
+    txn_commit(base, 2, {"a": (_df(spark, [(1, "x", 99)]), "m", ["x"])})
+    # the crash: the manifest copy for table a published (v3 = v1's
+    # content), the pointer never did
+    snapshot_restore(os.path.join(base, "a"), 1, 3)
+    assert os.path.exists(os.path.join(base, "a", "_manifest_v3.json"))
+    # reads at every retained txn are untouched by the residue
+    assert _rows(txn_read(spark, base, 2, "a", "m")) == [
+        (1, "x", 99), (2, "y", 20),
+    ]
+    # the expiry reclaims the crashed attempt (manifest above the
+    # pointed head, no pointer references it)
+    rep = txn_expire(base, [1, 2])
+    assert rep["orphans_reclaimed"] == ["a/v3"]
+    assert not os.path.exists(os.path.join(base, "a", "_manifest_v3.json"))
+    # the retried restore converges
+    rep2 = txn_restore(base, 1)
+    assert rep2["new_txn"] == 3 and rep2["restored_tables"] == ["a"]
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == [
+        (1, "x", 10), (2, "y", 20),
+    ]
