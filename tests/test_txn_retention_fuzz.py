@@ -460,3 +460,126 @@ def test_txn_expire_by_age_matches_model(
         assert rep2["removed_pointers"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    restore_pick=st.integers(0, 1000),
+    post_mask=st.integers(1, 3),
+    post_parts=st.integers(1, 3),
+    keep_mask=st.integers(0, 255),
+)
+@settings(**_SETTINGS)
+def test_txn_restore_composes_with_commit_and_expiry(
+    spark, steps, restore_pick, post_mask, post_parts, keep_mask
+):
+    """u44 under the dict model: after a random history, restore to a
+    random earlier transaction, land ONE more random commit on top of
+    the restored state (the chain-continues law — the partial commit
+    must carry the RESTORED partition map, not the superseded head's),
+    then expire a random keep set (head forced in).  Every retained
+    transaction must read back exactly what the model says, including
+    the restore (= the target's state) and the post-restore commit
+    (= restored state + the update)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_expire,
+        txn_read,
+        txn_restore,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_restore_fuzz_")
+    base = f"{root}/g"
+    try:
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        state = {t: {p: 0 for p in _PARTS} for t in _TABLES}
+        txn_commit(
+            base,
+            1,
+            {
+                t: (
+                    spark.createDataFrame(
+                        [(p, 0) for p in _PARTS], "m string, v long"
+                    ),
+                    "m",
+                    None,
+                )
+                for t in _TABLES
+            },
+        )
+        model[1] = {t: dict(state[t]) for t in _TABLES}
+        val = 0
+        for i, (table_mask, pm_a, pm_b) in enumerate(steps):
+            updates = {}
+            for bit, (t, pm) in enumerate(zip(_TABLES, (pm_a, pm_b))):
+                if not table_mask & (1 << bit):
+                    continue
+                parts = [
+                    p for j, p in enumerate(_PARTS) if pm & (1 << j)
+                ]
+                val += 1
+                for p in parts:
+                    state[t][p] = val
+                updates[t] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ),
+                    "m",
+                    parts,
+                )
+            if not updates:
+                continue
+            txn_commit(base, 2 + i, updates)
+            model[2 + i] = {t: dict(state[t]) for t in _TABLES}
+        head = max(model)
+        if head == 1:
+            return  # nothing earlier to restore to
+        target = sorted(model)[restore_pick % (len(model) - 1)]
+        rep = txn_restore(base, target)
+        restore_txn = rep["new_txn"]
+        assert restore_txn == head + 1
+        model[restore_txn] = {
+            t: dict(model[target][t]) for t in _TABLES
+        }
+        state = {t: dict(model[target][t]) for t in _TABLES}
+        # one more commit on top of the restored state
+        updates = {}
+        for bit, t in enumerate(_TABLES):
+            if not post_mask & (1 << bit):
+                continue
+            parts = [
+                p for j, p in enumerate(_PARTS) if post_parts & (1 << j)
+            ]
+            val += 1
+            for p in parts:
+                state[t][p] = val
+            updates[t] = (
+                spark.createDataFrame(
+                    [(p, val) for p in parts], "m string, v long"
+                ),
+                "m",
+                parts,
+            )
+        post_txn = restore_txn + 1
+        txn_commit(base, post_txn, updates)
+        model[post_txn] = {t: dict(state[t]) for t in _TABLES}
+        head = post_txn
+        keep = sorted(
+            {head}
+            | {v for v in model if keep_mask & (1 << ((v - 1) % 8))}
+        )
+        txn_expire(base, keep)
+        for v in keep:
+            for t in _TABLES:
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                want = sorted((p, model[v][t][p]) for p in _PARTS)
+                assert got == want, (v, t, got, want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
