@@ -30,13 +30,26 @@ _R17_NEW: list[str] = []
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-# Populated as the round-16 ADVICE fixes land (ledger items (1)-(4):
-# the removed-table feed branch -> u34/u43, txn_restore's
-# dropped_tables report -> u44, u41's gated subset receipt -> u41,
-# txn_expire's last-pointer residue sweep -> u37); each addition moves
-# the query to the front of _ROUND17_FRONT in the same commit as the
-# code change.
-_R17_CHANGED: list[str] = []
+_R17_CHANGED: list[str] = [
+    # the four round-16 ADVICE fixes (ledger items (1)-(4)):
+    # txn_changes / txn_changes_pruned feed a table REMOVED between
+    # the endpoints (the restore-past-ADD pointer shape) as deletes
+    # instead of crashing -> u34/u43; txn_restore reports
+    # dropped_tables -> u44; u41's strict proper-subset receipt gated
+    # on fixture cardinality (the sf0.001 single-bucket domain) ->
+    # u41; txn_expire sweeps tables whose last retained pointer
+    # reference was just removed, with the young-manifest concurrent-
+    # re-ADD deferral -> u37.  Consumers of the new feed branch
+    # (u35/st22/st23/st25) are code-identical and byte-identical on
+    # every previously-reachable input, so they keep their r16
+    # evidence; the new branch earns its own via the removed-table
+    # unit laws and the st26 lifecycle query.
+    "u34_txn_change_feed",
+    "u37_txn_retention",
+    "u41_cdc_stats_pruned",
+    "u43_txn_feed_pruned",
+    "u44_txn_restore",
+]
 
 # Round 16's named overflow: last driver-green row is round 11 — the
 # forty-one queries the evidence-age guard forces into this window at

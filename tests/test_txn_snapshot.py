@@ -1587,3 +1587,151 @@ def test_txn_restore_crash_residue_is_reclaimable(spark, tmp_path):
     assert _rows(txn_read(spark, base, 3, "a", "m")) == [
         (1, "x", 10), (2, "y", 20),
     ]
+
+
+# --- round-16 ADVICE: the removed-table feed + the dropped-table sweep -----------
+
+
+def test_txn_changes_feeds_removed_table_as_deletes(spark, tmp_path):
+    """A table REMOVED from the group between the endpoints — the
+    pointer shape txn_restore publishes when rolling back past a
+    mid-history table ADD — feeds its entire txn_from snapshot as
+    deletes with NULL after-images (round-16 advisor: the old
+    fall-through crashed opening _manifest_v0.json), symmetric to the
+    added-table insert feed; the pruned variant answers the same shape
+    band-pruned at file level with a "removed" mode receipt."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_changes,
+        txn_changes_pruned,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(base, 1, {"t1": (_df(spark, [(1, "a", 10)]), "m", None)})
+    txn_commit(
+        base, 2,
+        {
+            "t1": (_df(spark, [(1, "a", 11)]), "m", ["a"]),
+            "t2": (_df(spark, [(7, "x", 70), (8, "y", 80)]), "m", None),
+        },
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "t2"), 1, ["pk", "val"]
+    )
+    rep = txn_restore(base, 1)
+    assert rep["new_txn"] == 3
+    # the advisor's reporting ask: the drop is visible to auditors
+    assert rep["dropped_tables"] == ["t2"]
+    assert rep["restored_tables"] == ["t1"]
+    spec = {"t1": ("m", "pk", ["val"]), "t2": ("m", "pk", ["val"])}
+    feeds = txn_changes(spark, base, 2, 3, spec)
+    got = sorted(
+        (r["m"], r["pk"], r["change_type"], r["val_before"], r["val_after"])
+        for r in feeds["t2"].collect()
+    )
+    assert got == [
+        ("x", 7, "delete", 70, None),
+        ("y", 8, "delete", 80, None),
+    ]
+    assert feeds["t2"].columns == feeds["t1"].columns
+    # the restore's t1 feed is the inverse of the bad diff
+    t1 = sorted(
+        (r["pk"], r["change_type"], r["val_before"], r["val_after"])
+        for r in feeds["t1"].collect()
+    )
+    assert t1 == [(1, "update", 11, 10)]
+    # pruned variant: a shard banded on pk sees only its slice of the
+    # delete feed, file-pruned through the travelling stats
+    pfeeds, rec = txn_changes_pruned(
+        spark, base, 2, 3, {"t2": ("m", "pk", ["val"])},
+        {"t2": ("pk", 7, 7)},
+    )
+    assert rec["t2"]["mode"] == "removed"
+    assert (rec["t2"]["kept_files"], rec["t2"]["n_files"]) == (1, 2)
+    pgot = sorted(
+        (r["pk"], r["change_type"], r["val_before"], r["val_after"])
+        for r in pfeeds["t2"].collect()
+    )
+    assert pgot == [(7, "delete", 70, None)]
+    # an unbanded removed table feeds unpruned with the same mode
+    ufeeds, urec = txn_changes_pruned(
+        spark, base, 2, 3, {"t2": ("m", "pk", ["val"])}, {}
+    )
+    assert urec["t2"] == {"mode": "removed"}
+    assert ufeeds["t2"].count() == 2
+
+
+def test_txn_expire_sweeps_dropped_tables(spark, tmp_path):
+    """A table whose LAST retained pointer reference was just removed
+    (a restore dropped it from the head, then retention expired every
+    pre-restore pointer) is swept whole in step 4b — the round-16
+    advisor found the residue_deferred receipt promising a step-4
+    cleanup that the kept_ref loop never performed for such tables —
+    and the immediate re-run is a no-op."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(base, 1, {"a": (_df(spark, [(1, "x", 10)]), "m", None)})
+    txn_commit(
+        base, 2,
+        {
+            "a": (_df(spark, [(1, "x", 11)]), "m", ["x"]),
+            "b": (_df(spark, [(7, "x", 70)]), "m", None),
+        },
+    )
+    txn_restore(base, 1)  # txn 3 drops b from the head
+    pre = _rows(txn_read(spark, base, 3, "a", "m"))
+    rep = txn_expire(base, [3])
+    assert rep["removed_pointers"] == ["_txn_v1.json", "_txn_v2.json"]
+    assert rep["dropped_tables_swept"] == ["b"]
+    assert rep["dropped_tables_deferred"] == []
+    assert not os.path.exists(os.path.join(base, "b"))
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == pre
+    rep2 = txn_expire(base, [3])
+    assert rep2["dropped_tables_swept"] == []
+    assert rep2["orphans_reclaimed"] == []
+    assert rep2["removed_pointers"] == []
+
+
+def test_txn_expire_defers_dropped_table_with_young_manifest(
+    spark, tmp_path
+):
+    """The concurrent re-ADD guard on the dropped-table sweep: a
+    min_age_s-young unpointed manifest inside a dropped table may be an
+    in-flight commit re-adding the table mid-history, so the sweep
+    defers (reported, not silent) and the NEXT run's orphan path
+    reclaims the table once the residue ages past the gate."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(base, 1, {"a": (_df(spark, [(1, "x", 10)]), "m", None)})
+    txn_commit(
+        base, 2,
+        {
+            "a": (_df(spark, [(1, "x", 11)]), "m", ["x"]),
+            "b": (_df(spark, [(7, "x", 70)]), "m", None),
+        },
+    )
+    txn_restore(base, 1)  # txn 3 drops b
+    # the in-flight re-ADD: b publishes a fresh (young) v2 above its
+    # pointed head, pointer not yet written
+    snapshot_commit(
+        _df(spark, [(9, "z", 900)]), os.path.join(base, "b"), 2, "m"
+    )
+    rep = txn_expire(base, [3], min_age_s=3600.0)
+    assert rep["dropped_tables_swept"] == []
+    assert rep["dropped_tables_deferred"] == ["b"]
+    assert os.path.isdir(os.path.join(base, "b"))
+    assert _rows(txn_read(spark, base, 3, "a", "m")) == [(1, "x", 10)]
+    # next run, residue aged past the gate: the orphan path reclaims
+    # the now-pointerless table whole
+    rep2 = txn_expire(base, [3])
+    assert rep2["orphans_reclaimed"] == ["b/v1", "b/v2"]
+    assert not os.path.exists(os.path.join(base, "b"))

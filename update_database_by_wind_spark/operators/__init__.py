@@ -104,6 +104,24 @@ _ROUND17_FRONT = [
     # waits behind stale refresh); each insertion displaces one fill
     # slot from the back in the same commit.
     #
+    # CHANGED-code queries (widening plan items (1)-(4), the four
+    # round-16 ADVICE fixes): identical oracles, but a rewrite must
+    # earn fresh driver evidence before stale-green refresh.
+    # txn_changes / txn_changes_pruned grew the removed-table delete
+    # feed (the restore-past-ADD pointer shape) -> u34/u43;
+    # txn_restore reports dropped_tables -> u44; u41's proper-subset
+    # receipt gated on fixture cardinality like u43's -> u41;
+    # txn_expire sweeps tables whose last retained reference step 3
+    # removed (with the young-manifest concurrent-re-ADD deferral) ->
+    # u37.  Consumers of the new feed branch (u35/st22/st23/st25) are
+    # code-identical and byte-identical on every previously-reachable
+    # input; the new branch is proven end-to-end by st26 and by
+    # tests/test_txn_snapshot.py's removed-table laws.
+    "u34_txn_change_feed",
+    "u37_txn_retention",
+    "u41_cdc_stats_pruned",
+    "u43_txn_feed_pruned",
+    "u44_txn_restore",
     # the forty-one r11-stale leaders the evidence-age guard forces
     # at newest=17 (round-16 verdict ask #1; recomputed from the
     # artifacts in this rotation commit)
@@ -152,15 +170,11 @@ _ROUND17_FRONT = [
     # riskiest families first — the foundational u1-u10 lifecycle
     # block, then the streaming ingest bridge); every new or
     # changed-code registration above displaces one from the back
+    # (the 5 changed-code ADVICE entries displaced st15 and u8-u5)
     "u10_table_checksum",
     "u1_incremental_diff",
     "u3_scd2_history",
     "u4_idempotent_rerun",
-    "u5_calendar_backfill",
-    "u6_schema_evolution",
-    "u7_compaction",
-    "u8_cow_partition_merge",
-    "st15_stream_ingest_bridge",
 ]
 
 # Every other query has a driver-green row in r12-r16 -> back of the
@@ -302,6 +316,7 @@ _DRIVER_VERIFIED_R12_R16 = [
     "st12_stream_cdc_apply",
     "st13_stream_outer_join",
     "st14_dedup_within_watermark",
+    "st15_stream_ingest_bridge",
     "st16_stream_mor_cdc",
     "st17_stream_quantile_sketch",
     "st18_stream_cms",
@@ -360,18 +375,17 @@ _DRIVER_VERIFIED_R12_R16 = [
     "u31_compaction_scheduler",
     "u32_erasure_hold_lifecycle",
     "u33_txn_occ_multi_table",
-    "u34_txn_change_feed",
     "u35_feed_view_maintenance",
     "u36_stats_layout_coherence",
-    "u37_txn_retention",
     "u38_txn_tag_retention",
     "u39_group_erasure_gc",
     "u40_txn_age_retention",
-    "u41_cdc_stats_pruned",
     "u42_group_optimize",
-    "u43_txn_feed_pruned",
-    "u44_txn_restore",
     "u45_feed_driven_optimize",
+    "u5_calendar_backfill",
+    "u6_schema_evolution",
+    "u7_compaction",
+    "u8_cow_partition_merge",
     "u9_incremental_rollup",
     "u9d_incremental_rollup_decimal",
     "ud1_scalar_python_udf",

@@ -5533,7 +5533,14 @@ def txn_changes(
     table existed is the table (the round-15 reviewer found the
     original fall-through crashed on a ``_manifest_v0`` read — the
     same raw-exception class txn_occ_commit's refusal contract
-    fixed)."""
+    fixed).  Symmetrically, a table REMOVED from the group between
+    the endpoints (present at ``txn_from``, absent at ``txn_to`` —
+    the pointer shape :func:`txn_restore` publishes when rolling back
+    past a mid-history table ADD) feeds its entire ``txn_from``
+    snapshot as deletes with NULL after-images: the changelog that
+    takes a downstream view to "table gone" (the round-16 advisor
+    found this shape crashing on the same ``_manifest_v0`` read the
+    added-table fix closed on the other side)."""
     import json as _json
     import os
 
@@ -5587,6 +5594,25 @@ def txn_changes(
                     for c in vcols
                 ],
                 *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+        elif tv_t == 0:
+            # table removed from the group before txn_to (a restore
+            # rolled back past its ADD): everything it held at
+            # txn_from is a delete (NULL after-images)
+            src = snapshot_read(
+                spark, os.path.join(base, name), tv_f, pcol
+            )
+            out[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("delete").alias("change_type"),
+                *[F.col(c).alias(f"{c}_before") for c in vcols],
+                *[
+                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
+                        f"{c}_after"
+                    )
+                    for c in vcols
+                ],
             )
         else:
             out[name] = snapshot_changes(
@@ -7002,7 +7028,16 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
        travelling stats ledger (s19) with it; ledgers of retained and
        shared-referenced versions stay, because
        :func:`snapshot_stats_for` at a retained transaction still
-       reassembles through them.
+       reassembles through them.  A table whose LAST retained
+       reference step 3 just removed (reachable after a restore
+       dropped the table from the head — round-16 advisor: step 2's
+       residue deferral promised step 4 would handle it, but the
+       kept_ref loop never visits such a table) is swept WHOLE here:
+       no retained pointer reads any of its versions, so the dir is
+       dead — unless it holds a ``min_age_s``-young manifest (a
+       concurrent mid-history re-ADD about to publish its pointer),
+       in which case the sweep defers to the next run's orphan path
+       and says so in ``dropped_tables_deferred``.
 
     Idempotent: re-running with the same keep set passes the guards
     and finds nothing to remove — including after a crash at ANY
@@ -7143,10 +7178,29 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
                 os.remove(lp)
                 rep["removed_stats"].append(f"_stats_{d}.json")
         per_table[t] = rep
+
+    # step 4b: a table only EXPIRED pointers referenced lost its last
+    # reader in step 3 — sweep it whole (version dirs are never shared
+    # ACROSS tables, so nothing retained can reach into it).  A
+    # min_age_s-young manifest means a concurrent commit may be
+    # re-ADDING the table mid-history: defer to the next run, whose
+    # orphan scan sees a pointerless table dir and ages it properly.
+    dropped_swept, dropped_deferred = [], []
+    for t in sorted(set(all_ref) - set(kept_ref)):
+        tdir = os.path.join(base, t)
+        if not os.path.isdir(tdir):
+            continue
+        if t in young_skipped:
+            dropped_deferred.append(t)
+            continue
+        shutil.rmtree(tdir, ignore_errors=True)
+        dropped_swept.append(t)
     return {
         "removed_pointers": removed_ptrs,
         "orphans_reclaimed": orphans,
         "residue_deferred": residue,
+        "dropped_tables_swept": dropped_swept,
+        "dropped_tables_deferred": dropped_deferred,
         "tables": per_table,
     }
 
@@ -8424,17 +8478,26 @@ def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u41_cdc_stats_pruned: the manifest diff must name exactly "
             f"the rewritten buckets (got {changed})"
         )
-    if not scanned or not set(scanned) < set(changed):
-        raise ValueError(
-            "u41_cdc_stats_pruned: the stats rule must prune strictly "
-            f"inside the manifest diff ({len(scanned)} of "
-            f"{len(changed)} changed buckets)"
-        )
+    # the arithmetic bound on what the stats may keep: buckets whose
+    # transform range can intersect the band (stats can only narrow
+    # it).  The strict proper-subset tooth applies only when some
+    # rewritten bucket lies OUTSIDE that range (always at sf >= 0.01;
+    # at the single-bucket sf0.001 domain scanned == changed is
+    # correct and the ungated tooth was a false alarm — round-16
+    # advisor, the same gate u43 already carries)
     want_idx = set(range(int(lo) // 64, int(hi) // 64 + 1))
-    if not all(int(p[1:]) in want_idx for p in scanned):
+    in_range = {p for p in changed if int(p[1:]) in want_idx}
+    if (
+        not scanned
+        or not set(scanned) <= in_range
+        or (in_range < set(changed)
+            and not set(scanned) < set(changed))
+    ):
         raise ValueError(
-            "u41_cdc_stats_pruned: a scanned bucket lies outside the "
-            "band's transform range — the stats widened the prune"
+            "u41_cdc_stats_pruned: the stats rule must keep a "
+            "non-empty band-consistent subset, strictly inside the "
+            f"manifest diff when the fixture allows ({len(scanned)} "
+            f"of {len(changed)} changed buckets)"
         )
     unpruned = snapshot_changes(
         spark, base, 1, 2, "k_bucket", "k", vcols
@@ -9193,16 +9256,21 @@ def txn_changes_pruned(
     feeds its inserts through the FILE-level pruned snapshot read
     (:func:`snapshot_read_pruned` — file pruning is sound for a pure
     insert feed because no key join is involved; the diff path must
-    stay partition-granular, see snapshot_changes_pruned).
+    stay partition-granular, see snapshot_changes_pruned).  A table
+    REMOVED between the endpoints (the txn_restore rollback-past-ADD
+    pointer shape, round-16 advisor) feeds its ``txn_from`` snapshot
+    as deletes through the same file-level prune — sound for the same
+    no-key-join reason, and a shard whose band the dropped table never
+    touched learns "nothing to delete" from the stats alone.
 
     ``tables`` maps ``name -> (partition_col, key_col, value_cols)``;
     ``bands`` maps ``name -> (column, lo, hi)`` — a table missing
     from ``bands`` gets the unpruned :func:`snapshot_changes` diff.
     Returns ``(feeds, receipts)``; receipts carry per-table
-    ``{"mode": "unchanged" | "added" | "diff" | "full", ...}`` with
-    the scanned/changed partition lists (diff) or kept/total file
-    counts (added) so callers can assert the cost class, not just the
-    rows.  Retention refusals are the typed
+    ``{"mode": "unchanged" | "added" | "removed" | "diff" | "full",
+    ...}`` with the scanned/changed partition lists (diff) or
+    kept/total file counts (added/removed) so callers can assert the
+    cost class, not just the rows.  Retention refusals are the typed
     :class:`RetentionExpiredError`, same as txn_changes — the st23
     rebaseline contract extends to sharded consumers unchanged."""
     import json as _json
@@ -9265,6 +9333,34 @@ def txn_changes_pruned(
                     for c in vcols
                 ],
                 *[F.col(c).alias(f"{c}_after") for c in vcols],
+            )
+        elif tv_t == 0:
+            # table removed before txn_to (restore past its ADD): its
+            # txn_from snapshot feeds as deletes, file-pruned when the
+            # shard declared a band (no key join — pruning is sound)
+            if name in bands:
+                column, lo, hi = bands[name]
+                src, kept, total = snapshot_read_pruned(
+                    spark, tdir, tv_f, pcol, column, lo, hi
+                )
+                receipts[name] = {
+                    "mode": "removed", "kept_files": len(kept),
+                    "n_files": total,
+                }
+            else:
+                src = snapshot_read(spark, tdir, tv_f, pcol)
+                receipts[name] = {"mode": "removed"}
+            feeds[name] = src.select(
+                F.col(pcol),
+                F.col(kcol),
+                F.lit("delete").alias("change_type"),
+                *[F.col(c).alias(f"{c}_before") for c in vcols],
+                *[
+                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
+                        f"{c}_after"
+                    )
+                    for c in vcols
+                ],
             )
         elif name in bands:
             column, lo, hi = bands[name]
@@ -9584,8 +9680,17 @@ def txn_restore(base: str, to_txn: int) -> dict:
     only unpointed above-head manifests — exactly the crashed-attempt
     shape txn_expire reclaims.  Guards: an expired target refuses
     (its manifests may be gone), restoring the current head refuses
-    as a pointless no-op commit.  Returns ``{"new_txn", "pointer",
-    "restored_tables"}``."""
+    as a pointless no-op commit.
+
+    A table the HEAD carries that the target predates (added to the
+    group after ``to_txn``) is DROPPED from the restored pointer —
+    that is the restore semantics (the target never read it), but it
+    must be reported, not silent (round-16 advisor: auditors could
+    not tell a table vanished from the group head).  Such tables stay
+    readable at every retained pre-restore transaction, and
+    :func:`txn_changes` across the restore feeds them as whole-table
+    deletes.  Returns ``{"new_txn", "pointer", "restored_tables",
+    "dropped_tables"}``."""
     import json as _json
     import os
     import re
@@ -9638,6 +9743,7 @@ def txn_restore(base: str, to_txn: int) -> dict:
         "new_txn": new_txn,
         "pointer": new_ptr,
         "restored_tables": restored,
+        "dropped_tables": sorted(t for t in head_ptr if t not in target_ptr),
     }
 
 
