@@ -23,9 +23,17 @@ from update_database_by_wind_spark.registry import REGISTRY
 # — and its oracle-match test plus this file must be run BEFORE that
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
-# that skipped the mirror).  Empty at rotation; populated as the
-# round-17 widening plan (ledger items (5)-(8)) lands.
-_R17_NEW: list[str] = []
+# that skipped the mirror).  Populated as the round-17 widening plan
+# (ledger items (5)-(8)) lands.
+_R17_NEW: list[str] = [
+    # widening plan (5): the restore-aware view consumer — u44's
+    # restore notification applies the INVERSE feed through the
+    # daemon's ordinary incremental path (one fact-table scan in the
+    # query's life, the initial materialization; the rebaseline hook
+    # raises if ever invoked), including the dropped-table delete
+    # feed of the round-16 ADVICE medium fix
+    "st26_restore_inverse_view",
+]
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh

@@ -104,6 +104,14 @@ _ROUND17_FRONT = [
     # waits behind stale refresh); each insertion displaces one fill
     # slot from the back in the same commit.
     #
+    # round-17 NEW registrations (widening plan items (5)-(8)):
+    # (5) the restore-aware view consumer — u44's restore notification
+    # applies the INVERSE feed through the daemon's ordinary
+    # incremental path (mode ledger [(2, incremental), (3, inverse)],
+    # rebaseline hook forbidden), including the dropped-table delete
+    # feed the round-16 ADVICE medium fix added; the view round-trips
+    # to its pre-deploy state with zero fact-table rescans
+    "st26_restore_inverse_view",
     # CHANGED-code queries (widening plan items (1)-(4), the four
     # round-16 ADVICE fixes): identical oracles, but a rewrite must
     # earn fresh driver evidence before stale-green refresh.
@@ -174,7 +182,6 @@ _ROUND17_FRONT = [
     "u10_table_checksum",
     "u1_incremental_diff",
     "u3_scd2_history",
-    "u4_idempotent_rerun",
 ]
 
 # Every other query has a driver-green row in r12-r16 -> back of the
@@ -382,6 +389,7 @@ _DRIVER_VERIFIED_R12_R16 = [
     "u40_txn_age_retention",
     "u42_group_optimize",
     "u45_feed_driven_optimize",
+    "u4_idempotent_rerun",
     "u5_calendar_backfill",
     "u6_schema_evolution",
     "u7_compaction",

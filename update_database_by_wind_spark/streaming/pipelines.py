@@ -3344,3 +3344,408 @@ def st25_sharded_view_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"touched shard {s}'s store"
             )
     return stores["A"].read().unionByName(stores["B"].read())
+
+
+# --- ST26: the restore-aware view consumer -----------------------------------------
+
+_ST26_ORACLE = """
+WITH o1 AS (
+  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+l1 AS (
+  SELECT o1.o_month, l_orderkey AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+  GROUP BY o1.o_month, l_orderkey
+),
+ov AS (
+  SELECT o_month, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM o1 GROUP BY o_month
+),
+lv AS (
+  SELECT o_month, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM l1 GROUP BY o_month
+)
+SELECT ov.o_month, ov.n_orders, ov.total_cents,
+       COALESCE(lv.total_qty, 0) AS total_qty,
+       CAST(0 AS BIGINT) AS returns_cents
+FROM ov LEFT JOIN lv ON ov.o_month = lv.o_month
+"""
+
+_ST26_CUT = "1997-01"
+
+
+def _st26_apply(view: DataFrame, feeds: dict) -> DataFrame:
+    """The st26 view's signed-delta algebra — u35's
+    :func:`apply_feed_deltas` extended with the returns table's cents
+    column, so the SAME application code handles the added-table
+    insert feed (txn 2), the rollback's inverse diffs, and the
+    dropped-table delete feed (txn 3).  Reads only the feeds and the
+    month-cardinality view, never a fact table."""
+    zero = F.lit(0).cast("long")
+    ct = F.col("change_type")
+    od = feeds["orders"].groupBy("o_month").agg(
+        F.sum(
+            F.when(ct == "insert", 1)
+            .when(ct == "delete", -1)
+            .otherwise(0)
+        ).alias("d_n"),
+        F.sum(
+            F.coalesce("cents_after", zero)
+            - F.coalesce("cents_before", zero)
+        ).alias("d_cents"),
+    )
+    ld = feeds["lineitem"].groupBy("o_month").agg(
+        F.sum(
+            F.coalesce("qty_after", zero)
+            - F.coalesce("qty_before", zero)
+        ).alias("d_qty"),
+    )
+    rd = feeds["returns"].groupBy("o_month").agg(
+        F.sum(
+            F.coalesce("cents_after", zero)
+            - F.coalesce("cents_before", zero)
+        ).alias("d_r"),
+    )
+    return (
+        view.join(od, "o_month", "full")
+        .join(ld, "o_month", "full")
+        .join(rd, "o_month", "full")
+        .select(
+            "o_month",
+            (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
+            .alias("n_orders"),
+            (
+                F.coalesce("total_cents", zero)
+                + F.coalesce("d_cents", zero)
+            ).alias("total_cents"),
+            (
+                F.coalesce("total_qty", zero)
+                + F.coalesce("d_qty", zero)
+            ).alias("total_qty"),
+            (
+                F.coalesce("returns_cents", zero)
+                + F.coalesce("d_r", zero)
+            ).alias("returns_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+@query(
+    "st26_restore_inverse_view",
+    oracle=_ST26_ORACLE,
+    tags=("streaming", "update", "cdf", "view"),
+)
+def st26_restore_inverse_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST26: the restore-aware view consumer — when u44's group
+    RESTORE notification arrives, the maintenance daemon applies the
+    INVERSE feed through its ordinary incremental path instead of
+    rebaselining, so a production rollback costs downstream views one
+    feed application, not a fact-table recompute (the round-16
+    verdict's ask #2; u44 already proved feed(bad → restore) equals
+    the bad deploy's feed with before/after images swapped).
+
+    The fixture makes the rollback as hostile as the machinery
+    allows: txn 1 commits orders + lineitem (the good state); txn 2
+    is the bad deploy — a consistent-but-wrong correction zeroing the
+    %3 order prices and %3 item quantities of months >= 1997-01 AND
+    ADDING a whole new "returns" table whose cents roll into the
+    view; txn 3 is ``txn_restore(to_txn=1)``, whose pointer DROPS
+    returns (rolling back past its mid-history ADD) — exactly the
+    shape whose feed used to crash on a ``_manifest_v0`` read and
+    crash-loop the daemon on every notification (the round-16
+    advisor's medium finding, fixed in txn_changes as the
+    removed-table delete feed this query proves end-to-end).
+
+    Receipts, raise-style:
+
+    - the restore report names the drop (``dropped_tables ==
+      ["returns"]``) and the rolled-back pair;
+    - the daemon's mode ledger is exactly
+      [(2, incremental), (3, inverse)] — the restore applied through
+      the SAME watermark-gated incremental path as any commit (the
+      notification's kind only labels the ledger), and the
+      rebaseline fallback NEVER fired: the handler's recompute hook
+      raises if ever invoked, so the only fact-table scan in the
+      query's life is the initial materialization at txn 1;
+    - the dropped table's slice of the txn-3 feed is a pure delete
+      feed covering every row returns held at txn 2 — the changelog
+      that takes the view's returns_cents column back to zero;
+    - after the inverse application the view equals BOTH the
+      from-scratch recompute at txn 3 and the byte-collected snapshot
+      taken after the txn-1 materialization — the rollback
+      round-trips through the delta algebra, cell for cell;
+    - redelivering the restore notification is a no-op with every
+      view file pinned at (path, size, mtime_ns), and an empty
+      daemon re-run touches nothing — the checkpoint still owns
+      replay protection on the inverse path.
+
+    Why it matters at 100 TB: rollback happens at the worst moment,
+    and the naive daemon answer — rebaseline every downstream view —
+    turns one bad deploy into a fleet of full recomputes.  The
+    restore's feed is the same size as the bad deploy's feed, so
+    applying it incrementally costs what the bad deploy cost, zero
+    fact-table rescans, arbitrarily many views.  Cites u44
+    (operators/update_pipeline.py txn_restore) and st22's daemon
+    protocol; the delete-feed law is unit-pinned in
+    tests/test_txn_snapshot.py."""
+    import hashlib
+    import json as _json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
+        txn_changes,
+        txn_commit,
+        txn_read,
+        txn_restore,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st26_{tag}")
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/notify"
+    os.makedirs(src)
+
+    o1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = (
+        lineitem.join(
+            o1.select(F.col("k").alias("ok"), "o_month"),
+            lineitem["l_orderkey"] == F.col("ok"),
+        )
+        .groupBy("o_month", F.col("l_orderkey").alias("k"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    txn_commit(
+        base, 1,
+        {
+            "orders": (o1.select("o_month", "k", "cents"), "o_month", None),
+            "lineitem": (l1.select("o_month", "k", "qty"), "o_month", None),
+        },
+    )
+    m97 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _ST26_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    bad_o = (
+        o1.filter(F.col("o_month").isin(m97))
+        .withColumn(
+            "cents",
+            F.when(F.col("k") % 3 == 0, F.lit(0).cast("long")).otherwise(
+                F.col("cents")
+            ),
+        )
+        .select("o_month", "k", "cents")
+    )
+    bad_l = (
+        l1.filter(F.col("o_month").isin(m97))
+        .withColumn(
+            "qty",
+            F.when(F.col("k") % 3 == 0, F.lit(0).cast("long")).otherwise(
+                F.col("qty")
+            ),
+        )
+        .select("o_month", "k", "qty")
+    )
+    r1 = (
+        o1.filter(F.col("k") % 13 == 0)
+        .select("o_month", "k", F.expr("cents DIV 2").alias("cents"))
+    )
+    txn_commit(
+        base, 2,
+        {
+            "orders": (bad_o, "o_month", m97),
+            "lineitem": (bad_l, "o_month", m97),
+            "returns": (r1, "o_month", None),
+        },
+    )
+    n_returns_at_2 = r1.count()
+    rep = txn_restore(base, 1)
+    if (
+        rep["new_txn"] != 3
+        or rep["dropped_tables"] != ["returns"]
+        or rep["restored_tables"] != ["lineitem", "orders"]
+    ):
+        raise ValueError(
+            "st26_restore_inverse_view: the restore must publish txn 3 "
+            f"dropping returns and rolling back both tables (got {rep})"
+        )
+
+    spec = {
+        "orders": ("o_month", "k", ["cents"]),
+        "lineitem": ("o_month", "k", ["qty"]),
+        "returns": ("o_month", "k", ["cents"]),
+    }
+    store = _ViewStore(spark, root)
+
+    def recompute(t: int) -> DataFrame:
+        with open(os.path.join(base, f"_txn_v{t}.json")) as fh:
+            ptr = _json.load(fh)
+        zero = F.lit(0).cast("long")
+        o = txn_read(spark, base, t, "orders", "o_month")
+        li = txn_read(spark, base, t, "lineitem", "o_month")
+        view = (
+            o.groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .join(
+                li.groupBy("o_month").agg(F.sum("qty").alias("total_qty")),
+                "o_month",
+                "left",
+            )
+        )
+        if "returns" in ptr:
+            rv = (
+                txn_read(spark, base, t, "returns", "o_month")
+                .groupBy("o_month")
+                .agg(F.sum("cents").alias("returns_cents"))
+            )
+            view = view.join(rv, "o_month", "left")
+        else:
+            view = view.withColumn(
+                "returns_cents", F.lit(None).cast("long")
+            )
+        return view.select(
+            "o_month",
+            "n_orders",
+            "total_cents",
+            F.coalesce("total_qty", zero).alias("total_qty"),
+            F.coalesce("returns_cents", zero).alias("returns_cents"),
+        )
+
+    def forbidden_recompute(t: int) -> DataFrame:
+        raise ValueError(
+            "st26_restore_inverse_view: the rebaseline path fired — a "
+            "restore notification must apply as the inverse feed, not "
+            "a fact-table recompute"
+        )
+
+    modes: list = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+            t = r["txn"]
+            wm = store.watermark()
+            if t <= wm:
+                continue
+            try:
+                feeds = txn_changes(spark, base, wm, t, spec)
+            except RetentionExpiredError:
+                store.publish(forbidden_recompute(t), t)
+                modes.append((t, "rebaseline"))
+                continue
+            store.publish(_st26_apply(store.read(), feeds), t)
+            modes.append(
+                (t, "inverse" if r["kind"] == "restore" else "incremental")
+            )
+
+    def run_daemon() -> None:
+        stream = spark.readStream.schema("txn long, kind string").parquet(
+            f"{src}/*"
+        )
+        h = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        h.awaitTermination()
+
+    def expect_converged(t: int, against: DataFrame) -> None:
+        want = against.select(
+            "o_month",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("total_qty").alias("w_qty"),
+            F.col("returns_cents").alias("w_r"),
+        )
+        mism = (
+            store.read()
+            .join(want, "o_month", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("total_qty").eqNullSafe(F.col("w_qty"))
+                | ~F.col("returns_cents").eqNullSafe(F.col("w_r"))
+            )
+            .count()
+        )
+        if mism or store.watermark() != t:
+            raise ValueError(
+                f"st26_restore_inverse_view: view diverged at txn {t} "
+                f"({mism} months differ, watermark {store.watermark()})"
+            )
+
+    # the only fact-table scan: the initial materialization at txn 1
+    store.publish(recompute(1), 1)
+    good_rows = sorted(map(tuple, store.read().collect()))
+    # the bad deploy's notification applies incrementally
+    spark.createDataFrame(
+        [(2, "commit")], "txn long, kind string"
+    ).write.parquet(f"{src}/n2")
+    run_daemon()
+    expect_converged(2, recompute(2))
+    # the dropped table's slice of the restore feed is a pure delete
+    # feed covering everything returns held at txn 2
+    rfeed = txn_changes(spark, base, 2, 3, spec)["returns"]
+    n_del = rfeed.filter(F.col("change_type") == "delete").count()
+    if rfeed.count() != n_returns_at_2 or n_del != n_returns_at_2:
+        raise ValueError(
+            "st26_restore_inverse_view: the dropped table must feed "
+            f"all {n_returns_at_2} of its rows as deletes (got "
+            f"{n_del} of {rfeed.count()})"
+        )
+    # the restore notification applies as the INVERSE feed
+    spark.createDataFrame(
+        [(3, "restore")], "txn long, kind string"
+    ).write.parquet(f"{src}/n3")
+    run_daemon()
+    expect_converged(3, recompute(3))
+    if modes != [(2, "incremental"), (3, "inverse")]:
+        raise ValueError(
+            "st26_restore_inverse_view: the mode ledger must read "
+            f"[(2, incremental), (3, inverse)] (got {modes})"
+        )
+    if sorted(map(tuple, store.read().collect())) != good_rows:
+        raise ValueError(
+            "st26_restore_inverse_view: the inverse application did "
+            "not round-trip the view to its pre-deploy state"
+        )
+    # redelivery + empty-run laws still hold on the inverse path
+    before = store.listing()
+    spark.createDataFrame(
+        [(3, "restore")], "txn long, kind string"
+    ).write.parquet(f"{src}/n3b")
+    run_daemon()
+    if store.listing() != before or modes != [
+        (2, "incremental"), (3, "inverse"),
+    ]:
+        raise ValueError(
+            "st26_restore_inverse_view: a redelivered restore "
+            "notification must be a watermark-gated no-op"
+        )
+    run_daemon()
+    if store.listing() != before:
+        raise ValueError(
+            "st26_restore_inverse_view: an empty daemon run touched "
+            "the view store"
+        )
+    return store.read()
