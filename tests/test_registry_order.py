@@ -33,6 +33,11 @@ _R17_NEW: list[str] = [
     # raises if ever invoked), including the dropped-table delete
     # feed of the round-16 ADVICE medium fix
     "st26_restore_inverse_view",
+    # widening plan (6): u45's planner sharded over st25's band split
+    # — each shard plans via txn_touched_since restricted to its band
+    # and rewrites only its partitions; containment, disjointness,
+    # merge-conservation, and per-shard coherence receipts
+    "u46_sharded_optimize",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

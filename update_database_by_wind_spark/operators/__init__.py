@@ -112,6 +112,12 @@ _ROUND17_FRONT = [
     # feed the round-16 ADVICE medium fix added; the view round-trips
     # to its pre-deploy state with zero fact-table rescans
     "st26_restore_inverse_view",
+    # (6) feed-driven maintenance SHARDED: two planner daemons on
+    # disjoint bucket bands, each planning via txn_touched_since
+    # restricted to its band and rewriting only its partitions — work
+    # orders band-contained, disjoint, merge-equal to the unsharded
+    # plan; band reads exact at every retained txn after each shard
+    "u46_sharded_optimize",
     # CHANGED-code queries (widening plan items (1)-(4), the four
     # round-16 ADVICE fixes): identical oracles, but a rewrite must
     # earn fresh driver evidence before stale-green refresh.
@@ -181,7 +187,6 @@ _ROUND17_FRONT = [
     # (the 5 changed-code ADVICE entries displaced st15 and u8-u5)
     "u10_table_checksum",
     "u1_incremental_diff",
-    "u3_scd2_history",
 ]
 
 # Every other query has a driver-green row in r12-r16 -> back of the
@@ -389,6 +394,7 @@ _DRIVER_VERIFIED_R12_R16 = [
     "u40_txn_age_retention",
     "u42_group_optimize",
     "u45_feed_driven_optimize",
+    "u3_scd2_history",
     "u4_idempotent_rerun",
     "u5_calendar_backfill",
     "u6_schema_evolution",
