@@ -38,6 +38,11 @@ _R17_NEW: list[str] = [
     # and rewrites only its partitions; containment, disjointness,
     # merge-conservation, and per-shard coherence receipts
     "u46_sharded_optimize",
+    # widening plan (7): txn_expire_by_age on its operational schedule
+    # racing the st22/st23 consumer — quiet-pass no-op, undated hold,
+    # one bounded rebaseline, convergence; fuzz-model extension in
+    # tests/test_txn_retention_fuzz.py
+    "u47_age_policy_daemon",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

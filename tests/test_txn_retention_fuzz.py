@@ -583,3 +583,125 @@ def test_txn_restore_composes_with_commit_and_expiry(
                 assert got == want, (v, t, got, want)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    stamp_mask=st.integers(0, 63),
+    max_age_days=st.integers(1, 40),
+    wm_pick=st.integers(0, 1000),
+)
+@settings(**_SETTINGS)
+def test_age_policy_vs_consumer_watermark_matches_model(
+    spark, steps, stamp_mask, max_age_days, wm_pick
+):
+    """u47's race, fuzzed: an age-policy daemon fires between a
+    consumer's wake-ups under a random history, random stamping, and a
+    random horizon, with the consumer's watermark pinned at a random
+    transaction.  Laws, against the dict model: undated transactions
+    NEVER age out; after the policy runs, the consumer's span feed
+    (watermark → head) either refuses with the TYPED retention error
+    (exactly when the watermark aged out — the rebaseline trigger) or
+    yields per-table changelogs equal to the model's state diff,
+    cell-for-cell; and the policy re-run keeps the same set."""
+    import pytest as _pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
+        txn_changes,
+        txn_commit,
+        txn_commit_at,
+        txn_expire_by_age,
+    )
+
+    day = 86400.0
+    root = tempfile.mkdtemp(prefix="txn_age_consumer_fuzz_")
+    base = f"{root}/g"
+    try:
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        state = {t: {p: 0 for p in _PARTS} for t in _TABLES}
+
+        def commit(v, updates):
+            if stamp_mask & (1 << (v - 1)):
+                txn_commit_at(
+                    base, v, updates, committed_at=10 * (v - 1) * day
+                )
+            else:
+                txn_commit(base, v, updates)
+
+        commit(
+            1,
+            {
+                t: (
+                    spark.createDataFrame(
+                        [(p, 0) for p in _PARTS], "m string, v long"
+                    ),
+                    "m",
+                    None,
+                )
+                for t in _TABLES
+            },
+        )
+        model[1] = {t: dict(state[t]) for t in _TABLES}
+        val = 0
+        for i, (table_mask, pm_a, pm_b) in enumerate(steps):
+            updates = {}
+            for bit, (t, pm) in enumerate(zip(_TABLES, (pm_a, pm_b))):
+                if not table_mask & (1 << bit):
+                    continue
+                parts = [
+                    p for j, p in enumerate(_PARTS) if pm & (1 << j)
+                ]
+                val += 1
+                for p in parts:
+                    state[t][p] = val
+                updates[t] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ),
+                    "m",
+                    parts,
+                )
+            if not updates:
+                continue
+            commit(2 + i, updates)
+            model[2 + i] = {t: dict(state[t]) for t in _TABLES}
+        head = max(model)
+        wm = sorted(model)[wm_pick % len(model)]  # the consumer slept here
+        now = 10 * head * day
+        rep = txn_expire_by_age(
+            base, max_age_s=max_age_days * day, now=now
+        )
+        kept = rep["kept_txns"]
+        # law 1: the undated hold — a transaction the policy cannot
+        # date is never aged out
+        assert set(rep["undated"]) <= set(kept)
+        for v in model:
+            if not stamp_mask & (1 << (v - 1)):
+                assert v in kept, (v, rep)
+        # law 2: the consumer's span feed after the policy ran
+        spec = {t: ("m", "m", ["v"]) for t in _TABLES}
+        if wm not in kept:
+            with _pytest.raises(RetentionExpiredError):
+                txn_changes(spark, base, wm, head, spec)
+        elif wm != head:
+            feeds = txn_changes(spark, base, wm, head, spec)
+            for t in _TABLES:
+                got = sorted(
+                    (r["m"], r["change_type"], r["v_before"], r["v_after"])
+                    for r in feeds[t].collect()
+                )
+                want = sorted(
+                    (p, "update", model[wm][t][p], model[head][t][p])
+                    for p in _PARTS
+                    if model[wm][t][p] != model[head][t][p]
+                )
+                assert got == want, (t, wm, head, got, want)
+        # law 3: the policy converges on re-run
+        rep2 = txn_expire_by_age(
+            base, max_age_s=max_age_days * day, now=now
+        )
+        assert rep2["kept_txns"] == kept
+        assert rep2["removed_pointers"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

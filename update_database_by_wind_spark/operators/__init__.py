@@ -118,6 +118,12 @@ _ROUND17_FRONT = [
     # orders band-contained, disjoint, merge-equal to the unsharded
     # plan; band reads exact at every retained txn after each shard
     "u46_sharded_optimize",
+    # (7) the age-policy daemon racing a live consumer: the quiet
+    # pass is a no-op, the undated hold keeps the consumer's next
+    # span diffable (one rebaseline for the whole incident, mode
+    # ledger pinned), and the policy converges on re-run; the
+    # policy x watermark race is also fuzzed against the dict model
+    "u47_age_policy_daemon",
     # CHANGED-code queries (widening plan items (1)-(4), the four
     # round-16 ADVICE fixes): identical oracles, but a rewrite must
     # earn fresh driver evidence before stale-green refresh.
@@ -186,7 +192,6 @@ _ROUND17_FRONT = [
     # changed-code registration above displaces one from the back
     # (the 5 changed-code ADVICE entries displaced st15 and u8-u5)
     "u10_table_checksum",
-    "u1_incremental_diff",
 ]
 
 # Every other query has a driver-green row in r12-r16 -> back of the
@@ -394,6 +399,7 @@ _DRIVER_VERIFIED_R12_R16 = [
     "u40_txn_age_retention",
     "u42_group_optimize",
     "u45_feed_driven_optimize",
+    "u1_incremental_diff",
     "u3_scd2_history",
     "u4_idempotent_rerun",
     "u5_calendar_backfill",

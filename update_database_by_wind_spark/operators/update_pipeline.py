@@ -11028,3 +11028,309 @@ def u46_sharded_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ov.join(iv, "k_bucket")
+
+
+# --- U47: the age-policy daemon racing a live consumer -----------------------------
+
+_U47_CUT = "1997-01"
+_U47_CUT2 = "1998-02"
+
+_U47_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS o_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT k, o_month,
+         CASE WHEN o_month >= '{_U47_CUT}' AND k % 5 = 0
+              THEN cents + cents // 40 ELSE cents END AS cents
+  FROM o1
+),
+o4 AS (
+  SELECT k, o_month,
+         CASE WHEN o_month >= '{_U47_CUT2}' AND k % 11 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o2
+),
+l1 AS (
+  SELECT o1.o_month, l_orderkey AS k,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN o1 ON l_orderkey = o1.k
+  GROUP BY o1.o_month, l_orderkey
+),
+l3 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '{_U47_CUT}' AND k % 7 = 0
+              THEN qty * 2 ELSE qty END AS qty
+  FROM l1
+),
+ov AS (
+  SELECT o_month, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM o4 GROUP BY o_month
+),
+lv AS (
+  SELECT o_month, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM l3 GROUP BY o_month
+)
+SELECT ov.o_month, ov.n_orders, ov.total_cents,
+       COALESCE(lv.total_qty, 0) AS total_qty
+FROM ov LEFT JOIN lv ON ov.o_month = lv.o_month
+"""
+
+
+@query(
+    "u47_age_policy_daemon",
+    oracle=_U47_ORACLE,
+    tags=("update", "layout", "cdf", "view"),
+)
+def u47_age_policy_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U47: the AGE-retention daemon racing a live incremental
+    consumer — u40's policy (:func:`txn_expire_by_age`) run on its
+    operational schedule against st22/st23's view maintainer, the
+    composition the round-16 verdict named ask #4.  Retention and
+    consumption are operated by different teams on different clocks;
+    this query pins the three interaction laws on one 30-day logical
+    timeline:
+
+    - the QUIET pass is a provable no-op: the mid-cycle policy run
+      (day 12, every transaction younger than the horizon) removes
+      nothing and the consumer's incremental service is untouched;
+    - the UNDATED HOLD protects in-flight commits: txn 3 commits
+      WITHOUT its stamp (the crash-between-pointer-and-stamp shape —
+      or simply a writer that predates the dating convention), and
+      the day-28 policy run ages out txns 1 and 2 but HOLDS 3
+      (reported under ``undated``) — age retention never guesses an
+      age.  The hold is what keeps the consumer's NEXT span diffable:
+      after the wake-up's one rebaseline (its watermark txn 2 was
+      aged out — the typed-refusal conversion, st23's contract,
+      triggered here by the age daemon rather than a hand-run GC),
+      the txn 3 → 4 step applies INCREMENTALLY through the held
+      pointer.  Had the policy guessed an age for txn 3, the consumer
+      would have paid a second full recompute;
+    - CONVERGENCE: the day-30 policy re-run computes the same keep
+      set and removes nothing (stamps died with their pointers, kept
+      stamps stayed), and the consumer's mode ledger across the whole
+      race is exactly [(2, incremental), (3, rebaseline),
+      (4, incremental)] — one bounded recompute for the whole
+      incident, not a panic.
+
+    The maintained view (the SAME :func:`apply_feed_deltas` algebra
+    u35 and st22 share) is checked cell-exact against the from-scratch
+    recompute after every application, and the returned frame is the
+    final view, driver-hashed against the oracle.
+
+    Why it matters at 100 TB: an age policy that runs only when
+    consumers are quiesced is an outage budget; one that runs hot must
+    (a) never reclaim what it cannot date, (b) fail consumers into a
+    TYPED signal with a bounded recovery, and (c) converge when re-run
+    by a crash-looping scheduler.  Those are exactly the three laws
+    pinned here; the policy × watermark interaction is additionally
+    fuzzed against the dict model in tests/test_txn_retention_fuzz.py.
+    Cites u40 (txn_expire_by_age), st23 (the rebaseline contract), and
+    u35 (the shared delta algebra)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ViewStore,
+        _apply_view_notification,
+    )
+
+    day = 86400.0
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u47_{tag}"
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    l1 = (
+        lineitem.join(
+            o1.select(F.col("k").alias("ok"), "o_month"),
+            lineitem["l_orderkey"] == F.col("ok"),
+        )
+        .groupBy("o_month", F.col("l_orderkey").alias("k"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    # day 0: the seed transaction, dated
+    txn_commit_at(
+        base, 1,
+        {
+            "orders": (o1.select("o_month", "k", "cents"), "o_month", None),
+            "lineitem": (l1.select("o_month", "k", "qty"), "o_month", None),
+        },
+        committed_at=0.0,
+    )
+    m97 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U47_CUT)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    # day 10: the %5 re-price, dated
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U47_CUT) & (F.col("k") % 5 == 0),
+            F.col("cents") + F.expr("cents DIV 40"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit_at(
+        base, 2,
+        {"orders": (o2.filter(F.col("o_month").isin(m97))
+                    .select("o_month", "k", "cents"), "o_month", m97)},
+        committed_at=10.0 * day,
+    )
+
+    spec = {
+        "orders": ("o_month", "k", ["cents"]),
+        "lineitem": ("o_month", "k", ["qty"]),
+    }
+    store = _ViewStore(spark, root)
+
+    def recompute(t: int) -> DataFrame:
+        o = txn_read(spark, base, t, "orders", "o_month")
+        li = txn_read(spark, base, t, "lineitem", "o_month")
+        return (
+            o.groupBy("o_month")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .join(
+                li.groupBy("o_month").agg(F.sum("qty").alias("total_qty")),
+                "o_month",
+                "left",
+            )
+            .withColumn(
+                "total_qty",
+                F.coalesce("total_qty", F.lit(0).cast("long")),
+            )
+        )
+
+    def expect_converged(t: int) -> None:
+        want = recompute(t).select(
+            "o_month",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("total_qty").alias("w_qty"),
+        )
+        mism = (
+            store.read()
+            .join(want, "o_month", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("total_qty").eqNullSafe(F.col("w_qty"))
+            )
+            .count()
+        )
+        if mism or store.watermark() != t:
+            raise ValueError(
+                f"u47_age_policy_daemon: view diverged at txn {t} "
+                f"({mism} months differ, watermark {store.watermark()})"
+            )
+
+    modes: list = []
+    store.publish(recompute(1), 1)
+    modes.append((2, _apply_view_notification(
+        spark, base, store, spec, 2, recompute
+    )))
+    expect_converged(2)
+    # day 12, the quiet policy pass: everything is younger than the
+    # 15-day horizon — a provable no-op under the live consumer
+    r1 = txn_expire_by_age(base, max_age_s=15 * day, now=12.0 * day)
+    if r1["aged_out"] or r1["removed_pointers"]:
+        raise ValueError(
+            "u47_age_policy_daemon: the mid-cycle policy pass must be "
+            f"a no-op while every transaction is young (got {r1})"
+        )
+    # day ~20: the %7 quantity doubling commits UNDATED (the
+    # crash-between-pointer-and-stamp shape)
+    l3 = l1.withColumn(
+        "qty",
+        F.when(
+            (F.col("o_month") >= _U47_CUT) & (F.col("k") % 7 == 0),
+            F.col("qty") * 2,
+        ).otherwise(F.col("qty")),
+    )
+    txn_commit(
+        base, 3,
+        {"lineitem": (l3.filter(F.col("o_month").isin(m97))
+                      .select("o_month", "k", "qty"), "o_month", m97)},
+    )
+    # day 28: the policy run that races the sleeping consumer — txns
+    # 1 and 2 age out (the consumer's watermark among them); the
+    # undated txn 3 is HELD, never guessed at
+    r2 = txn_expire_by_age(base, max_age_s=15 * day, now=28.0 * day)
+    if (
+        r2["kept_txns"] != [3]
+        or r2["undated"] != [3]
+        or r2["aged_out"] != [1, 2]
+    ):
+        raise ValueError(
+            "u47_age_policy_daemon: the day-28 policy must age out "
+            f"txns 1-2 and hold the undated txn 3 (got {r2})"
+        )
+    # day 29: the %11 re-price, dated
+    m2 = [
+        r.o_month
+        for r in o1.filter(F.col("o_month") >= _U47_CUT2)
+        .select("o_month")
+        .distinct()
+        .collect()
+    ]
+    o4 = o2.withColumn(
+        "cents",
+        F.when(
+            (F.col("o_month") >= _U47_CUT2) & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit_at(
+        base, 4,
+        {"orders": (o4.filter(F.col("o_month").isin(m2))
+                    .select("o_month", "k", "cents"), "o_month", m2)},
+        committed_at=29.0 * day,
+    )
+    # the consumer wakes to notifications 3 and 4: ONE rebaseline
+    # (its watermark was aged out), then incremental service resumes
+    # through the held undated pointer
+    for t in (3, 4):
+        modes.append((t, _apply_view_notification(
+            spark, base, store, spec, t, recompute
+        )))
+        expect_converged(t)
+    if modes != [(2, "incremental"), (3, "rebaseline"), (4, "incremental")]:
+        raise ValueError(
+            "u47_age_policy_daemon: the mode ledger must read "
+            "[(2, incremental), (3, rebaseline), (4, incremental)] "
+            f"(got {modes})"
+        )
+    # day 30: convergence — the re-run computes the same keep set and
+    # removes nothing (kept stamps stayed, expired stamps died)
+    r3 = txn_expire_by_age(base, max_age_s=15 * day, now=30.0 * day)
+    r3b = txn_expire_by_age(base, max_age_s=15 * day, now=30.0 * day)
+    if (
+        r3["kept_txns"] != [3, 4]
+        or r3["aged_out"]
+        or r3b["kept_txns"] != [3, 4]
+        or r3b["removed_pointers"]
+        or r3b["orphans_reclaimed"]
+    ):
+        raise ValueError(
+            "u47_age_policy_daemon: the policy must converge on "
+            f"re-run (got {r3} then {r3b})"
+        )
+    expect_converged(4)
+    return store.read()
