@@ -43,6 +43,12 @@ _R17_NEW: list[str] = [
     # one bounded rebaseline, convergence; fuzz-model extension in
     # tests/test_txn_retention_fuzz.py
     "u47_age_policy_daemon",
+    # widening plan (8): offline state relocation 4->7 — drain via
+    # the read-only statestore source, sum-mergeable re-seed, resume;
+    # layout/offsets-conf/state-equality/sink-continuity receipts,
+    # then st24's mismatched-session contract on the relocated
+    # checkpoint
+    "st27_state_relocation",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

