@@ -71,32 +71,52 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # CORRECTNESS artifacts when rotating — this paragraph is planning
 # context, the artifacts are truth.
 #
-# Round-17 widening plan (≤9 slots; the four round-16 ADVICE findings
-# first, then the verdict's named candidates):
-# (1) ADVICE medium — txn_changes / txn_changes_pruned must handle a
+# Round-17 widening plan — ALL EIGHT ITEMS EXECUTED, closing the
+# round at exactly the 9-slot budget (4 new + 5 changed, zero fill):
+# (1) ADVICE medium — txn_changes / txn_changes_pruned now feed a
 #     table REMOVED between endpoints (tv_from!=0, tv_to==0 — the
 #     pointer shape txn_restore produces when rolling back past a
-#     mid-history table ADD) by emitting the txn_from snapshot as a
-#     delete feed, symmetric to the added-table insert feed ->
-#     changed-code u34/u43 (the two queries registered over the
-#     changed functions; consumers' code is untouched and existing
-#     green paths are byte-identical — the new branch is only
-#     reachable from the previously-crashing shape, proven
-#     end-to-end by the new st26);
+#     mid-history table ADD) as the txn_from snapshot in deletes,
+#     symmetric to the added-table insert feed (file-pruned under a
+#     band, mode receipt "removed") -> changed-code u34/u43;
+#     consumers' code untouched, byte-identical on every previously-
+#     reachable input; the new branch proven end-to-end by st26 and
+#     unit-pinned in tests/test_txn_snapshot.py;
 # (2) ADVICE low — txn_restore reports dropped_tables -> u44;
 # (3) ADVICE low — u41's strict proper-subset receipt gated on
-#     fixture cardinality like u43's -> u41;
-# (4) ADVICE low — txn_expire sweeps residue in tables whose last
-#     retained pointer was just removed (or reports it honestly) ->
-#     u37;
-# (5) verdict ask #2: st26 restore-aware view consumer — the daemon
-#     applies u44's inverse feed instead of rebaselining;
-# (6) verdict ask #3: u46 sharded feed-driven maintenance — st25's
-#     shard split × u45's planner;
-# (7) verdict ask #4: u47 age-policy daemon — txn_expire_by_age on a
-#     notification schedule racing a live consumer;
-# (8) verdict ask #5: st27 state relocation — rewrite a complete-mode
-#     aggregation checkpoint 4→N offline with continuity receipts.
+#     fixture cardinality like u43's (green at sf0.001 now) -> u41;
+# (4) ADVICE low — txn_expire's step 4b sweeps tables whose last
+#     retained pointer reference step 3 removed (young-manifest
+#     concurrent-re-ADD deferral, reported) -> u37;
+# (5) verdict ask #2 landed as st26_restore_inverse_view: the daemon
+#     applies u44's inverse feed through the ordinary incremental
+#     path — mode ledger [(2, incremental), (3, inverse)], rebaseline
+#     hook forbidden, dropped-table delete feed applied, view
+#     round-trips to the pre-deploy snapshot;
+# (6) verdict ask #3 landed as u46_sharded_optimize: st25's shard
+#     split × u45's planner — containment, disjointness,
+#     merge-conservation, per-shard coherence;
+# (7) verdict ask #4 landed as u47_age_policy_daemon: quiet-pass
+#     no-op, undated hold keeping the consumer's next span diffable
+#     (one bounded rebaseline), convergence; the policy × watermark
+#     race fuzzed against the dict model;
+# (8) verdict ask #5 landed as st27_state_relocation: drain through
+#     the read-only statestore source (positional struct cast — the
+#     value buffer surfaces duplicate internal field names),
+#     sum-mergeable re-seed at 7 partitions, resume; layout/offsets/
+#     state-equality/sink-continuity receipts, st24's contract
+#     honoured by the relocated checkpoint.
+#
+# Candidate round-18 surfaces (write the plan before registering, and
+# mind the budget: 41 r12-stale queries will be forced at newest=18,
+# leaving ~9 slots again): restore-aware SHARDED consumers (st25's
+# shards each applying their band's slice of u44's inverse feed —
+# st26 × st25); relocation for keyed state (st27 re-seeds a
+# complete-mode aggregate; applyInPandasWithState checkpoints carry
+# arbitrary per-key state, where drain-and-reseed needs an explicit
+# state-injection batch); and maintenance-aware retention (u46's
+# shard planners racing u47's age daemon — the expiry that reclaims a
+# version dir mid-rewrite).
 
 _ROUND17_FRONT = [
     # round-17 NEW and CHANGED-code registrations are inserted ABOVE
