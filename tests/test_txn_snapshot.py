@@ -1660,6 +1660,13 @@ def test_txn_changes_feeds_removed_table_as_deletes(spark, tmp_path):
     )
     assert urec["t2"] == {"mode": "removed"}
     assert ufeeds["t2"].count() == 2
+    # a span that starts AFTER the drop sees the table in neither
+    # pointer: that stays the loud caller error, not an empty feed —
+    # a consumer whose spec still names a long-gone table must hear
+    # about it rather than silently read "verified unchanged"
+    txn_commit(base, 4, {"t1": (_df(spark, [(1, "a", 12)]), "m", ["a"])})
+    with pytest.raises(ValueError, match="neither transaction"):
+        txn_changes(spark, base, 3, 4, spec)
 
 
 def test_txn_expire_sweeps_dropped_tables(spark, tmp_path):
