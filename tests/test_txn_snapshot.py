@@ -1742,3 +1742,36 @@ def test_txn_expire_defers_dropped_table_with_young_manifest(
     rep2 = txn_expire(base, [3])
     assert rep2["orphans_reclaimed"] == ["b/v1", "b/v2"]
     assert not os.path.exists(os.path.join(base, "b"))
+
+
+def test_txn_expire_sweep_rechecks_age_at_sweep_time(spark, tmp_path):
+    """The dropped-table sweep must re-age the dir AT SWEEP TIME, not
+    trust step 2's orphan snapshot: a dropped table whose manifests
+    were POINTED during the scan (so never age-gated there) but are
+    min_age_s-young must defer — the scan-time snapshot would sweep a
+    concurrent re-ADD's data out from under its imminent pointer."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(base, 1, {"a": (_df(spark, [(1, "x", 10)]), "m", None)})
+    txn_commit(
+        base, 2,
+        {
+            "a": (_df(spark, [(1, "x", 11)]), "m", ["x"]),
+            "b": (_df(spark, [(7, "x", 70)]), "m", None),
+        },
+    )
+    txn_restore(base, 1)  # txn 3 drops b; b's manifests are seconds old
+    rep = txn_expire(base, [3], min_age_s=3600.0)
+    assert rep["dropped_tables_swept"] == []
+    assert rep["dropped_tables_deferred"] == ["b"]
+    assert os.path.isdir(os.path.join(base, "b"))
+    # the deferral's promise: the NEXT run (guard aged out) reclaims
+    # the now-pointerless table through the orphan path
+    rep2 = txn_expire(base, [3])
+    assert rep2["orphans_reclaimed"] == ["b/v1"]
+    assert all(not r.startswith("b/") for r in rep2["residue_deferred"])
+    assert not os.path.exists(os.path.join(base, "b"))
