@@ -705,3 +705,149 @@ def test_age_policy_vs_consumer_watermark_matches_model(
         assert rep2["removed_pointers"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    add_pick=st.integers(0, 1000),
+    restore_pick=st.integers(0, 1000),
+    keep_mask=st.integers(0, 255),
+)
+@settings(**_SETTINGS)
+def test_restore_dropped_table_composes_with_feed_and_expiry(
+    spark, steps, add_pick, restore_pick, keep_mask
+):
+    """The round-17 machinery fuzzed end-to-end: table b is ADDED
+    mid-history at a random transaction, the group restores to a
+    random earlier target, and a random keep set expires.  Laws,
+    against the dict model: the restore reports dropped_tables exactly
+    when the target predates b's ADD; a feed spanning the drop yields
+    b's full txn_from snapshot as deletes; after expiry every retained
+    transaction still reads every table ITS pointer carries per the
+    model; and when no retained pointer references b, its directory is
+    gone (swept this run or reported deferred and reclaimed by the
+    orphan path on the re-run)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_changes,
+        txn_commit,
+        txn_expire,
+        txn_read,
+        txn_restore,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_drop_fuzz_")
+    base = f"{root}/g"
+    try:
+        # model[txn] = {table: {part: val}}; b exists only from
+        # add_txn onward
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        a_state = {p: 0 for p in _PARTS}
+        txn_commit(
+            base, 1,
+            {"a": (
+                spark.createDataFrame(
+                    [(p, 0) for p in _PARTS], "m string, v long"
+                ), "m", None,
+            )},
+        )
+        model[1] = {"a": dict(a_state)}
+        val = 0
+        n_steps = len(steps)
+        add_at = 2 + (add_pick % n_steps)  # txn that ADDs b
+        b_state: dict[str, int] = {}
+        for i, (table_mask, pm_a, _pm_b) in enumerate(steps):
+            txn = 2 + i
+            updates = {}
+            parts = [
+                p for j, p in enumerate(_PARTS) if pm_a & (1 << j)
+            ] or [_PARTS[0]]
+            val += 1
+            for p in parts:
+                a_state[p] = val
+            updates["a"] = (
+                spark.createDataFrame(
+                    [(p, val) for p in parts], "m string, v long"
+                ), "m", parts,
+            )
+            if txn == add_at:
+                val += 1
+                b_state = {p: val for p in _PARTS}
+                updates["b"] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in _PARTS], "m string, v long"
+                    ), "m", None,
+                )
+            elif txn > add_at and table_mask & 2:
+                val += 1
+                for p in parts:
+                    b_state[p] = val
+                updates["b"] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ), "m", parts,
+                )
+            txn_commit(base, txn, updates)
+            model[txn] = {"a": dict(a_state)}
+            if txn >= add_at:
+                model[txn]["b"] = dict(b_state)
+        head = max(model)
+        target = sorted(model)[restore_pick % (len(model) - 1)]
+        rep = txn_restore(base, target)
+        restore_txn = rep["new_txn"]
+        drops_b = "b" not in model[target] and any(
+            "b" in model[v] for v in model
+        )
+        assert rep["dropped_tables"] == (["b"] if drops_b else []), rep
+        model[restore_txn] = {
+            t: dict(vs) for t, vs in model[target].items()
+        }
+        if drops_b:
+            # the feed across the drop: b's pre-restore snapshot as
+            # deletes (head still carries b, the restore does not)
+            feeds = txn_changes(
+                spark, base, head, restore_txn,
+                {"a": ("m", "m", ["v"]), "b": ("m", "m", ["v"])},
+            )
+            got = sorted(
+                (r["m"], r["change_type"], r["v_before"], r["v_after"])
+                for r in feeds["b"].collect()
+            )
+            want = sorted(
+                (p, "delete", model[head]["b"][p], None) for p in _PARTS
+            )
+            assert got == want, (got, want)
+        keep = sorted(
+            {restore_txn}
+            | {v for v in model if keep_mask & (1 << ((v - 1) % 8))}
+        )
+        rep_e = txn_expire(base, keep)
+        for v in keep:
+            for t, vs in model[v].items():
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                want = sorted(vs.items())
+                assert got == want, (v, t, got, want)
+        b_retained = any("b" in model[v] for v in keep)
+        bdir = os.path.join(base, "b")
+        if any("b" in model[v] for v in model) and not b_retained:
+            # the last b-referencing pointer expired: swept this run
+            # (fresh fixtures may defer only when min_age_s > 0, which
+            # this run does not pass), gone from disk
+            assert rep_e["dropped_tables_swept"] == ["b"], rep_e
+            assert not os.path.exists(bdir)
+        elif b_retained:
+            assert os.path.isdir(bdir)
+        # convergence: the re-run removes nothing further
+        rep2 = txn_expire(base, keep)
+        assert rep2["removed_pointers"] == []
+        assert rep2["orphans_reclaimed"] == []
+        assert rep2["dropped_tables_swept"] == []
+        assert rep2["head_rollbacks"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1775,3 +1775,133 @@ def test_txn_expire_sweep_rechecks_age_at_sweep_time(spark, tmp_path):
     assert rep2["orphans_reclaimed"] == ["b/v1"]
     assert all(not r.startswith("b/") for r in rep2["residue_deferred"])
     assert not os.path.exists(os.path.join(base, "b"))
+
+
+def test_sharded_plan_conserves_under_arbitrary_splits(spark, tmp_path):
+    """u46's merge law at unit level, for splits the registry query
+    doesn't exercise: for ANY partition of the feed scope across N
+    shards — including empty shards and a degenerate one-shard split —
+    the per-shard plans are scope-contained and partition-disjoint,
+    and their merge equals the unsharded feed-scoped plan."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_optimize_plan,
+        txn_touched_since,
+    )
+
+    base = str(tmp_path / "g")
+    rows = sorted(
+        (
+            (i, ("x", "y", "z")[i % 3], i * 7 % 100)
+            for i in range(60)
+        ),
+        key=lambda r: (r[0] % 5, r[0]),
+    )
+    df = spark.createDataFrame(rows, "pk long, m string, val long")
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(conf_key, "4")
+    try:
+        txn_commit(base, 1, {"a": (df, "m", None)})
+        snapshot_commit_stats(
+            spark, os.path.join(base, "a"), 1, ["pk", "val"]
+        )
+        # the night's commit: x and z rewritten fragmented
+        txn_commit(
+            base, 2,
+            {"a": (df.filter(F.col("m").isin(["x", "z"])), "m",
+                   ["x", "z"])},
+        )
+    finally:
+        spark.conf.set(conf_key, "0")
+    snapshot_commit_stats(spark, os.path.join(base, "a"), 2, ["pk", "val"])
+    spec = {"a": ("m", None)}
+    touched = txn_touched_since(base, 1)
+    assert touched == {"a": {"x", "z"}}
+    full = txn_optimize_plan(spark, base, spec, max_files=3,
+                             touched=touched)
+    assert full, "the fixture must accrue debt for the law to bite"
+
+    def parts_of(plan):
+        out = {}
+        for t, vers in plan.items():
+            for v, order in vers.items():
+                out[(t, v)] = set(order["compact"]) | set(order["cluster"])
+        return out
+
+    splits = [
+        [{"x"}, {"z"}],
+        [{"x", "z"}, set()],
+        [{"x"}, {"z"}, set()],
+        [{"z"}, {"x"}, {"y"}],  # y is untouched: scope ∩ touched = ∅
+        [{"x", "z"}],
+    ]
+    for split in splits:
+        plans = [
+            txn_optimize_plan(
+                spark, base, spec, max_files=3,
+                touched={"a": touched["a"] & shard},
+            )
+            for shard in split
+        ]
+        merged: dict = {}
+        seen: dict = {}
+        for shard, plan in zip(split, plans):
+            for key, parts in parts_of(plan).items():
+                assert parts <= shard, (split, key, parts)
+                assert not (parts & seen.get(key, set())), (split, key)
+                seen.setdefault(key, set()).update(parts)
+            for t, vers in plan.items():
+                for v, order in vers.items():
+                    cur = merged.setdefault(t, {}).setdefault(
+                        v, {"compact": [], "cluster": []}
+                    )
+                    cur["compact"] = sorted(
+                        set(cur["compact"]) | set(order["compact"])
+                    )
+                    cur["cluster"] = sorted(
+                        set(cur["cluster"]) | set(order["cluster"])
+                    )
+        assert merged == full, split
+
+
+def test_txn_expire_rolls_back_a_kept_tables_expired_head(
+    spark, tmp_path
+):
+    """The restore-drop fuzz's catch, pinned deterministically: a
+    restore drops table b from the group head while the keep set
+    retains a PRE-restore reader of b — b's topmost manifest was
+    pointed only by an expired pointer, and snapshot_expire's head
+    guard used to crash the whole expiry on the rolled-back chain.
+    The expiry now reclaims the superseded head first (reported under
+    head_rollbacks), the kept reader stays cell-exact, and the re-run
+    converges."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_expire,
+        txn_restore,
+    )
+
+    base = str(tmp_path / "g")
+    txn_commit(base, 1, {"a": (_df(spark, [(1, "x", 10)]), "m", None)})
+    txn_commit(
+        base, 2,
+        {
+            "a": (_df(spark, [(1, "x", 11)]), "m", ["x"]),
+            "b": (_df(spark, [(7, "x", 70)]), "m", None),
+        },
+    )
+    txn_commit(base, 3, {"b": (_df(spark, [(7, "x", 77)]), "m", ["x"])})
+    rep_r = txn_restore(base, 1)  # txn 4 drops b
+    assert rep_r["dropped_tables"] == ["b"]
+    pre2 = {
+        t: _rows(txn_read(spark, base, 2, t, "m")) for t in ("a", "b")
+    }
+    rep = txn_expire(base, [2, 4])  # txn 3 (b's head v2) expires
+    assert rep["head_rollbacks"] == ["b/v2"]
+    assert rep["dropped_tables_swept"] == []  # b is still retained
+    assert not os.path.exists(os.path.join(base, "b", "_manifest_v2.json"))
+    for t in ("a", "b"):
+        assert _rows(txn_read(spark, base, 2, t, "m")) == pre2[t]
+    rep2 = txn_expire(base, [2, 4])
+    assert rep2["head_rollbacks"] == []
+    assert rep2["removed_pointers"] == []
+    assert rep2["orphans_reclaimed"] == []

@@ -7037,7 +7037,17 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
        dead — unless it holds a ``min_age_s``-young manifest (a
        concurrent mid-history re-ADD about to publish its pointer),
        in which case the sweep defers to the next run's orphan path
-       and says so in ``dropped_tables_deferred``.
+       and says so in ``dropped_tables_deferred``.  Symmetrically, a
+       KEPT table whose topmost manifests only expired pointers
+       referenced (the restore dropped it from the head while the
+       keep set retains a pre-restore reader) has those superseded
+       heads reclaimed before its keep-set expiry (reported under
+       ``head_rollbacks``) — snapshot_expire's own head guard would
+       otherwise refuse the rolled-back chain.  Safe because no
+       manifest references a version dir above its own version;
+       crash-safe because with their pointers gone the survivors are
+       step 2's ordinary above-head orphans on the next pass (found
+       by the round-17 restore-drop fuzz).
 
     Idempotent: re-running with the same keep set passes the guards
     and finds nothing to remove — including after a crash at ANY
@@ -7162,15 +7172,43 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
             removed_ptrs.append(pointers[v])
 
     per_table: dict[str, dict] = {}
+    head_rollbacks: list = []
     for t in sorted(kept_ref):
         tdir = os.path.join(base, t)
+        roots = kept_ref[t] | young_skipped.get(t, set())
+        # retention can roll a TABLE's head back: after a restore
+        # dropped the table from the group head, a keep set retaining
+        # only pre-restore pointers leaves the table's topmost
+        # manifests pointed solely by pointers step 3 just removed.
+        # snapshot_expire's head guard (rightly) refuses to expire
+        # past the on-disk head, so those superseded heads are
+        # reclaimed here first — safe because no manifest can
+        # reference a version dir ABOVE its own version, so nothing
+        # retained reaches into them; crash-safe because with their
+        # pointers gone the survivors are step 2's ordinary
+        # above-head orphans on the next pass (found by the round-17
+        # restore-drop fuzz, tests/test_txn_retention_fuzz.py).
+        head_root = max(roots)
+        for entry in sorted(os.listdir(tdir)):
+            m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
+            if not m:
+                continue
+            tv = int(m.group(1))
+            if tv <= head_root or tv not in all_ref.get(t, set()):
+                continue
+            os.remove(os.path.join(tdir, entry))
+            shutil.rmtree(
+                os.path.join(tdir, f"v{tv}"), ignore_errors=True
+            )
+            lp = os.path.join(tdir, f"_stats_v{tv}.json")
+            if os.path.exists(lp):
+                os.remove(lp)
+            head_rollbacks.append(f"{t}/v{tv}")
         # min_age_s-young orphans above the head count as retained
         # this pass (they may be an in-flight commit about to publish
         # its pointer); without them the expiry's own head guard
         # would refuse the chain they sit on top of
-        rep = snapshot_expire(
-            tdir, sorted(kept_ref[t] | young_skipped.get(t, set()))
-        )
+        rep = snapshot_expire(tdir, sorted(roots))
         rep["removed_stats"] = []
         for d in rep["removed_dirs"]:
             lp = os.path.join(tdir, f"_stats_{d}.json")
@@ -7235,6 +7273,7 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
         "removed_pointers": removed_ptrs,
         "orphans_reclaimed": orphans,
         "residue_deferred": residue,
+        "head_rollbacks": head_rollbacks,
         "dropped_tables_swept": dropped_swept,
         "dropped_tables_deferred": dropped_deferred,
         "tables": per_table,
