@@ -4,8 +4,8 @@ these tests pin the contract that the window is spent first on
 never-yet-verified queries, then on queries whose code changed this
 round, then on the stalest regression evidence.  Round 12 added the
 evidence-age GUARD: staleness past six rounds is a red test, not a
-ledger comment — round 17 opens by paying exactly the debt the guard
-names against CORRECTNESS_r16 at newest=17 (the forty-one r11-stale
+ledger comment — round 18 opens by paying exactly the debt the guard
+names against CORRECTNESS_r17 at newest=18 (the forty-one r12-stale
 queries), which keeps every registered query within five rounds of
 driver evidence.
 """
@@ -19,130 +19,88 @@ import update_database_by_wind_spark.operators as ops
 from update_database_by_wind_spark.registry import REGISTRY
 
 # Newly-registered queries this round.  Every newly-registered query
-# is appended here and to the top of _ROUND17_FRONT in the same commit
+# is appended here and to the top of _ROUND18_FRONT in the same commit
 # — and its oracle-match test plus this file must be run BEFORE that
 # commit (the round-10 judge's "no untested registration" rule; g2/r9
 # and s13/r10 both entered the registry broken in end-of-round commits
-# that skipped the mirror).  Populated as the round-17 widening plan
-# (ledger items (5)-(8)) lands.
-_R17_NEW: list[str] = [
-    # widening plan (5): the restore-aware view consumer — u44's
-    # restore notification applies the INVERSE feed through the
-    # daemon's ordinary incremental path (one fact-table scan in the
-    # query's life, the initial materialization; the rebaseline hook
-    # raises if ever invoked), including the dropped-table delete
-    # feed of the round-16 ADVICE medium fix
-    "st26_restore_inverse_view",
-    # widening plan (6): u45's planner sharded over st25's band split
-    # — each shard plans via txn_touched_since restricted to its band
-    # and rewrites only its partitions; containment, disjointness,
-    # merge-conservation, and per-shard coherence receipts
-    "u46_sharded_optimize",
-    # widening plan (7): txn_expire_by_age on its operational schedule
-    # racing the st22/st23 consumer — quiet-pass no-op, undated hold,
-    # one bounded rebaseline, convergence; fuzz-model extension in
-    # tests/test_txn_retention_fuzz.py
-    "u47_age_policy_daemon",
-    # widening plan (8): offline state relocation 4->7 — drain via
-    # the read-only statestore source, sum-mergeable re-seed, resume;
-    # layout/offsets-conf/state-equality/sink-continuity receipts,
-    # then st24's mismatched-session contract on the relocated
-    # checkpoint
-    "st27_state_relocation",
-]
+# that skipped the mirror).  Populated as the round-18 widening plan
+# (ledger items (4)-(6)) lands.
+_R18_NEW: list[str] = []
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-_R17_CHANGED: list[str] = [
-    # the four round-16 ADVICE fixes (ledger items (1)-(4)):
-    # txn_changes / txn_changes_pruned feed a table REMOVED between
-    # the endpoints (the restore-past-ADD pointer shape) as deletes
-    # instead of crashing -> u34/u43; txn_restore reports
-    # dropped_tables -> u44; u41's strict proper-subset receipt gated
-    # on fixture cardinality (the sf0.001 single-bucket domain) ->
-    # u41; txn_expire sweeps tables whose last retained pointer
-    # reference was just removed, with the young-manifest concurrent-
-    # re-ADD deferral -> u37.  Consumers of the new feed branch
-    # (u35/st22/st23/st25) are code-identical and byte-identical on
-    # every previously-reachable input, so they keep their r16
-    # evidence; the new branch earns its own via the removed-table
-    # unit laws and the st26 lifecycle query.
-    "u34_txn_change_feed",
-    "u37_txn_retention",
-    "u41_cdc_stats_pruned",
-    "u43_txn_feed_pruned",
-    "u44_txn_restore",
-]
+# Populated as the round-17 ADVICE fixes (ledger items (1)-(3)) land.
+_R18_CHANGED: list[str] = []
 
-# Round 16's named overflow: last driver-green row is round 11 — the
+# Round 17's named overflow: last driver-green row is round 12 — the
 # forty-one queries the evidence-age guard forces into this window at
-# newest=17 (round-16 verdict ask #1; recomputed from the artifacts in
-# the rotation commit, identical to the r16 ledger's list).
-_R11_STALE_LEADERS = [
-    "a17_countmin_sketch",
-    "a18_hll_sketch",
-    "a19_grouped_hll",
-    "a20_kmv_set_algebra",
-    "dq3_mad_outliers",
-    "dq4_freshness_audit",
-    "dq5_reconciliation",
-    "e3_touch_attribution",
-    "e4_transition_matrix",
-    "g3_triangle_count",
-    "g4_bfs_hops",
-    "j14_asof_tolerance",
-    "l3m_containment_dedup",
-    "l3n_edit_distance_blocked",
-    "l5_ivf_kmeans_topk",
-    "l5_ivf_topk",
-    "l5b2_ivf_kmeans_recall",
-    "l5b_ivf_recall",
-    "l5d_pq_recall",
-    "l5d_pq_topk",
-    "mm_feature_extract",
-    "o7_incremental_topk",
-    "s15_bucketed_join",
-    "t_oov_rate",
-    "t_token_count",
-    "tr_domain_cap",
-    "tr_label_centroids",
-    "ts_backtest_snaive",
-    "ts_bollinger_bands",
-    "ts_gapfill_interpolate",
-    "u12_cdc_classify",
-    "u13_cdc_merge_sink",
-    "u22_merge_schema_evolution",
-    "u23_snapshot_restore",
-    "u25_partition_evolution",
-    "u26_snapshot_vacuum",
-    "u27_orphan_gc",
-    "u28_snapshot_tags",
-    "u29_occ_commit",
-    "w10_event_runs",
-    "w11_cumulative_distinct",
+# newest=18 (round-17 verdict ask #1; recomputed from the artifacts in
+# the rotation commit, identical to the r17 ledger's list).
+_R12_STALE_LEADERS = [
+    "a14_kmv_sketch",
+    "a1d_pricing_summary_decimal",
+    "a9b_percentile_approx",
+    "dq_null_profile",
+    "dq_referential_integrity",
+    "j11_null_safe_join",
+    "j12_bloom_prefilter",
+    "j13_interval_bin_join",
+    "j1d_star_join_revenue_decimal",
+    "j2_left_join_order_counts",
+    "j3_semi_join_active_customers",
+    "j4_anti_join_inactive_customers",
+    "j5_cross_join_region_status",
+    "j6_theta_band_join",
+    "j7_range_join_daily_windows",
+    "l8_tfidf_top_terms",
+    "mm_resize_downsample",
+    "s11_dpp_join",
+    "s14_stats_only_count",
+    "st15_stream_ingest_bridge",
+    "st16_stream_mor_cdc",
+    "t_unigram_logprob",
+    "tr_decontamination",
+    "tr_hash_split",
+    "tr_shuffle_shard",
+    "tr_stratified_sample",
+    "ts_cross_sectional_zscore",
+    "ts_max_drawdown",
+    "ts_resample_monthly_ohlc",
+    "ts_rsi",
+    "ts_sessionize_batch",
+    "ts_twap",
+    "ts_vwap",
+    "u10_table_checksum",
+    "u1_incremental_diff",
+    "u3_scd2_history",
+    "u4_idempotent_rerun",
+    "u5_calendar_backfill",
+    "u6_schema_evolution",
+    "u7_compaction",
+    "u8_cow_partition_merge",
 ]
 
-# The r12-stale fill's family-block sequence, riskiest first: when new
+# The r13-stale fill's family-block sequence, riskiest first: when new
 # or changed-code registrations displace fill from the back, what
-# drops out is the streaming ingest bridge and the tail of the
-# foundational lifecycle block, never its head.  (The round-14 advisor
+# drops out is the storage/format round-trip block's tail, never the
+# u9/u9d incremental-rollup pair at its head.  (The round-14 advisor
 # asked for this explicit sequence assertion — the generic
 # sorted-blocks check alone cannot see ordering BETWEEN families.)
-_FILL_FAMILY_SEQUENCE = ["u", "st"]
+_FILL_FAMILY_SEQUENCE = ["u", "s"]
 
 
 def test_front_window_is_the_priority_list():
     names = list(REGISTRY)
-    assert names[: len(ops._ROUND17_FRONT)] == ops._ROUND17_FRONT
+    assert names[: len(ops._ROUND18_FRONT)] == ops._ROUND18_FRONT
 
 
 def test_driver_verified_queries_are_deferred_to_the_back():
     names = list(REGISTRY)
-    front = set(ops._ROUND17_FRONT)
+    front = set(ops._ROUND18_FRONT)
     deferred = list(
         dict.fromkeys(
-            n for n in ops._DRIVER_VERIFIED_R12_R16 if n not in front
+            n for n in ops._DRIVER_VERIFIED_R13_R17 if n not in front
         )
     )
     assert names[-len(deferred) :] == deferred
@@ -151,7 +109,7 @@ def test_driver_verified_queries_are_deferred_to_the_back():
 def test_priority_names_all_exist():
     # reorder() raises on unknown FRONT names but silently skips unknown
     # defer names — a typo there would quietly weaken the ordering
-    for n in [*ops._ROUND17_FRONT, *ops._DRIVER_VERIFIED_R12_R16]:
+    for n in [*ops._ROUND18_FRONT, *ops._DRIVER_VERIFIED_R13_R17]:
         assert n in REGISTRY, n
 
 
@@ -160,40 +118,40 @@ def test_front_and_defer_do_not_overlap():
     the defer list — harmless to reorder() (front wins) but it breaks
     the 'complement is listed explicitly' framing.  Keep the two lists
     disjoint by construction."""
-    dup = set(ops._ROUND17_FRONT) & set(ops._DRIVER_VERIFIED_R12_R16)
+    dup = set(ops._ROUND18_FRONT) & set(ops._DRIVER_VERIFIED_R13_R17)
     assert not dup, dup
 
 
 def test_every_query_is_either_prioritized_or_known_verified():
     """No stragglers in the middle: every registered query must appear
-    in the round-17 front (new + changed-code + stalest regression
-    slots) or in the r12–r16 driver-green defer list.  A query in
+    in the round-18 front (new + changed-code + stalest regression
+    slots) or in the r13–r17 driver-green defer list.  A query in
     neither would sit just past the window and earn no evidence this
     round without anyone deciding that — exactly how s13 missed round
     10 (it was registered but in neither list)."""
-    covered = set(ops._ROUND17_FRONT) | set(ops._DRIVER_VERIFIED_R12_R16)
+    covered = set(ops._ROUND18_FRONT) | set(ops._DRIVER_VERIFIED_R13_R17)
     stragglers = [n for n in REGISTRY if n not in covered]
     assert not stragglers, stragglers
 
 
 def test_window_structure():
     """New queries first, then changed-code, then the forty-one
-    r11-stale leaders the evidence-age guard named, then the r12-stale
+    r12-stale leaders the evidence-age guard named, then the r13-stale
     fill in the pinned family sequence (riskiest first, each block
-    sorted).  Round 18's forced leaders are the r12-green queries that
+    sorted).  Round 19's forced leaders are the r13-green queries that
     neither this fill nor displacement refreshes — recompute from the
-    artifacts when rotating; the guard forces them at r18 exactly as
+    artifacts when rotating; the guard forces them at r19 exactly as
     it forced this round's forty-one."""
     names = list(REGISTRY)
-    n_new = len(_R17_NEW)
-    assert names[:n_new] == _R17_NEW
-    n_chg = len(_R17_CHANGED)
-    assert names[n_new : n_new + n_chg] == _R17_CHANGED
+    n_new = len(_R18_NEW)
+    assert names[:n_new] == _R18_NEW
+    n_chg = len(_R18_CHANGED)
+    assert names[n_new : n_new + n_chg] == _R18_CHANGED
     # leaders follow, minus any promoted into the new/changed blocks
     leaders = [
         n
-        for n in _R11_STALE_LEADERS
-        if n not in set(_R17_CHANGED) and n not in set(_R17_NEW)
+        for n in _R12_STALE_LEADERS
+        if n not in set(_R18_CHANGED) and n not in set(_R18_NEW)
     ]
     lead_start = n_new + n_chg
     lead_end = lead_start + len(leaders)
@@ -201,7 +159,7 @@ def test_window_structure():
     # the r12 fill: every remaining window slot is grouped by family,
     # each block sorted, and the blocks follow the pinned risk order
     # (a prefix of it once displacement starts dropping the back)
-    fill = names[lead_end : len(ops._ROUND17_FRONT)]
+    fill = names[lead_end : len(ops._ROUND18_FRONT)]
     blocks: list[list[str]] = []
     for n in fill:
         fam = re.match(r"[a-z]+", n).group(0)
@@ -213,8 +171,8 @@ def test_window_structure():
         assert b == sorted(b), b
     fams = [re.match(r"[a-z]+", b[0]).group(0) for b in blocks]
     assert fams == _FILL_FAMILY_SEQUENCE[: len(fams)], fams
-    assert len(ops._ROUND17_FRONT) == lead_end + len(fill)
-    assert len(ops._ROUND17_FRONT) == 50
+    assert len(ops._ROUND18_FRONT) == lead_end + len(fill)
+    assert len(ops._ROUND18_FRONT) == 50
 
 
 def _latest_green_rounds() -> tuple[dict[str, int], int, int]:
@@ -265,13 +223,14 @@ def test_evidence_age_guard():
 
 
 def test_rotation_anticipates_next_round():
-    """The r17 rotation must ALSO hold when CORRECTNESS_r17 lands: at
-    newest=17 the guard threshold moves to <=11, so every query whose
-    latest green row is round 11 or earlier must already sit inside
+    """The r18 rotation must ALSO hold when CORRECTNESS_r18 lands: at
+    newest=18 the guard threshold moves to <=12, so every query whose
+    latest green row is round 12 or earlier must already sit inside
     the current window.  This is the assertion that failed silently in
     rounds 12–14's planning (the ledger said it; no test checked it
     before the artifact arrived), and the tripwire that correctly went
-    red on the round-16 tree the moment CORRECTNESS_r16 landed."""
+    red on the round-16 and round-17 trees the moment that round's
+    CORRECTNESS artifact landed."""
     latest, newest, window = _latest_green_rounds()
     in_window = set(list(REGISTRY)[:window])
     next_overdue = [
