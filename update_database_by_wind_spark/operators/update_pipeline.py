@@ -35,6 +35,84 @@ from update_database_by_wind_spark.functions.numeric import dec_sum, sql_dec_sum
 from update_database_by_wind_spark.registry import query
 from update_database_by_wind_spark.sources import load
 
+# The snapshot / transaction-group / maintenance machinery moved to
+# dedicated modules at the round-18 boundary (the round-17 verdict's
+# ask #5); explicit re-exports keep every historical import path
+# (`from ...operators.update_pipeline import X`) working for tests,
+# streaming daemons, and downstream users.  One definition home per
+# function — this module now holds the §2.9 queries and their
+# fixtures/oracles only.
+from update_database_by_wind_spark.operators.maintenance import (  # noqa: F401
+    _compact_core,
+    _read_vectors,
+    _read_vectors_seq,
+    _refuse_seq,
+    _string_partition,
+    _vector_match,
+    compact_partitions,
+    cow_delete,
+    cow_merge,
+    mor_cdc_apply,
+    mor_compact,
+    mor_compact_seq,
+    mor_delete,
+    mor_delete_seq,
+    mor_read,
+    mor_read_seq,
+    recover_interrupted_compaction,
+    small_file_census,
+)
+from update_database_by_wind_spark.operators.snapshot_store import (  # noqa: F401
+    _assemble_kept_scan,
+    _stats_band_by_partition,
+    cluster_partitions,
+    evolved_read,
+    expire_untagged,
+    occ_commit,
+    orphan_gc,
+    partition_orphan_gc,
+    snapshot_changes,
+    snapshot_changes_pruned,
+    snapshot_cluster_stats,
+    snapshot_commit,
+    snapshot_commit_stats,
+    snapshot_commit_with_stats,
+    snapshot_compact_stats,
+    snapshot_expire,
+    snapshot_read,
+    snapshot_read_pruned,
+    snapshot_read_pruned_multi,
+    snapshot_read_tag,
+    snapshot_restore,
+    snapshot_stats_for,
+    snapshot_stats_resync,
+    snapshot_tag,
+    snapshot_tags,
+    snapshot_untag,
+)
+from update_database_by_wind_spark.operators.txn_group import (  # noqa: F401
+    RetentionExpiredError,
+    apply_feed_deltas,
+    txn_changes,
+    txn_changes_pruned,
+    txn_commit,
+    txn_commit_at,
+    txn_expire,
+    txn_expire_by_age,
+    txn_expire_untagged,
+    txn_occ_commit,
+    txn_optimize_plan,
+    txn_optimize_run,
+    txn_partition_gc,
+    txn_read,
+    txn_read_tag,
+    txn_restore,
+    txn_tag,
+    txn_tags,
+    txn_touched_since,
+    txn_untag,
+)
+
 _CUTOFF = "1999-01-01 00:00:00"
 _RECENT = "1998-01-01 00:00:00"
 
@@ -322,84 +400,6 @@ FROM lineitem
 WHERE l_orderkey % 7 = 0
 GROUP BY l_returnflag
 """
-
-
-def cow_merge(
-    spark: SparkSession,
-    target_path: str,
-    source: DataFrame,
-    key: str,
-    partition_col: str,
-    validate_keys: bool = False,
-) -> list[str]:
-    """Copy-on-write MERGE into a partitioned parquet table (the
-    Delta-Lake MERGE file layout, reproduced on plain parquet).
-
-    Only the partitions the source batch touches are read back and
-    rewritten; every other partition's files are left byte-untouched
-    (asserted structurally in tests/test_cow_merge.py).  Within each
-    affected partition the merge is source-wins upsert algebra:
-    (target ANTI source) ∪ source.
-
-    **Contract (same as Delta's partition-pruned MERGE):** a key's
-    partition value must be immutable — a source row may insert a new
-    key or update a key *within* its partition, but must not move a
-    key across partitions (the stale row in the old partition is
-    outside the pruned read and would survive as a duplicate).  Pass
-    ``validate_keys=True`` to enforce this with a key-level anti-join
-    against the *unpruned* target (one column-pruned scan of the key +
-    partition columns — safe, but forfeits the pruning economics, so
-    it is opt-in for audit runs rather than the hot path).
-
-    At 100 TB this is the difference between rewriting a table and
-    rewriting ~one day's partition: the affected-partition list is
-    metadata-sized (collected to the driver — bounded by partition
-    count, never by row count), the pruned read shows
-    ``PartitionFilters`` in the scan, and dynamic partition overwrite
-    (``spark.sql.sources.partitionOverwriteMode=dynamic``) swaps in
-    only the rewritten directories atomically per partition.
-
-    Returns the list of affected partition values (for observability).
-    """
-    affected = [
-        r[0] for r in source.select(partition_col).distinct().collect()
-    ]
-    target = spark.read.parquet(target_path)
-    # NULL partition values never match isin(); include them explicitly
-    non_null = [v for v in affected if v is not None]
-    # isin() with zero args raises; an all-NULL-partition batch is valid
-    in_affected = (
-        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    )
-    if any(v is None for v in affected):
-        in_affected = in_affected | F.col(partition_col).isNull()
-    if validate_keys:
-        moved = (
-            target.select(key, partition_col)
-            .filter(~F.coalesce(in_affected, F.lit(False)))
-            .join(source.select(key), key, "left_semi")
-            .limit(1)
-            .collect()
-        )
-        if moved:
-            raise ValueError(
-                f"cow_merge: source moves key(s) across partitions "
-                f"(e.g. {moved[0]}); partition values must be immutable"
-            )
-    touched = target.filter(in_affected)
-    merged = touched.join(source, key, "left_anti").unionByName(source)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition(F.col(partition_col))
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return affected
 
 
 _U8_ORACLE = f"""
@@ -959,122 +959,6 @@ def u13_cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U14: partition-pruned retention delete (TTL + targeted erasure) -----------
-
-
-def cow_delete(
-    spark: SparkSession,
-    target_path: str,
-    predicate,
-    partition_col: str,
-) -> dict:
-    """Copy-on-write DELETE against a partitioned parquet table — the
-    retention/TTL and GDPR-erasure primitive, with the same pruning
-    economics as :func:`cow_merge`:
-
-    * partitions where EVERY row matches the predicate are **dropped**
-      as directories (a metadata delete — no data is read or written;
-      this is how a TTL sweep removes expired days for free), NULL
-      partitions included (their ``__HIVE_DEFAULT_PARTITION__``
-      directory is removed — the rewrite path could NOT handle a fully
-      deleted partition, because dynamic overwrite only replaces
-      partitions present in the written output, so zero survivors
-      would silently leave the old files in place);
-    * partitions with a PARTIAL match are **rewritten** with survivors
-      only, via dynamic partition overwrite;
-    * partitions with no matching row are **never touched** — same
-      paths, sizes, mtimes (asserted structurally in
-      tests/test_cow_merge.py).
-
-    The affected-partition census is ONE metadata-sized aggregate
-    (deleted vs total counts per partition, bounded by partition count,
-    never by row count).  A predicate that evaluates to NULL on a row
-    means "retain" — the census counts NULL as kept and survivors are
-    selected with ``~coalesce(predicate, false)``, so both legs agree
-    (SQL DELETE semantics: only rows where the predicate is TRUE go).
-    Dropped directories are resolved by DECODING the
-    actual directory names (Spark percent-escapes special characters
-    in partition paths, Hive ``escapePathName``) rather than
-    re-deriving the escaping — a value like ``1993-07 00:00`` lands in
-    ``col=1993-07 00%3A00`` and a naive f-string path would miss it,
-    silently retaining the expired rows.
-
-    Returns ``{"dropped": [...], "rewritten": [...]}`` for
-    observability (a fully-deleted NULL partition reports as ``None``
-    in ``dropped``).
-    """
-    import os
-    import shutil
-    from urllib.parse import unquote
-
-    target = spark.read.parquet(target_path)
-    if dict(target.dtypes).get(partition_col) == "void":
-        # When every surviving directory is __HIVE_DEFAULT_PARTITION__
-        # (all partition values NULL), Spark infers the partition
-        # column as NullType, and write.partitionBy() rejects a VOID
-        # partition column (INVALID_PARTITION_COLUMN_DATA_TYPE).  Cast
-        # to string — the type the directory encoding round-trips
-        # through anyway — so the survivor rewrite stays legal.  Found
-        # by the round-6 hypothesis fuzz (parts=[(None, 2)]).
-        target = target.withColumn(
-            partition_col, F.col(partition_col).cast("string")
-        )
-    census = (
-        target.groupBy(partition_col)
-        .agg(
-            F.count("*").alias("n_all"),
-            F.sum(F.when(predicate, 1).otherwise(0)).alias("n_del"),
-        )
-        .filter(F.col("n_del") > 0)
-        .collect()
-    )
-    dropped = [
-        r[partition_col] for r in census if r["n_del"] == r["n_all"]
-    ]
-    rewritten = [
-        r[partition_col] for r in census if r["n_del"] < r["n_all"]
-    ]
-    if dropped:
-        want = {str(v) for v in dropped if v is not None}
-        drop_null = any(v is None for v in dropped)
-        prefix = f"{partition_col}="
-        for entry in os.listdir(target_path):
-            if not entry.startswith(prefix):
-                continue
-            name = entry[len(prefix):]
-            if (drop_null and name == "__HIVE_DEFAULT_PARTITION__") or (
-                unquote(name) in want
-            ):
-                shutil.rmtree(os.path.join(target_path, entry))
-    if rewritten:
-        non_null = [v for v in rewritten if v is not None]
-        in_rewrite = (
-            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-        )
-        if any(v is None for v in rewritten):
-            in_rewrite = in_rewrite | F.col(partition_col).isNull()
-        # NULL-evaluating predicate rows must be RETAINED, consistent
-        # with the census (when(predicate, 1).otherwise(0) counts NULL
-        # as kept) — a bare ~predicate would silently drop them.
-        survivors = target.filter(in_rewrite).filter(
-            ~F.coalesce(predicate, F.lit(False))
-        )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.repartition(F.col(partition_col))
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"dropped": dropped, "rewritten": rewritten}
-
-
 _U14_ORACLE = f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
        COUNT(*) AS n_rows,
@@ -1131,360 +1015,6 @@ def u14_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("o_totalprice", "total_price"),
     )
-
-
-# --- U18: merge-on-read delete (deletion vectors) ------------------------------
-
-
-def mor_delete(
-    spark: SparkSession,
-    target_path: str,
-    predicate,
-    partition_col: str,
-    key_col: str,
-) -> int:
-    """Merge-on-read DELETE: record the matching rows' keys as
-    per-partition deletion vectors under ``{target_path}/_deletes/``
-    and touch NO data file — the other half of the production delete
-    story next to :func:`cow_delete` (COW pays the rewrite at delete
-    time; MOR pays an anti-join at read time and defers the rewrite to
-    :func:`mor_compact`), the Iceberg v2 position-delete / Delta
-    deletion-vector contract re-expressed on plain parquet.
-
-    The underscore prefix makes the vector directory invisible to any
-    plain ``spark.read.parquet(target_path)`` (Spark's hidden-file
-    filter skips ``_``/``.`` paths), so existing readers keep seeing
-    the un-deleted table until they opt into :func:`mor_read` —
-    exactly how engines stage DVs next to data files.  Vectors
-    accumulate across calls (each delete appends its keys), are
-    partitioned by ``partition_col`` so compaction can prune, and
-    carry keys only — a delete of k rows writes O(k) key bytes, never
-    data.  NULL-evaluating predicates retain the row (SQL DELETE
-    semantics, same as cow_delete).  Returns the number of keys NEWLY
-    tombstoned by this call: the predicate is evaluated against the
-    raw scan, so rows earlier vectors already tombstoned can match
-    again — they are anti-joined out before counting or writing
-    (advisor finding, round 8: without this, repeated overlapping
-    deletes re-append duplicate vector rows, growing the vector files
-    and inflating the returned count; the vector side is keys-only
-    and broadcast-sized by the MOR premise)."""
-    import os
-
-    target = _string_partition(spark.read.parquet(target_path), partition_col)
-    _refuse_seq(target, "mor_delete", "mor_cdc_apply with op='D'")
-    doomed = target.filter(F.coalesce(predicate, F.lit(False))).select(
-        partition_col, key_col
-    )
-    existing = _read_vectors(spark, target_path, partition_col, key_col)
-    if existing is not None:
-        doomed = doomed.join(
-            F.broadcast(existing),
-            on=_vector_match(doomed, existing, partition_col, key_col),
-            how="left_anti",
-        )
-    doomed.persist()
-    try:
-        n = doomed.count()
-        if n:
-            # a zero-match delete writes nothing: an empty partitioned
-            # write would create a _SUCCESS-only directory that breaks
-            # parquet schema inference on the next vector read
-            doomed.repartition(F.col(partition_col)).write.partitionBy(
-                partition_col
-            ).mode("append").parquet(os.path.join(target_path, "_deletes"))
-    finally:
-        doomed.unpersist()
-    return n
-
-
-def _refuse_seq(data: DataFrame, caller: str, instead: str) -> None:
-    """Guard the sequence-UNAWARE MOR functions against sequence-aware
-    tables (round-9 advisor finding): their key-only kill rule would
-    silently delete a CDC upsert's own re-appended image (the vector
-    and the new image share a key), and ``mor_delete`` would append
-    ``__seq``-less vector rows into a ``_deletes`` directory whose
-    reader requires the column.  Corruption → refusal."""
-    if "__seq" in data.columns:
-        raise ValueError(
-            f"{caller}: table carries __seq (sequence-aware MOR); the "
-            f"key-only vector rules would corrupt it — use {instead}"
-        )
-
-
-def _string_partition(df: DataFrame, partition_col: str) -> DataFrame:
-    """cow_delete's VOID guard, shared by the MOR family: when every
-    surviving directory is ``__HIVE_DEFAULT_PARTITION__`` Spark infers
-    the partition column as NullType, which ``partitionBy`` rejects
-    and null-safe comparisons against string vector columns cannot
-    resolve — cast to string, the type the directory encoding
-    round-trips through anyway."""
-    if dict(df.dtypes).get(partition_col) == "void":
-        return df.withColumn(
-            partition_col, F.col(partition_col).cast("string")
-        )
-    return df
-
-
-def _read_vectors(
-    spark: SparkSession, target_path: str, partition_col: str, key_col: str
-):
-    """Load the pending deletion vectors as renamed columns
-    ``(__dv_p, __dv_k)``, or None when no COMMITTED vector file
-    exists.  Committed means a real part file: a crash mid
-    ``mor_delete`` can leave ``_deletes/`` holding only the hidden
-    ``_temporary`` staging dir or ``_SUCCESS`` (round-8 review
-    finding) — a delete that never returned success never happened,
-    so its residue must read as "no vectors", not as a schema
-    inference error."""
-    import os
-
-    dels_path = os.path.join(target_path, "_deletes")
-    if not os.path.isdir(dels_path):
-        return None
-    committed = False
-    for _root, dirs, files in os.walk(dels_path):
-        # prune hidden dirs IN the walk: a part file staged under
-        # _temporary/... is exactly the uncommitted residue this check
-        # exists to ignore (second review pass, round 8 — the naive
-        # walk counted it as committed)
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        if any(not f.startswith(("_", ".")) for f in files):
-            committed = True
-            break
-    if not committed:
-        return None
-    raw = spark.read.parquet(dels_path)
-    if "__seq" in raw.columns:
-        raise ValueError(
-            "_read_vectors: _deletes carries __seq (sequence-aware "
-            "vectors); the key-only readers would over-delete — use "
-            "mor_read_seq / mor_compact_seq"
-        )
-    return raw.select(
-        F.col(partition_col).alias("__dv_p"),
-        F.col(key_col).alias("__dv_k"),
-    ).distinct()
-
-
-def _vector_match(data: DataFrame, dels: DataFrame, partition_col, key_col):
-    """Null-safe join condition data ⋈ vectors: tombstones for a NULL
-    partition or NULL key must still apply (round-8 review finding —
-    plain ``=`` never matches NULL, silently retaining 'deleted'
-    rows)."""
-    return data[partition_col].eqNullSafe(dels["__dv_p"]) & data[
-        key_col
-    ].eqNullSafe(dels["__dv_k"])
-
-
-def mor_read(
-    spark: SparkSession,
-    target_path: str,
-    partition_col: str,
-    key_col: str,
-    broadcast_vectors: bool = True,
-) -> DataFrame:
-    """Read a table with pending deletion vectors applied: data scan
-    LEFT ANTI JOIN the tombstoned ``(partition, key)`` pairs,
-    null-safe on both columns.  By default the vector side is
-    broadcast — erasure/TTL vectors are keys-only and tiny next to
-    the data, the MOR premise.  The hint is mandatory once given
-    (Spark never falls back by size), so a caller whose vectors have
-    outgrown broadcast capacity — compaction overdue — passes
-    ``broadcast_vectors=False`` for a shuffled anti-join on the same
-    condition.  With no committed vectors this is exactly the plain
-    scan — zero overhead."""
-    data = _string_partition(spark.read.parquet(target_path), partition_col)
-    _refuse_seq(data, "mor_read", "mor_read_seq")
-    dels = _read_vectors(spark, target_path, partition_col, key_col)
-    if dels is None:
-        return data
-    right = F.broadcast(dels) if broadcast_vectors else dels
-    return data.join(
-        right, on=_vector_match(data, dels, partition_col, key_col),
-        how="left_anti",
-    )
-
-
-def mor_compact(
-    spark: SparkSession,
-    target_path: str,
-    partition_col: str,
-    key_col: str,
-) -> dict:
-    """Fold pending deletion vectors back into the data files so reads
-    stop paying the anti-join — cow_delete's economics applied only to
-    the partitions that actually carry tombstones:
-
-    * the affected-partition list comes from the VECTORS (metadata-
-      sized — never a data scan);
-    * partitions whose every row is tombstoned are dropped as
-      directories;
-    * partially-tombstoned partitions are rewritten survivors-only via
-      dynamic partition overwrite;
-    * untouched partitions are never read or written;
-    * the vector directory is removed last, so a crash mid-compaction
-      leaves vectors in place and mor_read stays correct (applying a
-      tombstone to an already-rewritten partition is a no-op —
-      compaction is idempotent);
-    * a compaction that empties the WHOLE table leaves one zero-row
-      root parquet file carrying the schema, so the emptied table
-      stays readable (and a later mor_delete/mor_read still works) —
-      re-seed with a fresh ``mode('overwrite')`` partitioned write
-      before appending partitioned data again.
-
-    Refuses sequence-aware tables (round-9 advisor finding): matching
-    vectors on key alone would fold a CDC upsert's own tombstone into
-    its NEW image — use :func:`mor_compact_seq` there.
-
-    Returns ``{"dropped": [...], "rewritten": [...]}``."""
-    data = _string_partition(spark.read.parquet(target_path), partition_col)
-    _refuse_seq(data, "mor_compact", "mor_compact_seq")
-    dels = _read_vectors(spark, target_path, partition_col, key_col)
-    if dels is None:
-        return {"dropped": [], "rewritten": []}
-    cond = _vector_match(data, dels, partition_col, key_col)
-    return _compact_core(spark, target_path, partition_col, data, dels, cond)
-
-
-def _compact_core(
-    spark: SparkSession,
-    target_path: str,
-    partition_col: str,
-    data: DataFrame,
-    dels: DataFrame,
-    cond,
-    vector_scope: list | None = None,
-) -> dict:
-    """Shared compaction machinery for :func:`mor_compact` (kill rule:
-    key match) and :func:`mor_compact_seq` (kill rule: key match AND
-    ``__dv_seq > __seq``).  ``cond`` is the prebuilt dead-row join
-    condition between exactly these ``data``/``dels`` frames; every
-    other invariant (vector-derived partition list, unlink fully-dead
-    dirs, survivors-only dynamic overwrite, vectors removed LAST,
-    zero-row schema file before a whole-table empty) is identical.
-
-    ``vector_scope`` (round-15, the census-gated scheduler): when the
-    caller compacts only a SUBSET of partitions, it passes the subset
-    here and only those partitions' vector subdirs are removed — the
-    out-of-scope partitions keep their tombstones, staying correct
-    under :func:`mor_read_seq` until their own maintenance window.
-    The caller is responsible for having filtered ``dels`` to the same
-    scope; removal compares DECODED dir suffixes (Hive percent-escapes
-    partition values — the partition_orphan_gc lesson)."""
-    import os
-    import shutil
-    from urllib.parse import unquote
-
-    schema = data.schema
-    parts = dels.select("__dv_p").distinct()
-    census = (
-        data.join(
-            F.broadcast(parts),
-            on=data[partition_col].eqNullSafe(parts["__dv_p"]),
-            how="left_semi",
-        )
-        .join(
-            F.broadcast(dels.withColumn("__dead", F.lit(1))),
-            on=cond,
-            how="left",
-        )
-        .groupBy(data[partition_col])
-        .agg(
-            F.count("*").alias("n_all"),
-            F.sum(F.coalesce("__dead", F.lit(0))).alias("n_del"),
-        )
-        .collect()
-    )
-    dropped = [
-        r[partition_col] for r in census if r["n_del"] == r["n_all"]
-    ]
-    rewritten = [
-        r[partition_col]
-        for r in census
-        if 0 < r["n_del"] < r["n_all"]
-    ]
-    if dropped:
-        want = {str(v) for v in dropped if v is not None}
-        drop_null = any(v is None for v in dropped)
-        prefix = f"{partition_col}="
-        doomed_dirs = [
-            entry
-            for entry in os.listdir(target_path)
-            if entry.startswith(prefix)
-            and (
-                (
-                    drop_null
-                    and entry[len(prefix):] == "__HIVE_DEFAULT_PARTITION__"
-                )
-                or unquote(entry[len(prefix):]) in want
-            )
-        ]
-        all_dirs = [
-            e for e in os.listdir(target_path) if e.startswith(prefix)
-        ]
-        if not rewritten and set(doomed_dirs) == set(all_dirs):
-            # this compaction empties the whole table: persist the
-            # schema as a zero-row root file BEFORE the first unlink
-            # (second review pass, round 8 — reseeding after the drops
-            # left a crash window in which the table was unreadable
-            # and the retry itself crashed), unless a prior crashed
-            # attempt already left one
-            has_root_file = any(
-                not e.startswith(("_", "."))
-                and os.path.isfile(os.path.join(target_path, e))
-                for e in os.listdir(target_path)
-            )
-            if not has_root_file:
-                spark.createDataFrame([], schema).write.mode(
-                    "append"
-                ).parquet(target_path)
-        for entry in doomed_dirs:
-            shutil.rmtree(os.path.join(target_path, entry))
-    if rewritten:
-        non_null = [v for v in rewritten if v is not None]
-        in_rewrite = (
-            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-        )
-        if any(v is None for v in rewritten):
-            in_rewrite = in_rewrite | F.col(partition_col).isNull()
-        survivors = data.filter(in_rewrite).join(
-            F.broadcast(dels),
-            on=cond,
-            how="left_anti",
-        )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.repartition(F.col(partition_col))
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    dels_path = os.path.join(target_path, "_deletes")
-    if vector_scope is None:
-        shutil.rmtree(dels_path)
-    else:
-        want = {str(v) for v in vector_scope}
-        prefix = f"{partition_col}="
-        for entry in os.listdir(dels_path):
-            if entry.startswith(prefix) and (
-                unquote(entry[len(prefix):]) in want
-            ):
-                shutil.rmtree(os.path.join(dels_path, entry))
-        # prune the vector store entirely once nothing committed is
-        # left in it (readers treat a committed-file-free _deletes as
-        # absent, but an empty dir is residue a listing-based census
-        # should not have to reason about)
-        if not any(
-            e.startswith(prefix) for e in os.listdir(dels_path)
-        ):
-            shutil.rmtree(dels_path)
-    return {"dropped": dropped, "rewritten": rewritten}
 
 
 _U18_ORACLE = f"""
@@ -1571,177 +1101,6 @@ def u18_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     mor_compact(spark, target_path, "o_month", "o_orderkey")
     post = roll(spark.read.parquet(target_path), "compacted")
     return pre.unionByName(post)
-
-
-def snapshot_commit(
-    df: DataFrame,
-    base: str,
-    version: int,
-    partition_col: str,
-    parts: list | None = None,
-) -> dict:
-    """Commit ``df`` as snapshot ``version`` of a manifest-versioned
-    table — the minimal form of the Iceberg/Delta snapshot contract,
-    on plain parquet:
-
-    * the DATA written is only the partitions in ``parts`` (all of
-      ``df`` when None — the initial full commit), laid out under
-      ``{base}/v{version}/`` with normal ``partitionBy`` dirs;
-    * the MANIFEST (``_manifest_v{version}.json``) maps every
-      partition value to the version directory that owns its current
-      files: the previous manifest carried forward, overridden for
-      the committed partitions.  Unchanged partitions are never
-      rewritten and never copied — versions share their files.
-
-    The manifest is metadata-sized (one entry per partition, like
-    cow_delete's census) and each commit is atomic-ish in the same
-    sense as Hive: data lands first, the manifest pointer last, so a
-    reader at version N never sees a half-written N+1.  Time travel =
-    read any retained manifest; version GC = drop ``v{k}`` dirs no
-    manifest references.
-
-    Guards (all raise rather than lose data): a delta commit whose
-    predecessor manifest is missing is refused (it would silently
-    orphan every untouched partition), a version whose manifest
-    already exists is refused (re-committing published data), and a
-    declared part that contributed no rows is refused (an empty
-    commit is not a partition delete).  Partition values must be
-    non-null strings — the manifest is string-keyed.
-
-    Retry safety (advisor finding, round 7): data is staged under
-    ``_tmp_v{version}`` and renamed into place only after every
-    pre-publish guard has passed, and the manifest is written via
-    temp-file + ``os.replace``.  A crashed or guard-refused attempt
-    leaves at worst a stale temp dir / partial ``v{version}`` dir
-    that no manifest references; the retry clears both before
-    writing, so a retried commit can never append on top of a
-    partial one and a torn manifest can never be observed."""
-    import json as _json
-    import os
-    import re
-    import shutil
-
-    os.makedirs(base, exist_ok=True)
-    manifest_path = os.path.join(base, f"_manifest_v{version}.json")
-    if os.path.exists(manifest_path):
-        # the manifest pointer IS the publish: once it exists, readers
-        # may hold this version — a re-commit would mutate published
-        # data underneath them
-        raise ValueError(
-            f"snapshot_commit: version {version} is already committed "
-            f"({manifest_path} exists); commit the next version instead"
-        )
-    existing = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-    ]
-    if existing and version <= max(existing):
-        # the manifest-exists guard above is not enough once
-        # snapshot_expire has run: expiry can remove an INTERMEDIATE
-        # version's manifest while keeping its v-dir alive because a
-        # retained newer manifest still reads shared partitions from it
-        # (advisor finding, round 8).  Re-committing that version would
-        # pass both older guards, rmtree the shared v-dir, and silently
-        # corrupt every partition the retained head maps to it.  Commits
-        # are consecutive by contract, so any version at or below the
-        # max known manifest is a re-commit of history — refuse.
-        raise ValueError(
-            f"snapshot_commit: version {version} is not newer than the "
-            f"max committed version v{max(existing)}; retained manifests "
-            f"may share v{version}'s directory (expired intermediates "
-            "stay referenced) — commit the next version instead"
-        )
-    prev_path = os.path.join(base, f"_manifest_v{version - 1}.json")
-    manifest: dict[str, int] = {}
-    if os.path.exists(prev_path):
-        with open(prev_path) as fh:
-            manifest = _json.load(fh)
-    elif version != 1:
-        # a delta commit that silently started from an EMPTY manifest
-        # would drop every untouched partition from read time on —
-        # refuse, don't lose data (reviewer finding, round 7)
-        raise ValueError(
-            f"snapshot_commit: missing predecessor manifest {prev_path}; "
-            f"commits must be consecutive (expected v{version - 1} first)"
-        )
-    data = df if parts is None else df.filter(
-        F.col(partition_col).isin(list(parts))
-    )
-    # stage, verify, then rename: an unpublished v{version} dir can only
-    # be the residue of a crashed attempt (the manifest-exists guard
-    # above refuted the committed case), so both it and the stage dir
-    # are safe to clear on entry
-    tmp_dir = os.path.join(base, f"_tmp_v{version}")
-    vdir = os.path.join(base, f"v{version}")
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    data.repartition(F.col(partition_col)).write.partitionBy(
-        partition_col
-    ).parquet(tmp_dir)
-    committed = (
-        [str(p) for p in parts]
-        if parts is not None
-        else [
-            str(r[partition_col])
-            for r in df.select(partition_col).distinct().collect()
-        ]
-    )
-    # a declared part with no rows would get a manifest pointer to a
-    # directory partitionBy never created — the partition would vanish
-    # at this version without anyone asking for a delete (deletes are
-    # cow_delete's job, not an empty commit's).  Directory names are
-    # DECODED (Hive percent-escapes special characters — the cow_delete
-    # lesson) rather than re-derived.
-    from urllib.parse import unquote
-
-    prefix = f"{partition_col}="
-    written = {
-        unquote(e[len(prefix):])
-        for e in os.listdir(tmp_dir)
-        if e.startswith(prefix)
-    }
-    missing = [p for p in committed if p not in written]
-    if missing:
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        raise ValueError(
-            f"snapshot_commit: parts {missing} contributed no rows; "
-            "an empty commit is not a partition delete"
-        )
-    shutil.rmtree(vdir, ignore_errors=True)
-    os.replace(tmp_dir, vdir)
-    for p in committed:
-        manifest[p] = version
-    atomic_write_json(manifest_path, manifest)
-    return manifest
-
-
-def snapshot_read(
-    spark: SparkSession, base: str, version: int, partition_col: str
-) -> DataFrame:
-    """Read the table AS OF ``version``: group the manifest's
-    partitions by owning version directory and union one pruned scan
-    per directory (the ``isin`` filter on the partition column becomes
-    PartitionFilters — directory-level pruning, no data read from
-    partitions another version owns)."""
-    import json as _json
-    import os
-    from collections import defaultdict
-
-    with open(os.path.join(base, f"_manifest_v{version}.json")) as fh:
-        manifest: dict[str, int] = _json.load(fh)
-    by_version: dict[int, list[str]] = defaultdict(list)
-    for part, v in manifest.items():
-        by_version[v].append(part)
-    scans = [
-        spark.read.parquet(os.path.join(base, f"v{v}")).filter(
-            F.col(partition_col).isin(parts)
-        )
-        for v, parts in sorted(by_version.items())
-    ]
-    out = scans[0]
-    for s in scans[1:]:
-        out = out.unionByName(s)
-    return out
 
 
 _U15_ORACLE = """
@@ -1854,60 +1213,6 @@ def u15_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("changed"),
         )
     )
-
-
-def snapshot_expire(base: str, keep_versions: list[int]) -> dict:
-    """Expire snapshots: retain only the manifests in ``keep_versions``
-    and delete every ``v{k}`` data directory that NO retained manifest
-    references — the Iceberg ``expireSnapshots`` contract.  Because
-    commits share unchanged partitions by reference, an old version
-    directory must survive for as long as ANY retained manifest still
-    points at one of its partitions: expiring v1 and v2 while keeping
-    v3 removes v2's directory only if v3 re-wrote every partition v2
-    owned, and keeps v1's directory whenever v3 still reads untouched
-    partitions from it.  Pure metadata work — no data is read.
-
-    The head (newest) snapshot is never expirable: ``keep_versions``
-    must include the maximum existing manifest version, matching
-    Iceberg's ``expireSnapshots`` contract that the current snapshot
-    always survives (advisor finding, round 7 — without this,
-    ``keep_versions=[1]`` after a v2 commit would irreversibly delete
-    the newest data)."""
-    import json as _json
-    import os
-    import re
-    import shutil
-
-    existing = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-    ]
-    head = max(existing) if existing else None
-    if head is not None and head not in keep_versions:
-        raise ValueError(
-            f"snapshot_expire: keep_versions {sorted(keep_versions)} "
-            f"omits the head snapshot v{head}; the current snapshot "
-            "cannot be expired"
-        )
-    referenced: set[int] = set()
-    for v in keep_versions:
-        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
-            referenced |= set(_json.load(fh).values())
-    removed_dirs, removed_manifests = [], []
-    for entry in sorted(os.listdir(base)):
-        m = re.fullmatch(r"v(\d+)", entry)
-        if m and int(m.group(1)) not in referenced:
-            shutil.rmtree(os.path.join(base, entry))
-            removed_dirs.append(entry)
-        m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
-        if m and int(m.group(1)) not in keep_versions:
-            os.remove(os.path.join(base, entry))
-            removed_manifests.append(entry)
-    return {
-        "removed_dirs": removed_dirs,
-        "removed_manifests": removed_manifests,
-    }
 
 
 # --- U16: incremental join-view maintenance (signed deltas) --------------------
@@ -2120,119 +1425,6 @@ def u17_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U19: multi-table transactional snapshot commit ----------------------------
-
-
-def txn_commit(
-    base: str,
-    version: int,
-    updates: dict,
-) -> dict:
-    """Commit changes to SEVERAL snapshot tables as ONE atomic
-    transaction — the Iceberg multi-table-transaction / catalog-commit
-    contract, layered on the hardened single-table machinery
-    (:func:`snapshot_commit`):
-
-    * each table lives as its own snapshot store under
-      ``{base}/{table}/`` (manifest chain, shared version dirs);
-    * ``updates`` maps ``table -> (df, partition_col, parts)`` and
-      each table advances by exactly one TABLE version, committed via
-      snapshot_commit (staged + renamed + guarded, per that
-      function's retry contract);
-    * the TRANSACTION pointer ``_txn_v{version}.json`` — table name →
-      table version, carried forward for untouched tables — is
-      written LAST via atomic temp-file replace.  The pointer is the
-      only publish: txn_read resolves every table through it, so a
-      reader at transaction N sees a mutually consistent set of table
-      versions, and a crash anywhere before the pointer write leaves
-      the previous transaction fully intact.
-
-    Retry safety: a crashed attempt can leave ORPHANED table commits
-    (table manifest + version dir published, txn pointer absent).  No
-    txn pointer ever references them, so the retry detects and
-    removes them before re-committing — without this, the retried
-    snapshot_commit would refuse on its own already-committed guard —
-    and a target table version that IS referenced by a retained
-    pointer is never reclaimed (snapshot_commit then refuses the
-    re-commit, raising rather than destroying published data).
-    Pointer-write temp residue is inert (readers filter on the real
-    name) and reclaimed age-gated inside
-    :func:`~update_database_by_wind_spark.functions.fsutil.atomic_write_json`
-    for every manifest/pointer/checkpoint writer at once.  Guards
-    mirror the single-table ones: a txn pointer that already exists
-    refuses re-commit, and a missing predecessor pointer refuses a
-    gap."""
-    import json as _json
-    import os
-    import shutil
-
-    os.makedirs(base, exist_ok=True)
-    ptr_path = os.path.join(base, f"_txn_v{version}.json")
-    if os.path.exists(ptr_path):
-        raise ValueError(
-            f"txn_commit: transaction {version} is already committed "
-            f"({ptr_path} exists); commit the next version instead"
-        )
-    prev_path = os.path.join(base, f"_txn_v{version - 1}.json")
-    pointer: dict[str, int] = {}
-    if os.path.exists(prev_path):
-        with open(prev_path) as fh:
-            pointer = _json.load(fh)
-    elif version != 1:
-        raise ValueError(
-            f"txn_commit: missing predecessor pointer {prev_path}; "
-            f"transactions must be consecutive (expected v{version - 1})"
-        )
-    # union of table versions ANY retained pointer references — the
-    # reachability set; table commits outside it are crashed-attempt
-    # orphans and safe to reclaim (metadata-sized scan)
-    referenced: dict[str, set] = {}
-    for entry in os.listdir(base):
-        if entry.startswith("_txn_v") and entry.endswith(".json"):
-            with open(os.path.join(base, entry)) as fh:
-                for t, tv in _json.load(fh).items():
-                    referenced.setdefault(t, set()).add(tv)
-    for table, (df, partition_col, parts) in updates.items():
-        target_tv = pointer.get(table, 0) + 1
-        tdir = os.path.join(base, table)
-        orphan_manifest = os.path.join(
-            tdir, f"_manifest_v{target_tv}.json"
-        )
-        if os.path.exists(orphan_manifest) and target_tv not in referenced.get(
-            table, set()
-        ):
-            os.remove(orphan_manifest)
-            shutil.rmtree(
-                os.path.join(tdir, f"v{target_tv}"), ignore_errors=True
-            )
-        snapshot_commit(df, tdir, target_tv, partition_col, parts)
-        pointer[table] = target_tv
-    atomic_write_json(ptr_path, pointer)
-    return pointer
-
-
-def txn_read(
-    spark: SparkSession,
-    base: str,
-    version: int,
-    table: str,
-    partition_col: str,
-) -> DataFrame:
-    """Read ``table`` AS OF transaction ``version``: resolve the table
-    version through the txn pointer, then the ordinary directory-
-    pruned snapshot read.  Tables untouched by later transactions
-    resolve to their older versions — cross-table consistency comes
-    from the pointer, not from table-version numerology."""
-    import json as _json
-    import os
-
-    with open(os.path.join(base, f"_txn_v{version}.json")) as fh:
-        pointer = _json.load(fh)
-    return snapshot_read(
-        spark, os.path.join(base, table), pointer[table], partition_col
-    )
-
-
 _U19_CUT = "1997-01"
 
 _U19_ORACLE = f"""
@@ -2433,100 +1625,6 @@ def u19_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(1).unionByName(roll(2))
 
 
-
-
-# --- U20: change data feed between snapshot versions ---------------------------
-
-
-def snapshot_changes(
-    spark: SparkSession,
-    base: str,
-    v_from: int,
-    v_to: int,
-    partition_col: str,
-    key_col: str,
-    value_cols: list,
-) -> DataFrame:
-    """Row-level changelog between two committed snapshot versions —
-    the Delta ``table_changes`` / Iceberg changelog-scan contract on
-    the plain-parquet snapshot store: every row inserted, deleted, or
-    value-changed between ``v_from`` and ``v_to``, tagged
-    ``change_type`` ∈ {insert, delete, update} with ``{col}_before`` /
-    ``{col}_after`` images.
-
-    The cost model is the point: the two manifests are diffed FIRST
-    (metadata-sized — one entry per partition), and only partitions
-    whose owning version differs are scanned from either side.  A
-    commit rewrites whole partitions, so "owning version unchanged"
-    proves "no row changed" without reading a byte; within rewritten
-    partitions the diff is a per-(partition, key) full-outer join,
-    with unchanged rows (a rewrite can carry rows forward verbatim)
-    filtered out.  At 100 TB a nightly correction touching 1% of
-    partitions yields a CDF scan of 2% of the table (both images of
-    the changed 1%) — never a full-table diff, and downstream
-    incremental consumers (u16's Δ-view maintenance is the natural
-    reader) get exactly the signed rows they need.
-
-    Keys are assumed stable within a partition (a key that moves
-    between partitions reads as delete + insert — the same contract
-    as partition-keyed CDC everywhere)."""
-    import json as _json
-    import os
-
-    def manifest(v: int) -> dict:
-        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
-            return _json.load(fh)
-
-    m_from, m_to = manifest(v_from), manifest(v_to)
-    changed = sorted(
-        p
-        for p in set(m_from) | set(m_to)
-        if m_from.get(p) != m_to.get(p)
-    )
-
-    def side(v: int, m: dict) -> DataFrame:
-        parts = [p for p in changed if p in m]
-        cols = [partition_col, key_col, *value_cols]
-        if not parts:
-            scan = snapshot_read(spark, base, v, partition_col)
-            return scan.select(*cols).limit(0)
-        return (
-            snapshot_read(spark, base, v, partition_col)
-            .filter(F.col(partition_col).isin(parts))
-            .select(*cols)
-        )
-
-    old = side(v_from, m_from)
-    new = side(v_to, m_to)
-    joined = old.alias("a").join(
-        new.alias("b"),
-        on=[
-            F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"),
-            F.col(f"a.{key_col}") == F.col(f"b.{key_col}"),
-        ],
-        how="full_outer",
-    )
-    differs = F.lit(False)
-    for c in value_cols:
-        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-    return joined.filter(
-        F.col(f"a.{key_col}").isNull()
-        | F.col(f"b.{key_col}").isNull()
-        | differs
-    ).select(
-        F.coalesce(f"a.{partition_col}", f"b.{partition_col}").alias(
-            partition_col
-        ),
-        F.coalesce(f"a.{key_col}", f"b.{key_col}").alias(key_col),
-        F.when(F.col(f"a.{key_col}").isNull(), "insert")
-        .when(F.col(f"b.{key_col}").isNull(), "delete")
-        .otherwise("update")
-        .alias("change_type"),
-        *[F.col(f"a.{c}").alias(f"{c}_before") for c in value_cols],
-        *[F.col(f"b.{c}").alias(f"{c}_after") for c in value_cols],
-    )
-
-
 _U20_ORACLE = """
 WITH v1 AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
@@ -2624,310 +1722,6 @@ def u20_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_changes(
         spark, base, 1, 2, "o_month", "o_orderkey", ["cents"]
     )
-
-
-# --- U18b: sequence-aware MOR (CDC upserts through deletion vectors) -----------
-
-
-def mor_cdc_apply(
-    spark: SparkSession,
-    target_path: str,
-    batch: DataFrame,
-    partition_col: str,
-    key_col: str,
-    value_cols: list,
-    seq: int,
-    op_col: str = "op",
-) -> None:
-    """Apply one CDC micro-batch (rows tagged ``op`` ∈ {I, U, D}) to a
-    MOR table using SEQUENCE-AWARE deletion vectors — the Iceberg v2
-    sequence-number contract that makes upserts expressible on
-    merge-on-read: an update is a tombstone for the key's OLDER images
-    plus an appended new image carrying the batch's sequence number.
-
-    Plain (sequence-free) vectors cannot express upserts: the
-    re-appended image would match its own tombstone's key and vanish.
-    Here every data row carries ``__seq`` (the base load is 0, each
-    CDC batch a strictly larger number) and every vector row carries
-    the sequence of the batch that wrote it; :func:`mor_read_seq`
-    applies a vector only to data rows with a STRICTLY SMALLER
-    sequence, so a batch's new image survives its own tombstone and a
-    later delete still kills it.
-
-    Cost shape: O(batch) — U/D ops append key-only vector rows, U/I
-    ops append data rows; the table is never read or rewritten, which
-    is exactly why this is the right sink for a continuous CDC stream
-    (compaction amortizes the read-side anti-join away separately)."""
-    import os
-
-    if os.path.isdir(target_path):
-        try:
-            existing_cols = spark.read.parquet(target_path).columns
-        except Exception:
-            existing_cols = None  # no committed data yet -> nothing to clash
-        if existing_cols is not None and "__seq" not in existing_cols:
-            raise ValueError(
-                "mor_cdc_apply: target is a plain (sequence-free) MOR "
-                "table; appending __seq rows would fork its schema — "
-                "seed the base load with __seq = 0 first"
-            )
-    ops = F.col(op_col)
-    # __seq is pinned to long: a bare int literal writes int32,
-    # which would type-clash with a long-seq base table at read time
-    seq_col = F.lit(seq).cast("long").alias("__seq")
-    vec = batch.filter(ops.isin("U", "D")).select(
-        partition_col, key_col, seq_col
-    )
-    if vec.limit(1).count():
-        vec.repartition(F.col(partition_col)).write.partitionBy(
-            partition_col
-        ).mode("append").parquet(os.path.join(target_path, "_deletes"))
-    data = batch.filter(ops.isin("U", "I")).select(
-        partition_col, key_col, *value_cols, seq_col
-    )
-    if data.limit(1).count():
-        data.repartition(F.col(partition_col)).write.partitionBy(
-            partition_col
-        ).mode("append").parquet(target_path)
-
-
-def mor_read_seq(
-    spark: SparkSession,
-    target_path: str,
-    partition_col: str,
-    key_col: str,
-) -> DataFrame:
-    """Read a sequence-aware MOR table: a data row is live unless some
-    vector tombstones its key with a strictly larger sequence (written
-    by a LATER batch).  The vector side is keys + one long — broadcast
-    by the MOR premise — and the anti-join condition is the null-safe
-    key match AND ``vector.__seq > row.__seq``."""
-    data = _string_partition(spark.read.parquet(target_path), partition_col)
-    if "__seq" not in data.columns:
-        raise ValueError(
-            "mor_read_seq: table carries no __seq column — this is a "
-            "plain MOR table; use mor_read"
-        )
-    dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
-    if dels is None:
-        return data
-    cond = _vector_match(data, dels, partition_col, key_col) & (
-        dels["__dv_seq"] > data["__seq"]
-    )
-    return data.join(F.broadcast(dels), on=cond, how="left_anti")
-
-
-def mor_compact_seq(
-    spark: SparkSession,
-    target_path: str,
-    partition_col: str,
-    key_col: str,
-    parts: list | None = None,
-) -> dict:
-    """Sequence-aware compaction (the round-9 advisor's missing piece:
-    :func:`mor_compact`'s key-only kill rule would fold a CDC upsert's
-    own tombstone into its NEW image, so compacting an st16-style
-    table silently dropped every upserted or resurrected row).  Same
-    economics as :func:`mor_compact` — vector-derived partition list,
-    unlink fully-dead partitions, survivors-only dynamic overwrite,
-    vectors removed last (idempotent after a crash) — but a data row
-    is dead only when some vector tombstones its key with a STRICTLY
-    LARGER sequence, exactly :func:`mor_read_seq`'s rule, so
-    post-compaction plain scans and seq reads agree.
-
-    Survivors keep their ``__seq`` column: the table stays a valid
-    :func:`mor_cdc_apply` target and later batches (with larger
-    sequence numbers) keep working — compaction is a pure layout
-    change, invisible to the CDC algebra.
-
-    ``parts`` (round-15, the census-gated scheduler's targeting knob):
-    when given, ONLY those partitions are folded — their vectors are
-    applied, their survivors rewritten, and only their vector subdirs
-    removed; every other partition keeps both its files and its
-    tombstones, so :func:`mor_read_seq` stays exact on the
-    half-compacted table.  ``parts=[]`` is an explicit no-op (the
-    policy said nothing is due): nothing is read beyond the vector
-    probe, nothing written, nothing removed.  Non-null partition
-    values only (the vector store's NULL dir is out of a scoped
-    sweep's reach by design — pass ``parts=None`` for the full fold).
-    A NAMED partition with no dead rows to fold — the insert-only
-    fragmentation case, which has files worth merging but no vectors
-    — is NOT silently skipped (the round-15 reviewer's scheduler-
-    loops-forever scenario): it gets a file MERGE through
-    :func:`compact_partitions`' scoped work order instead, reported
-    under the receipt's ``merged`` key.  Scoped calls return
-    ``{"dropped", "rewritten", "merged"}``; the full fold keeps the
-    two-key shape shared with :func:`mor_compact`.
-
-    Why scoping matters at 100 TB: compaction debt accrues where the
-    CDC stream is HOT, and a policy that can only say "fold the whole
-    table" turns maintenance into a full-table rewrite on every
-    trigger.  Scoped folding makes the rewrite proportional to the
-    partitions the census actually named."""
-    data = _string_partition(spark.read.parquet(target_path), partition_col)
-    if "__seq" not in data.columns:
-        raise ValueError(
-            "mor_compact_seq: table carries no __seq column — this is "
-            "a plain MOR table; use mor_compact"
-        )
-    if parts is not None and not parts:
-        return {"dropped": [], "rewritten": [], "merged": []}
-    dels = _read_vectors_seq(spark, target_path, partition_col, key_col)
-    if parts is None:
-        if dels is None:
-            return {"dropped": [], "rewritten": []}
-        cond = _vector_match(data, dels, partition_col, key_col) & (
-            dels["__dv_seq"] > data["__seq"]
-        )
-        return _compact_core(
-            spark, target_path, partition_col, data, dels, cond
-        )
-    if dels is not None:
-        dels = dels.filter(F.col("__dv_p").isin([str(p) for p in parts]))
-        cond = _vector_match(data, dels, partition_col, key_col) & (
-            dels["__dv_seq"] > data["__seq"]
-        )
-        out = _compact_core(
-            spark, target_path, partition_col, data, dels, cond,
-            vector_scope=parts,
-        )
-    else:
-        out = {"dropped": [], "rewritten": []}
-    # named partitions the vector fold never touched (no dead rows =
-    # insert-only fragmentation, or a tombstone set that kills
-    # nothing): an explicit work order is not silently dropped — merge
-    # their files, vectors untouched (they have none that matter)
-    folded = {str(p) for p in out["dropped"] + out["rewritten"]}
-    leftovers = [p for p in parts if str(p) not in folded]
-    merged: list = []
-    if leftovers:
-        from urllib.parse import unquote
-
-        rec = compact_partitions(
-            spark, target_path, partition_col,
-            max_files=1, target_files=1, only=leftovers,
-        )
-        # compact_partitions reports raw dir suffixes; this receipt
-        # speaks decoded values like dropped/rewritten do
-        merged = sorted(unquote(p) for p in rec["fragmented"])
-    out["merged"] = merged
-    return out
-
-
-def _read_vectors_seq(
-    spark: SparkSession, target_path: str, partition_col: str, key_col: str
-):
-    """Sequence-aware twin of :func:`_read_vectors`: keeps ``__seq``
-    (renamed ``__dv_seq``), collapsed to the MAX sequence per key —
-    one vector row per key is enough because the kill rule is
-    ``__dv_seq > row.__seq`` and a larger sequence dominates."""
-    import os
-
-    dels_path = os.path.join(target_path, "_deletes")
-    if not os.path.isdir(dels_path):
-        return None
-    committed = False
-    for _root, dirs, files in os.walk(dels_path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        if any(not f.startswith(("_", ".")) for f in files):
-            committed = True
-            break
-    if not committed:
-        return None
-    return (
-        spark.read.parquet(dels_path)
-        .groupBy(
-            F.col(partition_col).alias("__dv_p"),
-            F.col(key_col).alias("__dv_k"),
-        )
-        .agg(F.max("__seq").alias("__dv_seq"))
-    )
-
-
-def mor_delete_seq(
-    spark: SparkSession,
-    target_path: str,
-    predicate,
-    partition_col: str,
-    key_col: str,
-    seq: int,
-) -> int:
-    """Sequence-aware MOR DELETE: tombstone the LIVE rows matching
-    ``predicate`` with a caller-supplied sequence stamp, touching no
-    data file — the missing symmetric half of the seq family (the
-    round-10 judge's item 6): :func:`mor_delete` serves plain tables,
-    and until now a sequence-aware table could only express deletes by
-    routing them through :func:`mor_cdc_apply`'s op-column batch shape.
-    A retention/erasure job is not a CDC stream; it has a predicate,
-    not a change feed.
-
-    Semantics and guards:
-
-    * the predicate is evaluated against :func:`mor_read_seq`'s LIVE
-      view, so already-tombstoned images can never re-match — repeated
-      identical calls return 0 and append nothing (idempotent), the
-      seq-family analogue of mor_delete's overlapping-delete dedup;
-    * NULL-evaluating predicates retain the row (SQL DELETE semantics,
-      same as cow_delete/mor_delete);
-    * ``seq`` must be STRICTLY larger than every matched live image's
-      ``__seq`` — the kill rule is ``vector.__seq > row.__seq``, so a
-      stale sequence would write vectors that silently kill nothing
-      (or worse, only the older half of the matches).  Corruption →
-      refusal, the same policy as :func:`_refuse_seq`;
-    * plain (``__seq``-less) tables are refused — use
-      :func:`mor_delete`.
-
-    Cost shape at 100 TB: a delete of k rows writes O(k) key bytes and
-    never reads back its own target during the write (the doomed set
-    is persisted first).  Whole-partition retention should still
-    prefer the COW/unlink path (:func:`cow_delete`, snapshot expiry) —
-    vectors earn their keep on predicates that CROSS partition
-    boundaries (GDPR erasure of scattered keys) or must interleave
-    with in-flight CDC batches without rewriting data, which is
-    exactly what the ``u24`` lifecycle proves."""
-    import os
-
-    if "__seq" not in spark.read.parquet(target_path).columns:
-        raise ValueError(
-            "mor_delete_seq: table carries no __seq column — this is a "
-            "plain MOR table; use mor_delete"
-        )
-    live = mor_read_seq(spark, target_path, partition_col, key_col)
-    # the doomed set is derived from reading _deletes and is about to
-    # be APPENDED to _deletes: cut the lineage with an eager
-    # localCheckpoint (the u21/b3 idiom) so neither the write nor the
-    # returned count can be recomputed against the vectors this very
-    # call writes — persist() is not enough, the append's
-    # recache-by-path invalidates the cache and a post-write
-    # recompute would see every matched row as already-tombstoned
-    doomed = (
-        live.filter(F.coalesce(predicate, F.lit(False)))
-        .select(partition_col, key_col, "__seq")
-        .localCheckpoint()
-    )
-    stats = doomed.agg(
-        F.count("*").alias("n"), F.max("__seq").alias("mx")
-    ).collect()[0]
-    if stats["n"] == 0:
-        return 0
-    if stats["mx"] >= seq:
-        raise ValueError(
-            f"mor_delete_seq: seq={seq} is not strictly larger than "
-            f"every matched live image's sequence (max={stats['mx']}) "
-            "— the > kill rule would silently retain those rows; "
-            "pass a larger sequence"
-        )
-    vec = doomed.select(
-        partition_col, key_col, F.lit(seq).cast("long").alias("__seq")
-    ).distinct()
-    # distinct keys actually tombstoned (live view can carry duplicate
-    # keys only under I-on-existing-key misuse, but the contract
-    # mirrors mor_delete's "keys newly tombstoned")
-    n_keys = vec.count()
-    vec.repartition(F.col(partition_col)).write.partitionBy(
-        partition_col
-    ).mode("append").parquet(os.path.join(target_path, "_deletes"))
-    return n_keys
 
 
 _U21_ORACLE = """
@@ -3204,57 +1998,6 @@ def u22_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("price", "total_price"),
     )
-
-
-# --- U23: snapshot RESTORE (metadata-only rollback commit) ---------------------
-
-
-def snapshot_restore(base: str, to_version: int, new_version: int) -> dict:
-    """Roll the table back to ``to_version`` by committing
-    ``new_version`` whose manifest is a verbatim copy of the restore
-    target's — the Delta ``RESTORE TABLE ... TO VERSION`` contract:
-    rollback is a NEW commit (history stays intact, the bad version
-    remains auditable/time-travelable), and it is METADATA-ONLY (the
-    restored manifest re-points partitions at data directories that
-    already exist; zero data bytes move, so restoring a 100 TB table
-    costs one manifest write).
-
-    Guards mirror :func:`snapshot_commit`'s: the restore target's
-    manifest must exist (an expired version cannot be restored — its
-    shared files may be gone), and ``new_version`` must be strictly
-    newer than the max committed version (re-committing history is
-    refused for the same corruption reasons).  Returns the restored
-    manifest mapping."""
-    import json as _json
-    import os
-    import re
-
-    from update_database_by_wind_spark.functions.fsutil import (
-        atomic_write_json,
-    )
-
-    src = os.path.join(base, f"_manifest_v{to_version}.json")
-    if not os.path.exists(src):
-        raise ValueError(
-            f"snapshot_restore: version {to_version} has no manifest "
-            "(expired or never committed) — nothing to restore to"
-        )
-    existing = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-    ]
-    if new_version <= max(existing):
-        raise ValueError(
-            f"snapshot_restore: new version {new_version} is not newer "
-            f"than the max committed version v{max(existing)}"
-        )
-    with open(src) as fh:
-        manifest = _json.load(fh)
-    atomic_write_json(
-        os.path.join(base, f"_manifest_v{new_version}.json"), manifest
-    )
-    return manifest
 
 
 _U23_ORACLE = """
@@ -3553,33 +2296,6 @@ def u24_mor_seq_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     p4 = roll(spark.read.parquet(target), "compacted")
     return p1.unionByName(p2).unionByName(p3).unionByName(p4)
-
-
-# --- U25: partition-spec evolution (no-rewrite layout change) ------------------
-
-
-def evolved_read(spark: SparkSession, base: str) -> DataFrame:
-    """Read a table whose manifest lists MULTIPLE partition specs: one
-    DataFrame per spec directory, unioned by name.  Each spec's scan
-    prunes on its OWN partition columns (Spark pushes the same logical
-    filter into both scans; a directory-level column in one spec is an
-    ordinary data column in the other), which is the Iceberg
-    partition-spec-evolution contract: changing the layout must not
-    rewrite history, and readers must keep pruning as well as each
-    layout allows."""
-    import json
-    import os
-
-    with open(os.path.join(base, "manifest.json")) as f:
-        manifest = json.load(f)
-    parts = [
-        spark.read.parquet(os.path.join(base, spec["dir"]))
-        for spec in manifest["specs"]
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 _U25_ORACLE = """
@@ -3898,58 +2614,6 @@ def u26_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(agg("post_vacuum"))
 
 
-# --- U27: orphan-directory GC (crash-artifact reclamation) ---------------------
-
-
-def orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
-    """Remove data directories that NO manifest references — the
-    Iceberg ``removeOrphanFiles`` contract on the snapshot store:
-    a crashed commit can leave a fully-written ``v{k}`` directory
-    whose manifest was never published (the manifest pointer IS the
-    publish), and a guard-refused retry can leave a ``_tmp_v{k}``
-    staging directory.  Neither is reachable from any manifest, so
-    both are dead bytes — but unlike :func:`snapshot_expire` this
-    NEVER touches a manifest: expiry rewrites history by policy,
-    orphan GC only reclaims what history already cannot see, so it is
-    safe to run at any point in the table's life.
-
-    ``min_age_s`` is the concurrent-writer guard (same caveat as
-    Iceberg's): an in-flight commit's staging dir looks orphaned
-    until its manifest publishes, so production runs pass an age
-    threshold comfortably above the longest commit; directories
-    younger than it are skipped, not removed.
-
-    Returns the removed entry names (sorted), for receipt checks."""
-    import os
-    import re
-    import shutil
-    import time
-
-    referenced: set[int] = set()
-    for entry in os.listdir(base):
-        if re.fullmatch(r"_manifest_v(\d+)\.json", entry):
-            with open(os.path.join(base, entry)) as fh:
-                import json as _json
-
-                referenced |= set(_json.load(fh).values())
-    removed = []
-    now = time.time()
-    for entry in sorted(os.listdir(base)):
-        full = os.path.join(base, entry)
-        if not os.path.isdir(full):
-            continue
-        m = re.fullmatch(r"v(\d+)", entry)
-        is_orphan_vdir = m is not None and int(m.group(1)) not in referenced
-        is_stage = re.fullmatch(r"_tmp_v\d+", entry) is not None
-        if not (is_orphan_vdir or is_stage):
-            continue
-        if now - os.path.getmtime(full) < min_age_s:
-            continue  # concurrent-writer guard: too young to judge
-        shutil.rmtree(full)
-        removed.append(entry)
-    return {"removed": removed}
-
-
 _U27_ORACLE = """
 WITH base AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
@@ -4067,86 +2731,6 @@ def u27_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{again['removed']} — reclamation must be idempotent"
         )
     return pre.unionByName(agg("post_gc"))
-
-
-# --- U28: named refs (tags) as GC roots over the snapshot store -----------------
-
-
-def snapshot_tag(base: str, name: str, version: int) -> None:
-    """Create an immutable named ref ``name`` → ``version`` — the
-    Iceberg tag contract: a human-meaningful, stable handle
-    ("audit-2024", "pre-migration") onto a snapshot that survives any
-    amount of later history.  Refuses a version with no manifest
-    (tagging the expired or never-committed is meaningless) and an
-    existing name (tags are immutable; retargeting a published name
-    would silently change what auditors re-read — delete + re-tag is
-    the explicit two-step).  Names are restricted to a filesystem-safe
-    alphabet because the ref IS a file."""
-    import os
-    import re
-
-    from update_database_by_wind_spark.functions.fsutil import (
-        atomic_write_json,
-    )
-
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]*", name):
-        raise ValueError(f"snapshot_tag: unsafe ref name {name!r}")
-    if not os.path.exists(os.path.join(base, f"_manifest_v{version}.json")):
-        raise ValueError(
-            f"snapshot_tag: version {version} has no manifest — cannot "
-            "tag an expired or uncommitted snapshot"
-        )
-    ref = os.path.join(base, f"_ref_{name}.json")
-    if os.path.exists(ref):
-        raise ValueError(
-            f"snapshot_tag: ref {name!r} already exists — tags are "
-            "immutable (delete then re-tag to retarget, explicitly)"
-        )
-    atomic_write_json(ref, {"version": version})
-
-
-def snapshot_tags(base: str) -> dict[str, int]:
-    """All named refs as {name: version}."""
-    import json as _json
-    import os
-    import re
-
-    out: dict[str, int] = {}
-    for entry in os.listdir(base):
-        if m := re.fullmatch(r"_ref_(.+)\.json", entry):
-            with open(os.path.join(base, entry)) as fh:
-                out[m.group(1)] = _json.load(fh)["version"]
-    return out
-
-
-def snapshot_read_tag(
-    spark: SparkSession, base: str, name: str, partition_col: str
-) -> DataFrame:
-    """Read the table AS OF the tagged snapshot."""
-    tags = snapshot_tags(base)
-    if name not in tags:
-        raise ValueError(f"snapshot_read_tag: no ref named {name!r}")
-    return snapshot_read(spark, base, tags[name], partition_col)
-
-
-def expire_untagged(base: str) -> dict:
-    """Expire every snapshot that is neither the head nor tagged —
-    the retention policy tags exist for: refs are GC ROOTS, so
-    ``snapshot_expire``'s keep set is computed (head ∪ tagged) rather
-    than hand-listed, and a tagged snapshot can never be vacuumed out
-    from under the name auditors use to reach it."""
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-    ]
-    keep = sorted({max(versions)} | set(snapshot_tags(base).values()))
-    receipt = snapshot_expire(base, keep_versions=keep)
-    receipt["kept_versions"] = keep
-    return receipt
 
 
 _U28_ORACLE = """
@@ -4290,62 +2874,6 @@ def u28_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = agg(snapshot_read(spark, base, 3, "o_month"), "head")
     return tagged.unionByName(head)
-
-
-# --- U29: optimistic-concurrency commit with conflict validation ----------------
-
-
-def occ_commit(
-    df: DataFrame,
-    base: str,
-    expected_base: int,
-    partition_col: str,
-    parts: list,
-) -> dict:
-    """Commit under OPTIMISTIC CONCURRENCY — the Iceberg writer
-    contract: a writer prepares its change against the snapshot it
-    read (``expected_base``), and at publish time either the head is
-    still that snapshot (fast path) or someone committed meanwhile
-    and the writer must VALIDATE before rebasing: if any partition it
-    wants to write was rewritten by a commit newer than its base
-    snapshot, its staged change was computed from stale data — refuse
-    (the caller re-reads and re-derives); if the concurrent commits
-    touched only OTHER partitions, the write is rebased onto the
-    current head (committed at head+1, whose predecessor manifest
-    carries the concurrent changes forward) and both writers' work
-    lands.
-
-    This is what makes a multi-writer table safe without locks: the
-    manifest's partition→version map IS the conflict ledger, so
-    validation is a metadata scan — no data read, no lock held while
-    the (possibly hour-long) staging write runs."""
-    import json as _json
-    import os
-    import re
-
-    versions = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-    ]
-    if not versions:
-        raise ValueError("occ_commit: no committed snapshot to build on")
-    head = max(versions)
-    rebased = head > expected_base
-    if rebased:
-        with open(os.path.join(base, f"_manifest_v{head}.json")) as fh:
-            owners: dict[str, int] = _json.load(fh)
-        conflicts = sorted(
-            p for p in parts if owners.get(str(p), 0) > expected_base
-        )
-        if conflicts:
-            raise ValueError(
-                f"occ_commit: conflict on partitions {conflicts} — they "
-                f"were rewritten after base snapshot v{expected_base}; "
-                "re-read the table and re-derive the change"
-            )
-    snapshot_commit(df, base, head + 1, partition_col, parts=parts)
-    return {"version": head + 1, "rebased": rebased}
 
 
 _U29_ORACLE = """
@@ -4654,167 +3182,6 @@ GROUP BY strftime(o_orderdate, '%Y-%m')
 """
 
 
-def small_file_census(table_path: str, partition_col: str) -> list[dict]:
-    """Per-partition small-file census of a dir-partitioned parquet
-    table — the metadata half of a compaction scheduler: one listing
-    pass (no data read) yields, per partition, the committed file
-    count and byte total, which is everything a fragmentation policy
-    needs.  At 100 TB this is the same cost class as the catalog's
-    own listing; on an object store it is one LIST per partition
-    prefix."""
-    import os
-
-    out = []
-    for entry in sorted(os.listdir(table_path)):
-        if not entry.startswith(f"{partition_col}="):
-            continue
-        pdir = os.path.join(table_path, entry)
-        files = [
-            os.path.join(pdir, f)
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ]
-        out.append(
-            {
-                "partition": entry.split("=", 1)[1],
-                "dir": pdir,
-                "n_files": len(files),
-                "bytes": sum(os.path.getsize(f) for f in files),
-            }
-        )
-    return out
-
-
-def compact_partitions(
-    spark: SparkSession,
-    table_path: str,
-    partition_col: str,
-    max_files: int = 8,
-    target_files: int = 1,
-    only: list | None = None,
-) -> dict:
-    """The scheduler: census → policy → TARGETED rewrite.  Partitions
-    whose committed file count exceeds ``max_files`` are rewritten to
-    ``target_files`` right-sized files each — staged to a sibling temp
-    dir first, then swapped in whole (rename of the partition dir), so
-    a reader never sees a half-compacted partition and a crash leaves
-    at worst an unreferenced ``_compact_tmp`` staging dir.  Healthy
-    partitions are NEVER touched: their files stay byte-identical,
-    which the u31 receipt checks by inode-level listing.
-
-    Cost shape at 100 TB: the census is metadata-only, and the
-    rewrite I/O is proportional to the FRAGMENTED bytes, not the
-    table — the difference between 'compact the table tonight' (a
-    full rewrite no 100 TB budget survives) and 'compact the 3% of
-    partitions the last ingest fragmented'.
-
-    ``only`` (round-15) restricts the census to the named partitions
-    (decoded values) — the work-order form mor_compact_seq's scoped
-    fold uses to merge insert-fragmented partitions that carry no
-    delete vectors.  The ``max_files`` policy still applies within
-    the scope; unnamed partitions are never touched."""
-    import os
-    import shutil
-
-    # Self-healing (round-14 advisor): a crash between the two swap
-    # renames leaves the partition invisible to readers, and the
-    # census below CANNOT see a missing partition — so recovery must
-    # not depend on the operator separately remembering to run it.
-    # Every pass heals first; on a clean table this is one listing.
-    recover_interrupted_compaction(table_path, partition_col)
-    census = small_file_census(table_path, partition_col)
-    if only is not None:
-        # a caller-scoped work order (mor_compact_seq's leftover
-        # merge): census partition names are the RAW dir suffixes,
-        # scope values are decoded (the partition_orphan_gc lesson)
-        from urllib.parse import unquote
-
-        want = {str(v) for v in only}
-        census = [c for c in census if unquote(c["partition"]) in want]
-    frag = [c for c in census if c["n_files"] > max_files]
-    for c in frag:
-        # staging-name law (caught by the crash-residue unit test):
-        # Spark's hidden-path filter skips "_"-prefixed names ONLY
-        # when they contain no "=" — a staging dir named like a
-        # partition dir ("_tmp_m=b") would be parsed as a partition
-        # COLUMN by any plain reader that lists the table while
-        # residue exists, failing reads with
-        # CONFLICTING_PARTITION_COLUMN_NAMES.  So the stage name
-        # carries the value but never "="
-        stage = os.path.join(
-            table_path, f"_compact_tmp_{c['partition']}"
-        )
-        old = os.path.join(
-            table_path, f"_compact_old_{c['partition']}"
-        )
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        (
-            spark.read.parquet(c["dir"])
-            .repartition(target_files)
-            .write.parquet(stage)
-        )
-        # swap by PURE RENAMES (round-14 self-review finding): the
-        # original rmtree(dir) → replace(stage, dir) sequence left the
-        # partition ABSENT for the whole rmtree — O(files) on a big
-        # partition — and a crash inside it lost the old files with
-        # only the staged copy surviving under a hidden name.  Two
-        # renames shrink the gap to a constant instant, and a crash
-        # between them is RECOVERABLE: the old dir survives intact as
-        # ``_compact_old_{p}`` (hidden from readers — no "=", see the
-        # stage-name law above) and recover_interrupted_compaction()
-        # puts it back.  An object-store deployment commits via the
-        # table format's metadata swap instead.
-        os.replace(c["dir"], old)
-        os.replace(stage, c["dir"])
-        shutil.rmtree(old)
-    return {
-        "n_partitions": len(census),
-        "fragmented": sorted(c["partition"] for c in frag),
-    }
-
-
-def recover_interrupted_compaction(
-    table_path: str, partition_col: str
-) -> dict:
-    """Crash recovery for :func:`compact_partitions`' rename swap —
-    run it before a compaction pass (or any time) to return the table
-    to a consistent state:
-
-    * ``_compact_old_{p}`` present and ``{col}={p}`` MISSING → the
-      crash hit between the two renames: restore the original
-      partition by renaming it back (the staged rewrite, if complete,
-      is discarded — it was never published);
-    * ``_compact_old_{p}`` present and ``{col}={p}`` present → the
-      crash hit after the publish rename but before cleanup: the old
-      dir is dead residue, remove it;
-    * ``_compact_tmp_{p}`` present → an unpublished staged rewrite
-      from either case above (or a crash mid-stage): remove it; the
-      next pass re-stages from the live partition.
-
-    Every step is a rename or a delete of a hidden dir, so recovery
-    is idempotent and safe to run unconditionally."""
-    import os
-    import shutil
-
-    restored, cleaned = [], []
-    for entry in sorted(os.listdir(table_path)):
-        if entry.startswith("_compact_old_"):
-            part = entry[len("_compact_old_"):]
-            live = os.path.join(table_path, f"{partition_col}={part}")
-            full = os.path.join(table_path, entry)
-            if os.path.isdir(live):
-                shutil.rmtree(full)
-                cleaned.append(entry)
-            else:
-                os.replace(full, live)
-                restored.append(part)
-        elif entry.startswith("_compact_tmp_"):
-            shutil.rmtree(os.path.join(table_path, entry))
-            cleaned.append(entry)
-    return {"restored": restored, "cleaned": cleaned}
-
-
 @query(
     "u31_compaction_scheduler",
     oracle=_U31_ORACLE,
@@ -4918,89 +3285,6 @@ def u31_compaction_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "total_price"),
         )
     )
-
-
-# --- U32: GDPR erasure under a legal hold — delete → hold → GC lifecycle --------
-
-
-def snapshot_untag(base: str, name: str) -> None:
-    """Remove a named ref — the explicit hold-release half of the
-    tag contract (:func:`snapshot_tag` refuses retargeting precisely
-    so that removal is a separate, auditable act).  Refuses a missing
-    ref: releasing a hold that does not exist is a workflow bug, not
-    a no-op — the caller believed data was pinned."""
-    import os
-
-    ref = os.path.join(base, f"_ref_{name}.json")
-    if not os.path.exists(ref):
-        raise ValueError(f"snapshot_untag: no ref named {name!r}")
-    os.remove(ref)
-
-
-def partition_orphan_gc(base: str, min_age_s: float = 0.0) -> dict:
-    """PARTITION-granular orphan GC — the reclamation step
-    :func:`snapshot_expire` cannot perform.  Expiry removes a version
-    DIRECTORY only when no retained manifest references it at all;
-    because commits share unchanged partitions by reference, a version
-    dir often stays alive for the partitions later snapshots still
-    read from it, while its REWRITTEN partitions' old files sit
-    unreachable inside it forever.  For retention that is cosmetic;
-    for ERASURE it is the difference between "unreachable" and
-    "gone": a GDPR delete is not complete while the pre-erasure
-    images exist on disk, even unreferenced.
-
-    The live set is every ``(owner_version, partition)`` pair any
-    retained manifest routes to; any ``v{k}/{col}={val}`` subdir not
-    in that set is removed.  Metadata-only decision (manifest reads +
-    listings), deletion cost proportional to the dead bytes.
-    ``min_age_s`` is the same concurrent-writer guard as
-    :func:`orphan_gc`: an in-flight commit's freshly-written partition
-    subdirs look orphaned until its manifest publishes.
-
-    This is the snapshot-store analogue of Iceberg's two-step
-    ``expireSnapshots`` + ``removeOrphanFiles`` — expiry drops the
-    catalog's roots, this reclaims what the surviving roots can no
-    longer see."""
-    import json as _json
-    import os
-    import re
-    import shutil
-    import time
-    from urllib.parse import unquote
-
-    live: set[tuple[int, str]] = set()
-    for entry in os.listdir(base):
-        if re.fullmatch(r"_manifest_v(\d+)\.json", entry):
-            with open(os.path.join(base, entry)) as fh:
-                for part, ver in _json.load(fh).items():
-                    live.add((ver, part))
-    removed = []
-    now = time.time()
-    for entry in sorted(os.listdir(base)):
-        m = re.fullmatch(r"v(\d+)", entry)
-        vdir = os.path.join(base, entry)
-        if not m or not os.path.isdir(vdir):
-            continue
-        ver = int(m.group(1))
-        for sub in sorted(os.listdir(vdir)):
-            if "=" not in sub:
-                continue
-            # Directory names are Hive percent-ESCAPED; manifest keys
-            # are the DECODED values (snapshot_commit's cow_delete
-            # lesson).  Probing the live set with the raw suffix made
-            # any escapable partition value (':', '%', '=', ...) look
-            # orphaned and rmtree'd a LIVE shared partition — found by
-            # the round-14 advisor's repro (value 'a:x': v1/m=a%3Ax
-            # deleted with both manifests retained).
-            part = unquote(sub.split("=", 1)[1])
-            if (ver, part) in live:
-                continue
-            full = os.path.join(vdir, sub)
-            if now - os.path.getmtime(full) < min_age_s:
-                continue  # concurrent-writer guard
-            shutil.rmtree(full)
-            removed.append(f"{entry}/{sub}")
-    return {"removed": removed}
 
 
 _U32_ORACLE = """
@@ -5181,97 +3465,6 @@ def u32_erasure_hold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
-
-
-# --- U33: optimistic concurrency at the TRANSACTION level -----------------------
-
-
-def txn_occ_commit(base: str, expected_txn: int, updates: dict) -> dict:
-    """Commit a multi-table transaction under OPTIMISTIC CONCURRENCY —
-    :func:`occ_commit`'s writer contract lifted to :func:`txn_commit`'s
-    atomic pointer: a writer prepares changes to SEVERAL tables
-    against the transaction it read (``expected_txn``), and at publish
-    either the head is still that transaction (fast path) or it
-    validates per (table, partition) before rebasing: for each updated
-    table, the partitions it writes are checked against that table's
-    HEAD manifest — any partition owned by a table version newer than
-    the version the writer read means its staged change derives from
-    data a concurrent transaction rewrote, and the whole transaction
-    REFUSES (multi-table atomicity cuts both ways: one stale table
-    poisons the lot — a partial land would publish a mutually
-    inconsistent group).  Tables untouched since the writer's read,
-    and disjoint partitions of advanced tables, rebase cleanly: the
-    new transaction lands at head+1 with every concurrent change
-    carried forward by the pointer.
-
-    Validation cost: one pointer read + one manifest read per updated
-    table — metadata-sized, no lock held while the multi-table staging
-    writes run; the conflict ledger is the same partition→version map
-    u29/u30 probe, just consulted through the transaction pointer."""
-    import json as _json
-    import os
-    import re
-
-    txns = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    ]
-    if not txns:
-        raise ValueError("txn_occ_commit: no committed transaction")
-    head = max(txns)
-    base_path = os.path.join(base, f"_txn_v{expected_txn}.json")
-    if not os.path.exists(base_path):
-        # e.g. the writer's base transaction was expired from history:
-        # same refusal CONTRACT as every other stale-writer path (a
-        # raw FileNotFoundError here broke the caller's single
-        # except-ValueError retry loop — round-14 advisor)
-        raise ValueError(
-            f"txn_occ_commit: base transaction {expected_txn} no "
-            "longer retained; re-read and re-derive"
-        )
-    with open(base_path) as fh:
-        base_ptr = _json.load(fh)
-    rebased = head > expected_txn
-    if rebased:
-        with open(os.path.join(base, f"_txn_v{head}.json")) as fh:
-            head_ptr = _json.load(fh)
-        conflicts = []
-        for table, (_df, _pcol, parts) in updates.items():
-            tv_base = base_ptr.get(table, 0)
-            tv_head = head_ptr.get(table, 0)
-            if tv_head == tv_base:
-                continue  # table untouched since the writer's read
-            if parts is None:
-                # a FULL-table update prepared against a stale read
-                # overlaps every partition a concurrent transaction
-                # advanced, by definition — validating nothing here
-                # would silently revert that work (the skip-validation
-                # footgun the u33 self-review caught)
-                raise ValueError(
-                    f"txn_occ_commit: table {table!r} advanced past "
-                    f"transaction {expected_txn} and the update "
-                    "declares no parts (full-table rewrite from stale "
-                    "data); re-read and re-derive"
-                )
-            manifest = os.path.join(
-                base, table, f"_manifest_v{tv_head}.json"
-            )
-            with open(manifest) as fh:
-                owners = _json.load(fh)
-            conflicts.extend(
-                (table, p)
-                for p in parts
-                if owners.get(str(p), 0) > tv_base
-            )
-        if conflicts:
-            raise ValueError(
-                f"txn_occ_commit: conflict on partitions "
-                f"{sorted(conflicts)} — they were rewritten after "
-                f"transaction {expected_txn}; re-read and re-derive"
-            )
-    txn_commit(base, head + 1, updates)
-    return {"txn": head + 1, "rebased": rebased}
 
 
 _U33_ORACLE = """
@@ -5478,148 +3671,6 @@ def u33_txn_occ_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("audit").alias("tbl"), "o_month", "n_rows", "total")
     )
     return ledger_out.unionByName(audit_out)
-
-
-# --- U34: multi-table change data feed through the transaction pointer ----------
-
-
-class RetentionExpiredError(ValueError):
-    """Raised by :func:`txn_changes` when an endpoint transaction's
-    pointer has been expired by retention — the one ValueError a feed
-    consumer may CONVERT into a rebaseline.  txn_changes also raises
-    plain ValueError for caller errors (a table in neither pointer, a
-    mis-specified feed spec); the round-15 advisor found
-    the st22/st23 daemons treating every ValueError as the rebaseline
-    trigger, silently converting a permanent spec bug into a full
-    recompute on every notification.  Subclasses ValueError so
-    callers holding the documented re-read/re-derive contract are
-    unaffected."""
-
-
-def txn_changes(
-    spark: SparkSession,
-    base: str,
-    txn_from: int,
-    txn_to: int,
-    tables: dict,
-) -> dict:
-    """Row-level changelogs for SEVERAL tables between two committed
-    TRANSACTIONS — :func:`snapshot_changes` lifted through
-    :func:`txn_commit`'s atomic pointer, so the per-table feeds are
-    MUTUALLY CONSISTENT by construction: each table's (from, to)
-    version pair is resolved from the same two pointer files, which is
-    exactly the set of versions a reader at those transactions sees.
-    Diffing table versions independently cannot give that guarantee —
-    version numerology says nothing about which versions were
-    published together.
-
-    ``tables`` maps ``name -> (partition_col, key_col, value_cols)``;
-    returns ``name -> changelog DataFrame`` in snapshot_changes'
-    schema.  A table whose version is UNCHANGED between the two
-    pointers short-circuits to an empty changelog from the pointer
-    alone — metadata cost, no manifest read, no scan (the schema comes
-    from one footer read of the table's current version dir).  At
-    100 TB that short-circuit is the point: a nightly transaction
-    touches a few tables of a large group, and downstream incremental
-    consumers ask "what changed in MY table" — most answers are free.
-
-    A table absent from both pointers is a caller error (loud), not an
-    empty feed: an empty feed means "verified unchanged", which is a
-    claim this function must not fabricate for a table the
-    transaction group never committed.  A table ADDED to the group
-    mid-history (absent at ``txn_from``, present at ``txn_to`` —
-    txn_commit supports this) feeds its ENTIRE ``txn_to`` snapshot as
-    inserts with NULL before-images: the changelog from before a
-    table existed is the table (the round-15 reviewer found the
-    original fall-through crashed on a ``_manifest_v0`` read — the
-    same raw-exception class txn_occ_commit's refusal contract
-    fixed).  Symmetrically, a table REMOVED from the group between
-    the endpoints (present at ``txn_from``, absent at ``txn_to`` —
-    the pointer shape :func:`txn_restore` publishes when rolling back
-    past a mid-history table ADD) feeds its entire ``txn_from``
-    snapshot as deletes with NULL after-images: the changelog that
-    takes a downstream view to "table gone" (the round-16 advisor
-    found this shape crashing on the same ``_manifest_v0`` read the
-    added-table fix closed on the other side)."""
-    import json as _json
-    import os
-
-    def pointer(v: int) -> dict:
-        p = os.path.join(base, f"_txn_v{v}.json")
-        if not os.path.exists(p):
-            raise RetentionExpiredError(
-                f"txn_changes: transaction {v} is not retained; "
-                "changelogs require both endpoint pointers"
-            )
-        with open(p) as fh:
-            return _json.load(fh)
-
-    ptr_f, ptr_t = pointer(txn_from), pointer(txn_to)
-    out: dict[str, DataFrame] = {}
-    for name, (pcol, kcol, vcols) in tables.items():
-        tv_f, tv_t = ptr_f.get(name, 0), ptr_t.get(name, 0)
-        if tv_f == 0 and tv_t == 0:
-            raise ValueError(
-                f"txn_changes: table {name!r} appears in neither "
-                f"transaction {txn_from} nor {txn_to}"
-            )
-        if tv_f == tv_t:
-            # the pointer already proves no row changed: emit the
-            # empty changelog without touching a manifest (schema from
-            # one footer read of the live version dir)
-            src = spark.read.parquet(
-                os.path.join(base, name, f"v{tv_t}")
-            ).limit(0)
-            out[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("update").alias("change_type"),
-                *[F.col(c).alias(f"{c}_before") for c in vcols],
-                *[F.col(c).alias(f"{c}_after") for c in vcols],
-            )
-        elif tv_f == 0:
-            # table added to the group after txn_from: everything it
-            # holds at txn_to is an insert (NULL before-images)
-            src = snapshot_read(
-                spark, os.path.join(base, name), tv_t, pcol
-            )
-            out[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("insert").alias("change_type"),
-                *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_before"
-                    )
-                    for c in vcols
-                ],
-                *[F.col(c).alias(f"{c}_after") for c in vcols],
-            )
-        elif tv_t == 0:
-            # table removed from the group before txn_to (a restore
-            # rolled back past its ADD): everything it held at
-            # txn_from is a delete (NULL after-images)
-            src = snapshot_read(
-                spark, os.path.join(base, name), tv_f, pcol
-            )
-            out[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("delete").alias("change_type"),
-                *[F.col(c).alias(f"{c}_before") for c in vcols],
-                *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_after"
-                    )
-                    for c in vcols
-                ],
-            )
-        else:
-            out[name] = snapshot_changes(
-                spark, os.path.join(base, name), tv_f, tv_t,
-                pcol, kcol, vcols,
-            )
-    return out
 
 
 _U34_CUT2 = "1998-01"
@@ -5899,242 +3950,6 @@ def u34_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- S19: file-skipping stats that travel with the snapshot ---------------------
-
-
-def snapshot_commit_stats(
-    spark: SparkSession, base: str, version: int, columns: list
-) -> dict:
-    """Persist footer min/max stats for the files VERSION wrote —
-    ``_stats_v{k}.json`` beside the manifest, keyed by base-relative
-    path.  The sweep covers ONLY ``v{k}``'s directory, so stats cost
-    is commit-proportional: partitions a commit shares by reference
-    keep the stats row their owning version already published, exactly
-    as they keep the data files.  This is the Iceberg/Delta contract
-    of stats living in the table metadata (manifest entries / the
-    transaction log) rather than in a side index that goes stale the
-    moment the table advances — :func:`snapshot_stats_for` reassembles
-    the per-version ledgers through the manifest, giving every
-    snapshot its own exact stats view.
-
-    Columns must be int/long/string-statted (JSON-portable); that
-    covers the skipping keys the S13 family uses.  Run it right after
-    :func:`snapshot_commit` with the same version number — a version
-    with data but no stats ledger makes :func:`snapshot_stats_for`
-    refuse loudly rather than silently skip nothing."""
-    import os
-
-    from update_database_by_wind_spark.operators.storage import (
-        build_file_stats_index,
-    )
-
-    vdir = os.path.join(base, f"v{version}")
-    rows = build_file_stats_index(spark, vdir, list(columns)).collect()
-    stats = {
-        os.path.relpath(r["file"], base): {
-            k: v for k, v in r.asDict().items() if k != "file"
-        }
-        for r in rows
-    }
-    atomic_write_json(
-        os.path.join(base, f"_stats_v{version}.json"), stats
-    )
-    return stats
-
-
-def snapshot_commit_with_stats(
-    spark: SparkSession,
-    df: DataFrame,
-    base: str,
-    version: int,
-    partition_col: str,
-    stat_cols: list,
-    parts: list | None = None,
-) -> dict:
-    """Commit + stats as ONE protocol step: :func:`snapshot_commit`
-    publishes the data and manifest, then :func:`snapshot_commit_stats`
-    publishes the version's stats ledger.  Crash ordering is the
-    contract: the ledger is written strictly AFTER the manifest, so a
-    crash in the gap leaves the version fully READABLE
-    (snapshot_read never consults stats) while every stats-routed
-    band read refuses loudly (:func:`snapshot_stats_for`'s missing-
-    ledger error) instead of silently scanning nothing — and recovery
-    is exactly one idempotent re-run of ``snapshot_commit_stats`` for
-    the named version (the footer sweep rereads immutable committed
-    files; atomic_write_json republishes the same ledger).  The
-    reverse order would be wrong twice over: a ledger describing
-    files that never published poisons :func:`snapshot_stats_for`'s
-    reachability claim, and snapshot_commit's own crash-retry path
-    (stage + rename) could legitimately produce different file names
-    on the retry.
-
-    Returns the stats ledger (the commit's manifest is on disk, same
-    as snapshot_commit)."""
-    snapshot_commit(df, base, version, partition_col, parts)
-    return snapshot_commit_stats(spark, base, version, stat_cols)
-
-
-def snapshot_stats_for(
-    base: str, version: int, partition_col: str
-) -> dict:
-    """The stats view AS OF a snapshot: resolve the manifest's
-    partition → owning-version map and pull each partition's file
-    entries from the OWNER's stats ledger.  Metadata-only (one JSON
-    per referenced version), and the result covers exactly the files
-    :func:`snapshot_read` at that version would scan — shared
-    partitions carry their original stats by reference, rewritten
-    ones carry the rewriter's.  Partition-dir components are DECODED
-    before matching (Hive percent-escapes values — the
-    partition_orphan_gc lesson)."""
-    import json as _json
-    import os
-    from urllib.parse import unquote
-
-    with open(os.path.join(base, f"_manifest_v{version}.json")) as fh:
-        manifest: dict[str, int] = _json.load(fh)
-    ledgers: dict[int, dict] = {}
-    grouped: dict[int, dict[str, dict]] = {}
-    prefix = f"{partition_col}="
-    merged: dict[str, dict] = {}
-    for part, ver in manifest.items():
-        if ver not in ledgers:
-            path = os.path.join(base, f"_stats_v{ver}.json")
-            if not os.path.exists(path):
-                raise ValueError(
-                    f"snapshot_stats_for: version {ver} has no stats "
-                    "ledger; run snapshot_commit_stats at commit time"
-                )
-            with open(path) as fh:
-                ledgers[ver] = _json.load(fh)
-            by_part: dict[str, dict] = {}
-            for rel, s in ledgers[ver].items():
-                comp = rel.split("/")[1]
-                if not comp.startswith(prefix):
-                    raise ValueError(
-                        f"snapshot_stats_for: ledger entry {rel!r} is "
-                        f"not under a {partition_col}= directory"
-                    )
-                by_part.setdefault(
-                    unquote(comp[len(prefix):]), {}
-                )[rel] = s
-            grouped[ver] = by_part
-        merged.update(grouped[ver].get(part, {}))
-    return merged
-
-
-def snapshot_read_pruned(
-    spark: SparkSession,
-    base: str,
-    version: int,
-    partition_col: str,
-    column: str,
-    lo,
-    hi,
-) -> tuple[DataFrame, list, int]:
-    """Band read of a snapshot THROUGH its travelling stats: files
-    whose ``[column_min, column_max]`` cannot intersect ``[lo, hi]``
-    are dropped before any scan is planned.  Returns
-    ``(df, kept, n_total)`` — ``kept`` is the base-relative path list
-    the read actually plans over, so callers can assert both that
-    skipping engaged (``len(kept) < n_total``) and that the executed
-    scan stayed inside it, against the SAME rule the read used rather
-    than a re-derivation that could drift (round-15 reviewer).  The
-    point versus S13's side index: the pruning decision here is valid
-    AS OF the snapshot — time travel to v1 prunes with v1-era stats
-    even after v2 rewrote half the table — and a predicate on a
-    NON-partition column can skip whole partitions without the reader
-    knowing the partition transform (Iceberg's hidden-partitioning
-    read path)."""
-    merged = snapshot_stats_for(base, version, partition_col)
-    kept = sorted(
-        rel
-        for rel, s in merged.items()
-        if s[f"{column}_min"] <= hi and s[f"{column}_max"] >= lo
-    )
-    if not kept:
-        empty = snapshot_read(
-            spark, base, version, partition_col
-        ).limit(0)
-        return empty, [], len(merged)
-    out = _assemble_kept_scan(spark, base, kept)
-    return (
-        out.filter(F.col(column).between(lo, hi)),
-        kept,
-        len(merged),
-    )
-
-
-def _assemble_kept_scan(
-    spark: SparkSession, base: str, kept: list
-) -> DataFrame:
-    """Plan a scan over exactly the kept base-relative files, one
-    basePath-anchored read per owning version dir (the partition
-    column is recovered from the dir names), unioned by name — shared
-    by the single-band and conjunctive multi-band snapshot reads."""
-    import os
-    from collections import defaultdict
-
-    by_vdir: dict[str, list] = defaultdict(list)
-    for rel in kept:
-        by_vdir[rel.split("/")[0]].append(os.path.join(base, rel))
-    scans = [
-        spark.read.option("basePath", os.path.join(base, vd)).parquet(
-            *sorted(files)
-        )
-        for vd, files in sorted(by_vdir.items())
-    ]
-    out = scans[0]
-    for sc in scans[1:]:
-        out = out.unionByName(sc)
-    return out
-
-
-def snapshot_read_pruned_multi(
-    spark: SparkSession,
-    base: str,
-    version: int,
-    partition_col: str,
-    bands: dict,
-) -> tuple[DataFrame, list, int]:
-    """CONJUNCTIVE band read of a snapshot through its travelling
-    stats — S13's ``skipping_read_multi`` semantics on the snapshot
-    path: ``bands`` maps ``column -> (lo, hi)``, a file survives only
-    when EVERY band intersects its footer ``[min, max]``, and the one
-    merged stats view (one JSON probe per referenced owner version)
-    serves all predicates at once.  The kept set is by construction
-    the INTERSECTION of the per-column kept sets — the s21 receipt
-    pins that identity against the single-band reads — and the
-    executed scan re-applies every band as a data filter, so the
-    stats can only ever drop provably-empty files, never rows.
-
-    Why conjunctive pruning needs LAYOUT, not just stats: a band on
-    one column prunes only where the layout correlates files with
-    that column.  The s21 fixture gets two independent dimensions by
-    composing the partition transform (bucket dirs carry the custkey
-    correlation) with in-dir range clustering on cents
-    (:func:`cluster_partitions`) — each file then spans a narrow band
-    of BOTH columns, and the conjunctive read keeps strictly fewer
-    files than either single-column read."""
-    merged = snapshot_stats_for(base, version, partition_col)
-    kept = sorted(
-        rel
-        for rel, s in merged.items()
-        if all(
-            s[f"{c}_min"] <= hi and s[f"{c}_max"] >= lo
-            for c, (lo, hi) in bands.items()
-        )
-    )
-    if not kept:
-        empty = snapshot_read(
-            spark, base, version, partition_col
-        ).limit(0)
-        return empty, [], len(merged)
-    out = _assemble_kept_scan(spark, base, kept)
-    for c, (lo, hi) in sorted(bands.items()):
-        out = out.filter(F.col(c).between(lo, hi))
-    return out, kept, len(merged)
-
-
 _S19_ORACLE = """
 WITH v1 AS (
   SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
@@ -6352,56 +4167,6 @@ def s19_snapshot_stats_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phases[0].unionByName(phases[1])
 
 
-# --- U35: incremental view maintenance FROM the multi-table feed ----------------
-
-def apply_feed_deltas(view: DataFrame, feeds: dict) -> DataFrame:
-    """Apply one transaction's :func:`txn_changes` feeds to the
-    per-month orders+quantity view — the signed-delta algebra U35
-    (batch) and ST22 (streaming daemon) share, factored so the two
-    maintenance paths cannot drift: insert → +1 count / +after,
-    delete → −1 / −before, update → +(after − before), merged into
-    the stored view by a full-outer month join; months whose order
-    count falls to zero leave the view.  Reads ONLY the feeds and the
-    (month-cardinality) view — never a fact table."""
-    zero = F.lit(0).cast("long")
-    ct = F.col("change_type")
-    od = feeds["orders"].groupBy("o_month").agg(
-        F.sum(
-            F.when(ct == "insert", 1)
-            .when(ct == "delete", -1)
-            .otherwise(0)
-        ).alias("d_n"),
-        F.sum(
-            F.coalesce("cents_after", zero)
-            - F.coalesce("cents_before", zero)
-        ).alias("d_cents"),
-    )
-    ld = feeds["lineitem"].groupBy("o_month").agg(
-        F.sum(
-            F.coalesce("qty_after", zero)
-            - F.coalesce("qty_before", zero)
-        ).alias("d_qty"),
-    )
-    return (
-        view.join(od, "o_month", "full")
-        .join(ld, "o_month", "full")
-        .select(
-            "o_month",
-            (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
-            .alias("n_orders"),
-            (
-                F.coalesce("total_cents", zero)
-                + F.coalesce("d_cents", zero)
-            ).alias("total_cents"),
-            (
-                F.coalesce("total_qty", zero)
-                + F.coalesce("d_qty", zero)
-            ).alias("total_qty"),
-        )
-        .filter(F.col("n_orders") > 0)
-    )
-
-
 _U35_ORACLE = _TXN_FEED_CTES + """,
 ov AS (
   SELECT o_month, COUNT(*) AS n_orders,
@@ -6508,171 +4273,6 @@ def u35_feed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({mism} months differ)"
             )
     return view
-
-
-# --- U36: travelling stats stay exact across layout rewrites --------------------
-
-
-def snapshot_stats_resync(
-    spark: SparkSession, base: str, version: int, partition_col: str
-) -> dict:
-    """Re-true ``version``'s travelling stats ledger against what is
-    actually on disk under ``v{version}`` — the repair half of the
-    layout-coherence protocol: ledger entries whose file no longer
-    exists are dropped, and files on disk the ledger does not cover
-    get fresh footer entries, swept per PARTITION dir so the cost is
-    proportional to the partitions a rewrite touched, never the
-    version.  The stat columns are inferred from the ledger itself
-    (``{col}_min``/``{col}_max`` keys), so a resync can never drift
-    from what the commit originally tracked.
-
-    Idempotent and self-healing by construction: a crash anywhere
-    (including between a compaction's data swap and its ledger
-    republish) is recovered by re-running this function — existence
-    is the only signal it needs, so it never has to know WHICH
-    rewrite died.  A clean ledger returns all-empty deltas without
-    writing.  Refuses loudly when the version has no ledger (the
-    snapshot_commit_with_stats contract) or an empty one (no entries
-    to infer columns from)."""
-    import json as _json
-    import os
-
-    from update_database_by_wind_spark.operators.storage import (
-        build_file_stats_index,
-    )
-
-    ledger_path = os.path.join(base, f"_stats_v{version}.json")
-    if not os.path.exists(ledger_path):
-        raise ValueError(
-            f"snapshot_stats_resync: version {version} has no stats "
-            "ledger; run snapshot_commit_stats at commit time"
-        )
-    with open(ledger_path) as fh:
-        ledger: dict[str, dict] = _json.load(fh)
-    # the same ledger-shape validation snapshot_stats_for performs
-    # (round-15 review: an unused partition_col parameter implied a
-    # check that never ran — a caller naming the wrong column must
-    # hear about it, not get a silent pass)
-    prefix = f"{partition_col}="
-    for rel in ledger:
-        if not rel.split("/")[1].startswith(prefix):
-            raise ValueError(
-                f"snapshot_stats_resync: ledger entry {rel!r} is not "
-                f"under a {partition_col}= directory"
-            )
-    vdir = os.path.join(base, f"v{version}")
-    on_disk: set[str] = set()
-    for root_, dirs, files in os.walk(vdir):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        on_disk.update(
-            os.path.relpath(os.path.join(root_, f), base)
-            for f in files
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-    dead = sorted(k for k in ledger if k not in on_disk)
-    uncovered = sorted(p for p in on_disk if p not in ledger)
-    if not dead and not uncovered:
-        # includes the total-deletion edge the churn fuzz found: an
-        # EMPTY ledger over an empty version dir is trivially coherent,
-        # and refusing it broke the "re-running recovery is free"
-        # contract after a rewrite removed every partition
-        return {"dropped": [], "added": [], "resynced_parts": []}
-    if uncovered and not ledger:
-        # files appeared under a version whose ledger holds no entry to
-        # infer the tracked stat columns from — not a state the commit
-        # or maintenance protocols can produce; refuse loudly
-        raise ValueError(
-            f"snapshot_stats_resync: version {version}'s ledger is "
-            "empty but files exist on disk — no entries to infer the "
-            "tracked stat columns from"
-        )
-    stat_cols = sorted(
-        {
-            k[: -len("_min")]
-            for k in next(iter(ledger.values()))
-            if k.endswith("_min")
-        }
-    )
-    for k in dead:
-        del ledger[k]
-    # footer re-sweep ONLY for partition dirs holding uncovered files;
-    # a dropped-only partition (files deleted, nothing new) needs none
-    for comp in sorted({p.split("/")[1] for p in uncovered}):
-        rows = build_file_stats_index(
-            spark, os.path.join(vdir, comp), stat_cols
-        ).collect()
-        for r in rows:
-            ledger[os.path.relpath(r["file"], base)] = {
-                k: v for k, v in r.asDict().items() if k != "file"
-            }
-    atomic_write_json(ledger_path, ledger)
-    return {
-        "dropped": dead,
-        "added": uncovered,
-        "resynced_parts": sorted(
-            {p.split("/")[1] for p in [*dead, *uncovered]}
-        ),
-    }
-
-
-def snapshot_compact_stats(
-    spark: SparkSession,
-    base: str,
-    version: int,
-    partition_col: str,
-    max_files: int = 8,
-    target_files: int = 1,
-    only: list | None = None,
-) -> dict:
-    """Compact INSIDE a snapshot version's directory and keep that
-    version's travelling stats ledger exact — the coherence step the
-    round-15 ledger named: stats key on immutable version dirs, so an
-    ordinary table rewrite invalidates nothing, but a compaction
-    (or any layout maintenance) that rewrites files UNDER ``v{k}``
-    must republish ``_stats_v{k}.json`` or every snapshot whose
-    manifest references those partitions from ``v{k}`` plans band
-    reads over files that no longer exist.
-
-    Composition, both halves already hardened: the rewrite is
-    :func:`compact_partitions` on the version dir (census → policy →
-    targeted rename-swap, self-healing against its own crash
-    residue), the republish is :func:`snapshot_stats_resync`
-    (existence-driven, partition-proportional).  Crash ordering: data
-    swaps first, ledger after — a crash in the gap leaves stats-
-    routed reads FAILING LOUDLY on missing files (never silently
-    wrong: plain snapshot reads don't consult stats, and a pruned
-    read plans over paths that no longer resolve), and recovery is
-    one idempotent re-run of either this function or the resync
-    alone.  Refuses before touching any data when the version has no
-    ledger, so the protocol can't create the very incoherence it
-    exists to prevent.
-
-    Content-preservation is what makes this safe for SHARED
-    partitions: a manifest in ANY later snapshot that maps a
-    partition to ``v{k}`` reads the compacted files with identical
-    rows, and :func:`snapshot_stats_for` hands it the republished
-    entries — coherence travels to every snapshot, which the u36
-    receipts check at a version that was committed before the
-    rewrite ran."""
-    import os
-
-    if not os.path.exists(os.path.join(base, f"_stats_v{version}.json")):
-        raise ValueError(
-            f"snapshot_compact_stats: version {version} has no stats "
-            "ledger; a layout rewrite without a ledger to republish "
-            "would strand every stats-routed read — run "
-            "snapshot_commit_stats first"
-        )
-    report = compact_partitions(
-        spark,
-        os.path.join(base, f"v{version}"),
-        partition_col,
-        max_files=max_files,
-        target_files=target_files,
-        only=only,
-    )
-    sync = snapshot_stats_resync(spark, base, version, partition_col)
-    return {**report, **{f"stats_{k}": v for k, v in sync.items()}}
 
 
 _U36_ORACLE = """
@@ -6976,310 +4576,6 @@ def u36_stats_layout_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U37: transaction-group retention ------------------------------------------
-
-
-def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
-    """Expire a multi-table transaction group's history — u26's
-    snapshot expiry LIFTED THROUGH THE TRANSACTION POINTER (the second
-    round-16 surface the round-15 ledger named), so group GC can never
-    break a retained transaction's reads: per-table
-    :func:`snapshot_expire` alone has no way to know that txn 7 still
-    reads table A at version 3, and expiring A's v3 by table-local
-    numerology would tear every cross-table read txn 7 guarantees.
-
-    Protocol, in crash-safety order:
-
-    1. guards — the head transaction is never expirable (mirroring
-       snapshot_expire's head rule) and every requested keep must
-       still have a pointer (ValueError, the re-read/re-derive
-       contract);
-    2. reclaim crashed-attempt ORPHANS: a table manifest no pointer
-       references and sitting ABOVE every pointed version of that
-       table is residue of a txn_commit that died before its pointer
-       write.  ``min_age_s`` is the same concurrent-writer guard as
-       :func:`partition_orphan_gc`: an IN-FLIGHT txn_commit publishes
-       its table manifests and version dirs before its pointer, so
-       without an mtime gate a concurrent txn_expire would reclaim
-       them and the commit would then publish a pointer referencing
-       deleted data (round-15 advisor) — young orphans are skipped,
-       not reclaimed.  An unpointed manifest BELOW the pointed head
-       is the residue of an expiry that crashed between step 3 and
-       step 4 on a PREVIOUS run (its pointer is gone, so nothing
-       reads it): it is exactly what this run's step-4
-       snapshot_expire removes for the keep set, so it is DEFERRED to
-       step 4 — never blind-deleted here, because its version dirs
-       may still be shared by retained manifests (round-15 advisor:
-       the old refusal wedged every re-run after such a crash, and
-       txn_partition_gc refuses until txn_expire succeeds, so the
-       group was stuck until manual manifest surgery).  The scan
-       walks table dirs on DISK, so a table NO pointer mentions — a
-       crashed ADD of a brand-new table (txn_commit supports
-       mid-history adds) — is reclaimed whole rather than leaked
-       (round-15 review);
-    3. publish the retention decision — expired pointers are removed
-       FIRST, so a crash mid-expiry can only LEAK data a re-run
-       reclaims, never leave a pointer whose reads step 4 already
-       broke;
-    4. per-table :func:`snapshot_expire` with the versions any
-       RETAINED pointer references as the roots — shared version dirs
-       survive exactly as long as a retained transaction still reads
-       a partition from them — and each removed version dir takes its
-       travelling stats ledger (s19) with it; ledgers of retained and
-       shared-referenced versions stay, because
-       :func:`snapshot_stats_for` at a retained transaction still
-       reassembles through them.  A table whose LAST retained
-       reference step 3 just removed (reachable after a restore
-       dropped the table from the head — round-16 advisor: step 2's
-       residue deferral promised step 4 would handle it, but the
-       kept_ref loop never visits such a table) is swept WHOLE here:
-       no retained pointer reads any of its versions, so the dir is
-       dead — unless it holds a ``min_age_s``-young manifest (a
-       concurrent mid-history re-ADD about to publish its pointer),
-       in which case the sweep defers to the next run's orphan path
-       and says so in ``dropped_tables_deferred``.  Symmetrically, a
-       KEPT table whose topmost manifests only expired pointers
-       referenced (the restore dropped it from the head while the
-       keep set retains a pre-restore reader) has those superseded
-       heads reclaimed before its keep-set expiry (reported under
-       ``head_rollbacks``) — snapshot_expire's own head guard would
-       otherwise refuse the rolled-back chain.  Safe because no
-       manifest references a version dir above its own version;
-       crash-safe because with their pointers gone the survivors are
-       step 2's ordinary above-head orphans on the next pass (found
-       by the round-17 restore-drop fuzz).
-
-    Idempotent: re-running with the same keep set passes the guards
-    and finds nothing to remove — including after a crash at ANY
-    point of a previous run (between pointer removals, or between
-    pointer removal and the per-table expiry loop): the re-run
-    finishes the reclaim the crash abandoned.  Pure metadata work —
-    no data read, same cost class as snapshot_expire per table."""
-    import json as _json
-    import os
-    import re
-    import shutil
-    import time
-
-    keep = sorted({int(k) for k in keep_txns})
-    pointers = {
-        int(m.group(1)): entry
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    }
-    if not pointers:
-        raise ValueError(
-            f"txn_expire: no transaction pointers under {base}"
-        )
-    head = max(pointers)
-    if head not in keep:
-        raise ValueError(
-            f"txn_expire: keep_txns {keep} omits the head transaction "
-            f"v{head}; the current transaction cannot be expired"
-        )
-    missing = [k for k in keep if k not in pointers]
-    if missing:
-        raise ValueError(
-            f"txn_expire: keep_txns {missing} have no pointer (already "
-            "expired or never committed); re-read and re-derive"
-        )
-
-    def read_ptr(v: int) -> dict:
-        with open(os.path.join(base, pointers[v])) as fh:
-            return {t: int(tv) for t, tv in _json.load(fh).items()}
-
-    all_ref: dict[str, set] = {}
-    for v in pointers:
-        for t, tv in read_ptr(v).items():
-            all_ref.setdefault(t, set()).add(tv)
-    kept_ref: dict[str, set] = {}
-    for v in keep:
-        for t, tv in read_ptr(v).items():
-            kept_ref.setdefault(t, set()).add(tv)
-
-    # the scan walks table DIRS on disk, not just pointer-referenced
-    # names (round-15 review): a txn_commit that crashed while ADDING
-    # a brand-new table leaves a table dir NO pointer mentions, and an
-    # all_ref-keyed loop would leak it forever — exactly the residue
-    # the "a crash can only leak data a re-run reclaims" contract
-    # promises to collect
-    orphans = []
-    residue = []
-    young_skipped: dict[str, set] = {}
-    now = time.time()
-    for t in sorted(
-        e
-        for e in os.listdir(base)
-        if os.path.isdir(os.path.join(base, e))
-        and not e.startswith(("_", "."))
-    ):
-        tdir = os.path.join(base, t)
-        pointed = all_ref.get(t, set())
-        for entry in sorted(os.listdir(tdir)):
-            m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
-            if not m or int(m.group(1)) in pointed:
-                continue
-            tv = int(m.group(1))
-            if pointed and tv <= max(pointed):
-                # an unpointed manifest BELOW the pointed head: a
-                # previous expiry crashed after removing its pointer
-                # but before the per-table expiry loop.  It is
-                # unreadable (no retained pointer reaches it) and is
-                # exactly what step 4's snapshot_expire for the keep
-                # set removes — so defer it there, where version-dir
-                # SHARING is honoured (its dirs may still back
-                # retained manifests; a blind rmtree here would tear
-                # retained reads).  kept_ref never contains an
-                # unpointed version (kept pointers are a subset of
-                # all pointers), so the deferral can never touch a
-                # manifest a retained transaction reads.
-                residue.append(f"{t}/v{tv}")
-                continue
-            mpath = os.path.join(tdir, entry)
-            vdir = os.path.join(tdir, f"v{tv}")
-            age = now - max(
-                os.path.getmtime(mpath),
-                os.path.getmtime(vdir) if os.path.isdir(vdir) else 0.0,
-            )
-            if age < min_age_s:
-                # concurrent-writer guard: an in-flight txn_commit
-                # publishes manifests/version dirs BEFORE its pointer;
-                # a fresh above-head orphan may be that commit, not a
-                # crash.  Skip it — a real crash's residue ages past
-                # the gate and the next pass reclaims it.  Step 4
-                # treats it as retained so the per-table expiry's
-                # head guard sees a consistent chain.
-                young_skipped.setdefault(t, set()).add(tv)
-                continue
-            os.remove(mpath)
-            shutil.rmtree(vdir, ignore_errors=True)
-            lp = os.path.join(tdir, f"_stats_v{tv}.json")
-            if os.path.exists(lp):
-                os.remove(lp)
-            orphans.append(f"{t}/v{tv}")
-        if not pointed and t not in young_skipped:
-            # a table dir no pointer has ever referenced is the shell
-            # of a crashed table ADD; with its manifests reclaimed
-            # above, what remains is at most hidden staging residue
-            # (skipped while any of its manifests is min_age_s-young —
-            # it may be an in-flight ADD about to publish its pointer)
-            shutil.rmtree(tdir, ignore_errors=True)
-
-    removed_ptrs = []
-    for v in sorted(pointers):
-        if v not in keep:
-            os.remove(os.path.join(base, pointers[v]))
-            removed_ptrs.append(pointers[v])
-
-    per_table: dict[str, dict] = {}
-    head_rollbacks: list = []
-    for t in sorted(kept_ref):
-        tdir = os.path.join(base, t)
-        roots = kept_ref[t] | young_skipped.get(t, set())
-        # retention can roll a TABLE's head back: after a restore
-        # dropped the table from the group head, a keep set retaining
-        # only pre-restore pointers leaves the table's topmost
-        # manifests pointed solely by pointers step 3 just removed.
-        # snapshot_expire's head guard (rightly) refuses to expire
-        # past the on-disk head, so those superseded heads are
-        # reclaimed here first — safe because no manifest can
-        # reference a version dir ABOVE its own version, so nothing
-        # retained reaches into them; crash-safe because with their
-        # pointers gone the survivors are step 2's ordinary
-        # above-head orphans on the next pass (found by the round-17
-        # restore-drop fuzz, tests/test_txn_retention_fuzz.py).
-        head_root = max(roots)
-        for entry in sorted(os.listdir(tdir)):
-            m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
-            if not m:
-                continue
-            tv = int(m.group(1))
-            if tv <= head_root or tv not in all_ref.get(t, set()):
-                continue
-            os.remove(os.path.join(tdir, entry))
-            shutil.rmtree(
-                os.path.join(tdir, f"v{tv}"), ignore_errors=True
-            )
-            lp = os.path.join(tdir, f"_stats_v{tv}.json")
-            if os.path.exists(lp):
-                os.remove(lp)
-            head_rollbacks.append(f"{t}/v{tv}")
-        # min_age_s-young orphans above the head count as retained
-        # this pass (they may be an in-flight commit about to publish
-        # its pointer); without them the expiry's own head guard
-        # would refuse the chain they sit on top of
-        rep = snapshot_expire(tdir, sorted(roots))
-        rep["removed_stats"] = []
-        for d in rep["removed_dirs"]:
-            lp = os.path.join(tdir, f"_stats_{d}.json")
-            if os.path.exists(lp):
-                os.remove(lp)
-                rep["removed_stats"].append(f"_stats_{d}.json")
-        per_table[t] = rep
-
-    # step 4b: a table only EXPIRED pointers referenced lost its last
-    # reader in step 3 — sweep it whole (version dirs are never shared
-    # ACROSS tables, so nothing retained can reach into it).  A
-    # min_age_s-young manifest means a concurrent commit may be
-    # re-ADDING the table mid-history: defer to the next run, whose
-    # orphan scan sees a pointerless table dir and ages it properly.
-    # The age check RE-LISTS the dir at sweep time rather than reusing
-    # step 2's young_skipped snapshot: a concurrent re-ADD may have
-    # published its manifest in the window between the step-2 scan and
-    # this sweep (step 3 just removed the table's last pointer, which
-    # is exactly when a re-ADD becomes possible), and sweeping on the
-    # stale snapshot would delete the data its pointer is about to
-    # reference — the incident min_age_s exists to prevent.
-    def _has_young_manifest(tdir: str) -> bool:
-        sweep_now = time.time()
-        for entry in os.listdir(tdir):
-            m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
-            if not m:
-                continue
-            mpath = os.path.join(tdir, entry)
-            vdir = os.path.join(tdir, f"v{m.group(1)}")
-            try:
-                age = sweep_now - max(
-                    os.path.getmtime(mpath),
-                    os.path.getmtime(vdir)
-                    if os.path.isdir(vdir)
-                    else 0.0,
-                )
-            except OSError:
-                return True  # churn under our feet IS a live writer
-            if age < min_age_s:
-                return True
-        return False
-
-    dropped_swept, dropped_deferred = [], []
-    for t in sorted(set(all_ref) - set(kept_ref)):
-        tdir = os.path.join(base, t)
-        if not os.path.isdir(tdir):
-            continue
-        if t in young_skipped or (
-            min_age_s > 0 and _has_young_manifest(tdir)
-        ):
-            dropped_deferred.append(t)
-            continue
-        shutil.rmtree(tdir, ignore_errors=True)
-        dropped_swept.append(t)
-    # a swept table's below-head residue was handled HERE, not by step
-    # 4's keep-set expiry — drop it from the deferral receipt so the
-    # report never claims both (the same receipt-overstates class the
-    # round-16 advisor flagged)
-    swept = set(dropped_swept)
-    residue = [r for r in residue if r.split("/", 1)[0] not in swept]
-    return {
-        "removed_pointers": removed_ptrs,
-        "orphans_reclaimed": orphans,
-        "residue_deferred": residue,
-        "head_rollbacks": head_rollbacks,
-        "dropped_tables_swept": dropped_swept,
-        "dropped_tables_deferred": dropped_deferred,
-        "tables": per_table,
-    }
-
-
 def _txn_group_rollup(
     spark: SparkSession, base: str, txn: int, label_col: str, label
 ) -> DataFrame:
@@ -7568,111 +4864,6 @@ def u37_txn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(3).unionByName(roll(4))
 
 
-# --- U38: transaction tags as GC roots ------------------------------------------
-
-
-def txn_tag(base: str, name: str, txn: int) -> None:
-    """Create an immutable named ref onto a TRANSACTION — u28's tag
-    contract lifted to the group: "audit-2024" pins the mutually
-    consistent set of table versions a reader at that transaction
-    sees, not one table's version number.  Same laws as
-    :func:`snapshot_tag`: filesystem-safe names (the ref IS a file),
-    refuse tagging a transaction with no pointer (expired or never
-    committed), refuse an existing name (retargeting a published name
-    silently changes what auditors re-read — untag + re-tag is the
-    explicit two-step).  The ref filename family ``_txn_ref_*`` is
-    disjoint from the pointer family ``_txn_v{N}`` by pattern, so no
-    ref name can shadow a pointer."""
-    import os
-    import re
-
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]*", name):
-        raise ValueError(f"txn_tag: unsafe ref name {name!r}")
-    if not os.path.exists(os.path.join(base, f"_txn_v{txn}.json")):
-        raise ValueError(
-            f"txn_tag: transaction {txn} has no pointer — cannot tag "
-            "an expired or uncommitted transaction"
-        )
-    ref = os.path.join(base, f"_txn_ref_{name}.json")
-    if os.path.exists(ref):
-        raise ValueError(
-            f"txn_tag: ref {name!r} already exists — tags are "
-            "immutable (untag then re-tag to retarget, explicitly)"
-        )
-    atomic_write_json(ref, {"txn": txn})
-
-
-def txn_tags(base: str) -> dict:
-    """All transaction refs as {name: txn}."""
-    import json as _json
-    import os
-    import re
-
-    out: dict[str, int] = {}
-    for entry in os.listdir(base):
-        if m := re.fullmatch(r"_txn_ref_(.+)\.json", entry):
-            with open(os.path.join(base, entry)) as fh:
-                out[m.group(1)] = int(_json.load(fh)["txn"])
-    return out
-
-
-def txn_untag(base: str, name: str) -> None:
-    """Remove a transaction ref — the explicit hold-release act.
-    Refuses a missing ref (the caller believed a whole table GROUP
-    was pinned; silently no-opping that belief is how retained data
-    disappears)."""
-    import os
-
-    ref = os.path.join(base, f"_txn_ref_{name}.json")
-    if not os.path.exists(ref):
-        raise ValueError(f"txn_untag: no ref named {name!r}")
-    os.remove(ref)
-
-
-def txn_read_tag(
-    spark: SparkSession, base: str, name: str, table: str,
-    partition_col: str,
-) -> DataFrame:
-    """Read ``table`` AS OF the tagged transaction — the auditor's
-    read path: name → transaction → pointer-resolved table version."""
-    tags = txn_tags(base)
-    if name not in tags:
-        raise ValueError(f"txn_read_tag: no ref named {name!r}")
-    return txn_read(spark, base, tags[name], table, partition_col)
-
-
-def txn_expire_untagged(
-    base: str, keep_last: int = 1, min_age_s: float = 0.0
-) -> dict:
-    """The retention POLICY over :func:`txn_expire`: the keep set is
-    COMPUTED — the newest ``keep_last`` transactions union every
-    tagged one — rather than hand-listed, so a tagged transaction can
-    never be vacuumed out from under the name auditors use to reach
-    it, and "keep 7 days" plus "keep THIS release forever" reconcile
-    as metadata (u28's reconciliation, lifted to the group).  All of
-    txn_expire's guarantees apply: retained reads are untouched,
-    shared table-version dirs survive through the pointer, orphans
-    are reclaimed, stats ledgers die with their dirs.  Returns
-    txn_expire's receipt plus the computed keep set."""
-    import os
-    import re
-
-    if keep_last < 1:
-        raise ValueError(
-            "txn_expire_untagged: keep_last must be >= 1 — the head "
-            "transaction is never expirable"
-        )
-    versions = sorted(
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    )
-    keep = sorted(set(versions[-keep_last:]) | set(txn_tags(base).values()))
-    rep = txn_expire(base, keep, min_age_s=min_age_s)
-    rep["kept_txns"] = keep
-    return rep
-
-
 _U38_CUT2 = "1998-01"
 
 _U38_ORACLE = f"""
@@ -7933,110 +5124,6 @@ def u38_txn_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(2, "tagged").unionByName(roll(4, "head"))
 
 
-# --- U40: age-based transaction retention ----------------------------------------
-
-
-def txn_commit_at(
-    base: str, version: int, updates: dict, committed_at: float
-) -> dict:
-    """:func:`txn_commit` plus a DATED receipt: the commit stamp
-    ``_txn_stamp_v{k}.json`` records when the transaction was
-    published, which is what an age-based retention policy ("keep 30
-    days") needs and table-version numerology cannot give.  The stamp
-    is written AFTER the pointer — the pointer stays the ONLY publish,
-    so a crash between the two leaves a committed-but-undated
-    transaction that :func:`txn_expire_by_age` conservatively KEEPS
-    (and reports), never a dated claim about data that was never
-    published.  ``committed_at`` is the caller's clock (epoch
-    seconds): ingest frameworks stamp their own event time, tests
-    stamp logical time, and nothing in the store depends on the
-    filesystem's."""
-    import os
-
-    pointer = txn_commit(base, version, updates)
-    atomic_write_json(
-        os.path.join(base, f"_txn_stamp_v{version}.json"),
-        {"committed_at": float(committed_at)},
-    )
-    return pointer
-
-
-def txn_expire_by_age(
-    base: str,
-    max_age_s: float,
-    now: float | None = None,
-    keep_last: int = 1,
-    min_age_s: float = 0.0,
-) -> dict:
-    """The AGE-based retention policy over :func:`txn_expire` — the
-    third keep-root production groups run alongside
-    :func:`txn_expire_untagged`'s two: keep the newest ``keep_last``
-    transactions, every TAGGED one, and every transaction younger
-    than ``max_age_s`` by its embedded commit stamp ("keep 30 days
-    plus every tagged release").  Undated transactions (committed via
-    plain :func:`txn_commit`, or a :func:`txn_commit_at` that crashed
-    before its stamp) are conservatively kept and reported under
-    ``undated`` — age retention never guesses an age.
-
-    Stamps die with their pointers: expiring txn k removes
-    ``_txn_stamp_vk.json`` after :func:`txn_expire` removed the
-    pointer (same crash direction — a stamp outliving its pointer is
-    inert residue this function also sweeps, so recovery is a
-    re-run).  ``now`` defaults to the wall clock; callers with a
-    logical clock (tests, replayed histories) pass it explicitly.
-    ``min_age_s`` is txn_expire's concurrent-writer guard, threaded
-    through.  All of txn_expire's guarantees apply: retained reads
-    untouched, shared version dirs survive through the pointers,
-    crash-idempotent recovery."""
-    import json as _json
-    import os
-    import re
-    import time
-
-    if now is None:
-        now = time.time()
-    versions = sorted(
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    )
-    stamps: dict[int, float] = {}
-    stamp_residue = []
-    for entry in sorted(os.listdir(base)):
-        m = re.fullmatch(r"_txn_stamp_v(\d+)\.json", entry)
-        if not m:
-            continue
-        v = int(m.group(1))
-        if v not in versions:
-            # a stamp whose pointer a previous (possibly crashed)
-            # expiry already removed — inert residue, swept here
-            os.remove(os.path.join(base, entry))
-            stamp_residue.append(entry)
-            continue
-        with open(os.path.join(base, entry)) as fh:
-            stamps[v] = float(_json.load(fh)["committed_at"])
-    undated = [v for v in versions if v not in stamps]
-    young = [v for v in stamps if now - stamps[v] <= max_age_s]
-    keep = sorted(
-        set(versions[-keep_last:])
-        | set(txn_tags(base).values())
-        | set(undated)
-        | set(young)
-    )
-    rep = txn_expire(base, keep, min_age_s=min_age_s)
-    for v in versions:
-        if v in keep:
-            continue
-        sp = os.path.join(base, f"_txn_stamp_v{v}.json")
-        if os.path.exists(sp):
-            os.remove(sp)
-    rep["kept_txns"] = keep
-    rep["aged_out"] = [v for v in versions if v not in keep]
-    rep["undated"] = undated
-    rep["stamp_residue"] = stamp_residue
-    return rep
-
-
 _U40_CUT = "1997-04"
 _U40_CUT2 = "1998-02"
 
@@ -8267,156 +5354,6 @@ def u40_txn_age_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll(2, "tagged").unionByName(roll(4, "head"))
 
 
-# --- U41: the change feed pruned through the travelling stats ---------------------
-
-
-def _stats_band_by_partition(
-    base: str, version: int, partition_col: str, column: str
-) -> dict:
-    """Partition-level ``column`` bands AS OF a snapshot: fold the
-    version's merged stats view (:func:`snapshot_stats_for`) from
-    per-file ``[min, max]`` to per-partition ``[min, max]`` — the
-    granularity the changelog prunes at (the diff's unit of work is
-    the partition, not the file: file-level pruning would starve the
-    full-outer key join of images and misclassify rows)."""
-    from urllib.parse import unquote
-
-    merged = snapshot_stats_for(base, version, partition_col)
-    prefix = f"{partition_col}="
-    bands: dict[str, tuple] = {}
-    for rel, s in merged.items():
-        part = unquote(rel.split("/")[1][len(prefix):])
-        mn, mx = s[f"{column}_min"], s[f"{column}_max"]
-        if part in bands:
-            bands[part] = (min(bands[part][0], mn), max(bands[part][1], mx))
-        else:
-            bands[part] = (mn, mx)
-    return bands
-
-
-def snapshot_changes_pruned(
-    spark: SparkSession,
-    base: str,
-    v_from: int,
-    v_to: int,
-    partition_col: str,
-    key_col: str,
-    value_cols: list,
-    column: str,
-    lo,
-    hi,
-) -> tuple[DataFrame, list, list]:
-    """U20's changelog pruned through S19's travelling stats — the
-    r15 ledger's round-16 candidate #2: a CDC consumer that only cares
-    about a band of ``column`` (a tenant range, a key shard, a price
-    tier) should pay for the partitions whose CHANGE could touch the
-    band, not for every partition the commit rewrote.
-
-    Two-stage pruning, both metadata-only:
-
-    1. the manifest diff (U20's rule) — only partitions whose owning
-       version differs can hold changed rows;
-    2. the stats rule — a changed partition is scanned only if EITHER
-       side's partition-level ``[min, max]`` on ``column``
-       (reassembled version-exactly through the manifests, so the
-       from-side prunes with from-era stats) intersects ``[lo, hi]``.
-       Skipping needs BOTH sides disjoint because the changelog's
-       band semantics is ``before ∈ band OR after ∈ band``: a row
-       repriced INTO the band lives in a partition whose to-side
-       stats intersect even when the from-side's do not.
-
-    The pruning unit is the PARTITION, deliberately coarser than the
-    band reads' file-level rule: the diff's full-outer join needs the
-    complete key set of both images per partition — dropping
-    band-disjoint FILES inside a surviving partition would make their
-    rows look inserted/deleted.  Returns ``(changelog, scanned,
-    changed)``; a band disjoint from every changed partition returns
-    the empty changelog with ``scanned == []`` — zero files planned,
-    the metadata-only receipt.  ``column`` must be in ``value_cols``
-    (the band filter needs both images).
-
-    At 100 TB: a nightly commit rewrites 1% of partitions; a sharded
-    consumer's band intersects a few of those.  U20 alone scans 2% of
-    the table; this scans both images of only the intersecting
-    partitions and decides the rest from two JSON probes."""
-    import json as _json
-    import os
-
-    if column not in value_cols:
-        raise ValueError(
-            f"snapshot_changes_pruned: band column {column!r} must be "
-            f"in value_cols {value_cols} — the changelog filter needs "
-            "its before/after images"
-        )
-
-    def manifest(v: int) -> dict:
-        with open(os.path.join(base, f"_manifest_v{v}.json")) as fh:
-            return _json.load(fh)
-
-    m_from, m_to = manifest(v_from), manifest(v_to)
-    changed = sorted(
-        p
-        for p in set(m_from) | set(m_to)
-        if m_from.get(p) != m_to.get(p)
-    )
-    band_f = _stats_band_by_partition(base, v_from, partition_col, column)
-    band_t = _stats_band_by_partition(base, v_to, partition_col, column)
-
-    def hits(bands: dict, p: str) -> bool:
-        if p not in bands:
-            return False
-        mn, mx = bands[p]
-        return mn <= hi and mx >= lo
-
-    scanned = [p for p in changed if hits(band_f, p) or hits(band_t, p)]
-    cols = [partition_col, key_col, *value_cols]
-
-    def side(v: int, m: dict) -> DataFrame:
-        parts = [p for p in scanned if p in m]
-        scan = snapshot_read(spark, base, v, partition_col)
-        if not parts:
-            return scan.select(*cols).limit(0)
-        return scan.filter(F.col(partition_col).isin(parts)).select(*cols)
-
-    old = side(v_from, m_from).alias("a")
-    new = side(v_to, m_to).alias("b")
-    joined = old.join(
-        new,
-        on=[
-            F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"),
-            F.col(f"a.{key_col}") == F.col(f"b.{key_col}"),
-        ],
-        how="full_outer",
-    )
-    differs = F.lit(False)
-    for c in value_cols:
-        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-    out = joined.filter(
-        F.col(f"a.{key_col}").isNull()
-        | F.col(f"b.{key_col}").isNull()
-        | differs
-    ).select(
-        F.coalesce(f"a.{partition_col}", f"b.{partition_col}").alias(
-            partition_col
-        ),
-        F.coalesce(f"a.{key_col}", f"b.{key_col}").alias(key_col),
-        F.when(F.col(f"a.{key_col}").isNull(), "insert")
-        .when(F.col(f"b.{key_col}").isNull(), "delete")
-        .otherwise("update")
-        .alias("change_type"),
-        *[F.col(f"a.{c}").alias(f"{c}_before") for c in value_cols],
-        *[F.col(f"b.{c}").alias(f"{c}_after") for c in value_cols],
-    )
-    return (
-        out.filter(
-            F.col(f"{column}_before").between(lo, hi)
-            | F.col(f"{column}_after").between(lo, hi)
-        ),
-        scanned,
-        changed,
-    )
-
-
 _U41_ORACLE = """
 WITH v1 AS (
   SELECT printf('b%02d', CAST(o_custkey // 64 AS INTEGER)) AS k_bucket,
@@ -8596,232 +5533,6 @@ def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empty at metadata cost (zero partitions scanned)"
         )
     return pruned
-
-
-# --- U42: the group-level OPTIMIZE planner ----------------------------------------
-
-
-def txn_touched_since(base: str, since_txn: int) -> dict:
-    """Per-table sets of partitions whose owning version differs
-    between ``since_txn`` and the head transaction — the U20 manifest
-    rule applied group-wide, metadata-only (two pointer reads + one
-    manifest pair per table).  This is the incremental planner's
-    scope: partitions untouched since the last converged maintenance
-    kept their maintained layout, so only the touched ones can have
-    accrued debt.  A ``since_txn`` retention already expired raises
-    the typed :class:`RetentionExpiredError` — the planner daemon's
-    rebaseline trigger (fall back to the full census), same contract
-    as the feed consumers'."""
-    import json as _json
-    import os
-    import re
-
-    def pointer(v: int) -> dict:
-        p = os.path.join(base, f"_txn_v{v}.json")
-        if not os.path.exists(p):
-            raise RetentionExpiredError(
-                f"txn_touched_since: transaction {v} is not retained; "
-                "fall back to the full census"
-            )
-        with open(p) as fh:
-            return {t: int(tv) for t, tv in _json.load(fh).items()}
-
-    versions = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    ]
-    ptr_f, ptr_t = pointer(since_txn), pointer(max(versions))
-    touched: dict[str, set] = {}
-    for t, tv_t in ptr_t.items():
-        tv_f = ptr_f.get(t, 0)
-        if tv_f == tv_t:
-            touched[t] = set()
-            continue
-        if tv_f == 0:
-            # a table added after since_txn is touched in full
-            with open(
-                os.path.join(base, t, f"_manifest_v{tv_t}.json")
-            ) as fh:
-                touched[t] = set(_json.load(fh))
-            continue
-        with open(
-            os.path.join(base, t, f"_manifest_v{tv_f}.json")
-        ) as fh:
-            m_f = _json.load(fh)
-        with open(
-            os.path.join(base, t, f"_manifest_v{tv_t}.json")
-        ) as fh:
-            m_t = _json.load(fh)
-        touched[t] = {
-            p
-            for p in set(m_f) | set(m_t)
-            if m_f.get(p) != m_t.get(p)
-        }
-    return touched
-
-
-def txn_optimize_plan(
-    spark: SparkSession,
-    base: str,
-    spec: dict,
-    max_files: int = 8,
-    touched: dict | None = None,
-) -> dict:
-    """ONE maintenance work order for a whole TRANSACTION GROUP — the
-    r15 ledger's round-16 candidate #3: run both metadata censuses
-    (u31's :func:`small_file_census` for fragmentation, s18's
-    :func:`partition_zspan_census` for clustering health) over every
-    table the HEAD pointer references, scoped to the (version dir,
-    partition) pairs the head manifests actually route to, and emit
-    ``{table: {version: {"compact": [...], "cluster": [...]}}}``.
-
-    ``spec`` maps ``table -> (partition_col, cluster_col | None)``.
-    Policy: a partition needing CLUSTERING (any file spanning more
-    than half the key domain) is never also listed for compaction —
-    the range rewrite produces right-sized files anyway, so listing
-    both would schedule the same bytes twice.  Partitions a head
-    manifest routes to OTHER versions are out of scope even when
-    their stale twins sit in the censused dir: maintenance chases the
-    LIVE layout, and older transactions' reads are protected not by
-    skipping them but by the executor's content-preserving rewrites
-    (:func:`txn_optimize_run`).
-
-    ``touched`` (optional, from :func:`txn_touched_since`) scopes the
-    censuses to the partitions changed since the last CONVERGED
-    maintenance: a version dir whose head-routed partitions are all
-    untouched is skipped ENTIRELY — no listing, no footer sweep —
-    because an untouched partition kept its maintained layout.  When
-    the previous plan converged, the feed-scoped plan EQUALS the full
-    plan (u45's receipt); plan cost becomes proportional to the
-    night's commits, not the table.
-
-    Cost at 100 TB: footers + listings only — the same metadata class
-    as the catalog's own listing, once per referenced version dir
-    (once per TOUCHED version dir under a ``touched`` scope), and the
-    emitted order is exactly the fragmented/degraded bytes."""
-    import json as _json
-    import os
-    import re
-    from urllib.parse import unquote
-
-    from update_database_by_wind_spark.operators.storage import (
-        partition_zspan_census,
-    )
-
-    pointers = sorted(
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    )
-    if not pointers:
-        raise ValueError(
-            f"txn_optimize_plan: no transaction pointers under {base}"
-        )
-    with open(os.path.join(base, f"_txn_v{max(pointers)}.json")) as fh:
-        head_ptr = {t: int(v) for t, v in _json.load(fh).items()}
-    plan: dict = {}
-    for t in sorted(spec):
-        if t not in head_ptr:
-            raise ValueError(
-                f"txn_optimize_plan: table {t!r} is not in the head "
-                f"transaction v{max(pointers)}'s pointer"
-            )
-        pcol, ccol = spec[t]
-        with open(
-            os.path.join(base, t, f"_manifest_v{head_ptr[t]}.json")
-        ) as fh:
-            manifest = _json.load(fh)
-        by_owner: dict[int, set] = {}
-        for part, ver in manifest.items():
-            by_owner.setdefault(int(ver), set()).add(part)
-        for ver in sorted(by_owner):
-            scope = by_owner[ver]
-            if touched is not None:
-                scope = scope & touched.get(t, set())
-                if not scope:
-                    # every head-routed partition of this version dir
-                    # is untouched since the last maintenance — its
-                    # layout is already converged, skip the dir whole
-                    continue
-            vdir = os.path.join(base, t, f"v{ver}")
-            cluster: list = []
-            if ccol is not None:
-                _, entries = partition_zspan_census(
-                    spark, vdir, ccol, pcol
-                )
-                # a SINGLE-file partition always "spans" its own
-                # domain, but there is nothing to skip between files,
-                # so the span carries no clustering signal — without
-                # the n_files guard every freshly compacted partition
-                # would be rescheduled for clustering on the next
-                # pass (found building the u42 toy: v2's one-file
-                # rewrite came back as a cluster target)
-                cluster = sorted(
-                    e["partition"]
-                    for e in entries
-                    if e["degraded"]
-                    and e["n_files"] > 1
-                    and e["partition"] in scope
-                )
-            cl = set(cluster)
-            compact = sorted(
-                unquote(c["partition"])
-                for c in small_file_census(vdir, pcol)
-                if unquote(c["partition"]) in scope
-                and unquote(c["partition"]) not in cl
-                and c["n_files"] > max_files
-            )
-            if compact or cluster:
-                plan.setdefault(t, {})[ver] = {
-                    "compact": compact,
-                    "cluster": cluster,
-                }
-    return plan
-
-
-def txn_optimize_run(
-    spark: SparkSession,
-    base: str,
-    spec: dict,
-    plan: dict,
-    max_files: int = 8,
-    target_files: int = 1,
-    files_per_part: int = 4,
-) -> dict:
-    """Execute a :func:`txn_optimize_plan` work order under the u36
-    COHERENCE protocol: every entry routes through the snapshot-path
-    rewriters (:func:`snapshot_compact_stats` /
-    :func:`snapshot_cluster_stats`), so each rewritten version dir
-    swaps data first and republishes its travelling stats ledger
-    after — band reads at EVERY transaction whose pointer reaches the
-    rewritten versions stay exact, which is what makes one group-wide
-    OPTIMIZE safe to run under retained history.  Content-preserving
-    by construction (the rewriters re-emit the same rows), so older
-    transactions sharing the version dirs read identical data through
-    fewer, tighter files."""
-    import os
-
-    receipts: dict = {}
-    for t in sorted(plan):
-        pcol, ccol = spec[t]
-        for ver in sorted(plan[t]):
-            order = plan[t][ver]
-            rep: dict = {}
-            if order["compact"]:
-                rep["compact"] = snapshot_compact_stats(
-                    spark, os.path.join(base, t), ver, pcol,
-                    max_files=max_files, target_files=target_files,
-                    only=order["compact"],
-                )
-            if order["cluster"]:
-                rep["cluster"] = snapshot_cluster_stats(
-                    spark, os.path.join(base, t), ver, pcol, ccol,
-                    files_per_part=files_per_part,
-                    only=order["cluster"],
-                )
-            receipts[f"{t}/v{ver}"] = rep
-    return receipts
 
 
 _U42_ORACLE = """
@@ -9308,151 +6019,6 @@ def u45_feed_driven_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ov.join(iv, "k_bucket")
 
 
-# --- U43: the group feed, band-scoped through the travelling stats ----------------
-
-
-def txn_changes_pruned(
-    spark: SparkSession,
-    base: str,
-    txn_from: int,
-    txn_to: int,
-    tables: dict,
-    bands: dict,
-) -> tuple[dict, dict]:
-    """:func:`txn_changes` for a BAND-SCOPED consumer — u34's mutually
-    consistent multi-table feed with u41's stats rule applied per
-    table, so a sharded consumer pays three successively cheaper
-    prices: an untouched table short-circuits from the POINTER (no
-    manifest read), a touched table scans only the rewritten
-    partitions whose stats intersect the shard's band
-    (:func:`snapshot_changes_pruned`), and a table ADDED mid-history
-    feeds its inserts through the FILE-level pruned snapshot read
-    (:func:`snapshot_read_pruned` — file pruning is sound for a pure
-    insert feed because no key join is involved; the diff path must
-    stay partition-granular, see snapshot_changes_pruned).  A table
-    REMOVED between the endpoints (the txn_restore rollback-past-ADD
-    pointer shape, round-16 advisor) feeds its ``txn_from`` snapshot
-    as deletes through the same file-level prune — sound for the same
-    no-key-join reason, and a shard whose band the dropped table never
-    touched learns "nothing to delete" from the stats alone.
-
-    ``tables`` maps ``name -> (partition_col, key_col, value_cols)``;
-    ``bands`` maps ``name -> (column, lo, hi)`` — a table missing
-    from ``bands`` gets the unpruned :func:`snapshot_changes` diff.
-    Returns ``(feeds, receipts)``; receipts carry per-table
-    ``{"mode": "unchanged" | "added" | "removed" | "diff" | "full",
-    ...}`` with the scanned/changed partition lists (diff) or
-    kept/total file counts (added/removed) so callers can assert the
-    cost class, not just the rows.  Retention refusals are the typed
-    :class:`RetentionExpiredError`, same as txn_changes — the st23
-    rebaseline contract extends to sharded consumers unchanged."""
-    import json as _json
-    import os
-
-    def pointer(v: int) -> dict:
-        p = os.path.join(base, f"_txn_v{v}.json")
-        if not os.path.exists(p):
-            raise RetentionExpiredError(
-                f"txn_changes_pruned: transaction {v} is not retained; "
-                "changelogs require both endpoint pointers"
-            )
-        with open(p) as fh:
-            return _json.load(fh)
-
-    ptr_f, ptr_t = pointer(txn_from), pointer(txn_to)
-    feeds: dict[str, DataFrame] = {}
-    receipts: dict[str, dict] = {}
-    for name, (pcol, kcol, vcols) in tables.items():
-        tv_f, tv_t = ptr_f.get(name, 0), ptr_t.get(name, 0)
-        tdir = os.path.join(base, name)
-        if tv_f == 0 and tv_t == 0:
-            raise ValueError(
-                f"txn_changes_pruned: table {name!r} appears in "
-                f"neither transaction {txn_from} nor {txn_to}"
-            )
-        if tv_f == tv_t:
-            src = spark.read.parquet(
-                os.path.join(tdir, f"v{tv_t}")
-            ).limit(0)
-            feeds[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("update").alias("change_type"),
-                *[F.col(c).alias(f"{c}_before") for c in vcols],
-                *[F.col(c).alias(f"{c}_after") for c in vcols],
-            )
-            receipts[name] = {"mode": "unchanged"}
-        elif tv_f == 0:
-            if name in bands:
-                column, lo, hi = bands[name]
-                src, kept, total = snapshot_read_pruned(
-                    spark, tdir, tv_t, pcol, column, lo, hi
-                )
-                receipts[name] = {
-                    "mode": "added", "kept_files": len(kept),
-                    "n_files": total,
-                }
-            else:
-                src = snapshot_read(spark, tdir, tv_t, pcol)
-                receipts[name] = {"mode": "added"}
-            feeds[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("insert").alias("change_type"),
-                *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_before"
-                    )
-                    for c in vcols
-                ],
-                *[F.col(c).alias(f"{c}_after") for c in vcols],
-            )
-        elif tv_t == 0:
-            # table removed before txn_to (restore past its ADD): its
-            # txn_from snapshot feeds as deletes, file-pruned when the
-            # shard declared a band (no key join — pruning is sound)
-            if name in bands:
-                column, lo, hi = bands[name]
-                src, kept, total = snapshot_read_pruned(
-                    spark, tdir, tv_f, pcol, column, lo, hi
-                )
-                receipts[name] = {
-                    "mode": "removed", "kept_files": len(kept),
-                    "n_files": total,
-                }
-            else:
-                src = snapshot_read(spark, tdir, tv_f, pcol)
-                receipts[name] = {"mode": "removed"}
-            feeds[name] = src.select(
-                F.col(pcol),
-                F.col(kcol),
-                F.lit("delete").alias("change_type"),
-                *[F.col(c).alias(f"{c}_before") for c in vcols],
-                *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_after"
-                    )
-                    for c in vcols
-                ],
-            )
-        elif name in bands:
-            column, lo, hi = bands[name]
-            df, scanned, changed = snapshot_changes_pruned(
-                spark, tdir, tv_f, tv_t, pcol, kcol, vcols,
-                column, lo, hi,
-            )
-            feeds[name] = df
-            receipts[name] = {
-                "mode": "diff", "scanned": scanned, "changed": changed,
-            }
-        else:
-            feeds[name] = snapshot_changes(
-                spark, tdir, tv_f, tv_t, pcol, kcol, vcols
-            )
-            receipts[name] = {"mode": "full"}
-    return feeds, receipts
-
-
 _U43_ORACLE = """
 WITH o1 AS (
   SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
@@ -9718,108 +6284,6 @@ def u43_txn_feed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U44: group-level RESTORE through the transaction pointer ---------------------
-
-
-def txn_restore(base: str, to_txn: int) -> dict:
-    """Roll a TRANSACTION GROUP back to ``to_txn`` — u23's ``RESTORE``
-    contract lifted through u19's pointer: for every table whose
-    version differs between the head and the target, publish a fresh
-    table manifest whose CONTENT is a verbatim copy of the target
-    version's (:func:`snapshot_restore` at ``max(existing)+1``), then
-    publish one new transaction pointer referencing the copies.  The
-    result is mutually consistent by construction — the thing N
-    independent per-table restores cannot promise (interleaved with a
-    concurrent commit they could pin table A's Tuesday against table
-    B's Wednesday) — and METADATA-ONLY: one small JSON per rolled-back
-    table plus the pointer; zero data bytes, zero version dirs.
-
-    Why fresh manifest copies instead of a pointer that re-references
-    the OLD table versions (which would be one write total): the next
-    partial commit to a restored table carries forward from its
-    predecessor MANIFEST, and table versions advance monotonically —
-    a pointer rolled below versions that retained transactions still
-    reference would make the next commit either collide with a
-    retained version or carry the BAD state's partition map (found
-    building the chain-continues law).  The manifest copy forks the
-    table chain from the restored content, exactly u23's mechanism.
-
-    History stays intact: the bad transaction remains readable and
-    auditable.  Retention composes: the restore's manifests reference
-    the old version DIRS, so :func:`txn_expire` keeps those dirs
-    alive as long as the restore is retained — expiring even the
-    original good pointer leaves the restore self-sufficient.  Crash
-    ordering: manifests before pointer, so a crash mid-restore leaves
-    only unpointed above-head manifests — exactly the crashed-attempt
-    shape txn_expire reclaims.  Guards: an expired target refuses
-    (its manifests may be gone), restoring the current head refuses
-    as a pointless no-op commit.
-
-    A table the HEAD carries that the target predates (added to the
-    group after ``to_txn``) is DROPPED from the restored pointer —
-    that is the restore semantics (the target never read it), but it
-    must be reported, not silent (round-16 advisor: auditors could
-    not tell a table vanished from the group head).  Such tables stay
-    readable at every retained pre-restore transaction, and
-    :func:`txn_changes` across the restore feeds them as whole-table
-    deletes.  Returns ``{"new_txn", "pointer", "restored_tables",
-    "dropped_tables"}``."""
-    import json as _json
-    import os
-    import re
-
-    src = os.path.join(base, f"_txn_v{to_txn}.json")
-    if not os.path.exists(src):
-        raise ValueError(
-            f"txn_restore: transaction {to_txn} has no pointer "
-            "(expired or never committed) — nothing to restore to"
-        )
-    existing = [
-        int(m.group(1))
-        for entry in os.listdir(base)
-        if (m := re.fullmatch(r"_txn_v(\d+)\.json", entry))
-    ]
-    head = max(existing)
-    if to_txn == head:
-        raise ValueError(
-            f"txn_restore: transaction {to_txn} is already the head; "
-            "restoring it would publish a pointless no-op commit"
-        )
-    with open(src) as fh:
-        target_ptr = {t: int(v) for t, v in _json.load(fh).items()}
-    with open(os.path.join(base, f"_txn_v{head}.json")) as fh:
-        head_ptr = {t: int(v) for t, v in _json.load(fh).items()}
-    new_ptr: dict[str, int] = {}
-    restored = []
-    for t in sorted(target_ptr):
-        tv = target_ptr[t]
-        if head_ptr.get(t) == tv:
-            # the head already reads this table at the target version:
-            # carry it — no manifest copy needed
-            new_ptr[t] = tv
-            continue
-        tdir = os.path.join(base, t)
-        on_disk = [
-            int(m.group(1))
-            for entry in os.listdir(tdir)
-            if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-        ]
-        nv = max(on_disk) + 1
-        snapshot_restore(tdir, tv, nv)
-        new_ptr[t] = nv
-        restored.append(t)
-    new_txn = head + 1
-    atomic_write_json(
-        os.path.join(base, f"_txn_v{new_txn}.json"), new_ptr
-    )
-    return {
-        "new_txn": new_txn,
-        "pointer": new_ptr,
-        "restored_tables": restored,
-        "dropped_tables": sorted(t for t in head_ptr if t not in target_ptr),
-    }
-
-
 _U44_CUT = "1997-01"
 
 _U44_ORACLE = f"""
@@ -10064,126 +6528,6 @@ def u44_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refuse"
             )
     return roll(3, "restored").unionByName(roll(2, "bad"))
-
-
-# --- S20: clustering maintenance on the snapshot path ---------------------------
-
-
-def cluster_partitions(
-    spark: SparkSession,
-    table_path: str,
-    partition_col: str,
-    cluster_col: str,
-    files_per_part: int = 6,
-    only: list | None = None,
-) -> dict:
-    """Range-cluster each partition directory on ``cluster_col`` —
-    the 1-D case of S10's z-order, as MAINTENANCE: every partition is
-    rewritten into ``files_per_part`` range-disjoint, internally
-    sorted files (``repartitionByRange`` + ``sortWithinPartitions``),
-    so each file's footer min/max spans a narrow band of the cluster
-    key and stats-routed reads skip most files — the property an
-    append-order ingest does not have (arrival order is uncorrelated
-    with the cluster key, so every file spans the whole domain and
-    skipping keeps everything).
-
-    ``only`` scopes the work order to the named partitions (decoded
-    values), same contract as :func:`compact_partitions`.  The
-    rename-swap protocol and the ``_compact_tmp_``/``_compact_old_``
-    staging names are deliberately IDENTICAL to compact_partitions'
-    (including the staging-name law: no "=" in hidden names), so
-    :func:`recover_interrupted_compaction` heals a crashed clustering
-    pass exactly as it heals a crashed compaction — one recovery
-    protocol for every partition rewriter.  The swap loop is kept
-    separate from compact_partitions rather than parameterized into
-    it so the hardened scheduler path stays byte-identical and its
-    driver evidence stays valid.
-
-    At 100 TB: clustering cost is proportional to the partitions
-    named (one sort each, no shuffle across partitions — the
-    partition dir IS the unit), and the payoff is permanent: every
-    band read on the cluster key afterwards plans over
-    ``~1/files_per_part`` of the files."""
-    import os
-    import shutil
-
-    recover_interrupted_compaction(table_path, partition_col)
-    targets = small_file_census(table_path, partition_col)
-    if only is not None:
-        from urllib.parse import unquote
-
-        want = {str(v) for v in only}
-        targets = [t for t in targets if unquote(t["partition"]) in want]
-    for c in targets:
-        if c["n_files"] == 0:
-            # an empty partition dir (possible after partition-granular
-            # GC interleavings) has nothing to sort and would fail the
-            # staged read — clustering it is vacuously done
-            continue
-        stage = os.path.join(
-            table_path, f"_compact_tmp_{c['partition']}"
-        )
-        old = os.path.join(
-            table_path, f"_compact_old_{c['partition']}"
-        )
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        (
-            spark.read.parquet(c["dir"])
-            .repartitionByRange(files_per_part, F.col(cluster_col))
-            .sortWithinPartitions(cluster_col)
-            .write.parquet(stage)
-        )
-        os.replace(c["dir"], old)
-        os.replace(stage, c["dir"])
-        shutil.rmtree(old)
-    return {
-        "clustered": sorted(
-            t["partition"] for t in targets if t["n_files"] > 0
-        )
-    }
-
-
-def snapshot_cluster_stats(
-    spark: SparkSession,
-    base: str,
-    version: int,
-    partition_col: str,
-    cluster_col: str,
-    files_per_part: int = 6,
-    only: list | None = None,
-) -> dict:
-    """Cluster INSIDE a snapshot version's directory and keep that
-    version's travelling stats ledger exact — :func:`cluster_partitions`
-    on ``v{k}`` followed by :func:`snapshot_stats_resync`, the same
-    coherence protocol as :func:`snapshot_compact_stats` with the
-    other rewriter: compaction makes skipping CHEAPER (fewer files),
-    clustering makes it SHARPER (narrower per-file spans at the same
-    data), and both must republish the ledger or every snapshot
-    referencing the rewritten partitions plans band reads over dead
-    files.  Same crash contract: refuse before touching data when the
-    version has no ledger; data swaps first, ledger after; recovery
-    is an idempotent re-run of either this function or the resync
-    alone."""
-    import os
-
-    if not os.path.exists(os.path.join(base, f"_stats_v{version}.json")):
-        raise ValueError(
-            f"snapshot_cluster_stats: version {version} has no stats "
-            "ledger; a layout rewrite without a ledger to republish "
-            "would strand every stats-routed read — run "
-            "snapshot_commit_stats first"
-        )
-    report = cluster_partitions(
-        spark,
-        os.path.join(base, f"v{version}"),
-        partition_col,
-        cluster_col,
-        files_per_part=files_per_part,
-        only=only,
-    )
-    sync = snapshot_stats_resync(spark, base, version, partition_col)
-    return {**report, **{f"stats_{k}": v for k, v in sync.items()}}
 
 
 _S20_ORACLE = """
@@ -10536,78 +6880,6 @@ def s21_snapshot_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("cents").alias("total_cents"),
     )
-
-
-# --- U39: group erasure with partition-granular GC through the pointer ----------
-
-
-def txn_partition_gc(base: str, min_age_s: float = 0.0) -> dict:
-    """Partition-granular orphan GC for a TRANSACTION GROUP — u32's
-    :func:`partition_orphan_gc` lifted through the txn pointer (the
-    first fresh round-16 candidate the ledger named): per-table
-    expiry can only drop whole version dirs, so a version dir that
-    still shares ANY partition with a retained snapshot keeps every
-    rewritten partition's PRE-REWRITE images on disk, unreachable but
-    present.  For retention that is cosmetic; for a GROUP ERASURE it
-    is the difference between "unreachable" and "gone" across every
-    table the erasure transaction touched.
-
-    The per-table live sets are computed from the manifests present
-    in each table dir — which, by :func:`txn_expire`'s invariant, are
-    exactly the manifests some retained POINTER references.  That
-    invariant is load-bearing, so it is CHECKED first: every
-    (table, version) any pointer references must have its manifest on
-    disk, and any manifest no pointer references is a state this GC
-    refuses to reclaim around (run txn_expire first — it owns
-    manifest lifecycle; this function owns sub-partition residue).
-    Metadata-only decision; deletion cost proportional to dead bytes;
-    ``min_age_s`` is the same concurrent-writer guard as the
-    single-table form."""
-    import json as _json
-    import os
-    import re
-
-    pointers = sorted(
-        entry
-        for entry in os.listdir(base)
-        if re.fullmatch(r"_txn_v(\d+)\.json", entry)
-    )
-    if not pointers:
-        raise ValueError(
-            f"txn_partition_gc: no transaction pointers under {base}"
-        )
-    referenced: dict[str, set] = {}
-    for entry in pointers:
-        with open(os.path.join(base, entry)) as fh:
-            for t, tv in _json.load(fh).items():
-                referenced.setdefault(t, set()).add(int(tv))
-    removed: dict[str, list] = {}
-    for t in sorted(referenced):
-        tdir = os.path.join(base, t)
-        if not os.path.isdir(tdir):
-            # the ValueError re-read/re-derive contract (u33's lesson):
-            # a pointer naming a table with no directory is store
-            # corruption, not a condition to crash past
-            raise ValueError(
-                f"txn_partition_gc: retained pointers reference table "
-                f"{t!r} but {tdir} does not exist; the store is "
-                "inconsistent"
-            )
-        on_disk = {
-            int(m.group(1))
-            for entry in os.listdir(tdir)
-            if (m := re.fullmatch(r"_manifest_v(\d+)\.json", entry))
-        }
-        if on_disk != referenced[t]:
-            raise ValueError(
-                f"txn_partition_gc: table {t}'s manifests on disk "
-                f"(v{sorted(on_disk)}) do not match the retained "
-                f"pointers' references (v{sorted(referenced[t])}); "
-                "run txn_expire first — it owns manifest lifecycle"
-            )
-        rep = partition_orphan_gc(tdir, min_age_s)
-        removed[t] = rep["removed"]
-    return {"removed": removed}
 
 
 _U39_CUT = "1997-01"
