@@ -30,8 +30,19 @@ _R18_NEW: list[str] = []
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh
 # (the "no untested registration" rule extended to rewrites).
-# Populated as the round-17 ADVICE fixes (ledger items (1)-(3)) land.
-_R18_CHANGED: list[str] = []
+# Populated as the round-17 ADVICE fixes (ledger items (1)-(3)) land
+# (both were re-proven in r17, so these insertions displaced the s4/s3
+# fill slots from the back).
+_R18_CHANGED: list[str] = [
+    # txn_expire: aged unpointed residue above a rolled-back head is
+    # reclaimed in the rollback pass (the crashed-expiry wedge), the
+    # deferral receipt never claims what the rollback handled, and
+    # the dropped-table sweep defers on a dir that churns mid-listing
+    "u37_txn_retention",
+    # the strict proper-subset pruning tooth asserted explicitly
+    # whenever out-of-band rewrites exist
+    "u41_cdc_stats_pruned",
+]
 
 # Round 17's named overflow: last driver-green row is round 12 — the
 # forty-one queries the evidence-age guard forces into this window at

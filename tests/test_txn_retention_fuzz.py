@@ -851,3 +851,195 @@ def test_restore_dropped_table_composes_with_feed_and_expiry(
         assert rep2["head_rollbacks"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crashed_expiry_residue_above_rolled_back_head_single_run(spark):
+    """The round-17 advisor's medium repro, pinned deterministically:
+    a PREVIOUS expiry crashed after removing a pointer (txn 3) but
+    before the per-table pass, leaving table b's v2 manifest as
+    unpointed residue BETWEEN the keep set's head root (v1, via txn 2)
+    and an expired pointed head (v3, via txn 4).  The head-rollback
+    loop used to skip unpointed manifests, so after it removed v3 the
+    residue became the on-disk head and snapshot_expire's head guard
+    aborted the run mid-way ('keep_versions [1] omits the head
+    snapshot v2') with the pointers already gone.  The fix reclaims
+    aged unpointed residue in the same rollback pass, so ONE run
+    completes, the deferral receipt does not claim what the rollback
+    handled, and the re-run is a no-op."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_expire,
+        txn_read,
+        txn_restore,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_residue_rollback_")
+    base = f"{root}/g"
+    try:
+        def df(val):
+            return spark.createDataFrame(
+                [(p, val) for p in _PARTS], "m string, v long"
+            )
+
+        txn_commit(base, 1, {"a": (df(0), "m", None)})
+        txn_commit(
+            base, 2, {"a": (df(1), "m", None), "b": (df(1), "m", None)}
+        )
+        txn_commit(
+            base, 3, {"a": (df(2), "m", None), "b": (df(2), "m", None)}
+        )
+        txn_commit(
+            base, 4, {"a": (df(3), "m", None), "b": (df(3), "m", None)}
+        )
+        rep_r = txn_restore(base, 1)  # txn 5: drops b
+        assert rep_r["dropped_tables"] == ["b"], rep_r
+        # the crash: a previous expiry died right after removing txn
+        # 3's pointer — b's v2 manifest is now unpointed residue below
+        # b's pointed head v3
+        os.remove(os.path.join(base, "_txn_v3.json"))
+        rep = txn_expire(base, [2, 5])  # used to raise mid-run here
+        assert "b/v2" in rep["head_rollbacks"], rep
+        assert "b/v3" in rep["head_rollbacks"], rep
+        assert "b/v2" not in rep["residue_deferred"], rep
+        for t in ("a", "b"):
+            got = sorted(
+                map(
+                    tuple,
+                    txn_read(spark, base, 2, t, "m")
+                    .select("m", "v")
+                    .collect(),
+                )
+            )
+            assert got == sorted((p, 1) for p in _PARTS), (t, got)
+        bdir = os.path.join(base, "b")
+        on_disk = sorted(
+            e for e in os.listdir(bdir) if e.startswith("_manifest_")
+        )
+        assert on_disk == ["_manifest_v1.json"], on_disk
+        rep2 = txn_expire(base, [2, 5])
+        assert rep2["removed_pointers"] == []
+        assert rep2["orphans_reclaimed"] == []
+        assert rep2["residue_deferred"] == []
+        assert rep2["head_rollbacks"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    add_pick=st.integers(0, 7),
+    restore_pick=st.integers(0, 7),
+    keep_mask=st.integers(1, 255),
+    crash_mask=st.integers(1, 255),
+)
+@settings(**_SETTINGS)
+def test_crashed_expiry_composes_with_restore_drop(
+    spark, steps, add_pick, restore_pick, keep_mask, crash_mask
+):
+    """The round-17 advisor's kill point added to the matrix: the
+    restore-drop fuzz above, with a PREVIOUS crashed expiry simulated
+    by deleting a random subset of the expired pointers before the
+    run (crash order: pointers first, per-table pass never reached —
+    their manifests become unpointed residue at arbitrary depths).
+    Laws: ONE txn_expire run completes (the head guard never wedges),
+    every retained transaction reads the model state, the deferral
+    receipt never claims a manifest the rollback reclaimed, and the
+    re-run is a no-op."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        txn_commit,
+        txn_expire,
+        txn_read,
+        txn_restore,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_crash_drop_fuzz_")
+    base = f"{root}/g"
+    try:
+        model: dict[int, dict[str, dict[str, int]]] = {}
+        a_state = {p: 0 for p in _PARTS}
+        txn_commit(
+            base, 1,
+            {"a": (
+                spark.createDataFrame(
+                    [(p, 0) for p in _PARTS], "m string, v long"
+                ), "m", None,
+            )},
+        )
+        model[1] = {"a": dict(a_state)}
+        val = 0
+        n_steps = len(steps)
+        add_at = 2 + (add_pick % n_steps)
+        b_state: dict[str, int] = {}
+        for i, (table_mask, pm_a, _pm_b) in enumerate(steps):
+            txn = 2 + i
+            updates = {}
+            parts = [
+                p for j, p in enumerate(_PARTS) if pm_a & (1 << j)
+            ] or [_PARTS[0]]
+            val += 1
+            for p in parts:
+                a_state[p] = val
+            updates["a"] = (
+                spark.createDataFrame(
+                    [(p, val) for p in parts], "m string, v long"
+                ), "m", parts,
+            )
+            if txn == add_at:
+                val += 1
+                b_state = {p: val for p in _PARTS}
+                updates["b"] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in _PARTS], "m string, v long"
+                    ), "m", None,
+                )
+            elif txn > add_at and table_mask & 2:
+                val += 1
+                for p in parts:
+                    b_state[p] = val
+                updates["b"] = (
+                    spark.createDataFrame(
+                        [(p, val) for p in parts], "m string, v long"
+                    ), "m", parts,
+                )
+            txn_commit(base, txn, updates)
+            model[txn] = {"a": dict(a_state)}
+            if txn >= add_at:
+                model[txn]["b"] = dict(b_state)
+        head = max(model)
+        target = sorted(model)[restore_pick % (len(model) - 1)]
+        restore_txn = txn_restore(base, target)["new_txn"]
+        model[restore_txn] = {
+            t: dict(vs) for t, vs in model[target].items()
+        }
+        keep = sorted(
+            {restore_txn}
+            | {v for v in model if keep_mask & (1 << ((v - 1) % 8))}
+        )
+        expired = sorted(set(model) - set(keep))
+        crashed = [
+            v for j, v in enumerate(expired) if crash_mask & (1 << (j % 8))
+        ]
+        for v in crashed:
+            os.remove(os.path.join(base, f"_txn_v{v}.json"))
+        rep = txn_expire(base, keep)  # must complete in one run
+        assert not (
+            set(rep["residue_deferred"]) & set(rep["head_rollbacks"])
+        ), rep
+        for v in keep:
+            for t, vs in model[v].items():
+                got = sorted(
+                    map(
+                        tuple,
+                        txn_read(spark, base, v, t, "m")
+                        .select("m", "v")
+                        .collect(),
+                    )
+                )
+                assert got == sorted(vs.items()), (v, t, got)
+        rep2 = txn_expire(base, keep)
+        assert rep2["removed_pointers"] == []
+        assert rep2["orphans_reclaimed"] == []
+        assert rep2["residue_deferred"] == []
+        assert rep2["head_rollbacks"] == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -105,6 +105,24 @@ _ROUND18_FRONT = [
     # waits behind stale refresh); each insertion displaces one fill
     # slot from the back in the same commit.
     #
+    # CHANGED-code queries (widening plan items (1)-(3), the round-17
+    # ADVICE fixes): identical oracles, but a rewrite must earn fresh
+    # driver evidence before stale-green refresh (their r17 rows
+    # predate this round's rewrite).  txn_expire's head rollback now
+    # reclaims aged unpointed residue manifests above the rolled-back
+    # head (the crashed-expiry wedge) with the deferral receipt kept
+    # accurate, and its dropped-table sweep defers when the table dir
+    # itself churns mid-listing -> u37; u41's strict proper-subset
+    # pruning tooth is asserted explicitly whenever out-of-band
+    # rewrites exist -> u41.  The two insertions displaced the s4/s3
+    # fill slots from the back.  The new expiry branch is reachable
+    # only on inputs where the old code CRASHED (unpointed aged
+    # residue above a rolled-back head), so every other txn_expire
+    # consumer is behavior-identical on every previously-succeeding
+    # input — pinned by the deterministic repro and the
+    # crash x restore-drop fuzz in tests/test_txn_retention_fuzz.py.
+    "u37_txn_retention",
+    "u41_cdc_stats_pruned",
     # the forty-one r12-stale leaders the evidence-age guard forces
     # at newest=18 (round-17 verdict ask #1; recomputed from the
     # artifacts in this rotation commit)
@@ -153,6 +171,7 @@ _ROUND18_FRONT = [
     # riskiest families first — the u9/u9d incremental-rollup pair,
     # then the storage/format round-trip block); every new or
     # changed-code registration above displaces one from the back
+    # (the 2 changed-code ADVICE entries displaced s4 and s3)
     "u9_incremental_rollup",
     "u9d_incremental_rollup_decimal",
     "s13_file_skipping_index",
@@ -160,8 +179,6 @@ _ROUND18_FRONT = [
     "s2_csv_roundtrip",
     "s2b_orc_roundtrip",
     "s2c_xml_roundtrip",
-    "s3_json_roundtrip",
-    "s4_jdbc_roundtrip",
 ]
 
 # Every other query has a driver-green row in r13-r17 -> back of the
@@ -293,6 +310,8 @@ _DRIVER_VERIFIED_R13_R17 = [
     "s19_snapshot_stats_travel",
     "s20_snapshot_clustering_stats",
     "s21_snapshot_multiband",
+    "s3_json_roundtrip",
+    "s4_jdbc_roundtrip",
     "s9_external_feed",
     "sql_correlated_subquery",
     "st10_stream_stream_join",
@@ -366,11 +385,9 @@ _DRIVER_VERIFIED_R13_R17 = [
     "u34_txn_change_feed",
     "u35_feed_view_maintenance",
     "u36_stats_layout_coherence",
-    "u37_txn_retention",
     "u38_txn_tag_retention",
     "u39_group_erasure_gc",
     "u40_txn_age_retention",
-    "u41_cdc_stats_pruned",
     "u42_group_optimize",
     "u43_txn_feed_pruned",
     "u44_txn_restore",

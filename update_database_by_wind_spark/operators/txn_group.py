@@ -654,8 +654,41 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
             if not m:
                 continue
             tv = int(m.group(1))
-            if tv <= head_root or tv not in all_ref.get(t, set()):
+            if tv <= head_root:
                 continue
+            if tv not in all_ref.get(t, set()):
+                # an UNPOINTED manifest above the rolled-back head:
+                # either the residue of a previously crashed expiry
+                # (step 2 deferred it because it sat BELOW a pointed
+                # head this loop is about to remove) or a manifest a
+                # concurrent commit published since step 2's scan.
+                # min_age_s is the same discriminator step 2 applies:
+                # a young manifest is treated as retained this pass
+                # (it may be an in-flight commit about to publish its
+                # pointer — adding it to the expiry roots keeps step
+                # 4's head guard consistent with the chain it tops),
+                # while AGED residue is reclaimed here — skipped, it
+                # would become the on-disk head once the pointed heads
+                # above it are removed, and step 4's head guard would
+                # abort the run mid-way with the pointers already gone
+                # (the round-17 advisor's crashed-expiry repro; the
+                # next run's orphan scan would eventually converge,
+                # but the docstring promises crash-at-ANY-point
+                # idempotence for THIS run too).
+                mpath = os.path.join(tdir, entry)
+                vdir = os.path.join(tdir, f"v{tv}")
+                try:
+                    age = time.time() - max(
+                        os.path.getmtime(mpath),
+                        os.path.getmtime(vdir)
+                        if os.path.isdir(vdir)
+                        else 0.0,
+                    )
+                except OSError:
+                    age = 0.0  # churn under our feet IS a live writer
+                if min_age_s > 0 and age < min_age_s:
+                    roots.add(tv)
+                    continue
             os.remove(os.path.join(tdir, entry))
             shutil.rmtree(
                 os.path.join(tdir, f"v{tv}"), ignore_errors=True
@@ -692,7 +725,16 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
     # reference — the incident min_age_s exists to prevent.
     def _has_young_manifest(tdir: str) -> bool:
         sweep_now = time.time()
-        for entry in os.listdir(tdir):
+        try:
+            entries = os.listdir(tdir)
+        except OSError:
+            # the table dir vanished between the isdir probe and this
+            # sweep — a concurrent actor is mutating it right now, the
+            # definition of a live writer: defer (round-17 advisor; the
+            # per-file getmtime arm below already treated churn this
+            # way, the listing must too)
+            return True
+        for entry in entries:
             m = re.fullmatch(r"_manifest_v(\d+)\.json", entry)
             if not m:
                 continue
@@ -729,6 +771,11 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
     # round-16 advisor flagged)
     swept = set(dropped_swept)
     residue = [r for r in residue if r.split("/", 1)[0] not in swept]
+    # likewise a residue manifest the head rollback just reclaimed was
+    # handled, not deferred — the deferral receipt must not claim it
+    # (round-17 advisor: the receipt-accuracy half of the residue fix)
+    rolled = set(head_rollbacks)
+    residue = [r for r in residue if r not in rolled]
     return {
         "removed_pointers": removed_ptrs,
         "orphans_reclaimed": orphans,

@@ -5509,6 +5509,18 @@ def u41_cdc_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "non-empty band-consistent subset of the manifest diff "
             f"({len(scanned)} of {len(changed)} changed buckets)"
         )
+    # ...and the implication asserted EXPLICITLY, not left to the
+    # band-consistency check above: whenever some rewritten bucket
+    # lies outside the band's transform range, a stats rule that
+    # prunes nothing must fail here even if a future fixture/scale
+    # shift made in_range drift toward changed (round-17 advisor: the
+    # proper-subset tooth must not be able to vanish silently)
+    if in_range < set(changed) and not set(scanned) < set(changed):
+        raise ValueError(
+            "u41_cdc_stats_pruned: out-of-band rewrites exist, so the "
+            "stats rule must prune at least one changed bucket "
+            f"(scanned {sorted(scanned)} == changed {sorted(changed)})"
+        )
     unpruned = snapshot_changes(
         spark, base, 1, 2, "k_bucket", "k", vcols
     ).filter(
