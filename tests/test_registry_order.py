@@ -25,7 +25,22 @@ from update_database_by_wind_spark.registry import REGISTRY
 # and s13/r10 both entered the registry broken in end-of-round commits
 # that skipped the mirror).  Populated as the round-18 widening plan
 # (ledger items (4)-(6)) lands.
-_R18_NEW: list[str] = []
+_R18_NEW: list[str] = [
+    # widening plan (6): maintenance racing retention — the
+    # self-validating guarded executor skips expired work orders whole
+    # (byte-identical table dir), narrows superseded ones, and the
+    # expiry that runs last reclaims the rewritten version completely;
+    # the interleaving is fuzzed in test_txn_retention_fuzz.py
+    "u48_maintenance_retention_race",
+    # widening plan (4): sharded restore-aware consumers — st25's band
+    # shards each applying their slice of u44's inverse feed through
+    # the u43 pruned feed, dropped-table delete slice included
+    "st28_sharded_restore_view",
+    # widening plan (5): keyed-state relocation — statestore drain +
+    # explicit state-injection batch + mismatched resume, with a
+    # never-relocated control run as the referee
+    "st29_keyed_state_relocation",
+]
 
 # Queries whose CODE changed this round: identical oracles, but a
 # rewrite must earn fresh driver evidence before stale-green refresh

@@ -1043,3 +1043,138 @@ def test_crashed_expiry_composes_with_restore_drop(
         assert rep2["head_rollbacks"] == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    steps=_STEPS,
+    keep_mask=st.integers(1, 255),
+    frag_mask=st.integers(0, 255),
+)
+@settings(**_SETTINGS)
+def test_guarded_maintenance_races_retention(
+    spark, steps, keep_mask, frag_mask
+):
+    """The round-17 verdict's ask #4, fuzzed: a MAINTENANCE actor
+    (txn_optimize_plan + txn_optimize_run_guarded) joins the dict
+    model's actors.  A work order is planned against the full history
+    head, a random keep set expires AFTER the plan, and the stale
+    order then executes.  Laws: the guarded
+    run never raises; its receipt partitions the plan exactly
+    (rewritten ∪ skipped = every planned entry, nothing else); a
+    skipped entry's version dir was genuinely unrouted at run time;
+    and every RETAINED transaction still reads the model state after
+    the interleaving — maintenance under racing retention never tears
+    a read."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_commit,
+        txn_expire,
+        txn_optimize_plan,
+        txn_optimize_run_guarded,
+        txn_read,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_maint_race_fuzz_")
+    base = f"{root}/g"
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    prev_conf = spark.conf.get(conf_key, "0")
+    try:
+        model: dict[int, dict[str, int]] = {}
+        state = {p: 0 for p in _PARTS}
+        val = 0
+        spec = {"a": ("m", None)}
+        tv = 0
+        for i, (table_mask, pm_a, _pm_b) in enumerate(steps):
+            txn = 1 + i
+            parts = (
+                [p for j, p in enumerate(_PARTS) if pm_a & (1 << j)]
+                or [_PARTS[0]]
+            )
+            if txn == 1:
+                parts = list(_PARTS)
+            val += 1
+            for p in parts:
+                state[p] = val
+            # a fragmented commit (several files per partition) when
+            # the step's frag bit is set, so plans have real targets
+            frag = bool(frag_mask & (1 << (i % 8)))
+            rows = [
+                (p, state[p] * 10 + j)
+                for p in parts
+                for j in range(6 if frag else 1)
+            ]
+            spark.conf.set(conf_key, "1" if frag else "0")
+            try:
+                txn_commit(
+                    base, txn,
+                    {"a": (
+                        spark.createDataFrame(rows, "m string, v long"),
+                        "m", None if txn == 1 else parts,
+                    )},
+                )
+            finally:
+                spark.conf.set(conf_key, prev_conf)
+            tv += 1
+            snapshot_commit_stats(
+                spark, os.path.join(base, "a"), tv, ["v"]
+            )
+            model[txn] = dict(state)
+
+        def reads_match(keep) -> None:
+            for v in keep:
+                got = sorted(
+                    {
+                        (r["m"], r["v"] // 10)
+                        for r in txn_read(spark, base, v, "a", "m")
+                        .collect()
+                    }
+                )
+                want = sorted(set(model[v].items()))
+                assert got == want, (v, got, want)
+
+        head = max(model)
+        plan = txn_optimize_plan(spark, base, spec, max_files=4)
+        keep = sorted(
+            {head} | {v for v in model if keep_mask & (1 << ((v - 1) % 8))}
+        )
+        txn_expire(base, keep)
+        rep = txn_optimize_run_guarded(
+            spark, base, spec, plan, max_files=4
+        )
+        planned = {
+            f"a/v{ver}" for ver in plan.get("a", {})
+        }
+        got = set(rep["rewritten"]) | set(rep["skipped"])
+        assert got == planned, (got, planned)
+        assert rep["validated"] == len(planned)
+        # a skipped-expired entry is genuinely unrouted by any
+        # retained pointer's manifest
+        import json as _json
+        import re as _re
+
+        routed: set = set()
+        for entry in os.listdir(base):
+            if not _re.fullmatch(r"_txn_v(\d+)\.json", entry):
+                continue
+            with open(os.path.join(base, entry)) as fh:
+                mv = _json.load(fh)["a"]
+            with open(
+                os.path.join(base, "a", f"_manifest_v{mv}.json")
+            ) as fh:
+                routed |= {int(x) for x in _json.load(fh).values()}
+        for key, why in rep["skipped"].items():
+            ver = int(key.rsplit("v", 1)[1])
+            if why == "expired":
+                assert ver not in routed, (key, sorted(routed))
+        reads_match(keep)
+        # convergence: a fresh plan executes clean and re-plans empty
+        plan2 = txn_optimize_plan(spark, base, spec, max_files=4)
+        rep2 = txn_optimize_run_guarded(
+            spark, base, spec, plan2, max_files=4
+        )
+        assert not rep2["skipped"], rep2
+        assert not txn_optimize_plan(spark, base, spec, max_files=4)
+        reads_match(keep)
+    finally:
+        spark.conf.set(conf_key, prev_conf)
+        shutil.rmtree(root, ignore_errors=True)

@@ -105,6 +105,40 @@ _ROUND18_FRONT = [
     # waits behind stale refresh); each insertion displaces one fill
     # slot from the back in the same commit.
     #
+    # round-18 NEW registration (widening plan item (6), verdict ask
+    # #4): the maintenance daemon racing the retention daemon — both
+    # race directions deterministically interleaved through the new
+    # self-validating executor (txn_optimize_run_guarded): a stale
+    # work order naming a version the rollback's expiry reclaimed
+    # skips whole with the table dir byte-identical (never a torn
+    # dir, nothing resurrected), a pre-retention order executes and
+    # the expiry then reclaims the rewritten version ledger and all,
+    # and an order superseded by a later live commit narrows to the
+    # partitions the version still owns.  The race is also fuzzed
+    # against the dict model (test_guarded_maintenance_races_retention).
+    # Displaced the s2c fill slot.
+    "u48_maintenance_retention_race",
+    # round-18 NEW registration (widening plan item (4), verdict ask
+    # #2): the production rollback shape — TWO band-sharded view
+    # daemons (st25's split) each applying their slice of a group
+    # restore's INVERSE feed (st26's protocol) through the band-scoped
+    # pruned feed (u43), including the dropped-table delete slice;
+    # per-shard mode ledgers pin [(2, incremental), (3, inverse)],
+    # rebaseline forbidden on both shards, scans band-contained and
+    # diff-conserving at BOTH transactions, and the shard union
+    # round-trips byte-exactly to the pre-deploy state.  Displaced
+    # the s2b fill slot.
+    "st28_sharded_restore_view",
+    # round-18 NEW registration (widening plan item (5), verdict ask
+    # #3): keyed-state relocation — drain an applyInPandasWithState
+    # checkpoint (count + sum + MAX per key: merge-able, NOT a plain
+    # sum) through the official statestore source, re-seed a
+    # 7-partition checkpoint via an explicit is_seed state-injection
+    # batch merged by the fold itself, resume under a mismatched
+    # 11-partition session; st27's receipt family end to end plus a
+    # never-relocated control run landing identical state.  Displaced
+    # the s2 fill slot.
+    "st29_keyed_state_relocation",
     # CHANGED-code queries (widening plan items (1)-(3), the round-17
     # ADVICE fixes): identical oracles, but a rewrite must earn fresh
     # driver evidence before stale-green refresh (their r17 rows
@@ -176,9 +210,6 @@ _ROUND18_FRONT = [
     "u9d_incremental_rollup_decimal",
     "s13_file_skipping_index",
     "s1b_partitioned_parquet",
-    "s2_csv_roundtrip",
-    "s2b_orc_roundtrip",
-    "s2c_xml_roundtrip",
 ]
 
 # Every other query has a driver-green row in r13-r17 -> back of the
@@ -310,6 +341,9 @@ _DRIVER_VERIFIED_R13_R17 = [
     "s19_snapshot_stats_travel",
     "s20_snapshot_clustering_stats",
     "s21_snapshot_multiband",
+    "s2_csv_roundtrip",
+    "s2b_orc_roundtrip",
+    "s2c_xml_roundtrip",
     "s3_json_roundtrip",
     "s4_jdbc_roundtrip",
     "s9_external_feed",

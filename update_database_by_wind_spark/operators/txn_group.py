@@ -1222,6 +1222,119 @@ def txn_optimize_run(
     return receipts
 
 
+def txn_optimize_run_guarded(
+    spark: SparkSession,
+    base: str,
+    spec: dict,
+    plan: dict,
+    max_files: int = 8,
+    target_files: int = 1,
+    files_per_part: int = 4,
+) -> dict:
+    """:func:`txn_optimize_run` for a maintenance daemon RACING a
+    retention daemon (u48, the round-17 verdict's ask #4): a work
+    order is a SNAPSHOT of the layout at plan time, and between plan
+    and run an age policy (:func:`txn_expire_by_age`) or a rollback
+    (:func:`txn_restore` + :func:`txn_expire`) may reclaim the very
+    version dirs the order names.  The unguarded executor would hand
+    a reclaimed version to :func:`snapshot_compact_stats`, which
+    refuses on the missing stats ledger — a crash mid-fleet, with
+    earlier entries already rewritten.  This executor RE-VALIDATES
+    every entry against the pointers on disk at run time:
+
+    - a version dir no retained manifest routes to any more (its last
+      pointer expired, or a head rollback reclaimed it) is SKIPPED
+      with reason ``expired`` — nothing under the table dir is
+      touched, so a stale work order can never republish a stats
+      ledger for a version retention just aged out (the resurrection
+      half of the race);
+    - a live version whose planned partitions are no longer routed to
+      it (a later commit superseded them) is SKIPPED with reason
+      ``superseded``; when only SOME partitions moved, the rewrite
+      proceeds restricted to the still-routed ones (reported under
+      ``narrowed``);
+    - live entries execute exactly as :func:`txn_optimize_run` —
+      same rewriters, same coherence protocol.
+
+    The remaining window — expiry landing between this validation and
+    the rewrite — is the ordinary concurrent-writer race both sides
+    already carry guards for: the rewrite refreshes the version dir's
+    mtime, so an expiry run with ``min_age_s`` defers it (txn_expire's
+    step-2/rollback age gates), and an expiry that already unlinked
+    the dir leaves the rewrite's output as unpointed residue the next
+    orphan scan reclaims — eventually convergent, never torn, because
+    retained reads never route through an unreferenced version dir.
+    Returns ``{"rewritten": {...}, "skipped": {...}, "narrowed":
+    {...}, "validated": n}`` (``rewritten`` carries the inner
+    rewriter receipts, keyed like :func:`txn_optimize_run`'s)."""
+    import json as _json
+    import os
+    import re
+
+    routed: dict[str, dict[int, set]] = {}
+    for entry in os.listdir(base):
+        if not re.fullmatch(r"_txn_v(\d+)\.json", entry):
+            continue
+        with open(os.path.join(base, entry)) as fh:
+            ptr = {t: int(v) for t, v in _json.load(fh).items()}
+        for t, mv in ptr.items():
+            mpath = os.path.join(base, t, f"_manifest_v{mv}.json")
+            try:
+                with open(mpath) as fh:
+                    manifest = _json.load(fh)
+            except OSError:
+                # a concurrent expiry between the pointer listing and
+                # this read — the version is going away; treat it as
+                # unrouted (the skip arm below defers the work)
+                continue
+            by_t = routed.setdefault(t, {})
+            for part, ver in manifest.items():
+                by_t.setdefault(int(ver), set()).add(part)
+
+    rewritten: dict = {}
+    skipped: dict = {}
+    narrowed: dict = {}
+    validated = 0
+    for t in sorted(plan):
+        pcol, ccol = spec[t]
+        for ver in sorted(plan[t]):
+            key = f"{t}/v{ver}"
+            validated += 1
+            live = routed.get(t, {}).get(ver, set())
+            if not live:
+                skipped[key] = "expired"
+                continue
+            order = plan[t][ver]
+            want = set(order["compact"]) | set(order["cluster"])
+            if not want & live:
+                skipped[key] = "superseded"
+                continue
+            if not want <= live:
+                narrowed[key] = sorted(want - live)
+            rep: dict = {}
+            compact = [p for p in order["compact"] if p in live]
+            cluster = [p for p in order["cluster"] if p in live]
+            if compact:
+                rep["compact"] = snapshot_compact_stats(
+                    spark, os.path.join(base, t), ver, pcol,
+                    max_files=max_files, target_files=target_files,
+                    only=compact,
+                )
+            if cluster:
+                rep["cluster"] = snapshot_cluster_stats(
+                    spark, os.path.join(base, t), ver, pcol, ccol,
+                    files_per_part=files_per_part,
+                    only=cluster,
+                )
+            rewritten[key] = rep
+    return {
+        "rewritten": rewritten,
+        "skipped": skipped,
+        "narrowed": narrowed,
+        "validated": validated,
+    }
+
+
 # --- U43: the group feed, band-scoped through the travelling stats ----------------
 
 

@@ -103,6 +103,7 @@ from update_database_by_wind_spark.operators.txn_group import (  # noqa: F401
     txn_occ_commit,
     txn_optimize_plan,
     txn_optimize_run,
+    txn_optimize_run_guarded,
     txn_partition_gc,
     txn_read,
     txn_read_tag,
@@ -7691,3 +7692,356 @@ def u47_age_policy_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     expect_converged(4)
     return store.read()
+
+
+# --- U48: maintenance racing retention ----------------------------------------------
+
+_U48_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o2 AS (
+  SELECT k_bucket, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 3 = 0
+                   AND k % 7 = 0
+              THEN cents + cents // 20 ELSE cents END AS cents
+  FROM o1
+),
+o5 AS (
+  SELECT k_bucket, k,
+         CASE WHEN CAST(substr(k_bucket, 2) AS INTEGER) % 2 = 0
+                   AND k % 11 = 0
+              THEN cents + cents // 25 ELSE cents END AS cents
+  FROM o2
+)
+SELECT k_bucket, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o5 GROUP BY k_bucket
+"""
+
+
+@query(
+    "u48_maintenance_retention_race",
+    oracle=_U48_ORACLE,
+    tags=("update", "layout", "cdf"),
+)
+def u48_maintenance_retention_race(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U48: the maintenance daemon RACING the retention daemon — the
+    round-17 verdict's ask #4, and the remaining unproven interaction
+    between u46's shard planners and u47's age policy.  A work order
+    is a snapshot of the layout at plan time; retention mutates that
+    layout underneath it.  Both race directions, deterministically
+    interleaved:
+
+    - REWRITE WINS: the planner's order executes before retention
+      runs.  The guarded executor (:func:`txn_optimize_run_guarded`)
+      validates every entry live, rewrites it, and the subsequent
+      restore + expiry reclaims the whole rewritten version —
+      INCLUDING the stats ledger the rewrite just republished, so
+      nothing dangles (the resurrection half of the race, settled by
+      expiry running last);
+    - EXPIRY WINS: a stale work order naming the bad deploy's version
+      executes AFTER the rollback's expiry reclaimed it.  The
+      unguarded executor would crash mid-fleet on the missing stats
+      ledger (snapshot_compact_stats' refusal); the guarded one skips
+      the entry with reason ``expired`` and touches NOTHING — pinned
+      by a byte-level (path, size, mtime_ns) listing of the table dir
+      across the run, the never-a-torn-dir receipt;
+    - SUPERSEDED-IN-PLACE: a stale order from BEFORE a later live
+      commit re-validates against the pointers at run time — planned
+      partitions a newer version now owns are dropped from the order
+      (reported under ``narrowed``), only still-routed ones execute.
+
+    Receipts, raise-style: maintenance 0 converges through the
+    guarded path (validated == live == executed, nothing skipped);
+    the bad version's dir, manifest, and stats ledger are GONE after
+    the expiry; the stale order's receipt is exactly
+    ``{orders/v3: expired}`` with the table dir byte-identical across
+    the run; the narrowed re-run names exactly the %6 buckets the
+    later commit took over; the fresh post-incident plan executes and
+    the group re-plans EMPTY; band reads through the travelling stats
+    are cell-exact at EVERY retained transaction after every phase
+    (u36's coherence law under the interleaving); and the returned
+    head rollup carries both GOOD corrections and no trace of the
+    rolled-back deploy, driver-hashed against the oracle.
+
+    Why it matters at 100 TB: maintenance fleets and retention
+    daemons share no scheduler, and "the plan was valid when I made
+    it" is how a fleet tears a store — the guarded executor makes
+    every work order self-validating against the pointers, which is
+    the only coordination a shared-nothing fleet can afford.  The
+    residual plan-to-rewrite window is the same concurrent-writer
+    race txn_expire's min_age_s gates already defer (see
+    :func:`txn_optimize_run_guarded`'s contract); the policy × 
+    maintenance interleaving is also fuzzed against the dict model in
+    tests/test_txn_retention_fuzz.py."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u48_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+
+    def frag_commit(txn: int, df: DataFrame, parts,
+                    n_parts: int) -> None:
+        spark.conf.set(
+            conf_key, str(max(1, df.count() // (n_parts * 6)))
+        )
+        try:
+            txn_commit(base, txn, {"orders": (df, "k_bucket", parts)})
+        finally:
+            spark.conf.set(conf_key, old_conf)
+
+    tdir = os.path.join(base, "orders")
+    spec = {"orders": ("k_bucket", None)}
+    frag_commit(1, o1, None, len(all_b))
+    snapshot_commit_stats(spark, tdir, 1, ["k", "cents"])
+    # maintenance 0 through the GUARDED path: everything live
+    plan0 = txn_optimize_plan(spark, base, spec, max_files=4)
+    rep0 = txn_optimize_run_guarded(
+        spark, base, spec, plan0, max_files=4
+    )
+    if (
+        rep0["skipped"]
+        or rep0["narrowed"]
+        or len(rep0["rewritten"]) != rep0["validated"]
+        or txn_optimize_plan(spark, base, spec, max_files=4)
+    ):
+        raise ValueError(
+            "u48_maintenance_retention_race: maintenance 0 must "
+            f"converge with every entry live (got {rep0})"
+        )
+
+    # txn 2: GOOD correction — %3 buckets, k%7 earns +5%
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    in3 = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            in3 & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit(2, o2.filter(F.col("k_bucket").isin(rw2)), rw2,
+                len(rw2))
+    snapshot_commit_stats(spark, tdir, 2, ["k", "cents"])
+    plan2 = txn_optimize_plan(
+        spark, base, spec, max_files=4,
+        touched=txn_touched_since(base, 1),
+    )
+    if set(plan2.get("orders", {})) != {2}:
+        raise ValueError(
+            "u48_maintenance_retention_race: the night's plan must "
+            f"name exactly the correction's version (got {plan2})"
+        )
+
+    def ptr(v: int) -> dict:
+        with open(os.path.join(base, f"_txn_v{v}.json")) as fh:
+            return {t: int(tv) for t, tv in _json.load(fh).items()}
+
+    dom = o1.agg(F.min("k").alias("mn"), F.max("k").alias("xm")).first()
+    klo = dom.mn + (dom.xm - dom.mn) // 2
+    khi = klo + (dom.xm - dom.mn) // 16
+
+    def band_counts(txns) -> dict:
+        out = {}
+        for txn in txns:
+            tv = ptr(txn)["orders"]
+            df, _, _ = snapshot_read_pruned(
+                spark, tdir, tv, "k_bucket", "k", klo, khi
+            )
+            out[txn] = df.count()
+        return out
+
+    # REWRITE WINS: plan2 executes before any retention ran
+    pre = band_counts([1, 2])
+    rep2 = txn_optimize_run_guarded(
+        spark, base, spec, plan2, max_files=4
+    )
+    if rep2["skipped"] or rep2["narrowed"] or band_counts([1, 2]) != pre:
+        raise ValueError(
+            "u48_maintenance_retention_race: the pre-retention rewrite "
+            f"must execute whole and preserve content (got {rep2})"
+        )
+
+    # txn 3: the BAD deploy — %2 buckets, k%5 prices zeroed
+    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    in2 = F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            in2 & (F.col("k") % 5 == 0), F.lit(0).cast("long")
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit(3, o3.filter(F.col("k_bucket").isin(rw3)), rw3,
+                len(rw3))
+    snapshot_commit_stats(spark, tdir, 3, ["k", "cents"])
+    # the maintenance daemon plans against the bad head...
+    plan3 = txn_optimize_plan(
+        spark, base, spec, max_files=4,
+        touched=txn_touched_since(base, 2),
+    )
+    if set(plan3.get("orders", {})) != {3}:
+        raise ValueError(
+            "u48_maintenance_retention_race: the stale plan must name "
+            f"the bad deploy's version (got {plan3})"
+        )
+    # ...but the RETENTION daemon wins the race: rollback + expiry
+    # reclaim the bad version before the work order runs
+    rep_r = txn_restore(base, 2)
+    if rep_r["new_txn"] != 4:
+        raise ValueError(
+            f"u48_maintenance_retention_race: restore must publish "
+            f"txn 4 (got {rep_r})"
+        )
+    rep_e = txn_expire(base, [2, 4])
+    if (
+        os.path.exists(os.path.join(tdir, "_manifest_v3.json"))
+        or os.path.isdir(os.path.join(tdir, "v3"))
+        or os.path.exists(os.path.join(tdir, "_stats_v3.json"))
+    ):
+        raise ValueError(
+            "u48_maintenance_retention_race: the expiry must reclaim "
+            "the bad version's manifest, dir, AND stats ledger "
+            f"(report {rep_e})"
+        )
+
+    def listing() -> list:
+        out = []
+        for dp, _, fns in sorted(os.walk(tdir)):
+            for fn in sorted(fns):
+                p = os.path.join(dp, fn)
+                st_ = os.stat(p)
+                out.append((p, st_.st_size, st_.st_mtime_ns))
+        return out
+
+    # EXPIRY WINS: the stale order executes after the reclamation —
+    # skipped whole, table dir byte-identical across the run
+    before = listing()
+    rep3 = txn_optimize_run_guarded(
+        spark, base, spec, plan3, max_files=4
+    )
+    if rep3 != {
+        "rewritten": {},
+        "skipped": {"orders/v3": "expired"},
+        "narrowed": {},
+        "validated": 1,
+    }:
+        raise ValueError(
+            "u48_maintenance_retention_race: the stale order must skip "
+            f"the reclaimed version whole (got {rep3})"
+        )
+    if listing() != before:
+        raise ValueError(
+            "u48_maintenance_retention_race: the skipped run touched "
+            "the table dir — a stale order resurrected reclaimed state"
+        )
+
+    # txn 5: GOOD correction #2 — %2 buckets, k%11 earns +4%
+    o5 = o2.withColumn(
+        "cents",
+        F.when(
+            in2 & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit(5, o5.filter(F.col("k_bucket").isin(rw3)), rw3,
+                len(rw3))
+    snapshot_commit_stats(spark, tdir, 5, ["k", "cents"])
+    # the fresh post-incident plan converges the live correction
+    plan5 = txn_optimize_plan(
+        spark, base, spec, max_files=4,
+        touched=txn_touched_since(base, 4),
+    )
+    pre = band_counts([2, 4, 5])
+    rep5 = txn_optimize_run_guarded(
+        spark, base, spec, plan5, max_files=4
+    )
+    if rep5["skipped"] or band_counts([2, 4, 5]) != pre:
+        raise ValueError(
+            "u48_maintenance_retention_race: the fresh plan must "
+            f"execute clean and preserve every band read (got {rep5})"
+        )
+    # SUPERSEDED-IN-PLACE: the age policy's aggressive keep-last-1
+    # pass drops txns 2 and 4, so the only manifests still routing
+    # the txn-2 order's %3 buckets to data dir v2 are v5's — and v5
+    # took the %6 buckets (= %3 ∩ %2) over to its own dir.  The
+    # stale txn-2 order re-validates against the surviving pointers:
+    # narrowed to exactly the %6 buckets, rewriting only what v2
+    # still owns, band reads untouched.
+    txn_expire(base, [5])
+    want_narrow = sorted(b for b in rw2 if int(b[1:]) % 2 == 0)
+    pre5 = band_counts([5])
+    rep2b = txn_optimize_run_guarded(
+        spark, base, spec, plan2, max_files=4
+    )
+    if want_narrow and sorted(set(rw2) - set(want_narrow)):
+        # the mixed shape: some %3 buckets survived at v2, some moved
+        # (needs a multi-bucket domain straddling both residues —
+        # always at sf >= 0.01; degenerate domains fall through to
+        # the receipt checks below)
+        if rep2b["narrowed"] != {"orders/v2": want_narrow} or (
+            "orders/v2" not in rep2b["rewritten"]
+        ):
+            raise ValueError(
+                "u48_maintenance_retention_race: the stale txn-2 "
+                "order must narrow to exactly the buckets txn 5 took "
+                f"over (want {want_narrow}, got {rep2b})"
+            )
+    elif want_narrow and not sorted(set(rw2) - set(want_narrow)):
+        # every planned bucket moved (the single-bucket sf0.001
+        # domain): the order is skipped whole — "superseded" when the
+        # dir still backs other manifests, "expired" when the expiry
+        # already reclaimed the fully-unreferenced dir
+        if (
+            rep2b["rewritten"]
+            or rep2b["narrowed"]
+            or rep2b["skipped"].get("orders/v2")
+            not in ("superseded", "expired")
+        ):
+            raise ValueError(
+                "u48_maintenance_retention_race: a fully-taken-over "
+                f"order must skip whole (got {rep2b})"
+            )
+    if band_counts([5]) != pre5:
+        raise ValueError(
+            "u48_maintenance_retention_race: the narrowed re-run "
+            "changed a band read"
+        )
+    if txn_optimize_plan(spark, base, spec, max_files=4):
+        raise ValueError(
+            "u48_maintenance_retention_race: the group must re-plan "
+            "empty after the incident"
+        )
+    return (
+        txn_read(spark, base, 5, "orders", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

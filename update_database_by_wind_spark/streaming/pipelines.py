@@ -3983,3 +3983,770 @@ def st27_state_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         f"{root}/_pin",
     )
+
+
+# --- ST28: sharded restore-aware consumers -----------------------------------------
+
+_ST28_ORACLE = """
+WITH o1 AS (
+  SELECT printf('b%02d', CAST(o_custkey // 256 AS INTEGER)) AS k_bucket,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT k_bucket, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(0 AS BIGINT) AS returns_cents
+FROM o1 GROUP BY k_bucket
+"""
+
+
+def _st28_apply(view: DataFrame, feeds: dict) -> DataFrame:
+    """st26's signed-delta algebra per BUCKET instead of per month —
+    orders contribute (±1, ±cents), the returns table contributes its
+    cents column — so the SAME application code handles the bad
+    deploy's incremental feed (update + added-table inserts) and the
+    restore's inverse feed (inverse updates + dropped-table deletes).
+    Shard-local: a shard's feed only ever carries its own buckets."""
+    zero = F.lit(0).cast("long")
+    ct = F.col("change_type")
+    od = feeds["orders"].groupBy("k_bucket").agg(
+        F.sum(
+            F.when(ct == "insert", 1).when(ct == "delete", -1).otherwise(0)
+        ).alias("d_n"),
+        F.sum(
+            F.coalesce("cents_after", zero)
+            - F.coalesce("cents_before", zero)
+        ).alias("d_cents"),
+    )
+    rd = feeds["returns"].groupBy("k_bucket").agg(
+        F.sum(
+            F.coalesce("cents_after", zero)
+            - F.coalesce("cents_before", zero)
+        ).alias("d_r"),
+    )
+    return (
+        view.join(od, "k_bucket", "full_outer")
+        .join(rd, "k_bucket", "full_outer")
+        .select(
+            "k_bucket",
+            (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
+            .cast("long").alias("n_orders"),
+            (
+                F.coalesce("total_cents", zero)
+                + F.coalesce("d_cents", zero)
+            ).cast("long").alias("total_cents"),
+            (
+                F.coalesce("returns_cents", zero)
+                + F.coalesce("d_r", zero)
+            ).cast("long").alias("returns_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+@query(
+    "st28_sharded_restore_view",
+    oracle=_ST28_ORACLE,
+    tags=("streaming", "update", "cdf", "view", "layout"),
+)
+def st28_sharded_restore_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST28: the production rollback shape — a FLEET of band-sharded
+    view daemons (st25) each applying its slice of a group RESTORE's
+    inverse feed (st26) through the band-scoped pruned feed (u43),
+    including the dropped-table delete slice (the round-17 verdict's
+    ask #2: st26 proved ONE daemon rolls back via the inverse feed;
+    this proves the fleet does, shard-locally, with no coordination).
+
+    The fixture: txn 1 commits the per-bucket orders ledger (the good
+    state); txn 2 is the bad deploy — zeroing the %5 orders of the %3
+    buckets AND adding a whole "returns" table whose cents roll into
+    every shard's view; txn 3 is ``txn_restore(to_txn=1)``, whose
+    pointer drops returns.  TWO daemons with independent checkpoints
+    and view stores own the two halves of the bucket domain.
+
+    Receipts, raise-style:
+
+    - the restore report names the drop (``dropped_tables ==
+      ["returns"]``);
+    - PER-SHARD MODE LEDGERS are exactly [(2, incremental),
+      (3, inverse)] — both shards applied the rollback through the
+      SAME watermark-gated incremental path as the bad deploy, and
+      the rebaseline hook (which raises if ever invoked) never fired:
+      each shard's only fact scan is its initial band materialization;
+    - BAND CONTAINMENT at BOTH transactions: every orders partition a
+      shard scanned — for the deploy and for the rollback — lies
+      inside its band's transform range (no shard reads the other's
+      buckets to roll back), the shards' scans together conserve the
+      manifest diff exactly, and whenever the diff straddles the
+      midpoint each shard's scan is a strict subset (sharding divided
+      real work; the single-bucket sf0.001 domain degrades to one
+      active shard);
+    - the dropped table's slice of each shard's txn-3 feed is a PURE
+      DELETE feed counting exactly the returns rows in that shard's
+      band at txn 2, and the two slices together cover the table;
+    - after the inverse application the shard views are
+      bucket-disjoint and their union equals BOTH the from-scratch
+      recompute at txn 3 and the byte-collected pre-deploy union —
+      the fleet rolled back cell-for-cell with zero rescans;
+    - redelivering the restore notification is a no-op with every
+      view file pinned, and an empty daemon re-run touches neither
+      store.
+
+    Why it matters at 100 TB: a rollback lands at the worst moment,
+    on every downstream consumer at once.  One daemon applying the
+    inverse feed (st26) still serializes the fleet's recovery; N
+    band-sharded daemons each pull O(their slice) of the inverse feed
+    through stats-pruned reads, so recovery cost is divided exactly
+    like steady-state maintenance (st25) — and the dropped-table
+    delete slice means even a table the rollback REMOVED unwinds
+    shard-locally.  Cites u43/u44 (txn_changes_pruned / txn_restore,
+    operators/txn_group.py) and st25/st26's daemon protocols."""
+    import hashlib
+    import json as _json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        RetentionExpiredError,
+        snapshot_commit_stats,
+        txn_changes_pruned,
+        txn_commit,
+        txn_read,
+        txn_restore,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st28_{tag}")
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/notify"
+    os.makedirs(src)
+
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    # txn 2, the bad deploy: %3 buckets re-priced wrong + returns ADDed
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    in3 = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            in3 & (F.col("k") % 5 == 0), F.lit(0).cast("long")
+        ).otherwise(F.col("cents")),
+    )
+    r1 = o1.filter(F.col("k") % 13 == 0).select(
+        "k_bucket", "o_custkey", "k", F.expr("cents DIV 2").alias("cents")
+    )
+    txn_commit(
+        base, 2,
+        {
+            "orders": (o2.filter(F.col("k_bucket").isin(rw2)),
+                       "k_bucket", rw2),
+            "returns": (r1, "k_bucket", None),
+        },
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "returns"), 1, ["o_custkey", "cents"]
+    )
+    rep_r = txn_restore(base, 1)
+    if rep_r["new_txn"] != 3 or rep_r["dropped_tables"] != ["returns"]:
+        raise ValueError(
+            "st28_sharded_restore_view: the restore must publish txn 3 "
+            f"dropping returns (got {rep_r})"
+        )
+
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
+    shard_bands = {
+        "A": (int(dom.mn), mid_idx * 256 - 1),
+        "B": (mid_idx * 256, int(dom.xm)),
+    }
+    spec = {
+        "orders": ("k_bucket", "k", ["o_custkey", "cents"]),
+        "returns": ("k_bucket", "k", ["o_custkey", "cents"]),
+    }
+    stores = {s: _ViewStore(spark, f"{root}/shard_{s}") for s in ("A", "B")}
+    scans: dict[str, dict] = {s: {} for s in ("A", "B")}
+    modes: dict[str, list] = {s: [] for s in ("A", "B")}
+
+    def band_filter(s: str, df: DataFrame) -> DataFrame:
+        lo, hi = shard_bands[s]
+        return df.filter(F.col("o_custkey").between(lo, hi))
+
+    def shard_view(t: int, s: str) -> DataFrame:
+        # the from-scratch recompute a shard must NEVER need after its
+        # initial materialization — used as the convergence referee
+        with open(os.path.join(base, f"_txn_v{t}.json")) as fh:
+            ptr = _json.load(fh)
+        zero = F.lit(0).cast("long")
+        view = (
+            band_filter(s, txn_read(spark, base, t, "orders", "k_bucket"))
+            .groupBy("k_bucket")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+        if "returns" in ptr:
+            rv = (
+                band_filter(
+                    s, txn_read(spark, base, t, "returns", "k_bucket")
+                )
+                .groupBy("k_bucket")
+                .agg(F.sum("cents").alias("returns_cents"))
+            )
+            view = view.join(rv, "k_bucket", "left")
+        else:
+            view = view.withColumn(
+                "returns_cents", F.lit(None).cast("long")
+            )
+        return view.select(
+            "k_bucket", "n_orders", "total_cents",
+            F.coalesce("returns_cents", zero).alias("returns_cents"),
+        )
+
+    def forbidden_recompute(s: str, t: int) -> DataFrame:
+        raise ValueError(
+            f"st28_sharded_restore_view: shard {s}'s rebaseline path "
+            f"fired at txn {t} — a restore notification must apply as "
+            "the inverse feed, not a fact-table recompute"
+        )
+
+    def make_handler(s: str):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            store = stores[s]
+            lo, hi = shard_bands[s]
+            for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+                t = r["txn"]
+                wm = store.watermark()
+                if t <= wm:
+                    continue
+                try:
+                    feeds, rec = txn_changes_pruned(
+                        spark, base, wm, t, spec,
+                        {
+                            "orders": ("o_custkey", lo, hi),
+                            "returns": ("o_custkey", lo, hi),
+                        },
+                    )
+                except RetentionExpiredError:
+                    store.publish(forbidden_recompute(s, t), t)
+                    modes[s].append((t, "rebaseline"))
+                    continue
+                scans[s][t] = rec
+                store.publish(_st28_apply(store.read(), feeds), t)
+                modes[s].append(
+                    (t, "inverse" if r["kind"] == "restore"
+                     else "incremental")
+                )
+
+        return handle
+
+    def run_daemons() -> None:
+        for s in ("A", "B"):
+            stream = spark.readStream.schema(
+                "txn long, kind string"
+            ).parquet(f"{src}/*")
+            h = (
+                stream.writeStream.foreachBatch(make_handler(s))
+                .option("checkpointLocation", f"{root}/ckpt_{s}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            h.awaitTermination()
+
+    def expect_union_converged(t: int) -> None:
+        union = stores["A"].read().unionByName(stores["B"].read())
+        dup = (
+            union.groupBy("k_bucket").count().filter(F.col("count") > 1)
+        ).count()
+        if dup:
+            raise ValueError(
+                f"st28_sharded_restore_view: {dup} buckets appear in "
+                "both shards — the shards are not disjoint"
+            )
+        want = shard_view(t, "A").unionByName(shard_view(t, "B")).select(
+            "k_bucket",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+            F.col("returns_cents").alias("w_r"),
+        )
+        mism = (
+            union.join(want, "k_bucket", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+                | ~F.col("returns_cents").eqNullSafe(F.col("w_r"))
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"st28_sharded_restore_view: the shard union diverged "
+                f"from the recompute at txn {t} ({mism} buckets)"
+            )
+
+    def expect_band_contained(t: int, changed: set) -> None:
+        got_union: set = set()
+        for s in ("A", "B"):
+            lo, hi = shard_bands[s]
+            rng = set(range(lo // 256, hi // 256 + 1))
+            scanned = set(scans[s][t]["orders"].get("scanned", []))
+            if any(int(p[1:]) not in rng for p in scanned):
+                raise ValueError(
+                    f"st28_sharded_restore_view: shard {s} scanned "
+                    f"outside its band at txn {t}"
+                )
+            if len(all_b) > 1 and scanned >= changed:
+                raise ValueError(
+                    f"st28_sharded_restore_view: shard {s} scanned the "
+                    f"whole txn-{t} diff — sharding divided no work"
+                )
+            got_union |= scanned
+        if got_union != changed:
+            raise ValueError(
+                f"st28_sharded_restore_view: the shards' txn-{t} scans "
+                f"must conserve the manifest diff (got "
+                f"{sorted(got_union)}, want {sorted(changed)})"
+            )
+
+    # initial materialization: each shard's ONLY fact scan
+    for s in ("A", "B"):
+        stores[s].publish(shard_view(1, s), 1)
+    good_rows = sorted(
+        map(
+            tuple,
+            stores["A"].read().unionByName(stores["B"].read()).collect(),
+        )
+    )
+    # the bad deploy's notification applies incrementally on both shards
+    spark.createDataFrame(
+        [(2, "commit")], "txn long, kind string"
+    ).write.parquet(f"{src}/n2")
+    run_daemons()
+    expect_union_converged(2)
+    expect_band_contained(2, set(rw2))
+    n_r_band = {
+        s: r1.filter(
+            F.col("o_custkey").between(*shard_bands[s])
+        ).count()
+        for s in ("A", "B")
+    }
+    for s in ("A", "B"):
+        if scans[s][2]["returns"]["mode"] != "added":
+            raise ValueError(
+                f"st28_sharded_restore_view: shard {s} must see the "
+                f"returns ADD as an insert feed (got {scans[s][2]})"
+            )
+    # the restore notification applies as the INVERSE feed on both
+    spark.createDataFrame(
+        [(3, "restore")], "txn long, kind string"
+    ).write.parquet(f"{src}/n3")
+    run_daemons()
+    expect_union_converged(3)
+    expect_band_contained(3, set(rw2))
+    for s in ("A", "B"):
+        if modes[s] != [(2, "incremental"), (3, "inverse")]:
+            raise ValueError(
+                f"st28_sharded_restore_view: shard {s}'s mode ledger "
+                f"must read [(2, incremental), (3, inverse)] "
+                f"(got {modes[s]})"
+            )
+        if scans[s][3]["returns"]["mode"] != "removed":
+            raise ValueError(
+                f"st28_sharded_restore_view: shard {s} must see the "
+                "drop as a removed-table delete feed "
+                f"(got {scans[s][3]})"
+            )
+    if sorted(
+        map(
+            tuple,
+            stores["A"].read().unionByName(stores["B"].read()).collect(),
+        )
+    ) != good_rows:
+        raise ValueError(
+            "st28_sharded_restore_view: the inverse application did "
+            "not round-trip the fleet to its pre-deploy state"
+        )
+    # the dropped-table delete slices: shard-local and conserving
+    for s in ("A", "B"):
+        lo, hi = shard_bands[s]
+        feeds, _ = txn_changes_pruned(
+            spark, base, 2, 3, spec,
+            {
+                "orders": ("o_custkey", lo, hi),
+                "returns": ("o_custkey", lo, hi),
+            },
+        )
+        rf = feeds["returns"]
+        n_del = rf.filter(F.col("change_type") == "delete").count()
+        if rf.count() != n_r_band[s] or n_del != n_r_band[s]:
+            raise ValueError(
+                f"st28_sharded_restore_view: shard {s}'s delete slice "
+                f"must cover exactly its band's {n_r_band[s]} returns "
+                f"rows (got {n_del} of {rf.count()})"
+            )
+    if sum(n_r_band.values()) != r1.count():
+        raise ValueError(
+            "st28_sharded_restore_view: the shards' delete slices must "
+            "together cover the dropped table"
+        )
+    # redelivery + empty-run laws per shard
+    before = {s: stores[s].listing() for s in ("A", "B")}
+    spark.createDataFrame(
+        [(3, "restore")], "txn long, kind string"
+    ).write.parquet(f"{src}/n3b")
+    run_daemons()
+    for s in ("A", "B"):
+        if stores[s].listing() != before[s] or modes[s] != [
+            (2, "incremental"), (3, "inverse"),
+        ]:
+            raise ValueError(
+                f"st28_sharded_restore_view: a redelivered restore "
+                f"notification must be a watermark-gated no-op on "
+                f"shard {s}"
+            )
+    run_daemons()
+    for s in ("A", "B"):
+        if stores[s].listing() != before[s]:
+            raise ValueError(
+                f"st28_sharded_restore_view: an empty daemon run "
+                f"touched shard {s}'s store"
+            )
+    return stores["A"].read().unionByName(stores["B"].read())
+
+
+# --- ST29: keyed-state relocation (applyInPandasWithState) --------------------------
+
+_ST29_ORACLE = """
+WITH o1 AS (
+  SELECT CAST(o_custkey % 16 AS BIGINT) AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT k, COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM o1 GROUP BY k
+"""
+
+
+def _st29_fold(key, pdfs, state):
+    """The ST29 per-key fold: state is (n, total, mx) — a count, an
+    exact integer-cents sum, and a MAX.  The max is the point: it is
+    merge-able but NOT invertible and not a plain sum, so this is the
+    "arbitrary per-key state" shape st27's sum-only re-seed cannot
+    carry — relocation must inject the drained state itself.  The
+    injection protocol is part of the fold: rows with ``is_seed = 1``
+    carry a drained (sn, st, sm) triple and MERGE into the state
+    exactly like pre-aggregated history; data rows fold normally.
+    Integer arithmetic throughout, so the state — and every emission —
+    is bit-identical regardless of batch splits or pandas row order
+    (st6's determinism argument, extended to the max)."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    n, tot, mx = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        seeds = pdf[pdf["is_seed"] == 1]
+        data = pdf[pdf["is_seed"] != 1]
+        if len(seeds):
+            n += int(seeds["sn"].sum())
+            tot += int(seeds["st"].sum())
+            smx = int(seeds["sm"].max())
+            mx = smx if mx is None else max(mx, smx)
+        if len(data):
+            n += len(data)
+            tot += int(data["v"].sum())
+            dmx = int(data["v"].max())
+            mx = dmx if mx is None else max(mx, dmx)
+    state.update((n, tot, mx))
+    yield pd.DataFrame(
+        {
+            "k": [key[0]],
+            "n_events": [n],
+            "total_cents": [tot],
+            "max_cents": [mx],
+        }
+    )
+
+
+@query(
+    "st29_keyed_state_relocation",
+    oracle=_ST29_ORACLE,
+    tags=("streaming", "state", "stateful"),
+)
+def st29_keyed_state_relocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST29: state relocation for ARBITRARY keyed state — st27 moved a
+    complete-mode aggregation's checkpoint from 4 to 7 partitions by
+    re-seeding per-group SUMS; ``applyInPandasWithState`` checkpoints
+    carry whatever struct the user fold keeps (here a count, a sum,
+    and a MAX), where a sum-style re-seed cannot reproduce the state
+    (the round-17 verdict's ask #3).  The relocation path is the same
+    three supported surfaces, with one addition:
+
+    1. DRAIN the old checkpoint through the official read-only
+       ``statestore`` source — per-key (n, total, mx) plus the owning
+       partition id;
+    2. RE-SEED a fresh checkpoint at the target partition count via an
+       explicit STATE-INJECTION BATCH: one ``is_seed = 1`` row per key
+       carrying the drained triple, merged by the fold itself (the
+       injection protocol is part of the operator's contract — state
+       the operator cannot absorb from a seed row cannot be relocated
+       through supported surfaces at all);
+    3. RESUME real traffic against the relocated checkpoint.
+
+    Receipts, raise-style, st27's family end to end: old layout
+    exactly {0,1,2,3} with offsets conf 4; relocated layout exactly
+    {0..6} with offsets conf 7 and the state occupying more than one
+    partition whenever there is more than one key; STATE EQUALITY
+    through the official reader (same keys, same triples — the max
+    survives, which no sum re-seed could promise); the seed batch's
+    SINK emission equals the drained state row-for-row (a downstream
+    consumer of the update stream cannot tell the relocation
+    happened); the continuation batch runs under a deliberately
+    mismatched 11-partition session and the layout stays {0..6}
+    (st24's checkpoint-owns-N contract honoured by the relocated
+    checkpoint); and a CONTROL run that never relocated (all traffic
+    through one 4-partition checkpoint) lands state equal to the
+    relocated checkpoint's final state, group by group.  The returned
+    rollup is the relocated checkpoint's final state read back through
+    the statestore source itself, driver-hashed against the full-table
+    oracle — no key lost, nothing double-counted, the max exact.
+
+    Why it matters at 100 TB: the complete-mode shapes st27 covers are
+    the minority; sessionization, dedup windows, and custom folds all
+    live in applyInPandasWithState-style keyed state, and THAT state
+    is what outgrows its launch partition count.  Drain + explicit
+    injection batch + resume is the supported relocation path, and the
+    injection protocol costs one schema column.  Cites st27 (the
+    drain/re-seed/resume frame), st24 (the ownership contract), and
+    the statestore reader gotchas (positional value access)."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st29_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src_a, ckpt_a, out_a = (
+        os.path.join(root, d) for d in ("srcA", "ckptA", "outA")
+    )
+    src_b, ckpt_b, out_b = (
+        os.path.join(root, d) for d in ("srcB", "ckptB", "outB")
+    )
+    src_c, ckpt_c, out_c = (
+        os.path.join(root, d) for d in ("srcC", "ckptC", "outC")
+    )
+    for d in (src_a, src_b, src_c):
+        os.makedirs(d)
+    rows = orders.select(
+        (F.col("o_custkey") % 16).cast("long").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        F.lit(None).cast("long").alias("sn"),
+        F.lit(None).cast("long").alias("st"),
+        F.lit(None).cast("long").alias("sm"),
+        F.lit(0).cast("long").alias("is_seed"),
+        (F.col("o_orderkey") % 3).alias("chunk"),
+    )
+
+    def run(src: str, ckpt: str, out: str, n_parts: int) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        with _RUN_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(n_parts)
+                )
+                stream = spark.readStream.schema(
+                    "k long, v long, sn long, st long, sm long, "
+                    "is_seed long"
+                ).parquet(f"{src}/*")
+                folded = stream.groupBy("k").applyInPandasWithState(
+                    _st29_fold,
+                    outputStructType=(
+                        "k long, n_events long, total_cents long, "
+                        "max_cents long"
+                    ),
+                    stateStructType="n long, total long, mx long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                q = (
+                    folded.writeStream.foreachBatch(sink)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def state_parts(ckpt: str) -> list:
+        sdir = os.path.join(ckpt, "state", "0")
+        return sorted(int(d) for d in os.listdir(sdir) if d.isdigit())
+
+    def offsets_conf(ckpt: str, batch: int) -> str:
+        with open(os.path.join(ckpt, "offsets", str(batch))) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{") and "conf" in line:
+                    meta = _json.loads(line)
+                    return str(
+                        meta.get("conf", {}).get(
+                            "spark.sql.shuffle.partitions"
+                        )
+                    )
+        raise ValueError(
+            f"st29_keyed_state_relocation: offsets/{batch} carries no "
+            "conf metadata line"
+        )
+
+    def state_df(ckpt: str) -> DataFrame:
+        # applyInPandasWithState WRAPS the user state struct: the
+        # reader surfaces value.groupState.{n, total, mx} (one level
+        # deeper than an aggregation's value.{sum, sum} — measured,
+        # Spark 4.1).  Unwrap single-struct-field layers, then pull
+        # the first three fields POSITIONALLY by whatever names the
+        # struct declares — never bet a reader on name resolution
+        # (duplicate-name access resolves every reference to the same
+        # field, st27's gotcha).
+        from pyspark.sql.types import StructType
+
+        df = spark.read.format("statestore").load(ckpt)
+        buf = F.col("value")
+        vtype = df.schema["value"].dataType
+        while (
+            len(vtype.fields) == 1
+            and isinstance(vtype.fields[0].dataType, StructType)
+        ):
+            buf = buf.getField(vtype.fields[0].name)
+            vtype = vtype.fields[0].dataType
+        vfields = vtype.fieldNames()[:3]
+        return df.select(
+            F.col("key").getField("k").cast("long").alias("k"),
+            buf.getField(vfields[0]).cast("long").alias("n_events"),
+            buf.getField(vfields[1]).cast("long").alias("total_cents"),
+            buf.getField(vfields[2]).cast("long").alias("max_cents"),
+            "partition_id",
+        )
+
+    def state_rows(ckpt: str) -> list:
+        return sorted(
+            (r["k"], r["n_events"], r["total_cents"], r["max_cents"],
+             r["partition_id"])
+            for r in state_df(ckpt).collect()
+        )
+
+    def expect(observed, expected, when: str) -> None:
+        if observed != expected:
+            raise ValueError(
+                f"st29_keyed_state_relocation: {when}: got {observed}, "
+                f"expected {expected}"
+            )
+
+    data = rows.drop("chunk")
+    # the original deployment: 4 state partitions, two traffic batches
+    rows.filter(F.col("chunk") == 0).drop("chunk").write.parquet(
+        f"{src_a}/b1"
+    )
+    run(src_a, ckpt_a, out_a, 4)
+    rows.filter(F.col("chunk") == 1).drop("chunk").write.parquet(
+        f"{src_a}/b2"
+    )
+    run(src_a, ckpt_a, out_a, 4)
+    expect(state_parts(ckpt_a), [0, 1, 2, 3], "old checkpoint layout")
+    expect(offsets_conf(ckpt_a, 0), "4", "old checkpoint offsets conf")
+
+    # RELOCATE: drain, then inject the state as seed rows at 7 parts
+    old_state = state_rows(ckpt_a)
+    state_df(ckpt_a).select(
+        "k",
+        F.lit(None).cast("long").alias("v"),
+        F.col("n_events").alias("sn"),
+        F.col("total_cents").alias("st"),
+        F.col("max_cents").alias("sm"),
+        F.lit(1).cast("long").alias("is_seed"),
+    ).coalesce(1).write.parquet(f"{src_b}/seed")
+    run(src_b, ckpt_b, out_b, 7)
+    expect(
+        state_parts(ckpt_b), list(range(7)), "relocated checkpoint layout"
+    )
+    expect(offsets_conf(ckpt_b, 0), "7", "relocated offsets conf")
+    new_state = state_rows(ckpt_b)
+    expect(
+        [r[:4] for r in new_state],
+        [r[:4] for r in old_state],
+        "state content through the relocation",
+    )
+    if len(new_state) > 1 and len({r[4] for r in new_state}) < 2:
+        raise ValueError(
+            "st29_keyed_state_relocation: the relocated state occupies "
+            "one partition — the keys were not re-hashed over 7"
+        )
+    # the seed batch's sink emission IS the drained state
+    sink_b = sorted(
+        map(tuple, spark.read.parquet(out_b).collect())
+    )
+    expect(
+        sink_b,
+        [r[:4] for r in old_state],
+        "sink continuity across the relocation",
+    )
+
+    # the continuation under st24's deliberately mismatched session
+    rows.filter(F.col("chunk") == 2).drop("chunk").write.parquet(
+        f"{src_b}/b3"
+    )
+    run(src_b, ckpt_b, out_b, 11)
+    expect(
+        state_parts(ckpt_b), list(range(7)),
+        "relocated layout after the mismatched resume",
+    )
+    expect(
+        offsets_conf(ckpt_b, 1), "7",
+        "relocated offsets conf after the mismatched resume",
+    )
+
+    # CONTROL: the never-relocated run over the same total traffic
+    data.write.parquet(f"{src_c}/all")
+    run(src_c, ckpt_c, out_c, 4)
+    expect(
+        [r[:4] for r in state_rows(ckpt_b)],
+        [r[:4] for r in state_rows(ckpt_c)],
+        "relocated final state vs the never-relocated control",
+    )
+    return pin_snapshot(
+        state_df(ckpt_b).select(
+            "k", "n_events", "total_cents", "max_cents"
+        ),
+        f"{root}/_pin",
+    )
