@@ -685,11 +685,27 @@ def txn_expire(base: str, keep_txns: list, min_age_s: float = 0.0) -> dict:
                         else 0.0,
                     )
                 except OSError:
-                    age = 0.0  # churn under our feet IS a live writer
+                    # churn under our feet: if the manifest itself is
+                    # GONE a concurrent reclaim already won — skip it
+                    # (deferring a vanished version into the expiry
+                    # roots would crash step 4's manifest read);
+                    # otherwise it is a live writer — defer it as
+                    # retained this pass, whatever min_age_s says
+                    # (round-18 review: the age=0.0 placeholder fell
+                    # through this gate when min_age_s == 0 and the
+                    # remove below raised mid-run)
+                    if os.path.exists(mpath):
+                        roots.add(tv)
+                    continue
                 if min_age_s > 0 and age < min_age_s:
                     roots.add(tv)
                     continue
-            os.remove(os.path.join(tdir, entry))
+            try:
+                os.remove(os.path.join(tdir, entry))
+            except FileNotFoundError:
+                # a concurrent expiry reclaimed it between the listing
+                # and here — its run's receipt owns the removal
+                continue
             shutil.rmtree(
                 os.path.join(tdir, f"v{tv}"), ignore_errors=True
             )

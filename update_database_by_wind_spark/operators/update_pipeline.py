@@ -7994,12 +7994,21 @@ def u48_maintenance_retention_race(
     # narrowed to exactly the %6 buckets, rewriting only what v2
     # still owns, band reads untouched.
     txn_expire(base, [5])
-    want_narrow = sorted(b for b in rw2 if int(b[1:]) % 2 == 0)
+    # derive the expectation from plan2's ACTUAL partitions, not from
+    # the rw2 transform arithmetic: the executor narrows relative to
+    # what was planned, and a bucket the compact census legitimately
+    # skipped (size skew under the global maxRecordsPerFile) must not
+    # fail the receipt — the same fixture-arithmetic-drift class u41's
+    # gate guards (round-18 review)
+    plan2_parts = set(plan2["orders"][2]["compact"]) | set(
+        plan2["orders"][2]["cluster"]
+    )
+    want_narrow = sorted(p for p in plan2_parts if int(p[1:]) % 2 == 0)
     pre5 = band_counts([5])
     rep2b = txn_optimize_run_guarded(
         spark, base, spec, plan2, max_files=4
     )
-    if want_narrow and sorted(set(rw2) - set(want_narrow)):
+    if want_narrow and sorted(plan2_parts - set(want_narrow)):
         # the mixed shape: some %3 buckets survived at v2, some moved
         # (needs a multi-bucket domain straddling both residues —
         # always at sf >= 0.01; degenerate domains fall through to
@@ -8012,7 +8021,7 @@ def u48_maintenance_retention_race(
                 "order must narrow to exactly the buckets txn 5 took "
                 f"over (want {want_narrow}, got {rep2b})"
             )
-    elif want_narrow and not sorted(set(rw2) - set(want_narrow)):
+    elif want_narrow and not sorted(plan2_parts - set(want_narrow)):
         # every planned bucket moved (the single-bucket sf0.001
         # domain): the order is skipped whole — "superseded" when the
         # dir still backs other manifests, "expired" when the expiry

@@ -4306,6 +4306,19 @@ def st28_sharded_restore_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     def expect_band_contained(t: int, changed: set) -> None:
+        # the strict-subset tooth engages only when the diff STRADDLES
+        # the shard midpoint (u46's gate): when every changed bucket
+        # sits in one band, that shard legitimately scans the whole
+        # diff and the other shard's empty scan is the receipt
+        # (round-18 review: an ungated tooth fired spuriously on 2-3
+        # bucket domains where the %3 diff is all in shard A)
+        straddles = all(
+            any(
+                int(p[1:]) in range(lo // 256, hi // 256 + 1)
+                for p in changed
+            )
+            for lo, hi in shard_bands.values()
+        )
         got_union: set = set()
         for s in ("A", "B"):
             lo, hi = shard_bands[s]
@@ -4316,7 +4329,7 @@ def st28_sharded_restore_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"st28_sharded_restore_view: shard {s} scanned "
                     f"outside its band at txn {t}"
                 )
-            if len(all_b) > 1 and scanned >= changed:
+            if straddles and scanned >= changed:
                 raise ValueError(
                     f"st28_sharded_restore_view: shard {s} scanned the "
                     f"whole txn-{t} diff — sharding divided no work"
@@ -4434,6 +4447,37 @@ def st28_sharded_restore_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     return stores["A"].read().unionByName(stores["B"].read())
 
+
+def _ckpt_state_parts(ckpt: str) -> list:
+    """Partition ids present under a checkpoint's state/0 dir — the
+    layout receipt the relocation queries pin.  Module-level (round-18
+    review): st24/st27 carry nested copies from their driver-green
+    rounds; they migrate here at their next forced rotation so a green
+    query's bytes stay untouched in between."""
+    sdir = os.path.join(ckpt, "state", "0")
+    return sorted(int(d) for d in os.listdir(sdir) if d.isdigit())
+
+
+def _ckpt_offsets_conf(ckpt: str, batch: int) -> str:
+    """The shuffle-partition count a checkpoint's offsets log pinned
+    for ``batch`` — proves which session conf the state was BUILT
+    under, independent of the current session."""
+    import json as _json
+
+    with open(os.path.join(ckpt, "offsets", str(batch))) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("{") and "conf" in line:
+                meta = _json.loads(line)
+                return str(
+                    meta.get("conf", {}).get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                )
+    raise ValueError(
+        f"_ckpt_offsets_conf: offsets/{batch} carries no conf "
+        "metadata line"
+    )
 
 # --- ST29: keyed-state relocation (applyInPandasWithState) --------------------------
 
@@ -4610,25 +4654,7 @@ def st29_keyed_state_relocation(
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    def state_parts(ckpt: str) -> list:
-        sdir = os.path.join(ckpt, "state", "0")
-        return sorted(int(d) for d in os.listdir(sdir) if d.isdigit())
-
-    def offsets_conf(ckpt: str, batch: int) -> str:
-        with open(os.path.join(ckpt, "offsets", str(batch))) as fh:
-            for line in fh:
-                line = line.strip()
-                if line.startswith("{") and "conf" in line:
-                    meta = _json.loads(line)
-                    return str(
-                        meta.get("conf", {}).get(
-                            "spark.sql.shuffle.partitions"
-                        )
-                    )
-        raise ValueError(
-            f"st29_keyed_state_relocation: offsets/{batch} carries no "
-            "conf metadata line"
-        )
+    state_parts, offsets_conf = _ckpt_state_parts, _ckpt_offsets_conf
 
     def state_df(ckpt: str) -> DataFrame:
         # applyInPandasWithState WRAPS the user state struct: the
