@@ -40,6 +40,10 @@ _R18_NEW: list[str] = [
     # explicit state-injection batch + mismatched resume, with a
     # never-relocated control run as the referee
     "st29_keyed_state_relocation",
+    # the verdict ask's literal shape: shard planners x the age
+    # daemon, narrowing conserved across the split, typed feed-refusal
+    # + band-scoped full-census fallback; shares u48's oracle verbatim
+    "u49_policy_sharded_maintenance",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a
@@ -289,3 +293,16 @@ def test_st15_oracle_is_verbatim_s12_oracle():
     )
 
     assert REGISTRY["st15_stream_ingest_bridge"].oracle == _S12_ORACLE
+
+
+def test_u49_oracle_is_verbatim_u48_oracle():
+    """U49's whole claim is that the shard split and the age policy
+    change NOTHING about the data — its final state is u48's (same two
+    corrections), so the two queries must share ONE oracle, byte for
+    byte (the st22/u35 pattern)."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        _U48_ORACLE,
+    )
+
+    assert REGISTRY["u49_policy_sharded_maintenance"].oracle == _U48_ORACLE
+    assert REGISTRY["u48_maintenance_retention_race"].oracle == _U48_ORACLE

@@ -153,6 +153,19 @@ _ROUND18_FRONT = [
     # never-relocated control run landing identical state.  Displaced
     # the s2 fill slot.
     "st29_keyed_state_relocation",
+    # round-18 NEW registration (post-certification extension of
+    # widening item (6), the verdict ask's LITERAL shape): u46's
+    # SHARD planners racing u47's AGE daemon — per-shard stale work
+    # orders planned against day 10, the 15-day policy firing at day
+    # 30 (aging out both the maintenance watermark and the planned-
+    # against transaction), each shard's order narrowing shard-locally
+    # with NARROWING CONSERVED across the split (the shards' narrowed
+    # sets union to the unsharded order's), the feed re-plan refusing
+    # with the typed retention error and the band-scoped full-census
+    # fallback converging the group.  Oracle is u48's VERBATIM (same
+    # corrections, same final state: neither sharding nor the policy
+    # may change one cell).  Displaced the s1b fill slot.
+    "u49_policy_sharded_maintenance",
     # CHANGED-code queries (widening plan items (1)-(3), the round-17
     # ADVICE fixes): identical oracles, but a rewrite must earn fresh
     # driver evidence before stale-green refresh (their r17 rows
@@ -223,7 +236,6 @@ _ROUND18_FRONT = [
     "u9_incremental_rollup",
     "u9d_incremental_rollup_decimal",
     "s13_file_skipping_index",
-    "s1b_partitioned_parquet",
 ]
 
 # Every other query has a driver-green row in r13-r17 -> back of the
@@ -353,6 +365,7 @@ _DRIVER_VERIFIED_R13_R17 = [
     "s17_zorder_maintenance",
     "s18_partition_clustering_health",
     "s19_snapshot_stats_travel",
+    "s1b_partitioned_parquet",
     "s20_snapshot_clustering_stats",
     "s21_snapshot_multiband",
     "s2_csv_roundtrip",

@@ -8054,3 +8054,350 @@ def u48_maintenance_retention_race(
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# --- U49: the age policy driving sharded maintenance --------------------------------
+
+
+@query(
+    "u49_policy_sharded_maintenance",
+    oracle=_U48_ORACLE,
+    tags=("update", "layout", "cdf"),
+)
+def u49_policy_sharded_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U49: the round-17 verdict's ask #4 in its LITERAL shape — u46's
+    SHARD planners racing u47's AGE daemon (u48 proved the guarded
+    executor under a rollback's expiry; here the reclaiming actor is
+    the operational age policy, and the stale work orders are
+    per-shard).  The lifecycle: two band-sharded planners compute
+    their feed-scoped work orders against the day-10 correction; the
+    day-20 correction lands; then the age daemon fires on its schedule
+    (15-day horizon at day 30, keep-last-1) and ages out BOTH the
+    maintenance watermark and the transaction the orders were planned
+    against — before any shard ran.
+
+    Receipts, raise-style:
+
+    - the STALE orders obey u46's laws as of their plan time: band
+      containment, disjointness, and merge-conservation against the
+      unsharded stale plan;
+    - the policy's receipt names the horizon's work exactly
+      (``kept_txns == [3]``, ``aged_out == [1, 2]``, nothing undated);
+    - each shard's stale order, run guarded AFTER the age-out,
+      NARROWS shard-locally to the buckets the day-20 correction took
+      over, the shards' narrowed sets are disjoint, and their union
+      equals the unsharded stale order's narrowed set — NARROWING
+      CONSERVES ACROSS THE SHARD SPLIT, the new law (u46 proved plans
+      divide; this proves their run-time re-validation divides the
+      same way); on a domain where the day-20 correction took over
+      every planned bucket (the single-bucket sf0.001 shape) the
+      orders skip whole as expired/superseded instead;
+    - band reads at the ONE retained transaction are cell-exact after
+      every guarded run — three stale executions against an aged-out
+      layout never touch what the policy retained;
+    - re-planning through the feed REFUSES with the typed retention
+      error (the maintenance watermark itself aged out — u45's
+      documented fall-back signal), each shard falls back to a full
+      census SCOPED to its band, executes, and the group re-plans
+      EMPTY;
+    - the returned head rollup is driver-hashed against u48's oracle
+      VERBATIM (same two corrections, same final state): neither the
+      shard split nor the age policy may change one cell of the data.
+
+    Why it matters at 100 TB: the age daemon runs on a schedule and
+    the maintenance fleet runs on commit pressure — nobody sequences
+    them, so every shard's work order must survive the policy firing
+    between plan and run, and the fleet's collective behaviour must
+    still equal the single-planner story.  Cites u46/u47/u48
+    (operators/txn_group.py txn_optimize_plan / txn_expire_by_age /
+    txn_optimize_run_guarded)."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_u49_{tag}"
+    base = f"{root}/ledger"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    old_conf = spark.conf.get(conf_key, "0")
+    day = 86400.0
+
+    def frag_commit_at(txn: int, df: DataFrame, parts, n_parts: int,
+                       at_day: float) -> None:
+        spark.conf.set(
+            conf_key, str(max(1, df.count() // (n_parts * 6)))
+        )
+        try:
+            txn_commit_at(
+                base, txn, {"orders": (df, "k_bucket", parts)},
+                committed_at=at_day * day,
+            )
+        finally:
+            spark.conf.set(conf_key, old_conf)
+
+    tdir = os.path.join(base, "orders")
+    spec = {"orders": ("k_bucket", None)}
+    frag_commit_at(1, o1, None, len(all_b), 0.0)
+    snapshot_commit_stats(spark, tdir, 1, ["k", "cents"])
+    plan0 = txn_optimize_plan(spark, base, spec, max_files=4)
+    rep0 = txn_optimize_run_guarded(
+        spark, base, spec, plan0, max_files=4
+    )
+    if rep0["skipped"] or txn_optimize_plan(spark, base, spec,
+                                            max_files=4):
+        raise ValueError(
+            "u49_policy_sharded_maintenance: maintenance 0 must "
+            f"converge through the guarded path (got {rep0})"
+        )
+
+    # day 10: correction A — %3 buckets, k%7 earns +5%
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    in3 = F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            in3 & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit_at(2, o2.filter(F.col("k_bucket").isin(rw2)), rw2,
+                   len(rw2), 10.0)
+    snapshot_commit_stats(spark, tdir, 2, ["k", "cents"])
+
+    # the shard planners compute their work orders against day 10
+    touched = txn_touched_since(base, 1)
+    max_idx = max(int(b[1:]) for b in all_b)
+    mid_idx = (max_idx + 1) // 2 or 1
+    shard_idx = {
+        "A": set(range(0, mid_idx)),
+        "B": set(range(mid_idx, max_idx + 1)),
+    }
+
+    def shard_scope(s: str) -> dict:
+        return {
+            t: {p for p in touched[t] if int(p[1:]) in shard_idx[s]}
+            for t in touched
+        }
+
+    stale = {
+        s: txn_optimize_plan(
+            spark, base, spec, max_files=4, touched=shard_scope(s)
+        )
+        for s in ("A", "B")
+    }
+    stale_full = txn_optimize_plan(
+        spark, base, spec, max_files=4, touched=touched
+    )
+
+    def order_parts(plan: dict) -> set:
+        out: set = set()
+        for t, vers in plan.items():
+            for v, order in vers.items():
+                out |= {
+                    (t, v, p)
+                    for p in order["compact"] + order["cluster"]
+                }
+        return out
+
+    pa, pb = order_parts(stale["A"]), order_parts(stale["B"])
+    pf = order_parts(stale_full)
+    for s, ps in (("A", pa), ("B", pb)):
+        outside = {x for x in ps if int(x[2][1:]) not in shard_idx[s]}
+        if outside:
+            raise ValueError(
+                f"u49_policy_sharded_maintenance: shard {s} planned "
+                f"outside its band ({sorted(outside)})"
+            )
+    if pa & pb or (pa | pb) != pf:
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the stale shard orders "
+            "must be disjoint and conserve the unsharded stale plan"
+        )
+
+    # day 20: correction B — %2 buckets, k%11 earns +4%
+    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    in2 = F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            in2 & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    frag_commit_at(3, o3.filter(F.col("k_bucket").isin(rw3)), rw3,
+                   len(rw3), 20.0)
+    snapshot_commit_stats(spark, tdir, 3, ["k", "cents"])
+
+    # the AGE DAEMON fires on its schedule, before any shard ran
+    rep_age = txn_expire_by_age(
+        base, max_age_s=15 * day, now=30.0 * day, keep_last=1
+    )
+    if (
+        rep_age["kept_txns"] != [3]
+        or rep_age["aged_out"] != [1, 2]
+        or rep_age["undated"]
+    ):
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the 15-day policy at day "
+            f"30 must keep exactly txn 3 (got {rep_age})"
+        )
+
+    def ptr(v: int) -> dict:
+        with open(os.path.join(base, f"_txn_v{v}.json")) as fh:
+            return {t: int(tv) for t, tv in _json.load(fh).items()}
+
+    dom = o1.agg(F.min("k").alias("mn"), F.max("k").alias("xm")).first()
+    klo = dom.mn + (dom.xm - dom.mn) // 2
+    khi = klo + (dom.xm - dom.mn) // 16
+
+    def band_count() -> int:
+        df, _, _ = snapshot_read_pruned(
+            spark, tdir, ptr(3)["orders"], "k_bucket", "k", klo, khi
+        )
+        return df.count()
+
+    pre = band_count()
+    # each shard's STALE order runs guarded after the age-out
+    want_narrow = {
+        s: sorted(
+            x[2]
+            for x in ps
+            if int(x[2][1:]) % 2 == 0
+        )
+        for s, ps in (("A", pa), ("B", pb))
+    }
+    reps = {}
+    for s in ("A", "B"):
+        reps[s] = txn_optimize_run_guarded(
+            spark, base, spec, stale[s], max_files=4
+        )
+        if band_count() != pre:
+            raise ValueError(
+                f"u49_policy_sharded_maintenance: shard {s}'s stale "
+                "run changed a retained band read"
+            )
+    rep_full = txn_optimize_run_guarded(
+        spark, base, spec, stale_full, max_files=4
+    )
+    if band_count() != pre:
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the unsharded stale run "
+            "changed a retained band read"
+        )
+    planned_mixed = {
+        s: bool(want_narrow[s])
+        and bool({x[2] for x in ps} - set(want_narrow[s]))
+        for s, ps in (("A", pa), ("B", pb))
+    }
+    narrowed_union: list = []
+    for s in ("A", "B"):
+        if not order_parts(stale[s]):
+            # an untouched band planned empty — nothing to validate
+            if reps[s] != {
+                "rewritten": {}, "skipped": {}, "narrowed": {},
+                "validated": 0,
+            }:
+                raise ValueError(
+                    f"u49_policy_sharded_maintenance: shard {s}'s "
+                    f"empty order must no-op (got {reps[s]})"
+                )
+            continue
+        if planned_mixed[s]:
+            if reps[s]["narrowed"] != {"orders/v2": want_narrow[s]}:
+                raise ValueError(
+                    f"u49_policy_sharded_maintenance: shard {s} must "
+                    f"narrow to exactly its band's taken-over buckets "
+                    f"(want {want_narrow[s]}, got {reps[s]})"
+                )
+            narrowed_union += want_narrow[s]
+        elif want_narrow[s]:
+            # every planned bucket in this band was taken over
+            if (
+                reps[s]["rewritten"]
+                or reps[s]["narrowed"]
+                or reps[s]["skipped"].get("orders/v2")
+                not in ("superseded", "expired")
+            ):
+                raise ValueError(
+                    f"u49_policy_sharded_maintenance: shard {s}'s "
+                    f"fully-taken-over order must skip whole "
+                    f"(got {reps[s]})"
+                )
+            narrowed_union += want_narrow[s]
+    # NARROWING CONSERVES across the split: the unsharded stale order
+    # re-validates to the same taken-over set the shards saw
+    full_narrow = sorted(narrowed_union)
+    got_full = sorted(
+        rep_full["narrowed"].get("orders/v2", [])
+        + (
+            sorted(x[2] for x in pf)
+            if rep_full["skipped"].get("orders/v2")
+            in ("superseded", "expired")
+            else []
+        )
+    )
+    if got_full != full_narrow:
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the shards' narrowed "
+            f"sets must union to the unsharded order's (want "
+            f"{full_narrow}, got {got_full})"
+        )
+
+    # re-planning through the feed refuses (the watermark aged out) —
+    # u45's typed fall-back signal — and the full-census fallback,
+    # band-scoped, converges the group
+    try:
+        txn_touched_since(base, 1)
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the aged-out maintenance "
+            "watermark must refuse the feed scope"
+        )
+    except RetentionExpiredError:
+        pass
+    for s in ("A", "B"):
+        scope = {
+            "orders": {b for b in all_b if int(b[1:]) in shard_idx[s]}
+        }
+        fresh = txn_optimize_plan(
+            spark, base, spec, max_files=4, touched=scope
+        )
+        rep_f = txn_optimize_run_guarded(
+            spark, base, spec, fresh, max_files=4
+        )
+        if rep_f["skipped"] or band_count() != pre:
+            raise ValueError(
+                f"u49_policy_sharded_maintenance: shard {s}'s "
+                f"full-census fallback must execute clean "
+                f"(got {rep_f})"
+            )
+    if txn_optimize_plan(spark, base, spec, max_files=4):
+        raise ValueError(
+            "u49_policy_sharded_maintenance: the group must re-plan "
+            "empty after the fallback maintenance"
+        )
+    return (
+        txn_read(spark, base, 3, "orders", "k_bucket")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
