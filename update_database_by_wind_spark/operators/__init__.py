@@ -67,24 +67,26 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # neither this fill nor displacement refreshes: 49 are r13-green
 # entering the round (a3/a15/a16, e5, o8, the q2-q22 TPC-H block,
 # s1b/s2x/s3/s4/s9/s13, the t_* text-quality block, u9/u9d,
-# ud1/ud5, w1/w2/w3/w3b/w5/w7/w8).  Round 18 closed with FOUR fill
-# slots surviving displacement (u9, u9d, s13, s1b — the 5 new/changed
-# registrations displaced s4/s3/s2c/s2b/s2), so 45 leaders are forced
-# at newest=19 and the round-19 widening budget is 5 slots.  Recompute
-# from the CORRECTNESS artifacts when rotating — this paragraph is
-# planning context, the artifacts are truth.
+# ud1/ud5, w1/w2/w3/w3b/w5/w7/w8).  After u49 (the post-certification
+# sixth new/changed registration, displacing s1b) THREE fill slots
+# remain (u9, u9d, s13); each further round-18 registration displaces
+# one more from the back (s13 first, the rollup pair last).  Whatever
+# fill survives the round is r18-refreshed; the rest of the 49 are
+# forced at newest=19 and the round-19 widening budget is 50 minus
+# that count.  Recompute from the CORRECTNESS artifacts when rotating
+# — this paragraph is planning context, the artifacts are truth.
 #
-# Candidate round-19 surfaces (mind the 5-slot budget): group feeds
+# Candidate round-19 surfaces (mind the budget): group feeds
 # across SCHEMA evolution (a mid-history column ADD flowing through
 # txn_changes/u35-views with before/after vintages — u22 proved the
 # single-table MERGE half); fleet relocation (st25's sharded daemons
-# with their checkpoints relocated mid-lifecycle — st29 x st25); the
-# age-policy daemon driving the guarded executor ON ITS SCHEDULE
-# (u47 x u48: stamps + keep-last policy computing the keep set the
-# stale work order is validated against); and migrating st24/st27's
-# nested checkpoint inspectors onto _ckpt_state_parts/_ckpt_offsets_conf
-# when their rotation forces them anyway (round-18 review finding #4,
-# half-done: st29 already uses the module-level pair).
+# with their checkpoints relocated mid-lifecycle — st29 x st25); and
+# migrating st24/st27's nested checkpoint inspectors onto
+# _ckpt_state_parts/_ckpt_offsets_conf when their rotation forces
+# them anyway (round-18 review finding #4, half-done: st29 already
+# uses the module-level pair).  The third original candidate — the
+# age-policy daemon driving the guarded executor on its schedule —
+# landed in-round as u49.
 #
 # Round-18 widening plan (the round-17 verdict's asks #2-#5 plus the
 # ADVICE findings; budget 9 slots, spend tracked here as work lands):
