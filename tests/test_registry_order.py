@@ -44,6 +44,12 @@ _R18_NEW: list[str] = [
     # daemon, narrowing conserved across the split, typed feed-refusal
     # + band-scoped full-census fallback; shares u48's oracle verbatim
     "u49_policy_sharded_maintenance",
+    # round-19 candidate (a) pulled forward: the feed across schema
+    # evolution — mixed vintages under one manifest, NULL-backfilled
+    # before-images, and the view maintained by signed group moves;
+    # the enabling snapshot_read/snapshot_changes backfill is
+    # crash-replacing only (no changed-code slot owed)
+    "u50_schema_evolution_feed",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a

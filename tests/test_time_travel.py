@@ -646,3 +646,95 @@ def test_restore_then_commit_continues_the_chain(spark, tmp_path):
     snapshot_commit(v4, base, 4, "m", parts=["c"])
     got = {r["pk"]: r["val"] for r in snapshot_read(spark, base, 4, "m").collect()}
     assert got == {1: 10, 2: 20, 3: 77}  # b back at 20 (restored), c updated
+
+
+def test_snapshot_read_merges_vintages(spark, tmp_path):
+    """Schema evolution (u50): a widening commit leaves mixed-vintage
+    version dirs under one manifest.  The evolved read NULL-backfills
+    the narrow dirs; a pre-evolution manifest still answers the
+    narrow schema (time travel preserves vintages)."""
+    base = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(v1, base, 1, "m")
+    widened = spark.createDataFrame(
+        [(2, "b", 21, "x")], "pk long, m string, val long, tag string"
+    )
+    snapshot_commit(widened, base, 2, "m", parts=["b"])
+
+    old = snapshot_read(spark, base, 1, "m")
+    assert "tag" not in old.columns
+    new = snapshot_read(spark, base, 2, "m")
+    rows = {
+        r.pk: (r.val, r.tag)
+        for r in new.select("pk", "val", "tag").collect()
+    }
+    assert rows == {1: (10, None), 2: (21, "x")}
+
+
+def test_snapshot_changes_backfills_vintage_gap(spark, tmp_path):
+    """A value column that exists at only ONE endpoint reads as NULL
+    on the other side — both directions (widening: NULL before-images;
+    narrowing rewrite: NULL after-images), and a delete row carries
+    the backfilled NULL in its before-image."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(v1, base, 1, "m")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10, "x")], "pk long, m string, val long, tag string"
+    )
+    snapshot_commit(v2, base, 2, "m", parts=["a"])
+
+    feed = {
+        (r.pk, r.change_type): (
+            r.val_before, r.val_after, r.tag_before, r.tag_after
+        )
+        for r in snapshot_changes(
+            spark, base, 1, 2, "m", "pk", ["val", "tag"]
+        ).collect()
+    }
+    # pk 1: val carried, tag NULL -> 'x' (update); pk 2: deleted, its
+    # before-image backfills tag with NULL
+    assert feed == {
+        (1, "update"): (10, 10, None, "x"),
+        (2, "delete"): (20, None, None, None),
+    }
+
+    # narrowing direction: v3 rewrites the partition WITHOUT tag
+    v3 = spark.createDataFrame(
+        [(1, "a", 11)], "pk long, m string, val long"
+    )
+    snapshot_commit(v3, base, 3, "m", parts=["a"])
+    back = {
+        (r.pk, r.change_type): (r.tag_before, r.tag_after)
+        for r in snapshot_changes(
+            spark, base, 2, 3, "m", "pk", ["val", "tag"]
+        ).collect()
+    }
+    assert back == {(1, "update"): ("x", None)}
+
+
+def test_snapshot_changes_refuses_ghost_value_column(spark, tmp_path):
+    """A value column absent from BOTH endpoints is a caller error,
+    not an all-NULL feed — the backfill must never fabricate a column
+    that never existed anywhere."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 10)], "pk long, m string, val long")
+    snapshot_commit(v1, base, 1, "m")
+    v2 = spark.createDataFrame([(1, "a", 11)], "pk long, m string, val long")
+    snapshot_commit(v2, base, 2, "m", parts=["a"])
+    with pytest.raises(ValueError, match="ghost|exist at neither"):
+        snapshot_changes(spark, base, 1, 2, "m", "pk", ["val", "nope"])

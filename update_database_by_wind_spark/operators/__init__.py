@@ -168,6 +168,22 @@ _ROUND18_FRONT = [
     # corrections, same final state: neither sharding nor the policy
     # may change one cell).  Displaced the s1b fill slot.
     "u49_policy_sharded_maintenance",
+    # round-18 NEW registration (round-19 candidate (a) pulled
+    # forward): the change feed across SCHEMA EVOLUTION — a widening
+    # commit leaves mixed vintages under one manifest (evolved read =
+    # the allowMissingColumns union; time travel keeps the narrow
+    # schema), the 1→2 feed carries NULL channel_before for every row
+    # (the column predates the span), the straddling 2→3 correction
+    # feeds mixed-vintage before-images with zero channel migrations,
+    # and the per-(year, channel) view maintained by signed GROUP
+    # MOVES (u35's algebra with a mutable group key) equals the
+    # recompute cell-exactly after every application.  The enabling
+    # machinery change (snapshot_read/snapshot_changes NULL-backfill
+    # vintage gaps) is crash-replacing only — mixed schemas previously
+    # raised AnalysisException, so every previously-succeeding
+    # consumer is byte-identical and no changed-code slot is owed
+    # (the u37 precedent).  Displaced the s13 fill slot.
+    "u50_schema_evolution_feed",
     # CHANGED-code queries (widening plan items (1)-(3), the round-17
     # ADVICE fixes): identical oracles, but a rewrite must earn fresh
     # driver evidence before stale-green refresh (their r17 rows
@@ -237,7 +253,6 @@ _ROUND18_FRONT = [
     # (the 2 changed-code ADVICE entries displaced s4 and s3)
     "u9_incremental_rollup",
     "u9d_incremental_rollup_decimal",
-    "s13_file_skipping_index",
 ]
 
 # Every other query has a driver-green row in r13-r17 -> back of the
@@ -362,6 +377,7 @@ _DRIVER_VERIFIED_R13_R17 = [
     "q9_product_type_profit",
     "s10_zorder_clustering",
     "s12_incremental_ingest",
+    "s13_file_skipping_index",
     "s15_bucketed_join",
     "s16_pruned_reader_consumer",
     "s17_zorder_maintenance",

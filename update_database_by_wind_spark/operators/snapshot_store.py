@@ -178,7 +178,24 @@ def snapshot_read(
     partitions by owning version directory and union one pruned scan
     per directory (the ``isin`` filter on the partition column becomes
     PartitionFilters — directory-level pruning, no data read from
-    partitions another version owns)."""
+    partitions another version owns).
+
+    Vintage semantics (SCHEMA EVOLUTION, the U6 read-side contract
+    applied to the store): a schema-widening commit rewrites only the
+    partitions it touches, so one manifest can reference version dirs
+    of DIFFERENT vintages — pre-evolution dirs simply lack the added
+    columns.  The union NULL-backfills them
+    (``allowMissingColumns=True``, exactly what ``mergeSchema`` does
+    for a loose file collection), so a reader at an evolved version
+    sees one uniform evolved schema while a reader at a pre-evolution
+    version still sees the narrow vintage schema (its manifest only
+    references narrow dirs).  Columns appear in the order their
+    vintages introduced them (oldest dir first), so the evolved
+    column lands appended — the same position the widening writer
+    gave it.  On a store whose dirs all share one schema the flag is
+    a no-op; mixed vintages previously CRASHED this union
+    (AnalysisException), so every previously-succeeding read is
+    byte-identical."""
     import json as _json
     import os
     from collections import defaultdict
@@ -196,7 +213,7 @@ def snapshot_read(
     ]
     out = scans[0]
     for s in scans[1:]:
-        out = out.unionByName(s)
+        out = out.unionByName(s, allowMissingColumns=True)
     return out
 
 
@@ -288,7 +305,23 @@ def snapshot_changes(
 
     Keys are assumed stable within a partition (a key that moves
     between partitions reads as delete + insert — the same contract
-    as partition-keyed CDC everywhere)."""
+    as partition-keyed CDC everywhere).
+
+    Vintage semantics (schema evolution ACROSS the span): a value
+    column added between the endpoints exists at ``v_to`` but not at
+    ``v_from`` — the before-image of a column is NULL for every row
+    that predates the column, exactly what a reader at ``v_from``
+    would have answered had the evolved schema existed (Delta's CDF
+    answers the same for pre-evolution versions).  Each side
+    NULL-backfills value columns its vintage lacks, typed from the
+    side that has them; a value column absent from BOTH endpoints is
+    a caller error (loud — an all-NULL feed column is a claim about
+    data that never existed anywhere).  The partition and key columns
+    are never backfilled: they are the diff's identity and must exist
+    at both endpoints.  On a span with no evolution every column
+    resolves on both sides and the projection is the old one
+    verbatim; a missing column previously CRASHED the select, so
+    every previously-succeeding span is byte-identical."""
     import json as _json
     import os
 
@@ -303,20 +336,37 @@ def snapshot_changes(
         if m_from.get(p) != m_to.get(p)
     )
 
-    def side(v: int, m: dict) -> DataFrame:
+    def scan(v: int, m: dict) -> tuple[DataFrame, bool]:
         parts = [p for p in changed if p in m]
-        cols = [partition_col, key_col, *value_cols]
-        if not parts:
-            scan = snapshot_read(spark, base, v, partition_col)
-            return scan.select(*cols).limit(0)
-        return (
-            snapshot_read(spark, base, v, partition_col)
-            .filter(F.col(partition_col).isin(parts))
-            .select(*cols)
+        s = snapshot_read(spark, base, v, partition_col)
+        if parts:
+            s = s.filter(F.col(partition_col).isin(parts))
+        return s, bool(parts)
+
+    raw_old, old_nonempty = scan(v_from, m_from)
+    raw_new, new_nonempty = scan(v_to, m_to)
+    dt_old, dt_new = dict(raw_old.dtypes), dict(raw_new.dtypes)
+    ghost = [c for c in value_cols if c not in dt_old and c not in dt_new]
+    if ghost:
+        raise ValueError(
+            f"snapshot_changes: value columns {ghost} exist at neither "
+            f"v{v_from} nor v{v_to} — not a vintage gap, a caller error"
         )
 
-    old = side(v_from, m_from)
-    new = side(v_to, m_to)
+    def side(s: DataFrame, dts: dict, other: dict, nonempty: bool) -> DataFrame:
+        out = s.select(
+            partition_col,
+            key_col,
+            *[
+                F.col(c) if c in dts
+                else F.lit(None).cast(other[c]).alias(c)
+                for c in value_cols
+            ],
+        )
+        return out if nonempty else out.limit(0)
+
+    old = side(raw_old, dt_old, dt_new, old_nonempty)
+    new = side(raw_new, dt_new, dt_old, new_nonempty)
     joined = old.alias("a").join(
         new.alias("b"),
         on=[

@@ -8401,3 +8401,316 @@ def u49_policy_sharded_maintenance(
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# --- U50: the change feed across SCHEMA EVOLUTION -------------------------------
+
+_U50_EVOLVE_CUT = "1998-01"
+_U50_BAND_LO, _U50_BAND_HI = "1996-01", "1999-01"
+
+_U50_ORACLE = f"""
+WITH o1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+o3 AS (
+  SELECT o_month, k,
+         CASE WHEN o_month >= '{_U50_BAND_LO}' AND o_month < '{_U50_BAND_HI}'
+                   AND k % 3 = 0
+              THEN 0 ELSE cents END AS cents,
+         CASE WHEN o_month >= '{_U50_EVOLVE_CUT}'
+              THEN CASE WHEN k % 2 = 0 THEN 'web' ELSE 'branch' END
+              END AS channel
+  FROM o1
+)
+SELECT substr(o_month, 1, 4) AS o_year,
+       COALESCE(channel, 'legacy') AS chan,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM o3
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "u50_schema_evolution_feed",
+    oracle=_U50_ORACLE,
+    tags=("update", "cdf", "schema"),
+)
+def u50_schema_evolution_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U50: the change feed ACROSS schema evolution — the remaining
+    vintage surface after u22 (write-side widening MERGE), u6
+    (read-side mergeSchema), and u34/u35 (the transaction feed and
+    the view maintained from it): a column ADDED mid-history must
+    flow through :func:`txn_changes` with honest before/after
+    VINTAGES, and a downstream view keyed on the new column must be
+    maintainable from those feeds alone.
+
+    The lifecycle (single-table transaction group, partitioned by
+    month):
+
+    * txn 1 — the pre-evolution ledger ``(o_month, k, cents)``;
+    * txn 2 — a schema-WIDENING commit: months ≥ 1998-01 rewritten
+      with a new ``channel`` column (k-parity → web/branch), cents
+      untouched.  Pre-cut months keep their v1 files — the store now
+      holds MIXED VINTAGES under one manifest, and only the evolved
+      read (:func:`snapshot_read`'s ``allowMissingColumns`` union)
+      can see it uniformly;
+    * txn 3 — an ordinary correction BAND [1996-01, 1999-01) that
+      STRADDLES the evolution cut: cents zeroed for k%3 keys.  Its
+      source is the evolved read at txn 2, so pre-cut months migrate
+      to the evolved schema with NULL backfill while channels already
+      assigned are carried — after it, THREE vintages (v1 narrow,
+      v2 evolved, v3 migrated) live under the head manifest at once.
+
+    Vintage laws, raise-style: (a) time travel keeps the narrow
+    schema — the txn-1 read has NO channel column while the head
+    read answers channel for every row (NULL exactly on pre-cut
+    months); (b) the head manifest references all three version
+    dirs; (c) the 1→2 feed is pure widening — every row an update
+    with ``channel_before`` NULL (the column predates nothing: its
+    before-image is what a reader at txn 1 would have answered) and
+    ``cents`` byte-identical; (d) the 2→3 feed crosses the cut with
+    mixed-vintage BEFORE-images (pre-cut rows carry backfilled NULL,
+    post-cut rows carry their real channel) and ZERO channel
+    migrations — only the k%3 cents rows appear, every after-image
+    zero; (e) the per-(year, channel) view maintained from the two
+    feeds by SIGNED GROUP MOVES (−1/−before on the before-group,
+    +1/+after on the after-group — u35's algebra generalized to a
+    MUTABLE group key, which is exactly what a widening backfill is:
+    the whole evolved population moves legacy→named in one feed)
+    equals the from-scratch recompute cell-exactly after EVERY
+    application, and no post-cut year retains a legacy row.
+
+    Why it matters at 100 TB: schema evolution on a large table is
+    only usable if it is metadata-cheap AND downstream increments
+    survive it.  Here untouched partitions are never rewritten (the
+    widening commit costs only the partitions it actually changes),
+    the feeds still scan only changed partitions of both vintages,
+    and the view maintenance reads feeds + the (year-cardinality)
+    view — never a fact table.  The alternative — a full-table
+    backfill rewrite plus view rebuild — costs two full scans per
+    evolution."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/wind_spark_evofeed_{sfx}"
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    o1 = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    all_months = sorted(
+        r.o_month for r in o1.select("o_month").distinct().collect()
+    )
+    evolve_months = [m for m in all_months if m >= _U50_EVOLVE_CUT]
+    band_months = [
+        m for m in all_months if _U50_BAND_LO <= m < _U50_BAND_HI
+    ]
+    if not evolve_months or not band_months or not (
+        set(band_months) & set(evolve_months)
+    ) or not (set(band_months) - set(evolve_months)):
+        raise ValueError(
+            "u50_schema_evolution_feed: fixture needs the correction "
+            "band to straddle the evolution cut "
+            f"(months {all_months[:3]}..{all_months[-1:]})"
+        )
+    txn_commit(base, 1, {"orders": (o1, "o_month", None)})
+    o2 = o1.filter(F.col("o_month").isin(evolve_months)).withColumn(
+        "channel",
+        F.when(F.col("k") % 2 == 0, "web").otherwise("branch"),
+    )
+    txn_commit(base, 2, {"orders": (o2, "o_month", evolve_months)})
+    # txn 3's source is the EVOLVED read at txn 2 — pre-cut band
+    # months arrive with channel backfilled NULL and are written back
+    # in the evolved schema (the migration a correction pays for free)
+    o3 = (
+        txn_read(spark, base, 2, "orders", "o_month")
+        .filter(F.col("o_month").isin(band_months))
+        .withColumn(
+            "cents",
+            F.when(F.col("k") % 3 == 0, F.lit(0).cast("long")).otherwise(
+                F.col("cents")
+            ),
+        )
+    )
+    txn_commit(base, 3, {"orders": (o3, "o_month", band_months)})
+
+    # (a) vintage reads: time travel keeps the narrow schema
+    t1 = txn_read(spark, base, 1, "orders", "o_month")
+    if "channel" in t1.columns:
+        raise ValueError(
+            "u50_schema_evolution_feed: the txn-1 read must keep the "
+            "pre-evolution schema (no channel column)"
+        )
+    head = txn_read(spark, base, 3, "orders", "o_month")
+    if "channel" not in head.columns:
+        raise ValueError(
+            "u50_schema_evolution_feed: the head read lost the "
+            "evolved column"
+        )
+    bad_vintage = head.filter(
+        (
+            (F.col("o_month") < _U50_EVOLVE_CUT)
+            & F.col("channel").isNotNull()
+        )
+        | (
+            (F.col("o_month") >= _U50_EVOLVE_CUT)
+            & F.col("channel").isNull()
+        )
+    ).count()
+    if bad_vintage:
+        raise ValueError(
+            f"u50_schema_evolution_feed: {bad_vintage} rows carry the "
+            "wrong vintage (channel must be NULL exactly on pre-cut "
+            "months)"
+        )
+    # (b) three vintages live under the head manifest
+    with open(os.path.join(base, "orders", "_manifest_v3.json")) as fh:
+        owners = set(_json.load(fh).values())
+    if owners != {1, 2, 3}:
+        raise ValueError(
+            f"u50_schema_evolution_feed: head manifest must reference "
+            f"all three vintage dirs (got v{sorted(owners)})"
+        )
+
+    spec = {"orders": ("o_month", "k", ["cents", "channel"])}
+    eq = lambda a, b: F.col(a).eqNullSafe(F.col(b))  # noqa: E731
+
+    feed12 = txn_changes(spark, base, 1, 2, spec)["orders"]
+    f12 = pin_snapshot(feed12, f"{root}/_feed12")
+    bad12 = f12.filter(
+        (F.col("change_type") != "update")
+        | F.col("channel_before").isNotNull()
+        | ~eq("cents_before", "cents_after")
+        | ~F.col("o_month").isin(evolve_months)
+    ).count()
+    if bad12 or f12.count() == 0:
+        raise ValueError(
+            "u50_schema_evolution_feed: the widening feed must be "
+            "all-update, channel_before all-NULL, cents unchanged, "
+            f"and confined to the evolved months ({bad12} violations)"
+        )
+    feed23 = txn_changes(spark, base, 2, 3, spec)["orders"]
+    f23 = pin_snapshot(feed23, f"{root}/_feed23")
+    bad23 = f23.filter(
+        (F.col("change_type") != "update")
+        | ~eq("channel_before", "channel_after")
+        | (F.col("k") % 3 != 0)
+        | (F.col("cents_after") != 0)
+        | ~F.col("o_month").isin(band_months)
+    ).count()
+    straddle = (
+        f23.filter(
+            (F.col("o_month") < _U50_EVOLVE_CUT)
+            & F.col("channel_before").isNull()
+        ).count(),
+        f23.filter(
+            (F.col("o_month") >= _U50_EVOLVE_CUT)
+            & F.col("channel_before").isNotNull()
+        ).count(),
+    )
+    if bad23 or f23.count() == 0 or 0 in straddle:
+        raise ValueError(
+            "u50_schema_evolution_feed: the correction feed must be "
+            "all-update with zero channel migrations, k%3-only, "
+            "zeroed after-images, and mixed-vintage before-images on "
+            f"both sides of the cut (bad={bad23}, straddle={straddle})"
+        )
+
+    zero = F.lit(0).cast("long")
+
+    def scratch_view(tv: int) -> DataFrame:
+        o = txn_read(spark, base, tv, "orders", "o_month")
+        if "channel" not in o.columns:
+            o = o.withColumn("channel", F.lit(None).cast("string"))
+        return o.groupBy(
+            F.substring("o_month", 1, 4).alias("o_year"),
+            F.coalesce("channel", F.lit("legacy")).alias("chan"),
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    def apply_group_moves(view: DataFrame, feed: DataFrame) -> DataFrame:
+        neg = feed.filter(F.col("change_type") != "insert").select(
+            F.substring("o_month", 1, 4).alias("o_year"),
+            F.coalesce("channel_before", F.lit("legacy")).alias("chan"),
+            F.lit(-1).cast("long").alias("d_n"),
+            (-F.col("cents_before")).alias("d_cents"),
+        )
+        pos = feed.filter(F.col("change_type") != "delete").select(
+            F.substring("o_month", 1, 4).alias("o_year"),
+            F.coalesce("channel_after", F.lit("legacy")).alias("chan"),
+            F.lit(1).cast("long").alias("d_n"),
+            F.col("cents_after").alias("d_cents"),
+        )
+        d = (
+            neg.unionByName(pos)
+            .groupBy("o_year", "chan")
+            .agg(
+                F.sum("d_n").alias("d_n"),
+                F.sum("d_cents").alias("d_cents"),
+            )
+        )
+        return (
+            view.join(d, ["o_year", "chan"], "full")
+            .select(
+                "o_year",
+                "chan",
+                (F.coalesce("n_orders", zero) + F.coalesce("d_n", zero))
+                .alias("n_orders"),
+                (
+                    F.coalesce("total_cents", zero)
+                    + F.coalesce("d_cents", zero)
+                ).alias("total_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+
+    view = pin_snapshot(scratch_view(1), f"{root}/_view_t1")
+    for t_to, feed in ((2, f12), (3, f23)):
+        view = pin_snapshot(
+            apply_group_moves(view, feed), f"{root}/_view_t{t_to}"
+        )
+        want = scratch_view(t_to).select(
+            "o_year",
+            "chan",
+            F.col("n_orders").alias("w_n"),
+            F.col("total_cents").alias("w_cents"),
+        )
+        mism = (
+            view.join(want, ["o_year", "chan"], "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"u50_schema_evolution_feed: maintained view diverged "
+                f"from the recompute at transaction {t_to} "
+                f"({mism} cells)"
+            )
+    legacy_after_cut = view.filter(
+        (F.col("chan") == "legacy")
+        & (F.col("o_year") >= _U50_EVOLVE_CUT[:4])
+    ).count()
+    if legacy_after_cut:
+        raise ValueError(
+            "u50_schema_evolution_feed: the widening feed left "
+            f"{legacy_after_cut} legacy rows in post-cut years — the "
+            "group move did not carry the whole population"
+        )
+    return view
