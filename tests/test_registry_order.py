@@ -50,6 +50,11 @@ _R18_NEW: list[str] = [
     # the enabling snapshot_read/snapshot_changes backfill is
     # crash-replacing only (no changed-code slot owed)
     "u50_schema_evolution_feed",
+    # round-19 candidate (b) pulled forward: fleet reshard 2 → 3 —
+    # view-store handoff with watermarks carried, the retired store's
+    # typed fence, fresh checkpoints gated by the store watermark;
+    # shares st25's oracle verbatim
+    "st30_fleet_reshard",
 ]
 
 # Queries whose CODE changed this round: identical oracles, but a
@@ -312,3 +317,16 @@ def test_u49_oracle_is_verbatim_u48_oracle():
 
     assert REGISTRY["u49_policy_sharded_maintenance"].oracle == _U48_ORACLE
     assert REGISTRY["u48_maintenance_retention_race"].oracle == _U48_ORACLE
+
+
+def test_st30_oracle_is_verbatim_st25_oracle():
+    """ST30's whole claim is that resharding the fleet changes NOTHING
+    about the maintained view — its final union is st25's, so the two
+    queries must share ONE oracle, byte for byte (the u49/u48
+    pattern)."""
+    from update_database_by_wind_spark.streaming.pipelines import (
+        _ST25_ORACLE,
+    )
+
+    assert REGISTRY["st30_fleet_reshard"].oracle == _ST25_ORACLE
+    assert REGISTRY["st25_sharded_view_daemon"].oracle == _ST25_ORACLE

@@ -184,6 +184,21 @@ _ROUND18_FRONT = [
     # consumer is byte-identical and no changed-code slot is owed
     # (the u37 precedent).  Displaced the s13 fill slot.
     "u50_schema_evolution_feed",
+    # round-18 NEW registration (round-19 candidate (b) pulled
+    # forward): resharding a LIVE maintenance fleet — st25's 2-shard
+    # fleet grows to 3 mid-lifecycle by splitting the hot band's
+    # store (derived from the PUBLISHED view alone, watermark carried
+    # verbatim — never a fact scan or feed replay), retiring the old
+    # store behind the typed ViewStoreRetiredError fence (a stale
+    # daemon wake-up refuses byte-untouched), and resuming on FRESH
+    # checkpoints whose history redelivery the store watermark gates
+    # (mode ledgers pin [(2, skip), (3, incremental)] on both
+    # successors).  Deliberate contrast with st29: keyed state must
+    # drain through the fold; a foreachBatch daemon's durable state
+    # is the store, so its checkpoint is disposable.  Oracle is
+    # st25's VERBATIM (a reshard that changes one cell is not a
+    # reshard).  Displaced the u9d fill slot.
+    "st30_fleet_reshard",
     # CHANGED-code queries (widening plan items (1)-(3), the round-17
     # ADVICE fixes): identical oracles, but a rewrite must earn fresh
     # driver evidence before stale-green refresh (their r17 rows
@@ -252,7 +267,6 @@ _ROUND18_FRONT = [
     # changed-code registration above displaces one from the back
     # (the 2 changed-code ADVICE entries displaced s4 and s3)
     "u9_incremental_rollup",
-    "u9d_incremental_rollup_decimal",
 ]
 
 # Every other query has a driver-green row in r13-r17 -> back of the
@@ -473,6 +487,7 @@ _DRIVER_VERIFIED_R13_R17 = [
     "u45_feed_driven_optimize",
     "u46_sharded_optimize",
     "u47_age_policy_daemon",
+    "u9d_incremental_rollup_decimal",
     "ud1_scalar_python_udf",
     "ud2_pandas_scalar_udf",
     "ud3_pandas_grouped_agg",

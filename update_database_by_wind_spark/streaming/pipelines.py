@@ -2264,6 +2264,18 @@ def st21_gated_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shared daemon machinery for ST22 / ST23 -------------------------------
 
 
+class ViewStoreRetiredError(ValueError):
+    """Raised by :meth:`_ViewStore.publish` on a store a fleet reshard
+    has retired (``_retired.json`` present) — the typed fencing signal
+    for a decommissioned daemon that wakes up once more (st30).  A
+    stale daemon catching this must STOP, not rebaseline: its band is
+    owned by successor shards now, and a publish would fork the view.
+    Subclasses ValueError (the RetentionExpiredError precedent) so
+    callers holding the generic refusal contract are unaffected;
+    reads of a retired store stay legal (the reshard itself derives
+    the successor views from them)."""
+
+
 class _ViewStore:
     """Crash- and redelivery-safe materialized-view store shared by
     the ST22/ST23 daemons: the staged view dir carries its
@@ -2311,9 +2323,27 @@ class _ViewStore:
         with open(os.path.join(self.view_dir, "_applied.json")) as fh:
             return _json.load(fh)["txn"]
 
+    def retire(self, successor: list) -> None:
+        """Mark the store decommissioned by a fleet reshard: successor
+        shard roots recorded for the operator, every later publish
+        refused typed.  The marker is a plain file beside the view dir
+        (not inside it) so it survives any in-flight rename swap."""
+        import json as _json
+
+        with open(os.path.join(self._root, "_retired.json"), "w") as fh:
+            _json.dump({"successor": successor}, fh)
+
     def publish(self, df: DataFrame, txn: int) -> None:
         import json as _json
 
+        if os.path.exists(os.path.join(self._root, "_retired.json")):
+            # new-input-shape only: no pre-reshard store ever carries
+            # the marker, so every existing daemon is byte-identical
+            raise ViewStoreRetiredError(
+                f"_ViewStore: {self._root} is retired — its band is "
+                "owned by successor shards; a stale publish would "
+                "fork the view"
+            )
         self._heal()
         stage = os.path.join(self._root, "_view_stage")
         old = os.path.join(self._root, "_view_old")
@@ -4776,3 +4806,357 @@ def st29_keyed_state_relocation(
         ),
         f"{root}/_pin",
     )
+
+
+# --- ST30: fleet reshard (view-store handoff, checkpoint relocation) ----------------
+
+
+@query(
+    "st30_fleet_reshard",
+    oracle=_ST25_ORACLE,
+    tags=("streaming", "update", "cdf", "view", "layout"),
+)
+def st30_fleet_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST30: resharding a LIVE maintenance fleet — st25 proved N
+    band-sharded view daemons divide steady-state work; this proves
+    the fleet can CHANGE SHAPE mid-lifecycle without recomputing or
+    double-applying anything.  Shard B's band runs hot, so after
+    txn 2 the fleet grows 2 → 3: B's band splits at its bucket
+    midpoint into B1/B2, and txn 3 is maintained by the new fleet.
+
+    The relocation contract has two halves, deliberately contrasted
+    with st29's: a daemon's KEYED state (st29) must be drained and
+    re-injected through the fold, but a foreachBatch daemon's
+    checkpoint holds only source offsets — its durable state is the
+    view store, whose ``_applied.json`` watermark travels WITH the
+    store.  So the reshard is a view-store-only operation:
+
+    * SPLIT: B1/B2's stores are derived from B's PUBLISHED view alone
+      (group-key-sized rows — no fact-table scan, no feed replay),
+      published with B's watermark carried verbatim;
+    * RETIRE: B's store is fenced (``_retired.json``); a
+      decommissioned daemon waking up once more gets the typed
+      :class:`ViewStoreRetiredError` refusal and must stop — its
+      band belongs to the successors now;
+    * RELOCATE CHECKPOINTS: B1/B2 start on FRESH checkpoints, so the
+      notification source REDELIVERS history — safe exactly because
+      the watermark gate lives in the store, not the checkpoint
+      (mode ledgers pin it: [(2, skip), (3, incremental)] on both
+      successors, while never-resharded A reads [(2, incremental),
+      (3, incremental)] off its original checkpoint).
+
+    Receipts, raise-style: the split is EXACT (B1 ∪ B2 equals B's
+    store cell-for-cell, bucket-disjoint) with watermarks carried;
+    the stale-B wake-up refuses typed with B's store byte-untouched;
+    after txn 3 the THREE shards' scans conserve the manifest diff,
+    each stays inside its band's transform range, and no shard scans
+    the whole diff whenever the diff straddles bands (single-bucket
+    sf0.001 degrades gracefully); the 3-store union equals the
+    from-scratch recompute at every step; an empty availableNow pass
+    touches no store.  The returned frame is the new fleet's union at
+    txn 3 — the oracle is st25's VERBATIM, because a reshard that
+    changes one cell is not a reshard (the u49/u48 oracle-sharing
+    precedent, mirrored in tests/test_registry_order.py).
+
+    Why it matters at 100 TB: fleets are sized for last quarter's
+    load; the reshard cost here is O(view rows of one shard) — not
+    O(fact table), not O(feed history) — and the watermark-in-store
+    design is what makes daemon checkpoints disposable, so scaling
+    the fleet never risks the exactly-once ledger.  Cites st25 (the
+    sharded fleet), st29 (the keyed-state contrast), u43 (the
+    band-scoped feed)."""
+    import hashlib
+    import json as _json
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_changes_pruned,
+        txn_commit,
+        txn_read,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st30_{tag}")
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/notify"
+    os.makedirs(src)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+            & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (o2.filter(F.col("k_bucket").isin(rw2)), "k_bucket",
+                    rw2)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
+    )
+    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+            & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 3,
+        {"orders": (o3.filter(F.col("k_bucket").isin(rw3)), "k_bucket",
+                    rw3)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 3, ["o_custkey", "cents"]
+    )
+
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
+    bands = {
+        "A": (int(dom.mn), mid_idx * 256 - 1),
+        "B": (mid_idx * 256, int(dom.xm)),
+    }
+    spec = {"orders": ("k_bucket", "k", ["o_custkey", "cents"])}
+    stores = {s: _ViewStore(spark, f"{root}/shard_{s}") for s in ("A", "B")}
+    scans: dict[str, dict] = {}
+    ledger: dict[str, list] = {}
+
+    def bidx(col: str = "k_bucket"):
+        return F.expr(f"cast(substring({col}, 2, 10) as int)")
+
+    def shard_view(t: int, s: str) -> DataFrame:
+        lo, hi = bands[s]
+        return (
+            txn_read(spark, base, t, "orders", "k_bucket")
+            .filter(F.col("o_custkey").between(lo, hi))
+            .groupBy("k_bucket")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+
+    def apply_txn(s: str, t: int) -> str:
+        store = stores[s]
+        wm = store.watermark()
+        mode = "skip"
+        if t > wm:
+            lo, hi = bands[s]
+            feeds, rec = txn_changes_pruned(
+                spark, base, wm, t, spec, {"orders": ("o_custkey", lo, hi)}
+            )
+            scans.setdefault(s, {})[t] = rec["orders"]
+            store.publish(
+                _bucket_view_apply(store.read(), feeds["orders"]), t
+            )
+            mode = "incremental"
+        ledger.setdefault(s, []).append((t, mode))
+        return mode
+
+    def make_handler(s: str):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in sorted(batch_df.collect(), key=lambda r: r["txn"]):
+                apply_txn(s, r["txn"])
+
+        return handle
+
+    def run_daemons(fleet: list) -> None:
+        for s in fleet:
+            stream = spark.readStream.schema("txn long").parquet(
+                f"{src}/*"
+            )
+            h = (
+                stream.writeStream.foreachBatch(make_handler(s))
+                .option("checkpointLocation", f"{root}/ckpt_{s}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            h.awaitTermination()
+
+    def expect_union_converged(t: int, fleet: list) -> None:
+        union = stores[fleet[0]].read()
+        for s in fleet[1:]:
+            union = union.unionByName(stores[s].read())
+        dup = (
+            union.groupBy("k_bucket").count().filter(F.col("count") > 1)
+        ).count()
+        if dup:
+            raise ValueError(
+                f"st30_fleet_reshard: {dup} buckets appear in more "
+                "than one shard after the reshard"
+            )
+        want = (
+            txn_read(spark, base, t, "orders", "k_bucket")
+            .groupBy("k_bucket")
+            .agg(
+                F.count("*").alias("w_n"),
+                F.sum("cents").alias("w_cents"),
+            )
+        )
+        mism = (
+            union.join(want, "k_bucket", "full")
+            .filter(
+                ~F.col("n_orders").eqNullSafe(F.col("w_n"))
+                | ~F.col("total_cents").eqNullSafe(F.col("w_cents"))
+            )
+            .count()
+        )
+        if mism:
+            raise ValueError(
+                f"st30_fleet_reshard: the fleet union diverged from "
+                f"the recompute at txn {t} ({mism} buckets)"
+            )
+
+    # steady state: the 2-shard fleet materializes at txn 1 and
+    # maintains txn 2 (st25's protocol, original checkpoints)
+    for s in ("A", "B"):
+        stores[s].publish(shard_view(1, s), 1)
+    expect_union_converged(1, ["A", "B"])
+    spark.createDataFrame([(2,)], "txn long").write.parquet(f"{src}/n2")
+    run_daemons(["A", "B"])
+    expect_union_converged(2, ["A", "B"])
+
+    # THE RESHARD: split B's band at its bucket midpoint
+    b_lo, b_hi = bands["B"]
+    lo_i, hi_i = b_lo // 256, b_hi // 256
+    split_i = (lo_i + hi_i + 1) // 2
+    bands["B1"] = (b_lo, split_i * 256 - 1)
+    bands["B2"] = (split_i * 256, b_hi)
+    wm_b = stores["B"].watermark()
+    b_rows = sorted(map(tuple, stores["B"].read().collect()))
+    for s, pred in (
+        ("B1", bidx() < split_i),
+        ("B2", bidx() >= split_i),
+    ):
+        stores[s] = _ViewStore(spark, f"{root}/shard_{s}")
+        # derived from B's PUBLISHED view alone — group-key-sized
+        stores[s].publish(stores["B"].read().filter(pred), wm_b)
+    stores["B"].retire([f"{root}/shard_B1", f"{root}/shard_B2"])
+    split_rows = sorted(
+        map(
+            tuple,
+            stores["B1"].read().unionByName(stores["B2"].read()).collect(),
+        )
+    )
+    if split_rows != b_rows:
+        raise ValueError(
+            "st30_fleet_reshard: the split stores do not union to "
+            "B's store cell-for-cell"
+        )
+    for s in ("B1", "B2"):
+        if stores[s].watermark() != wm_b:
+            raise ValueError(
+                f"st30_fleet_reshard: successor {s} dropped B's "
+                f"watermark (got {stores[s].watermark()}, want {wm_b})"
+            )
+
+    # the decommissioned daemon wakes up once more: typed refusal,
+    # store byte-untouched (this is the daemon body st25 runs — the
+    # publish is where the fence lives, so the path is the real one)
+    spark.createDataFrame([(3,)], "txn long").write.parquet(f"{src}/n3")
+    before_b = stores["B"].listing()
+    try:
+        apply_txn("B", 3)
+        raise ValueError(
+            "st30_fleet_reshard: the retired shard applied a "
+            "transaction — the fence is dead"
+        )
+    except ViewStoreRetiredError:
+        pass
+    if stores["B"].listing() != before_b:
+        raise ValueError(
+            "st30_fleet_reshard: the refused stale publish touched "
+            "B's store"
+        )
+
+    # txn 3 through the NEW fleet: A on its original checkpoint,
+    # B1/B2 on fresh ones (the notification source redelivers n2 to
+    # them; the store watermark is the gate)
+    run_daemons(["A", "B1", "B2"])
+    expect_union_converged(3, ["A", "B1", "B2"])
+    want_ledger = {
+        "A": [(2, "incremental"), (3, "incremental")],
+        "B": [(2, "incremental")],
+        "B1": [(2, "skip"), (3, "incremental")],
+        "B2": [(2, "skip"), (3, "incremental")],
+    }
+    if ledger != want_ledger:
+        raise ValueError(
+            f"st30_fleet_reshard: mode ledgers {ledger} differ from "
+            f"the relocation contract {want_ledger}"
+        )
+    # scan receipts at txn 3, three-way
+    changed3 = set(rw3)
+    got = {
+        s: set(scans[s][3]["scanned"]) for s in ("A", "B1", "B2")
+    }
+    if got["A"] | got["B1"] | got["B2"] != changed3:
+        raise ValueError(
+            "st30_fleet_reshard: the fleet's scans must conserve the "
+            f"manifest diff (got {got}, want {sorted(changed3)})"
+        )
+    for s in ("A", "B1", "B2"):
+        lo, hi = bands[s]
+        rng = set(range(lo // 256, hi // 256 + 1))
+        if any(int(p[1:]) not in rng for p in got[s]):
+            raise ValueError(
+                f"st30_fleet_reshard: shard {s} scanned outside its "
+                "band's transform range"
+            )
+    straddled = sum(
+        1
+        for s in ("A", "B1", "B2")
+        if any(
+            int(b[1:]) in range(
+                bands[s][0] // 256, bands[s][1] // 256 + 1
+            )
+            for b in changed3
+        )
+    )
+    if straddled > 1:
+        for s in ("A", "B1", "B2"):
+            if got[s] >= changed3:
+                raise ValueError(
+                    f"st30_fleet_reshard: shard {s} scanned the whole "
+                    "diff — the reshard divided no work"
+                )
+    # an empty pass touches nothing
+    before = {s: stores[s].listing() for s in ("A", "B1", "B2")}
+    run_daemons(["A", "B1", "B2"])
+    for s in ("A", "B1", "B2"):
+        if stores[s].listing() != before[s]:
+            raise ValueError(
+                f"st30_fleet_reshard: an empty daemon run touched "
+                f"shard {s}'s store"
+            )
+    out = stores["A"].read()
+    for s in ("B1", "B2"):
+        out = out.unionByName(stores[s].read())
+    return out
