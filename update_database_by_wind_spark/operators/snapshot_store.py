@@ -35,6 +35,7 @@ def snapshot_commit(
     version: int,
     partition_col: str,
     parts: list | None = None,
+    schema_change: str = "widen",
 ) -> dict:
     """Commit ``df`` as snapshot ``version`` of a manifest-versioned
     table — the minimal form of the Iceberg/Delta snapshot contract,
@@ -63,6 +64,19 @@ def snapshot_commit(
     declared part that contributed no rows is refused (an empty
     commit is not a partition delete).  Partition values must be
     non-null strings — the manifest is string-keyed.
+
+    Schema gate (round-18 review): once :func:`snapshot_read` unions
+    vintages with NULL backfill, an ACCIDENTAL column rename or drop
+    in a partial rewrite would no longer crash a read — it would read
+    as silent NULLs.  So the gate moved to the write side, where
+    Delta puts it: a delta commit may WIDEN the schema (new columns —
+    the u50 evolution path, no opt-in needed: the committed frame
+    itself declares them) but a commit MISSING columns the table's
+    evolved schema carries is refused unless the caller passes
+    ``schema_change="any"`` (the deliberate-narrowing opt-out; a
+    rename is a drop + an add, so typos are caught by default).  The
+    check reads one footer per distinct referenced version dir —
+    metadata-sized, and only on delta commits.
 
     Retry safety (advisor finding, round 7): data is staged under
     ``_tmp_v{version}`` and renamed into place only after every
@@ -121,6 +135,22 @@ def snapshot_commit(
             f"snapshot_commit: missing predecessor manifest {prev_path}; "
             f"commits must be consecutive (expected v{version - 1} first)"
         )
+    if manifest and schema_change != "any":
+        evolved: set[str] = set()
+        for v in sorted(set(manifest.values())):
+            evolved |= set(
+                df.sparkSession.read.parquet(
+                    os.path.join(base, f"v{v}")
+                ).columns
+            )
+        dropped = sorted(evolved - set(df.columns))
+        if dropped:
+            raise ValueError(
+                f"snapshot_commit: commit is missing columns "
+                f"{dropped} the table's evolved schema carries — a "
+                "rename/drop would read back as silent NULLs; pass "
+                "schema_change='any' if the narrowing is deliberate"
+            )
     data = df if parts is None else df.filter(
         F.col(partition_col).isin(list(parts))
     )
@@ -1248,17 +1278,42 @@ def snapshot_changes_pruned(
         return mn <= hi and mx >= lo
 
     scanned = [p for p in changed if hits(band_f, p) or hits(band_t, p)]
-    cols = [partition_col, key_col, *value_cols]
 
-    def side(v: int, m: dict) -> DataFrame:
+    # vintage semantics, same as snapshot_changes': a value column one
+    # endpoint's vintage lacks is NULL-backfilled typed from the side
+    # that has it, absent-from-both refuses loudly — the band-scoped
+    # feed must survive exactly the evolved spans the plain feed does
+    # (st25/st28/st30's daemons consume widening commits through here)
+    raw_old = snapshot_read(spark, base, v_from, partition_col)
+    raw_new = snapshot_read(spark, base, v_to, partition_col)
+    dt_old, dt_new = dict(raw_old.dtypes), dict(raw_new.dtypes)
+    ghost = [c for c in value_cols if c not in dt_old and c not in dt_new]
+    if ghost:
+        raise ValueError(
+            f"snapshot_changes_pruned: value columns {ghost} exist at "
+            f"neither v{v_from} nor v{v_to} — not a vintage gap, a "
+            "caller error"
+        )
+
+    def side(
+        raw: DataFrame, m: dict, dts: dict, other: dict
+    ) -> DataFrame:
         parts = [p for p in scanned if p in m]
-        scan = snapshot_read(spark, base, v, partition_col)
+        out = raw.select(
+            partition_col,
+            key_col,
+            *[
+                F.col(c) if c in dts
+                else F.lit(None).cast(other[c]).alias(c)
+                for c in value_cols
+            ],
+        )
         if not parts:
-            return scan.select(*cols).limit(0)
-        return scan.filter(F.col(partition_col).isin(parts)).select(*cols)
+            return out.limit(0)
+        return out.filter(F.col(partition_col).isin(parts))
 
-    old = side(v_from, m_from).alias("a")
-    new = side(v_to, m_to).alias("b")
+    old = side(raw_old, m_from, dt_old, dt_new).alias("a")
+    new = side(raw_new, m_to, dt_new, dt_old).alias("b")
     joined = old.join(
         new,
         on=[

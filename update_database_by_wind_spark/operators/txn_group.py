@@ -329,11 +329,23 @@ def txn_changes(
             )
         if tv_f == tv_t:
             # the pointer already proves no row changed: emit the
-            # empty changelog without touching a manifest (schema from
-            # one footer read of the live version dir)
-            src = spark.read.parquet(
-                os.path.join(base, name, f"v{tv_t}")
+            # empty changelog without scanning data (schema from the
+            # version's manifest-resolved footer union — NOT from one
+            # version dir, whose vintage may lack columns older dirs
+            # still carry after a narrowing rewrite; review finding,
+            # round 18)
+            src = snapshot_read(
+                spark, os.path.join(base, name), tv_t, pcol
             ).limit(0)
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes: table {name!r} has no columns "
+                    f"{missing} at transaction {txn_from}..{txn_to} "
+                    "(same table version at both endpoints) — not a "
+                    "vintage gap, a caller error"
+                )
             out[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
@@ -343,18 +355,30 @@ def txn_changes(
             )
         elif tv_f == 0:
             # table added to the group after txn_from: everything it
-            # holds at txn_to is an insert (NULL before-images)
+            # holds at txn_to is an insert (NULL before-images).  The
+            # table exists at only ONE endpoint, so a value column its
+            # evolved schema lacks there has no vintage to type from —
+            # refuse loudly (a raw KeyError here was the same
+            # exception class the branch itself exists to fix; review
+            # finding, round 18)
             src = snapshot_read(
                 spark, os.path.join(base, name), tv_t, pcol
             )
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes: table {name!r} has no columns "
+                    f"{missing} at its only endpoint (added at "
+                    f"table-version {tv_t}) — not a vintage gap, a "
+                    "caller error"
+                )
             out[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
                 F.lit("insert").alias("change_type"),
                 *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_before"
-                    )
+                    F.lit(None).cast(have[c]).alias(f"{c}_before")
                     for c in vcols
                 ],
                 *[F.col(c).alias(f"{c}_after") for c in vcols],
@@ -362,19 +386,27 @@ def txn_changes(
         elif tv_t == 0:
             # table removed from the group before txn_to (a restore
             # rolled back past its ADD): everything it held at
-            # txn_from is a delete (NULL after-images)
+            # txn_from is a delete (NULL after-images); same
+            # one-endpoint column contract as the added branch
             src = snapshot_read(
                 spark, os.path.join(base, name), tv_f, pcol
             )
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes: table {name!r} has no columns "
+                    f"{missing} at its only endpoint (removed after "
+                    f"table-version {tv_f}) — not a vintage gap, a "
+                    "caller error"
+                )
             out[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
                 F.lit("delete").alias("change_type"),
                 *[F.col(c).alias(f"{c}_before") for c in vcols],
                 *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_after"
-                    )
+                    F.lit(None).cast(have[c]).alias(f"{c}_after")
                     for c in vcols
                 ],
             )
@@ -1414,9 +1446,20 @@ def txn_changes_pruned(
                 f"neither transaction {txn_from} nor {txn_to}"
             )
         if tv_f == tv_t:
-            src = spark.read.parquet(
-                os.path.join(tdir, f"v{tv_t}")
-            ).limit(0)
+            # schema from the manifest-resolved footer union, not one
+            # version dir (whose vintage may lack columns — the same
+            # round-18 review finding as txn_changes' branch)
+            src = snapshot_read(spark, tdir, tv_t, pcol).limit(0)
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes_pruned: table {name!r} has no "
+                    f"columns {missing} at transaction "
+                    f"{txn_from}..{txn_to} (same table version at "
+                    "both endpoints) — not a vintage gap, a caller "
+                    "error"
+                )
             feeds[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
@@ -1438,14 +1481,21 @@ def txn_changes_pruned(
             else:
                 src = snapshot_read(spark, tdir, tv_t, pcol)
                 receipts[name] = {"mode": "added"}
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes_pruned: table {name!r} has no "
+                    f"columns {missing} at its only endpoint (added "
+                    f"at table-version {tv_t}) — not a vintage gap, "
+                    "a caller error"
+                )
             feeds[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
                 F.lit("insert").alias("change_type"),
                 *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_before"
-                    )
+                    F.lit(None).cast(have[c]).alias(f"{c}_before")
                     for c in vcols
                 ],
                 *[F.col(c).alias(f"{c}_after") for c in vcols],
@@ -1466,15 +1516,22 @@ def txn_changes_pruned(
             else:
                 src = snapshot_read(spark, tdir, tv_f, pcol)
                 receipts[name] = {"mode": "removed"}
+            have = dict(src.dtypes)
+            missing = [c for c in vcols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"txn_changes_pruned: table {name!r} has no "
+                    f"columns {missing} at its only endpoint "
+                    f"(removed after table-version {tv_f}) — not a "
+                    "vintage gap, a caller error"
+                )
             feeds[name] = src.select(
                 F.col(pcol),
                 F.col(kcol),
                 F.lit("delete").alias("change_type"),
                 *[F.col(c).alias(f"{c}_before") for c in vcols],
                 *[
-                    F.lit(None).cast(dict(src.dtypes)[c]).alias(
-                        f"{c}_after"
-                    )
+                    F.lit(None).cast(have[c]).alias(f"{c}_after")
                     for c in vcols
                 ],
             )

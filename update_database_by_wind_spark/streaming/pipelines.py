@@ -2326,12 +2326,19 @@ class _ViewStore:
     def retire(self, successor: list) -> None:
         """Mark the store decommissioned by a fleet reshard: successor
         shard roots recorded for the operator, every later publish
-        refused typed.  The marker is a plain file beside the view dir
-        (not inside it) so it survives any in-flight rename swap."""
-        import json as _json
+        refused typed.  The marker sits beside the view dir (not
+        inside it) so it survives any in-flight rename swap, and is
+        written atomically — a torn marker would still fence (publish
+        checks existence) but would lose the successor record the
+        operator needs (the atomic_write_json lesson, again)."""
+        from update_database_by_wind_spark.functions.fsutil import (
+            atomic_write_json,
+        )
 
-        with open(os.path.join(self._root, "_retired.json"), "w") as fh:
-            _json.dump({"successor": successor}, fh)
+        atomic_write_json(
+            os.path.join(self._root, "_retired.json"),
+            {"successor": successor},
+        )
 
     def publish(self, df: DataFrame, txn: int) -> None:
         import json as _json
@@ -3077,6 +3084,93 @@ FROM o3 GROUP BY k_bucket
 """
 
 
+def _st25_group(spark: SparkSession, sf_dir: str, tag: str):
+    """Build the three-transaction bucket-ledger group ST25 and ST30
+    share — hoisted verbatim from st25's body (round-18 review: the
+    Spark-side fixture arithmetic must be as UN-FORKABLE as the shared
+    ``_ST25_ORACLE`` it replays; the _ViewStore-hoisting reasoning
+    again).  txn 1 seeds the full ledger, txn 2 uplifts k%7 keys in
+    the %3 buckets, txn 3 uplifts k%11 keys in the %2 buckets — stats
+    published per version for the band-scoped feed.  Returns
+    ``(root, base, src, all_b, rw2, rw3, bands)`` where ``bands`` is
+    the 2-shard midpoint split of the o_custkey domain."""
+    import hashlib
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit_stats,
+        txn_commit,
+    )
+    from update_database_by_wind_spark.sources import load
+
+    orders = load(spark, sf_dir, "orders")
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"wind_spark_{tag}_{sfx}")
+    base = f"{root}/g"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/notify"
+    os.makedirs(src)
+    o1 = orders.select(
+        F.format_string(
+            "b%02d", F.expr("o_custkey div 256").cast("int")
+        ).alias("k_bucket"),
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
+    )
+    all_b = sorted(
+        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
+    )
+    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
+    o2 = o1.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
+            & (F.col("k") % 7 == 0),
+            F.col("cents") + F.expr("cents DIV 20"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 2,
+        {"orders": (o2.filter(F.col("k_bucket").isin(rw2)), "k_bucket",
+                    rw2)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
+    )
+    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
+    o3 = o2.withColumn(
+        "cents",
+        F.when(
+            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
+            & (F.col("k") % 11 == 0),
+            F.col("cents") + F.expr("cents DIV 25"),
+        ).otherwise(F.col("cents")),
+    )
+    txn_commit(
+        base, 3,
+        {"orders": (o3.filter(F.col("k_bucket").isin(rw3)), "k_bucket",
+                    rw3)},
+    )
+    snapshot_commit_stats(
+        spark, os.path.join(base, "orders"), 3, ["o_custkey", "cents"]
+    )
+    dom = orders.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
+    ).first()
+    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
+    bands = {
+        "A": (int(dom.mn), mid_idx * 256 - 1),
+        "B": (mid_idx * 256, int(dom.xm)),
+    }
+    return root, base, src, all_b, rw2, rw3, bands
+
+
 def _bucket_view_apply(view: DataFrame, feed: DataFrame) -> DataFrame:
     """u16/u35's signed-delta algebra for the per-bucket order view:
     inserts contribute (+1, +cents_after), deletes (−1, −cents_before),
@@ -3152,84 +3246,14 @@ def st25_sharded_view_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
     free (each shard's pull is pruned server-side by stats, not
     filtered client-side after scanning everything).  Cites u43/st22;
     oracle is the full view, so the hash proves the union."""
-    import hashlib
-    import json as _json
-
     from update_database_by_wind_spark.operators.update_pipeline import (
-        snapshot_commit_stats,
         txn_changes_pruned,
-        txn_commit,
         txn_read,
     )
-    from update_database_by_wind_spark.sources import load
 
-    orders = load(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st25_{tag}")
-    base = f"{root}/g"
-    shutil.rmtree(root, ignore_errors=True)
-    src = f"{root}/notify"
-    os.makedirs(src)
-    o1 = orders.select(
-        F.format_string(
-            "b%02d", F.expr("o_custkey div 256").cast("int")
-        ).alias("k_bucket"),
-        "o_custkey",
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    root, base, src, all_b, rw2, rw3, shard_bands = _st25_group(
+        spark, sf_dir, "st25"
     )
-    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
-    )
-    all_b = sorted(
-        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
-    )
-    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
-    o2 = o1.withColumn(
-        "cents",
-        F.when(
-            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
-            & (F.col("k") % 7 == 0),
-            F.col("cents") + F.expr("cents DIV 20"),
-        ).otherwise(F.col("cents")),
-    )
-    txn_commit(
-        base, 2,
-        {"orders": (o2.filter(F.col("k_bucket").isin(rw2)), "k_bucket",
-                    rw2)},
-    )
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
-    )
-    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
-    o3 = o2.withColumn(
-        "cents",
-        F.when(
-            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
-            & (F.col("k") % 11 == 0),
-            F.col("cents") + F.expr("cents DIV 25"),
-        ).otherwise(F.col("cents")),
-    )
-    txn_commit(
-        base, 3,
-        {"orders": (o3.filter(F.col("k_bucket").isin(rw3)), "k_bucket",
-                    rw3)},
-    )
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 3, ["o_custkey", "cents"]
-    )
-
-    dom = orders.agg(
-        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
-    ).first()
-    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
-    shard_bands = {
-        "A": (int(dom.mn), mid_idx * 256 - 1),
-        "B": (mid_idx * 256, int(dom.xm)),
-    }
     spec = {"orders": ("k_bucket", "k", ["o_custkey", "cents"])}
     stores = {s: _ViewStore(spark, f"{root}/shard_{s}") for s in ("A", "B")}
     scans: dict[str, dict] = {s: {} for s in ("A", "B")}
@@ -4865,84 +4889,14 @@ def st30_fleet_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fleet never risks the exactly-once ledger.  Cites st25 (the
     sharded fleet), st29 (the keyed-state contrast), u43 (the
     band-scoped feed)."""
-    import hashlib
-    import json as _json
-
     from update_database_by_wind_spark.operators.update_pipeline import (
-        snapshot_commit_stats,
         txn_changes_pruned,
-        txn_commit,
         txn_read,
     )
-    from update_database_by_wind_spark.sources import load
 
-    orders = load(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"wind_spark_st30_{tag}")
-    base = f"{root}/g"
-    shutil.rmtree(root, ignore_errors=True)
-    src = f"{root}/notify"
-    os.makedirs(src)
-    o1 = orders.select(
-        F.format_string(
-            "b%02d", F.expr("o_custkey div 256").cast("int")
-        ).alias("k_bucket"),
-        "o_custkey",
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    root, base, src, all_b, rw2, rw3, bands = _st25_group(
+        spark, sf_dir, "st30"
     )
-    txn_commit(base, 1, {"orders": (o1, "k_bucket", None)})
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 1, ["o_custkey", "cents"]
-    )
-    all_b = sorted(
-        r.k_bucket for r in o1.select("k_bucket").distinct().collect()
-    )
-    rw2 = [b for b in all_b if int(b[1:]) % 3 == 0]
-    o2 = o1.withColumn(
-        "cents",
-        F.when(
-            F.expr("cast(substring(k_bucket, 2, 10) as int) % 3 = 0")
-            & (F.col("k") % 7 == 0),
-            F.col("cents") + F.expr("cents DIV 20"),
-        ).otherwise(F.col("cents")),
-    )
-    txn_commit(
-        base, 2,
-        {"orders": (o2.filter(F.col("k_bucket").isin(rw2)), "k_bucket",
-                    rw2)},
-    )
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 2, ["o_custkey", "cents"]
-    )
-    rw3 = [b for b in all_b if int(b[1:]) % 2 == 0]
-    o3 = o2.withColumn(
-        "cents",
-        F.when(
-            F.expr("cast(substring(k_bucket, 2, 10) as int) % 2 = 0")
-            & (F.col("k") % 11 == 0),
-            F.col("cents") + F.expr("cents DIV 25"),
-        ).otherwise(F.col("cents")),
-    )
-    txn_commit(
-        base, 3,
-        {"orders": (o3.filter(F.col("k_bucket").isin(rw3)), "k_bucket",
-                    rw3)},
-    )
-    snapshot_commit_stats(
-        spark, os.path.join(base, "orders"), 3, ["o_custkey", "cents"]
-    )
-
-    dom = orders.agg(
-        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("xm")
-    ).first()
-    mid_idx = (int(dom.xm) // 256 + 1) // 2 or 1
-    bands = {
-        "A": (int(dom.mn), mid_idx * 256 - 1),
-        "B": (mid_idx * 256, int(dom.xm)),
-    }
     spec = {"orders": ("k_bucket", "k", ["o_custkey", "cents"])}
     stores = {s: _ViewStore(spark, f"{root}/shard_{s}") for s in ("A", "B")}
     scans: dict[str, dict] = {}
