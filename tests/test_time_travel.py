@@ -810,3 +810,97 @@ def test_snapshot_changes_pruned_backfills_vintage_gap(spark, tmp_path):
         (2, "update"): (20, 25, None, "y"),
     }
     assert scanned == ["a"] and changed == ["a"]
+
+
+_EVO_COMMITS = st.lists(
+    st.tuples(
+        st.booleans(),  # this commit's schema carries the tag column
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),  # partition
+                st.integers(0, 9),                 # val
+                st.integers(0, 9),                 # tag (if carried)
+            ),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(commits=_EVO_COMMITS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_vintage_feed_replays_like_a_dict(
+    spark, tmp_path_factory, commits
+):
+    """Composition fuzz for the vintage contract: ANY interleaving of
+    widening / narrowing / same-schema partial commits must feed, for
+    EVERY version pair, exactly the dict-model diff where each side's
+    value of an absent column is NULL per the OWNING commit's schema
+    (the per-dir vintage rule — a version is a mix of dirs, so 'has
+    the column' is per partition, not per version).  A pair where
+    neither side's owning dirs carry the column refuses as a ghost."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+    )
+
+    base = str(tmp_path_factory.mktemp("evofuzz") / "t")
+    states: list[dict] = []  # per version: part -> (val, tag_or_None)
+    state: dict = {}
+    for v, (has_tag, batch) in enumerate(commits, start=1):
+        if has_tag:
+            rows = [(1, p, val, tag) for p, val, tag in batch]
+            df = spark.createDataFrame(
+                rows, "pk long, m string, val long, tag long"
+            )
+        else:
+            rows = [(1, p, val) for p, val, _ in batch]
+            df = spark.createDataFrame(rows, "pk long, m string, val long")
+        snapshot_commit(
+            df, base, v, "m",
+            parts=None if v == 1 else [p for p, _, _ in batch],
+            schema_change="any",
+        )
+        for p, val, tag in batch:
+            state = {**state, p: (val, tag if has_tag else None)}
+        states.append(dict(state))
+    for i in range(1, len(commits) + 1):
+        for j in range(i + 1, len(commits) + 1):
+            si, sj = states[i - 1], states[j - 1]
+            ghost = all(
+                t is None for _v, t in list(si.values()) + list(sj.values())
+            )
+            if ghost:
+                with pytest.raises(ValueError, match="neither"):
+                    snapshot_changes(
+                        spark, base, i, j, "m", "pk", ["val", "tag"]
+                    ).collect()
+                continue
+            feed = {
+                r.m: (
+                    r.change_type, r.val_before, r.val_after,
+                    r.tag_before, r.tag_after,
+                )
+                for r in snapshot_changes(
+                    spark, base, i, j, "m", "pk", ["val", "tag"]
+                ).collect()
+            }
+            want = {}
+            for p in set(si) | set(sj):
+                b, a = si.get(p), sj.get(p)
+                if b is None:
+                    want[p] = ("insert", None, a[0], None, a[1])
+                elif a is None:
+                    want[p] = ("delete", b[0], None, b[1], None)
+                elif b != a:
+                    want[p] = ("update", b[0], a[0], b[1], a[1])
+            assert feed == want, (i, j, feed, want)
