@@ -67,26 +67,26 @@ from update_database_by_wind_spark.registry import reorder  # noqa: E402
 # neither this fill nor displacement refreshes: 49 are r13-green
 # entering the round (a3/a15/a16, e5, o8, the q2-q22 TPC-H block,
 # s1b/s2x/s3/s4/s9/s13, the t_* text-quality block, u9/u9d,
-# ud1/ud5, w1/w2/w3/w3b/w5/w7/w8).  After u49 (the post-certification
-# sixth new/changed registration, displacing s1b) THREE fill slots
-# remain (u9, u9d, s13); each further round-18 registration displaces
-# one more from the back (s13 first, the rollup pair last).  Whatever
-# fill survives the round is r18-refreshed; the rest of the 49 are
-# forced at newest=19 and the round-19 widening budget is 50 minus
-# that count.  Recompute from the CORRECTNESS artifacts when rotating
+# ud1/ud5, w1/w2/w3/w3b/w5/w7/w8).  Final round-18 spend: EIGHT
+# new/changed registrations (u48, st28, st29, u49, u50, st30, u37,
+# u41) displaced s4/s3/s2c/s2b/s2/s1b/s13/u9d; ONE fill slot
+# survives (u9, r18-refreshed).  So 48 leaders are forced at
+# newest=19 and the round-19 widening budget is 2 slots — kept
+# deliberately nonzero because round-19 ADVICE fixes are changed-code
+# slots too.  Recompute from the CORRECTNESS artifacts when rotating
 # — this paragraph is planning context, the artifacts are truth.
 #
-# Candidate round-19 surfaces (mind the budget): group feeds
-# across SCHEMA evolution (a mid-history column ADD flowing through
-# txn_changes/u35-views with before/after vintages — u22 proved the
-# single-table MERGE half); fleet relocation (st25's sharded daemons
-# with their checkpoints relocated mid-lifecycle — st29 x st25); and
-# migrating st24/st27's nested checkpoint inspectors onto
+# Candidate round-19 surfaces (mind the 2-slot budget): a view
+# DAEMON observing schema evolution through its feed spec (u50
+# proved the batch algebra; st22's daemon redeployed with the
+# evolved spec mid-lifecycle is the streaming half); the evolved
+# column flowing through the STATS path (snapshot_commit_stats /
+# band pruning on a column only some vintages carry); and migrating
+# st24/st27's nested checkpoint inspectors onto
 # _ckpt_state_parts/_ckpt_offsets_conf when their rotation forces
 # them anyway (round-18 review finding #4, half-done: st29 already
-# uses the module-level pair).  The third original candidate — the
-# age-policy daemon driving the guarded executor on its schedule —
-# landed in-round as u49.
+# uses the module-level pair).  Round-19 candidates (a)/(b)/(c) from
+# the original list all landed in-round (u50, st30, u49).
 #
 # Round-18 widening plan (the round-17 verdict's asks #2-#5 plus the
 # ADVICE findings; budget 9 slots, spend tracked here as work lands):
