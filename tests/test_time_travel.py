@@ -904,3 +904,23 @@ def test_vintage_feed_replays_like_a_dict(
                 elif b != a:
                     want[p] = ("update", b[0], a[0], b[1], a[1])
             assert feed == want, (i, j, feed, want)
+
+
+def test_evolved_read_keeps_partition_pruning(spark, tmp_path):
+    """The allowMissingColumns union must not cost the scale property:
+    a MIXED-VINTAGE read still plans one directory-pruned scan per
+    version dir (PartitionFilters present on both sides), and the
+    NULL backfill happens in the plan, not via a Python node."""
+    base = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+    )
+    snapshot_commit(v1, base, 1, "m")
+    widened = spark.createDataFrame(
+        [(2, "b", 21, "x")], "pk long, m string, val long, tag string"
+    )
+    snapshot_commit(widened, base, 2, "m", parts=["b"])
+    plan = formatted_plan(snapshot_read(spark, base, 2, "m"))
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(lines) >= 2, plan
+    assert "EvalPython" not in plan, plan
