@@ -924,3 +924,85 @@ def test_evolved_read_keeps_partition_pruning(spark, tmp_path):
     lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert len(lines) >= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+@given(commits=_EVO_COMMITS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_vintage_pruned_feed_replays_like_a_dict(
+    spark, tmp_path_factory, commits
+):
+    """The band-scoped changelog under the same schema interleavings:
+    for every version pair, snapshot_changes_pruned on a val band must
+    equal the dict-model diff band-filtered on before OR after images
+    (NULL never in band) — if stats pruning ever skipped a partition
+    that holds an in-band changed row, the feed would diverge from the
+    model here.  Stats are published on val only (the always-present
+    column): pruning keys must not depend on the evolving column."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes_pruned,
+        snapshot_commit_stats,
+    )
+
+    lo, hi = 3, 6
+    base = str(tmp_path_factory.mktemp("evoprune") / "t")
+    states: list[dict] = []
+    state: dict = {}
+    for v, (has_tag, batch) in enumerate(commits, start=1):
+        if has_tag:
+            rows = [(1, p, val, tag) for p, val, tag in batch]
+            df = spark.createDataFrame(
+                rows, "pk long, m string, val long, tag long"
+            )
+        else:
+            rows = [(1, p, val) for p, val, _ in batch]
+            df = spark.createDataFrame(rows, "pk long, m string, val long")
+        snapshot_commit(
+            df, base, v, "m",
+            parts=None if v == 1 else [p for p, _, _ in batch],
+            schema_change="any",
+        )
+        snapshot_commit_stats(spark, base, v, ["val"])
+        for p, val, tag in batch:
+            state = {**state, p: (val, tag if has_tag else None)}
+        states.append(dict(state))
+    for i in range(1, len(commits) + 1):
+        for j in range(i + 1, len(commits) + 1):
+            si, sj = states[i - 1], states[j - 1]
+            if all(
+                t is None
+                for _v, t in list(si.values()) + list(sj.values())
+            ):
+                continue  # ghost refusal covered by the plain fuzz
+            feed, _scanned, _changed = snapshot_changes_pruned(
+                spark, base, i, j, "m", "pk", ["val", "tag"],
+                "val", lo, hi,
+            )
+            got = {
+                r.m: (
+                    r.change_type, r.val_before, r.val_after,
+                    r.tag_before, r.tag_after,
+                )
+                for r in feed.collect()
+            }
+            want = {}
+            for p in set(si) | set(sj):
+                b, a = si.get(p), sj.get(p)
+                if b is None:
+                    row = ("insert", None, a[0], None, a[1])
+                elif a is None:
+                    row = ("delete", b[0], None, b[1], None)
+                elif b != a:
+                    row = ("update", b[0], a[0], b[1], a[1])
+                else:
+                    continue
+                in_band = (
+                    (row[1] is not None and lo <= row[1] <= hi)
+                    or (row[2] is not None and lo <= row[2] <= hi)
+                )
+                if in_band:
+                    want[p] = row
+            assert got == want, (i, j, got, want)
