@@ -1905,3 +1905,89 @@ def test_txn_expire_rolls_back_a_kept_tables_expired_head(
     assert rep2["head_rollbacks"] == []
     assert rep2["removed_pointers"] == []
     assert rep2["orphans_reclaimed"] == []
+
+
+def test_view_store_retirement_fence_composes_with_heal(spark, tmp_path):
+    """The st30 fence × the crash-heal protocol: a store retired with
+    an interrupted swap stranded (_view_old parked, view dir absent)
+    still refuses a stale publish TYPED and byte-untouched, while
+    reads keep healing — the reshard derives successor views from a
+    retired store, so read-side recovery must survive retirement."""
+    import pytest
+
+    from update_database_by_wind_spark.streaming.pipelines import (
+        ViewStoreRetiredError,
+        _ViewStore,
+    )
+
+    root = str(tmp_path)
+    store = _ViewStore(spark, root)
+    df1 = spark.createDataFrame([("m1", 1)], "o_month string, n long")
+    store.publish(df1, 1)
+    store.retire(["successor_a", "successor_b"])
+    # crash shape AFTER retirement: interrupted swap residue
+    os.replace(store.view_dir, os.path.join(root, "_view_old"))
+    # reads heal through the fence (the reshard's own derivation path)
+    assert store.watermark() == 1
+    assert [tuple(r) for r in store.read().collect()] == [("m1", 1)]
+    # a stale daemon publish refuses typed, store byte-untouched
+    listing = store.listing()
+    df2 = spark.createDataFrame([("m1", 2)], "o_month string, n long")
+    with pytest.raises(ViewStoreRetiredError, match="retired"):
+        store.publish(df2, 2)
+    assert store.listing() == listing
+    assert store.watermark() == 1
+
+
+def test_schema_gate_composes_with_expiry(spark, tmp_path):
+    """The write gate sweeps the EVOLVED schema through the
+    predecessor manifest's referenced dirs — which expiry keeps alive
+    exactly as long as any retained manifest references them, so the
+    gate never reads a reclaimed dir and still remembers a widened
+    column after the widening version's own manifest is expired."""
+    import pytest
+
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_commit,
+        snapshot_expire,
+    )
+
+    base = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+        ),
+        base, 1, "m",
+    )
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 11, "x")], "pk long, m string, val long, tag string"
+        ),
+        base, 2, "m", parts=["a"],
+    )
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 12, "y")], "pk long, m string, val long, tag string"
+        ),
+        base, 3, "m", parts=["a"],
+    )
+    # expire v1/v2 manifests; v1's dir survives (b shared), v2's dir
+    # is fully superseded and reclaimed
+    out = snapshot_expire(base, keep_versions=[3])
+    assert out["removed_dirs"] == ["v2"]
+    # the gate still sees {pk, m, val, tag} through v3's manifest
+    # (dirs v1 + v3) and refuses the narrowing commit
+    with pytest.raises(ValueError, match="missing columns.*tag"):
+        snapshot_commit(
+            spark.createDataFrame(
+                [(1, "a", 13)], "pk long, m string, val long"
+            ),
+            base, 4, "m", parts=["a"],
+        )
+    # a conforming commit still lands after the refusal
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 13, "z")], "pk long, m string, val long, tag string"
+        ),
+        base, 4, "m", parts=["a"],
+    )
