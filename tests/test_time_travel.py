@@ -1006,3 +1006,47 @@ def test_vintage_pruned_feed_replays_like_a_dict(
                 if in_band:
                     want[p] = row
             assert got == want, (i, j, got, want)
+
+
+def test_restore_rolls_back_the_evolved_schema(spark, tmp_path):
+    """Evolution is restorable: RESTORE past a widening re-points the
+    manifest at narrow dirs, so the restored head reads the NARROW
+    schema, the write gate follows the restored vintage (a narrow
+    commit on top needs no opt-out — the evolved column was rolled
+    back), and the widened version keeps time-travelling with its
+    column while retained."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_restore,
+    )
+
+    base = str(tmp_path / "t")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "pk long, m string, val long"
+        ),
+        base, 1, "m",
+    )
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 11, "x")], "pk long, m string, val long, tag string"
+        ),
+        base, 2, "m", parts=["a"],
+    )
+    assert "tag" in snapshot_read(spark, base, 2, "m").columns
+    snapshot_restore(base, to_version=1, new_version=3)
+    # the restored head is narrow again
+    assert "tag" not in snapshot_read(spark, base, 3, "m").columns
+    # the gate follows the restored vintage: narrow commit, no opt-out
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "a", 12)], "pk long, m string, val long"
+        ),
+        base, 4, "m", parts=["a"],
+    )
+    assert "tag" not in snapshot_read(spark, base, 4, "m").columns
+    # the bad-but-audit-retained widened version still answers its column
+    got = {
+        r.pk: r.tag
+        for r in snapshot_read(spark, base, 2, "m").collect()
+    }
+    assert got == {1: "x", 2: None}
