@@ -1050,3 +1050,154 @@ def test_restore_rolls_back_the_evolved_schema(spark, tmp_path):
         for r in snapshot_read(spark, base, 2, "m").collect()
     }
     assert got == {1: "x", 2: None}
+
+
+_EVO_ACTIONS = st.lists(
+    st.one_of(
+        # commit: (kind, has_tag, batch)
+        st.tuples(
+            st.just("commit"),
+            st.booleans(),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b"]),
+                    st.integers(0, 9),
+                    st.integers(0, 9),
+                ),
+                min_size=1,
+                max_size=2,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        # restore: (kind, target-selector)
+        st.tuples(st.just("restore"), st.integers(0, 9), st.just(None)),
+        # expire: (kind, keep-mask)
+        st.tuples(st.just("expire"), st.integers(0, 255), st.just(None)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(actions=_EVO_ACTIONS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_evolution_composes_with_restore_and_expiry(
+    spark, tmp_path_factory, actions
+):
+    """The vintage rules under the FULL lifecycle: any interleaving of
+    widening/narrowing partial commits, metadata-only restores, and
+    expiry must leave every RETAINED version reading exactly its dict
+    state — with each part's tag NULL per the owning commit's schema,
+    carried through restore re-pointing — and every retained version
+    pair feeding exactly the model diff.  Expiry may never reclaim a
+    dir a retained manifest still reads through (the shared-reference
+    law), including manifests created by restore."""
+    from update_database_by_wind_spark.operators.update_pipeline import (
+        snapshot_changes,
+        snapshot_expire,
+        snapshot_restore,
+    )
+
+    base = str(tmp_path_factory.mktemp("evolife") / "t")
+    states: dict[int, dict] = {}   # version -> part -> (val, tag|None)
+    retained: list[int] = []
+    head = 0
+    first_committed = False
+    for act in actions:
+        kind = act[0]
+        if kind == "commit":
+            _, has_tag, batch = act
+            v = head + 1
+            if has_tag:
+                df = spark.createDataFrame(
+                    [(1, p, val, tag) for p, val, tag in batch],
+                    "pk long, m string, val long, tag long",
+                )
+            else:
+                df = spark.createDataFrame(
+                    [(1, p, val) for p, val, _ in batch],
+                    "pk long, m string, val long",
+                )
+            snapshot_commit(
+                df, base, v, "m",
+                parts=None if not first_committed
+                else [p for p, _, _ in batch],
+                schema_change="any",
+            )
+            prev = states.get(head, {})
+            states[v] = {
+                **prev,
+                **{
+                    p: (val, tag if has_tag else None)
+                    for p, val, tag in batch
+                },
+            }
+            retained.append(v)
+            head = v
+            first_committed = True
+        elif kind == "restore":
+            if not first_committed:
+                continue
+            target = retained[act[1] % len(retained)]
+            v = head + 1
+            snapshot_restore(base, to_version=target, new_version=v)
+            states[v] = dict(states[target])
+            retained.append(v)
+            head = v
+        else:  # expire
+            if not first_committed:
+                continue
+            mask = act[1]
+            keeps = sorted(
+                {head}
+                | {v for i, v in enumerate(retained) if mask & (1 << i)}
+            )
+            snapshot_expire(base, keep_versions=keeps)
+            retained = keeps
+        # every retained version reads exactly its model state
+        for v in retained:
+            got = {
+                r.m: (r.val, getattr(r, "tag", None))
+                for r in snapshot_read(spark, base, v, "m").collect()
+            }
+            assert got == states[v], (v, got, states[v])
+    # vintage feeds across every retained pair
+    import pytest
+
+    for i in retained:
+        for j in retained:
+            if i >= j:
+                continue
+            si, sj = states[i], states[j]
+            if all(
+                t is None
+                for _v, t in list(si.values()) + list(sj.values())
+            ):
+                with pytest.raises(ValueError, match="neither"):
+                    snapshot_changes(
+                        spark, base, i, j, "m", "pk", ["val", "tag"]
+                    ).collect()
+                continue
+            feed = {
+                r.m: (
+                    r.change_type, r.val_before, r.val_after,
+                    r.tag_before, r.tag_after,
+                )
+                for r in snapshot_changes(
+                    spark, base, i, j, "m", "pk", ["val", "tag"]
+                ).collect()
+            }
+            want = {}
+            for p in set(si) | set(sj):
+                b, a = si.get(p), sj.get(p)
+                if b is None:
+                    want[p] = ("insert", None, a[0], None, a[1])
+                elif a is None:
+                    want[p] = ("delete", b[0], None, b[1], None)
+                elif b != a:
+                    want[p] = ("update", b[0], a[0], b[1], a[1])
+            assert feed == want, (i, j, feed, want)
