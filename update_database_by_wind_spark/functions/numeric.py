@@ -49,7 +49,17 @@ def _col(c: str | Column) -> Column:
 
 
 def dec_sum(c: str | Column, alias: str) -> Column:
-    """Exact order-independent SUM(double) → double."""
+    """Exact order-independent SUM(double) → double.
+
+    String inputs (a column name or any SQL expression) take the
+    single-call ``F.expr`` path: composing the same tree out of Column
+    methods costs ~5 py4j round trips per aggregate (~1-2 ms each),
+    which measured as the single largest *build-time* item of the
+    flagship a1 query — 8 aggregates ≈ 110 ms per DataFrame build
+    (plans/r18 micro-profiles, round 18).  The parsed tree is the
+    identical expression, so plans and results are unchanged."""
+    if isinstance(c, str):
+        return F.expr(sql_dec_sum(c, alias))
     return (
         F.sum(_col(c).cast(f"decimal({PREC},{SCALE})")).cast("double").alias(alias)
     )
@@ -66,7 +76,13 @@ def sql_dec_sum(expr: str, alias: str) -> str:
 
 
 def dec_avg(c: str | Column, alias: str) -> Column:
-    """Exact-sum / count, division done in double (deterministic)."""
+    """Exact-sum / count, division done in double (deterministic).
+
+    String inputs take the one-call ``F.expr`` path (see dec_sum);
+    ``COUNT(expr)`` counts exactly the non-null rows the Column path's
+    ``count(when(isNotNull, 1))`` counts."""
+    if isinstance(c, str):
+        return F.expr(sql_dec_avg(c, alias))
     col = _col(c)
     total = F.sum(col.cast(f"decimal({PREC},{SCALE})")).cast("double")
     n = F.count(F.when(col.isNotNull(), F.lit(1)))

@@ -60,16 +60,17 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-row shuffle → final HashAggregate (whole-stage codegen).
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum(disc_price, "sum_disc_price"),
-            dec_sum(charge, "sum_charge"),
+            dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            dec_sum(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                "sum_charge",
+            ),
             dec_avg("l_quantity", "avg_qty"),
             dec_avg("l_extendedprice", "avg_price"),
             dec_avg("l_discount", "avg_disc"),

@@ -57,9 +57,7 @@ def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
-            ),
+            dec_sum("l_extendedprice * (1 - l_discount)", "revenue"),
             F.count("*").alias("n_items"),
         )
     )

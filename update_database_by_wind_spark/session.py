@@ -37,10 +37,24 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
 ) -> SparkSession:
+    # Broadcast-threshold sizing (round-18, guide §3.1): Spark's 10 MB
+    # default badly under-uses modern memory — size *estimates* after
+    # filters are conservative, and a build side in the tens of MB is
+    # far cheaper to broadcast than to shuffle-sort the fact side
+    # (measured: j1's lineitem⋈orders at the 20× replica flips from
+    # SortMergeJoin back to the broadcast plan, 1.23 s → 0.88 s).
+    # Parameterised via SPARK_GRAFT_BROADCAST_MB; 64 MB is a sane
+    # production default for executors with multi-GB heaps (the guide's
+    # "a few hundred MB is usually fine" with margin), not a local-mode
+    # special.  Applied to both the static and the AQE runtime
+    # threshold so re-planning uses the same bar.
+    bcast = int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) << 20
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{_cpus()}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(bcast))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(bcast))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
