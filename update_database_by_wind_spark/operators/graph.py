@@ -560,11 +560,18 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lower_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
+    # Materialize the oriented DAG once (localCheckpoint, the house
+    # iterative-hygiene pattern): it feeds THREE consumers (both wedge
+    # legs and the closing join), and lazily each consumer re-planned
+    # the pair-expansion + two degree joins — ~65 Exchange nodes of
+    # duplicated subtree before, ~10 after (round-18 audit).  The
+    # checkpoint is O(m) rows of three longs, the same bound the wedge
+    # join already carries.
     oriented = e.select(
         F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("d_dst"),
-    )
+    ).localCheckpoint()
     e1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("d_dst").alias("dv")
     )
@@ -579,10 +586,14 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
     tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    corners = (
-        tri.select(F.col("u").alias("vtx"))
-        .union(tri.select(F.col("v").alias("vtx")))
-        .union(tri.select(F.col("w").alias("vtx")))
+    # One explode pass, not a 3-way union: each union leg re-planned
+    # (and partially re-executed) the ENTIRE wedge pipeline — the
+    # formatted plan carried ~95 Exchange nodes / 370 KB of tree and
+    # g3 spent 5.1 s at sf0.01 mostly re-running the closing join per
+    # corner leg (round-18 audit).  explode(array(u,v,w)) reads each
+    # triangle row once; same (vtx, count) semantics.
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("vtx")
     )
     return corners.groupBy("vtx").agg(F.count("*").cast("long").alias("n_tri"))
 
