@@ -130,32 +130,36 @@ def l3a_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FIXTURES.md: shared-prefix clusters are the planted near-dups) and
     sorted-token-set signatures (order-insensitive content identity).
     Signature group-by = one small-key shuffle; no pairwise compare."""
+    # Composed as SQL expression strings (one py4j parse each) rather
+    # than Column-method chains: the ~30-call chain measured 0.24 s of
+    # pure driver-side build per bench pass — 46% of l3a's sf0.1 pass —
+    # and the parsed trees are IDENTICAL (DataFrame.sameSemantics
+    # receipt, round-18 §9).  Same rationale as dec_sum's expr path.
     docs = load(spark, sf_dir, "documents")
-    sigs = docs.select(
-        F.md5(F.substring("text", 1, 60)).alias("prefix_sig"),
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
-            )
-        ).alias("tokenset_sig"),
+    sigs = docs.selectExpr(
+        "md5(substring(text, 1, 60)) AS prefix_sig",
+        "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' ')))))"
+        " AS tokenset_sig",
     )
 
     def cluster_stats(col: str, method: str) -> DataFrame:
         return (
             sigs.groupBy(col)
-            .agg(F.count("*").alias("sz"))
+            .agg(F.expr("count(*) AS sz"))
             .agg(
-                F.count("*").alias("n_clusters"),
-                F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
-                .cast("long")
-                .alias("n_multi"),
-                F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
-                .cast("long")
-                .alias("n_near_dup_docs"),
-                F.max("sz").alias("max_cluster"),
+                F.expr("count(*) AS n_clusters"),
+                F.expr(
+                    "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)"
+                    " AS BIGINT) AS n_multi"
+                ),
+                F.expr(
+                    "CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END)"
+                    " AS BIGINT) AS n_near_dup_docs"
+                ),
+                F.expr("max(sz) AS max_cluster"),
             )
-            .select(
-                F.lit(method).alias("method"),
+            .selectExpr(
+                f"'{method}' AS method",
                 "n_clusters",
                 "n_multi",
                 "n_near_dup_docs",

@@ -267,42 +267,43 @@ def j8_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     side 1), matching ASOF's `probe.ts >= build.ts`.  Build values are
     pre-aggregated to one row per (key, ts) so ties are deterministic.
     """
+    # SQL expression strings (one py4j parse each) instead of the
+    # ~25-call Column chain: build time measured 0.11 s per bench pass
+    # (56% of j8's sf0.1 pass); parsed trees identical
+    # (DataFrame.sameSemantics receipt, round-18 §9).
     events = load(spark, sf_dir, "events")
     clicks = (
-        events.filter(F.col("event_type") == "click")
+        events.where("event_type = 'click'")
         .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("click_value"))
-        .select(
+        .agg(F.expr("max(value) AS click_value"))
+        .selectExpr(
             "user_id",
             "ts",
             "click_value",
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
+            "0 AS side",
+            "CAST(NULL AS BIGINT) AS event_id",
+            "CAST(NULL AS DOUBLE) AS value",
         )
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            "ts",
-            F.lit(None).cast("double").alias("click_value"),
-            F.lit(1).alias("side"),
-            "event_id",
-            "value",
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases = events.where("event_type = 'purchase'").selectExpr(
+        "user_id",
+        "ts",
+        "CAST(NULL AS DOUBLE) AS click_value",
+        "1 AS side",
+        "event_id",
+        "value",
     )
     return (
         clicks.unionByName(purchases)
         .withColumn(
-            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+            "last_click_value",
+            F.expr(
+                "last(click_value, true) OVER (PARTITION BY user_id"
+                " ORDER BY ts, side"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
         )
-        .filter(F.col("side") == 1)
+        .where("side = 1")
         .select("event_id", "user_id", "ts", "value", "last_click_value")
     )
 

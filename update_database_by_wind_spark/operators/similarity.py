@@ -49,12 +49,30 @@ def dot(a: Column, b: Column) -> Column:
     one-pass form skips materializing two intermediate double arrays
     per row, a measured ~25% saving on the interpreted higher-order
     path that dominates brute-force similarity scans.
+
+    String inputs (column names or SQL expressions) take the one-call
+    ``F.expr`` path: composing the two lambdas through Column methods
+    costs ~15 py4j round trips per call, a measured driver-side build
+    tax on every bench pass (round-18 §9); the parsed tree is
+    IDENTICAL (``0.0D`` is the double literal ``F.lit(0.0)`` builds —
+    DataFrame.sameSemantics receipt).  Same pattern as dec_sum.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_SPARK_DOT.format(a=a, b=b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+# Spark-SQL twin of dot(), for the string fast path above; parses to
+# the exact tree the Column form builds.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0.0D, (acc, x) -> acc + x)"
+)
 
 
 # DuckDB twin of dot(): widen to double, pairwise multiply, ordered fold.
@@ -172,26 +190,32 @@ def l4_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Spark's partial WindowGroupLimit prunes each partition to
     top-k per query before the one tiny shuffle.  Measured at sf1:
     1.67 s → 0.55 s for the orientation + fan-out + one-pass fold."""
+    # SQL expression strings (one py4j parse each; dot's string fast
+    # path): the Column chain measured 0.12-0.18 s of driver-side
+    # build per bench pass; parsed trees identical
+    # (DataFrame.sameSemantics receipt, round-18 §9).
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    q = emb.where(f"vec_id < {_N_QUERIES}").selectExpr(
+        "vec_id AS query_id", "embedding AS qe"
     )
     scored = (
-        fan_out(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        fan_out(emb.selectExpr("vec_id AS neighbor_id", "embedding"))
         .crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .where("neighbor_id != query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            f"round({_SPARK_DOT.format(a='qe', b='embedding')}, 6)"
+            " AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
-        F.col("rn") <= _TOP_K
-    )
+    return scored.withColumn(
+        "rn",
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id) AS BIGINT)"
+        ),
+    ).where(f"rn <= {_TOP_K}")
 
 
 # --- L4b: label-blocked (IVF-style) top-k ---------------------------------------
