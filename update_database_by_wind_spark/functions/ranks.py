@@ -69,22 +69,34 @@ def _bucket_expr(value_col: str, splits: list, *, descending: bool) -> Column:
     lambda expression there trips a Catalyst binding bug
     ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the lambda's captured
     column — found by the ranks hypothesis property); CASE is also
-    whole-stage-codegen friendly."""
+    whole-stage-codegen friendly.
+
+    Composed as ONE SQL string parsed by a single ``F.expr`` call
+    (round 19): the Column-method form built ~|splits| nested ``When``
+    objects through py4j — at the 127-split default on local[32] that
+    was hundreds of driver round trips per spec, paid on every query
+    build (the round-18 §9 build-cost finding, applied here).  The
+    parsed tree is identical: ``CASE WHEN c < CAST(s AS BIGINT) THEN a
+    ELSE b END`` is the CaseWhen node ``F.when(...).otherwise(...)``
+    builds, and the hypothesis property sweeps the equivalence against
+    the reference window.  ``value_col`` is backtick-quoted (internal
+    callers pass plain identifiers)."""
     if not splits:
         return F.lit(0)
-    c = F.col(value_col)
+    c = f"`{value_col}`"
 
-    def tree(lo: int, hi: int) -> Column:
+    def tree(lo: int, hi: int) -> str:
         # invariant: the bucket index lies in [lo, hi]
         if lo == hi:
-            return F.lit(lo)
+            return str(lo)
         mid = (lo + hi) // 2  # compare against splits[mid]
-        return F.when(
-            c < F.lit(int(splits[mid])).cast("long"), tree(lo, mid)
-        ).otherwise(tree(mid + 1, hi))
+        return (
+            f"(CASE WHEN {c} < CAST({int(splits[mid])} AS BIGINT)"
+            f" THEN {tree(lo, mid)} ELSE {tree(mid + 1, hi)} END)"
+        )
 
     asc = tree(0, len(splits))
-    return (F.lit(len(splits)) - asc) if descending else asc
+    return F.expr(f"({len(splits)} - {asc})" if descending else asc)
 
 
 def _approx_splits(

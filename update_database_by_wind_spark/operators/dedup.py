@@ -158,8 +158,12 @@ def l3a_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.expr("max(sz) AS max_cluster"),
             )
-            .selectExpr(
-                f"'{method}' AS method",
+            # F.lit for the one literal column (ADVICE round 18: an
+            # f-string into a SQL string literal would break/inject on
+            # a quote in ``method``; a lit Column can't) — the
+            # parse-heavy aggregate chain above keeps the expr path
+            .select(
+                F.lit(method).alias("method"),
                 "n_clusters",
                 "n_multi",
                 "n_near_dup_docs",

@@ -78,9 +78,25 @@ def connected_components(
     rounds do not converge (silent truncation would return wrong
     clusters).
     """
+    # Symmetrize via ONE explode pass instead of a two-leg union: the
+    # union planned the (possibly expensive) ``edges`` pipeline twice —
+    # for l3f/l3g/l3i that pipeline is the full near-dup pair mining —
+    # and relied on ReuseExchange to dedupe it; explode(array(e, e'))
+    # makes the single computation structural (the g3 corners pattern,
+    # round 18 §5).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
@@ -102,6 +118,13 @@ def connected_components(
         jump = stepped.select(
             F.col("id").alias("j_id"), F.col("label").alias("j_label")
         )
+        # LAZY local checkpoint (eager=False): the plan is cut to a
+        # LogicalRDD immediately, but materialization is deferred to
+        # the convergence count below — which therefore computes the
+        # new labels, persists their blocks, AND probes convergence in
+        # ONE job instead of the former checkpoint-job + count-job
+        # pair (guide §7: fixture-scale cost is per-job scheduling;
+        # round-19 fold, see OPTIMIZATION_r19.md).
         new_labels = (
             stepped.join(jump, stepped["label"] == jump["j_id"], "left")
             .select(
@@ -110,7 +133,7 @@ def connected_components(
                     F.col("label"), F.coalesce("j_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -718,9 +741,21 @@ def bfs_hops(
     non-empty after ``max_rounds`` — a silently truncated BFS would
     return wrong (missing) distances.
     """
+    # one explode pass symmetrizes without planning ``edges`` twice
+    # (same rationale as connected_components)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint()
     )
@@ -729,6 +764,21 @@ def bfs_hops(
         [(int(source), 0)], "id long, dist long"
     ).localCheckpoint()
     frontier = dist.select("id")
+    # Per-round job fold (round 19): both per-round checkpoints are
+    # LAZY (eager=False cuts the plan to a LogicalRDD immediately but
+    # defers materialization), so each round runs ONE action — the
+    # convergence count — whose job computes the new frontier,
+    # persists its blocks, materializes the previous round's deferred
+    # dist union (its anti-join input), and returns the frontier size.
+    # The old loop paid three eager actions per round (frontier
+    # checkpoint + count + full dist re-checkpoint).  ``dist`` stays a
+    # SINGLE checkpointed RDD per round — a first rewrite that kept it
+    # as a lazy union of per-round legs measured SLOWER (g4 sf1 4.72 →
+    # 5.58 s: the anti join re-scans every leg every round), recorded
+    # in OPTIMIZATION_r19.md.  Frees are deferred one round: a lazy
+    # checkpoint's inputs may not be unpersisted until the checkpoint
+    # has materialized (the truncated lineage cannot recompute).
+    pending: list[DataFrame] = []
     for d in range(1, max_rounds + 1):
         new = (
             frontier.join(sym, frontier["id"] == sym["u"])
@@ -736,14 +786,21 @@ def bfs_hops(
             .distinct()
             .join(dist, "id", "left_anti")
             .withColumn("dist", F.lit(d).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if new.count() == 0:
+        n_new = new.count()
+        # the count materialized `new` and (through its anti join) the
+        # previous round's dist — everything staged two rounds back is
+        # now dead
+        for df in pending:
+            _free_ckpt(df)
+        pending = []
+        if n_new == 0:
             _free_ckpt(sym)
             return dist
-        old = dist
-        dist = dist.unionByName(new).localCheckpoint()
-        _free_ckpt(old)
+        prev = dist
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        pending = [prev, new]
         frontier = new.select("id")
     raise RuntimeError(
         f"bfs_hops: frontier still growing after {max_rounds} rounds"
@@ -819,6 +876,11 @@ def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("u"), F.col("r_suppkey").alias("v")
         )
         .distinct()
+        # materialize the pair list once: THREE consumers replan it
+        # otherwise (the verts union's two legs and bfs_hops' sym) —
+        # each a fresh lineitem self-join (round-19 fold; the g3
+        # localCheckpoint hygiene pattern)
+        .localCheckpoint()
     )
     verts = (
         pairs.select(F.col("u").alias("id"))

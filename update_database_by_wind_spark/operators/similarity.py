@@ -50,15 +50,16 @@ def dot(a: Column, b: Column) -> Column:
     per row, a measured ~25% saving on the interpreted higher-order
     path that dominates brute-force similarity scans.
 
-    String inputs (column names or SQL expressions) take the one-call
-    ``F.expr`` path: composing the two lambdas through Column methods
-    costs ~15 py4j round trips per call, a measured driver-side build
-    tax on every bench pass (round-18 §9); the parsed tree is
-    IDENTICAL (``0.0D`` is the double literal ``F.lit(0.0)`` builds —
-    DataFrame.sameSemantics receipt).  Same pattern as dec_sum.
+    Callers on a hot build path (l4's per-pass composition) format the
+    ``_SPARK_DOT`` SQL template below into a single ``F.expr`` instead
+    of calling this function — one py4j round trip versus ~15 for the
+    Column-method chain (round-18 §9); the parsed tree is IDENTICAL
+    (``0.0D`` is the double literal ``F.lit(0.0)`` builds —
+    DataFrame.sameSemantics receipt).  The template's ``{a}``/``{b}``
+    slots take identifier-safe SQL fragments only; this function itself
+    is Column-only (the round-18 str fast path was dead code with an
+    unvalidated-interpolation surface — removed round 19 per ADVICE).
     """
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_SPARK_DOT.format(a=a, b=b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
