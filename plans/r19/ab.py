@@ -225,6 +225,101 @@ def l3f_variant(spark, sf_dir, new: bool):
     )
 
 
+def l3e_variant(spark, sf_dir, salts: int):
+    """l3e with an OPTIONAL two-level salted posting aggregation
+    (salts=0 → the shipped one-pass plan).  Salting the shingle
+    groupBy (guide §2.5 two-level aggregation): partial lists per
+    (shingle, salt), then merge — buffers bounded by df/salts at the
+    cost of a second aggregation over the full posting data."""
+    from update_database_by_wind_spark.operators.dedup import _L3E_DF_CAP
+
+    docs = load(spark, sf_dir, "documents")
+    n = 3
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    gram = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+            ),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    narrow = docs.select("doc_id", "text")
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    grams = (
+        narrow.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("toks") >= n, gram).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("shingle_text"),
+        )
+        .select("doc_id", F.xxhash64("shingle_text").alias("shingle"))
+    )
+    if salts:
+        partial = (
+            grams.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts))
+            )
+            .groupBy("shingle", "_salt")
+            .agg(
+                F.count("*").alias("pc"),
+                F.collect_list("doc_id").alias("pd"),
+            )
+        )
+        posting = (
+            partial.groupBy("shingle")
+            .agg(
+                F.sum("pc").alias("df"),
+                F.array_sort(F.flatten(F.collect_list("pd"))).alias("docs"),
+            )
+            .filter(F.col("df") <= _L3E_DF_CAP)
+            .select("shingle", "docs")
+        )
+    else:
+        posting = (
+            grams.groupBy("shingle")
+            .agg(
+                F.count("*").alias("df"),
+                F.array_sort(F.collect_list("doc_id")).alias("docs"),
+            )
+            .filter(F.col("df") <= _L3E_DF_CAP)
+            .select("shingle", "docs")
+        )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    multi = posting.filter(F.size("docs") >= 2)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        multi.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return joined.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
+    )
+
+
 def timed_with_jobs(spark, label, fn, passes=3):
     """min-of-passes wall plus the Spark job count of one pass."""
     fn().count()  # warm
@@ -327,6 +422,16 @@ def main():
                     )
                 out[f"e3_{qname}_{tag}"] = res
                 print(f"e3_{qname}_{tag}", res, flush=True)
+
+    if "e4" in which:
+        for d, tag in dirs:
+            if tag == "sf01":
+                continue  # salting question only matters at the replicas
+            out[f"e4_l3e_salted_{tag}"] = interleave({
+                "plain": (lambda d=d: l3e_variant(spark, d, 0)),
+                "salted16": (lambda d=d: l3e_variant(spark, d, 16)),
+            })
+            print(f"e4_{tag}", out[f"e4_l3e_salted_{tag}"], flush=True)
 
     print(json.dumps(out))
     with open(

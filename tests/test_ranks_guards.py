@@ -43,11 +43,13 @@ def test_missing_value_column_is_refused(spark):
         with_global_ranks(df, [_spec(value="nope")], n_buckets=4)
 
 
-def test_null_values_are_refused_by_the_count_pass(spark):
+def test_null_values_are_refused_by_the_boundary_pass(spark):
     """A null value lands in the last bucket (the CASE tree's
-    otherwise) while the in-bucket sort puts nulls first — the count
-    pass, which sees every row anyway, counts value nulls per spec and
-    raises on the first one instead of mis-ranking silently."""
+    otherwise) while the in-bucket sort puts nulls first — the
+    boundary pass, which sees every row anyway, counts value nulls per
+    column and raises on the first one instead of mis-ranking
+    silently (round 19: this guard moved from the count pass into the
+    boundary aggregate when the count pass went lazy)."""
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 30)], "k long, v long"
     )
@@ -55,17 +57,19 @@ def test_null_values_are_refused_by_the_count_pass(spark):
         with_global_ranks(df, [_spec()], n_buckets=4)
 
 
-def test_input_drift_between_jobs_fails_loudly(spark, tmp_path):
-    """The advisor's finding: the count pass and the rank pass are
-    separate jobs over the same lazy input, so a source that evaluates
-    differently between them could land rank-pass rows in a bucket the
-    count pass never saw — and the old inner join against the offsets
-    DROPPED those rows silently.  Simulate exactly that drift with a
-    non-deterministic UDF whose value comes from a file the test
-    rewrites between the eager passes and the lazy rank collect: every
-    row moves from the occupied bucket (>= the single split) into the
-    never-seen one (< the split), and the left-join guard must raise
-    instead of returning an empty result."""
+def test_input_drift_after_boundary_pass_is_harmless(spark, tmp_path):
+    """Round-19 semantics: the exact per-bucket offsets are no longer
+    collected in a second eager job — they are a lazy broadcast
+    subtree evaluated inside the SAME action as the rank pass.  A
+    source that drifts between the eager boundary job and the caller's
+    action therefore yields a CORRECT result computed wholly from the
+    drifted input (stale splits only affect bucket balance, never
+    correctness), where the pre-round-19 design had to raise.
+    Simulate the drift with a non-deterministic UDF whose value comes
+    from a file the test rewrites between the with_global_ranks call
+    and the collect: every row moves from the boundary-time bucket
+    (>= the single split 5) into the other one (v == 3 < 5), and the
+    ranks must still come back exact and total."""
     marker = tmp_path / "value.txt"
     marker.write_text("5")
     path = str(marker)
@@ -78,12 +82,34 @@ def test_input_drift_between_jobs_fails_loudly(spark, tmp_path):
     df = spark.range(30).select(
         F.col("id").alias("k"), read_marker().alias("v")
     )
-    # splits/count passes run eagerly here and see v == 5 everywhere:
-    # the single split is 5, bucket 1 (v >= 5) holds every row and
-    # bucket 0 (v < 5) is never seen
+    # the boundary pass runs eagerly here and sees v == 5 everywhere
     out, n = with_global_ranks(df, [_spec()], n_buckets=4)
     assert n == 30
-    # ...then the input drifts before the lazy rank pass evaluates
+    # ...then the input drifts before the action: offsets and ranks
+    # both see v == 3, so every row ranks by the unique tiebreak k
     marker.write_text("3")
+    got = {r["k"]: r["rn"] for r in out.collect()}
+    assert got == {k: k + 1 for k in range(30)}
+
+
+def test_missing_offset_guard_raises_loudly(spark):
+    """The drift guard itself (ranks._guarded): two evaluations of a
+    non-deterministic source INSIDE one action can still disagree, and
+    a rank-pass row landing in a bucket the offsets evaluation never
+    saw must raise, not silently drop or mis-rank.  The in-action
+    interleaving cannot be staged deterministically from a test, so
+    pin the guard expression directly: a null offset (the left join's
+    miss) raises with the documented message."""
+    from update_database_by_wind_spark.functions.ranks import _guarded
+
+    df = spark.createDataFrame(
+        [(0, 7), (1, None)], "k long, _cnt_off long"
+    )
+    assert [
+        r["g"]
+        for r in df.filter("k = 0")
+        .select(_guarded("_cnt_off").alias("g"))
+        .collect()
+    ] == [7]
     with pytest.raises(Exception, match="bucket the count pass never saw"):
-        out.collect()
+        df.select(_guarded("_cnt_off").alias("g")).collect()

@@ -99,24 +99,79 @@ def _bucket_expr(value_col: str, splits: list, *, descending: bool) -> Column:
     return F.expr(f"({len(splits)} - {asc})" if descending else asc)
 
 
-def _approx_splits(
-    df: DataFrame, value_cols: list[str], n_buckets: int
-) -> dict[str, list]:
-    """One aggregate job → per-column split values (deduped, sorted).
-    Any split set is correct; approx quantiles make buckets balanced."""
+def _boundary_pass(
+    df: DataFrame, specs: list[dict], n_buckets: int
+) -> tuple[dict[str, list], int, dict[int, int]]:
+    """ONE aggregate job → per-column split values (deduped, sorted),
+    the exact row count, per-column null counts (validated here), and
+    each cum measure's exact total.  Any split set is correct; approx
+    quantiles make buckets balanced.  Round 19: the former separate
+    count-pass action (exact per-bucket offsets) is no longer an eager
+    job — offsets are a lazy broadcast subtree of the returned plan —
+    so everything else the count pass produced moves into this single
+    boundary aggregate."""
+    value_cols = sorted({s["value"] for s in specs})
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.select(
-        *[
-            F.percentile_approx(c, F.array(*[F.lit(p) for p in probs]), 10000)
-            .alias(c)
-            for c in value_cols
-        ]
-    ).first()
-    out: dict[str, list] = {}
+    aggs = []
     for c in value_cols:
-        vals = row[c] if row is not None and row[c] is not None else []
-        out[c] = sorted(set(v for v in vals if v is not None))
-    return out
+        aggs.append(
+            F.percentile_approx(c, F.array(*[F.lit(p) for p in probs]), 10000)
+            .alias(f"_sp_{c}")
+        )
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{c}")
+        )
+    aggs.append(F.count(F.lit(1)).alias("_n"))
+    for i, s in enumerate(specs):
+        if s.get("cum"):
+            aggs.append(
+                F.sum(F.col(s["cum"][0]).cast("long")).alias(f"_tot_{i}")
+            )
+    row = df.agg(*aggs).first()
+    bad_nulls = {
+        c: int(row[f"_nl_{c}"] or 0)
+        for c in value_cols
+        if row is not None and int(row[f"_nl_{c}"] or 0)
+    }
+    if bad_nulls:
+        raise ValueError(
+            f"with_global_ranks: null values in rank columns "
+            f"{bad_nulls} — a null would land in the last bucket while "
+            "the in-bucket sort puts nulls first; rank non-null "
+            "aggregates only"
+        )
+    splits: dict[str, list] = {}
+    for c in value_cols:
+        vals = row[f"_sp_{c}"] if row is not None else []
+        vals = vals if vals is not None else []
+        splits[c] = sorted(set(v for v in vals if v is not None))
+    n_rows = int(row["_n"]) if row is not None else 0
+    totals = {
+        i: int(row[f"_tot_{i}"] or 0)
+        for i, s in enumerate(specs)
+        if s.get("cum") and row is not None
+    }
+    return splits, n_rows, totals
+
+
+def _guarded(offset_col: str) -> Column:
+    """The drift guard: pass a present offset through, raise loudly on
+    a missing one (a rank-pass row in a bucket the offsets evaluation
+    never saw — see the inline drift-invariant note in
+    :func:`with_global_ranks`).  Module-level so the raise path stays
+    directly unit-testable (tests/test_ranks_guards.py)."""
+    return F.when(
+        F.col(offset_col).isNotNull(), F.col(offset_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "with_global_ranks: a rank-pass row landed in a "
+                "bucket the count pass never saw — the input "
+                "changed between jobs (non-deterministic source "
+                "or files mutated under the plan)"
+            )
+        ).cast("long")
+    )
 
 
 def with_global_ranks(
@@ -126,7 +181,10 @@ def with_global_ranks(
     n_buckets: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach exact global-order columns to ``df`` for every spec in
-    one boundary job + one count job + per-spec bucket windows.
+    ONE eager boundary job + per-spec bucket windows whose exact
+    prefix offsets are a lazy broadcast subtree of the returned plan
+    (round 19 — formerly a second eager count-pass job whose offsets
+    were collected and re-shipped as literals).
 
     Each spec is ``{"value": col, "key": unique_tiebreak_col,
     "rank": out_col}`` with optional ``"descending": True`` and
@@ -143,8 +201,8 @@ def with_global_ranks(
     never null.  Both contracts are ENFORCED loudly: a non-integral
     value/measure dtype raises ``TypeError`` up front (a double would
     mis-bucket silently on the long-cast split literals), and the
-    count pass — which sees every row anyway — counts value nulls per
-    spec and raises ``ValueError`` on the first one.
+    boundary pass — which sees every row anyway — counts value nulls
+    per column and raises ``ValueError`` on the first one.
 
     ``n_buckets`` defaults to 4× the cluster's default parallelism
     (clamped to [32, 1024]) — a FIXED bucket count would itself be a
@@ -153,9 +211,11 @@ def with_global_ranks(
     including more buckets than rows), so the default only tunes
     balance.
 
-    Multi-pass input cost: ``df``'s plan executes once per internal
-    job (splits, counts) and once more when the returned frame
-    evaluates.  A caller whose input derives from an expensive
+    Multi-pass input cost: ``df``'s plan executes once for the eager
+    boundary job and twice more when the returned frame evaluates (the
+    lazy offsets subtree + the rank pass — same total evaluations as
+    before, one fewer driver round trip).  A caller whose input
+    derives from an expensive
     scan+shuffle (e5/o8 rank a full fact-table aggregate) should
     ``persist()`` it first so the upstream work is paid once — this
     function deliberately does NOT persist internally, because the
@@ -200,8 +260,10 @@ def with_global_ranks(
                     "double would mis-bucket silently against the "
                     "long-cast split literals"
                 )
-    value_cols = [s["value"] for s in specs]
-    splits = _approx_splits(df, value_cols, n_buckets)
+    splits, n_rows, totals = _boundary_pass(df, specs, n_buckets)
+    for i, s in enumerate(specs):
+        if s.get("cum"):
+            s["total"] = totals.get(i, 0)
     bcols = {s["rank"]: f"_bkt_{s['rank']}" for s in specs}
     staged = df
     for s in specs:
@@ -212,10 +274,15 @@ def with_global_ranks(
                 descending=bool(s.get("descending")),
             ),
         )
-    # one count/sum pass for every spec: explode each row to
+    # one count/sum subtree for every spec: explode each row to
     # (spec_id, bucket, measure) and aggregate — ≤ len(specs)*n_buckets
-    # result rows, map-side combined before the shuffle
-    spark = df.sparkSession
+    # result rows, map-side combined before the shuffle.  LAZY since
+    # round 19: the per-bucket prefix offsets are computed in-plan (a
+    # window PARTITIONED BY the spec id over the sketch-sized stats —
+    # never SinglePartition, ≤ n_buckets rows per spec by construction)
+    # and broadcast-joined, so the former collect + createDataFrame
+    # round trip and its separate eager job disappear; the offsets
+    # subtree evaluates inside the SAME action as the rank pass.
     structs = [
         F.struct(
             F.lit(i).alias("m"),
@@ -225,57 +292,34 @@ def with_global_ranks(
                 if s.get("cum")
                 else F.lit(0).cast("long")
             ).alias("v"),
-            F.col(s["value"]).isNull().cast("long").alias("nn"),
         )
         for i, s in enumerate(specs)
     ]
     stats = (
         staged.select(F.explode(F.array(*structs)).alias("x"))
         .groupBy("x.m", "x.b")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum("x.v").alias("s"),
-            F.sum("x.nn").alias("nulls"),
-        )
-        .collect()
+        .agg(F.count("*").alias("cnt"), F.sum("x.v").alias("s"))
     )
-    null_counts = {i: 0 for i in range(len(specs))}
-    per_spec: dict[int, list] = {i: [] for i in range(len(specs))}
-    for r in stats:
-        per_spec[r["m"]].append((r["b"], r["cnt"], r["s"]))
-        null_counts[r["m"]] += int(r["nulls"] or 0)
-    bad_nulls = {
-        specs[i]["value"]: n for i, n in null_counts.items() if n
-    }
-    if bad_nulls:
-        raise ValueError(
-            f"with_global_ranks: null values in rank columns "
-            f"{bad_nulls} — a null would land in the last bucket while "
-            "the in-bucket sort puts nulls first; rank non-null "
-            "aggregates only"
-        )
-    totals = {
-        i: sum(c for _, c, _ in rows) for i, rows in per_spec.items()
-    }
-    n_rows = totals[0] if specs else 0
-    if any(t != n_rows for t in totals.values()):
-        raise ValueError(
-            f"with_global_ranks: bucket counts disagree across specs "
-            f"({totals}) — bucket classification must partition the rows"
-        )
+    woff = (
+        Window.partitionBy("m")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets_all = stats.select(
+        "m",
+        "b",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+        .cast("long")
+        .alias("_cnt_off"),
+        F.coalesce(F.sum("s").over(woff), F.lit(0))
+        .cast("long")
+        .alias("_sum_off"),
+    )
     out = staged
     for i, s in enumerate(specs):
-        cnt_off, sum_off, offsets = 0, 0, []
-        for b, c, v in sorted(per_spec[i]):
-            offsets.append((b, cnt_off, sum_off))
-            cnt_off += c
-            sum_off += int(v or 0)
-        if s.get("cum"):
-            s["total"] = sum_off
         bcol = bcols[s["rank"]]
-        off = spark.createDataFrame(
-            offsets or [(0, 0, 0)],
-            f"{bcol} int, _cnt_off long, _sum_off long",
+        off = offsets_all.filter(F.col("m") == i).select(
+            F.col("b").cast("int").alias(bcol), "_cnt_off", "_sum_off"
         )
         order = (
             [F.col(s["value"]).desc(), F.col(s["key"])]
@@ -283,30 +327,21 @@ def with_global_ranks(
             else [F.col(s["value"]), F.col(s["key"])]
         )
         w = Window.partitionBy(bcol).orderBy(*order)
-        # Drift invariant: the count pass and the rank pass are
-        # separate jobs over the same LAZY input.  If the source is
-        # re-evaluated differently between them (files mutated under
-        # the plan, a non-deterministic input), rank-pass rows can land
-        # in a bucket the count pass never saw — an inner join against
-        # the offsets would silently DROP those rows.  A left join plus
-        # an executor-side raise on the missing offset makes that drift
-        # fail loudly at zero extra jobs.  (Drift that only moves rows
-        # BETWEEN already-seen buckets is the caller's determinism
-        # contract — no join-shaped check can see it.)
-        def _guarded(offset_col: str) -> Column:
-            return F.when(
-                F.col(offset_col).isNotNull(), F.col(offset_col)
-            ).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "with_global_ranks: a rank-pass row landed in a "
-                        "bucket the count pass never saw — the input "
-                        "changed between jobs (non-deterministic source "
-                        "or files mutated under the plan)"
-                    )
-                ).cast("long")
-            )
-
+        # Drift invariant: the offsets subtree and the rank pass are
+        # separate EVALUATIONS of the same lazy input (both inside the
+        # caller's action since round 19 — the broadcast build runs
+        # first).  If the source evaluates differently between them
+        # (files mutated under the plan, a non-deterministic input),
+        # rank-pass rows can land in a bucket the offsets evaluation
+        # never saw — an inner join against the offsets would silently
+        # DROP those rows.  A left join plus an executor-side raise on
+        # the missing offset makes that drift fail loudly at zero
+        # extra jobs.  (Drift that only moves rows BETWEEN
+        # already-seen buckets is the caller's determinism contract —
+        # no join-shaped check can see it.)  Drift between the eager
+        # boundary job and the action is HARMLESS now: splits only
+        # affect balance, and counts+ranks are computed consistently
+        # inside one action (pinned by the ranks drift test).
         out = out.join(F.broadcast(off), bcol, "left").withColumn(
             s["rank"],
             (F.row_number().over(w) + _guarded("_cnt_off")).cast("long"),
